@@ -1,0 +1,391 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per [[Queries]] member, over the same
+  * parquet tables (registered by bare table name by the driver).
+  *
+  * Discipline (see Queries scaladoc): identical column aliases, identical
+  * rounding, identical deterministic ORDER BY, and integer outputs cast so
+  * both engines emit 64-bit values.
+  */
+object Oracles {
+
+  /** Normalized-token fragment shared by the text queries: lowercase,
+    * collapse whitespace (note DuckDB regexp_replace needs the 'g' flag to
+    * match Spark's replace-all semantics).
+    */
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toks = s"string_split($norm, ' ')"
+
+  /** 60-bit md5-derived stable hash (= TextFunctions.stableHash60). */
+  private def hash60(col: String) =
+    s"CAST(concat('0x', substr(md5($col), 1, 15)) AS BIGINT)"
+
+  private val stopEn = "('the','a','of','and','to','in','is')"
+
+  val pricingSummary: String = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  val filterProject: String = """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1995-04-01'
+      AND l_discount > 0.05
+    ORDER BY l_orderkey, l_linenumber"""
+
+  val joinRevenue: String = """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""
+
+  val leftJoinAgg: String = """
+    SELECT n_nationkey, n_name, n_custs, sum_bal
+    FROM nation
+    LEFT JOIN (
+      SELECT c_nationkey, count(*) AS n_custs, round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer GROUP BY c_nationkey
+    ) ca ON n_nationkey = ca.c_nationkey
+    ORDER BY n_nationkey"""
+
+  val semiAntiJoin: String = """
+    WITH w AS (
+      SELECT c_mktsegment, count(*) AS n_with_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment),
+    wo AS (
+      SELECT c_mktsegment, count(*) AS n_without_orders
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment)
+    SELECT c_mktsegment,
+           coalesce(n_with_orders, 0) AS n_with_orders,
+           coalesce(n_without_orders, 0) AS n_without_orders
+    FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+    ORDER BY c_mktsegment"""
+
+  val distinctCombos: String = """
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority"""
+
+  val topkPerGroup: String = """
+    SELECT o_orderstatus, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_orderstatus, rn"""
+
+  val unionEntities: String = """
+    WITH u AS (
+      SELECT 'customer' AS src, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS src, s_acctbal AS acctbal FROM supplier)
+    SELECT src, count(*) AS n, round(sum(acctbal), 2) AS sum_bal
+    FROM u GROUP BY src ORDER BY src"""
+
+  val minuteAgg: String = """
+    SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute, event_type,
+           count(*) AS n_events, round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  val bucketing: String = """
+    SELECT event_type,
+           CASE WHEN value < 30 THEN 'heavy'
+                WHEN value < 60 THEN 'moderate'
+                ELSE 'light' END AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  val validateEvents: String = """
+    SELECT event_type, count(*) AS n_valid, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      AND value > 0 AND props IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  val dayFilter: String = """
+    SELECT event_type, count(*) AS n,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  /** Shared WITH-chain of the mood flagship (unrounded, pre-ORDER). */
+  private val moodCte: String = """
+    ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+           FROM events),
+    traffic AS (
+      SELECT date_trunc('minute', ts) AS event_time,
+             'x' || CAST(user_id % 4 AS VARCHAR) AS intersection,
+             value / 4 AS speed
+      FROM ev),
+    tagg AS (
+      SELECT event_time, intersection, avg(speed) AS avg_speed
+      FROM traffic GROUP BY 1, 2),
+    weather AS (
+      SELECT event_id, date_trunc('minute', ts) AS event_time, value / 10 AS temp,
+             CASE event_type
+               WHEN 'click' THEN 'clear'
+               WHEN 'view' THEN 'partly_cloudy'
+               WHEN 'purchase' THEN 'mainly_clear'
+               WHEN 'signup' THEN 'rain_heavy'
+               ELSE 'thunderstorm' END AS weather
+      FROM ev),
+    wagg AS (
+      SELECT event_time, avg(temp) AS avg_temp, min_by(weather, event_id) AS weather
+      FROM weather GROUP BY 1),
+    news AS (
+      SELECT event_id, date_trunc('minute', ts) AS event_time,
+             CASE WHEN event_type = 'error' THEN 'negative'
+                  WHEN event_type = 'purchase' THEN 'positive'
+                  ELSE 'neutral' END AS sentiment
+      FROM ev),
+    nagg AS (
+      SELECT event_time, min_by(sentiment, event_id) AS sentiment
+      FROM news GROUP BY 1),
+    joined AS (
+      SELECT t.event_time, t.intersection, t.avg_speed, w.avg_temp, w.weather, n.sentiment
+      FROM tagg t
+      LEFT JOIN wagg w USING (event_time)
+      LEFT JOIN nagg n USING (event_time)),
+    mood_raw AS (
+      SELECT event_time, intersection, avg_speed, avg_temp, weather, sentiment,
+             CASE
+               WHEN avg_speed IS NULL OR weather IS NULL THEN 'unknown'
+               WHEN sentiment = 'negative' THEN 'tense'
+               WHEN avg_speed > 60 AND weather IN ('clear','mainly_clear','partly_cloudy') THEN 'relaxed'
+               WHEN avg_speed < 30 AND weather NOT IN ('clear','mainly_clear','partly_cloudy','unknown') THEN 'stressed'
+               WHEN avg_speed < 30 AND weather IN ('clear','mainly_clear','partly_cloudy') THEN 'slowed_but_chill'
+               WHEN avg_speed > 60 AND weather NOT IN ('clear','mainly_clear','partly_cloudy','unknown') THEN 'fast_but_gloomy'
+               ELSE 'normal' END AS mood
+      FROM joined)"""
+
+  val moodFlagship: String = s"""
+    WITH $moodCte
+    SELECT event_time, intersection,
+           round(avg_speed, 4) AS avg_speed, round(avg_temp, 4) AS avg_temp,
+           weather, sentiment, mood
+    FROM mood_raw
+    ORDER BY event_time, intersection"""
+
+  val dailySummary: String = s"""
+    WITH $moodCte
+    SELECT intersection, mood, count(*) AS records_count,
+           round(avg(avg_speed), 4) AS avg_speed, round(avg(avg_temp), 4) AS avg_temp
+    FROM mood_raw
+    GROUP BY intersection, mood
+    ORDER BY intersection, mood"""
+
+  val classifyNews: String = """
+    SELECT doc_id,
+           CASE
+             WHEN text IS NULL THEN 'neutral'
+             WHEN contains(lower(text), 'accident') OR contains(lower(text), 'strike')
+               OR contains(lower(text), 'crash') OR contains(lower(text), 'delay')
+               OR contains(lower(text), 'protest') THEN 'negative'
+             WHEN contains(lower(text), 'smooth') OR contains(lower(text), 'sunny')
+               OR contains(lower(text), 'festival') OR contains(lower(text), 'celebration')
+               THEN 'positive'
+             ELSE 'neutral' END AS sentiment
+    FROM documents
+    ORDER BY doc_id"""
+
+  val textStats: String = s"""
+    SELECT doc_id,
+           len($toks) AS n_tokens,
+           len(list_distinct($toks)) AS n_unique,
+           length($norm) AS n_chars_norm,
+           round(CAST(len(list_filter($toks, x -> x IN $stopEn)) AS DOUBLE)
+                 / len($toks), 6) AS stopword_ratio,
+           md5($norm) AS fingerprint
+    FROM documents
+    ORDER BY doc_id"""
+
+  val langId: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    r AS (
+      SELECT doc_id,
+        CAST(len(list_filter(tk, x -> x IN $stopEn)) AS DOUBLE) / len(tk) AS r_en,
+        CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y','los'))) AS DOUBLE) / len(tk) AS r_es,
+        CAST(len(list_filter(tk, x -> x IN ('le','la','les','des','et','est'))) AS DOUBLE) / len(tk) AS r_fr,
+        CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE) / len(tk) AS r_de
+      FROM t),
+    u AS (
+      SELECT doc_id, 'en' AS lang, r_en AS ratio, 1 AS ord FROM r
+      UNION ALL SELECT doc_id, 'es', r_es, 2 FROM r
+      UNION ALL SELECT doc_id, 'fr', r_fr, 3 FROM r
+      UNION ALL SELECT doc_id, 'de', r_de, 4 FROM r),
+    b AS (
+      SELECT doc_id, lang, ratio FROM u
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, ord ASC) = 1)
+    SELECT doc_id,
+           CASE WHEN ratio >= 0.02 THEN lang ELSE 'unknown' END AS lang_guess
+    FROM b
+    ORDER BY doc_id"""
+
+  val dedupExact: String = s"""
+    SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp"""
+
+  /** Word-bigram fragment (= TextFunctions.wordNgrams(text, 2)). */
+  private val bigrams =
+    s"list_transform(generate_series(1, len($toks) - 1)," +
+      s" i -> concat_ws(' ', $toks[i], $toks[i + 1]))"
+
+  private val minhashCte: String = s"""
+    g AS (
+      SELECT doc_id, unnest(list_distinct($bigrams)) AS sh FROM documents),
+    h AS (
+      SELECT doc_id, mod(${hash60("sh")}, 1000000007) AS hh FROM g),
+    sigs AS (
+      SELECT doc_id,
+             min(mod(hh * 2000007 + 777767777, 1000000007)) AS mh0,
+             min(mod(hh * 4000013 + 555535547, 1000000007)) AS mh1,
+             min(mod(hh * 6000019 + 333303317, 1000000007)) AS mh2,
+             min(mod(hh * 8000025 + 111071087, 1000000007)) AS mh3
+      FROM h GROUP BY doc_id)"""
+
+  val minhashSignatures: String = s"""
+    WITH $minhashCte
+    SELECT doc_id, mh0, mh1, mh2, mh3 FROM sigs ORDER BY doc_id"""
+
+  val lshCandidatePairs: String = s"""
+    WITH $minhashCte,
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(concat_ws(',', mh2, mh3)) AS sig FROM sigs)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b"""
+
+  val jaccardPairs: String = s"""
+    WITH t AS (
+      SELECT doc_id, source AS block, list_distinct($toks) AS grams FROM documents),
+    s AS (
+      SELECT doc_id, block, len(grams) AS ng, unnest(grams) AS g
+      FROM t WHERE len(grams) > 0),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+             count(*) AS inter
+      FROM s a JOIN s b
+        ON a.block = b.block AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+    ORDER BY id_a, id_b"""
+
+  val simhashFingerprints: String = s"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, ${hash60("tok")} AS hv FROM t),
+    v AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (hv >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN votes >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id ORDER BY doc_id"""
+
+  val annBruteForce: String = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
+  val embeddingNearDups: String = """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    ORDER BY id_a, id_b"""
+
+  val multimodalFeatures: String = """
+    SELECT doc_id AS media_id,
+           'image/fake' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS fingerprint,
+           CAST(320 + strlen(text) % 320 AS INTEGER) AS width,
+           CAST(240 + strlen(text) % 240 AS INTEGER) AS height
+    FROM documents
+    ORDER BY media_id"""
+
+  /** All oracles, keyed identically to SparkEntry.queries. */
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_filter_project" -> filterProject,
+    "q03_join_revenue" -> joinRevenue,
+    "q04_left_join_agg" -> leftJoinAgg,
+    "q05_semi_anti_join" -> semiAntiJoin,
+    "q06_distinct" -> distinctCombos,
+    "q07_topk_window" -> topkPerGroup,
+    "q08_union_agg" -> unionEntities,
+    "q09_minute_agg" -> minuteAgg,
+    "q10_bucketing" -> bucketing,
+    "q11_validate" -> validateEvents,
+    "q12_day_filter" -> dayFilter,
+    "q13_mood_flagship" -> moodFlagship,
+    "q14_daily_summary" -> dailySummary,
+    "q15_classify_news" -> classifyNews,
+    "q16_text_stats" -> textStats,
+    "q17_lang_id" -> langId,
+    "q18_dedup_exact" -> dedupExact,
+    "q19_minhash_signatures" -> minhashSignatures,
+    "q20_lsh_candidate_pairs" -> lshCandidatePairs,
+    "q21_jaccard_pairs" -> jaccardPairs,
+    "q22_simhash" -> simhashFingerprints,
+    "q23_ann_brute_force" -> annBruteForce,
+    "q24_embedding_near_dups" -> embeddingNearDups,
+    "q25_multimodal_features" -> multimodalFeatures,
+    "q26_streaming_minute_agg" -> minuteAgg)
+}

@@ -1,0 +1,400 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.model.Vocab
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops._
+import graft.pipeline.MoodPipeline
+
+/** The engine's query surface over the driver test corpus — one entry per
+  * implemented operator family (SURVEY.md §2 + training-data extensions).
+  *
+  * Conventions shared with the DuckDB oracles in [[Oracles]]:
+  *  - every aggregate / computed column is explicitly aliased, identically
+  *    on both sides (the driver compare sorts columns BY NAME);
+  *  - double-valued outputs are rounded (4–6 dp) on both sides so
+  *    distributed-summation ulp noise can't flip a hash;
+  *  - every result carries a deterministic total ORDER BY on non-null keys.
+  */
+object Queries {
+
+  private def round4(c: String): Column = round(col(c), 4).as(c)
+
+  // ------------------------------------------------------------------ //
+  // Relational core (lineitem / orders / customer / nation / region)
+  // ------------------------------------------------------------------ //
+
+  /** A-class hash aggregation — TPC-H Q1 shape (partial+final HashAggregate,
+    * one shuffle on the 2 low-cardinality keys).
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** P-class filter + computed projection; predicate + column pruning reach
+    * the parquet scan (verified via .explain PushedFilters).
+    */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J-class multi-join + agg — revenue per nation. nation/region/customer
+    * are dims: Catalyst broadcasts them (AQE confirms at runtime), so the
+    * only real shuffle is the final groupBy on n_name.
+    */
+  def joinRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Left-outer join parity shape (reference J1/J2): nation ⟕ customer agg.
+    * Nations with no customers survive with null aggregates.
+    */
+  def leftJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val custAgg = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    Tables.nation(s, dir)
+      .join(custAgg, col("n_nationkey") === col("c_nationkey"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("n_custs"), col("sum_bal"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Semi/anti joins — customers WITH orders (semi) vs WITHOUT (anti),
+    * counted per market segment.
+    */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Distinct (dedup-lite set op). */
+  def distinctCombos(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Analytic window function — top-3 orders per status by totalprice
+    * (row_number over a partitioned sort; ties broken by key).
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn").cast("long").as("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  /** Set operation — union of two entity tables with a source tag. */
+  def unionEntities(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("entity_key"), col("c_name").as("entity_name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("entity_key"), col("s_name").as("entity_name"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
+    c.unionAll(sup)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), round(sum(col("acctbal")), 2).as("sum_bal"))
+      .orderBy(col("src"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Event-time operators (events table; reference streaming semantics
+  // exercised in batch — identical Catalyst plans minus state)
+  // ------------------------------------------------------------------ //
+
+  /** A1-analog: per-minute × event_type aggregation over the event stream
+    * table (date_trunc tumbling-window key, P5).
+    */
+  def minuteAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("minute", TimeOps.truncMinute(col("ts")))
+      .groupBy(col("minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("minute"), col("event_type"))
+
+  /** P6 conditional bucketing (native CaseWhen, no UDF). */
+  def bucketing(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", Classify.trafficCondition(col("value")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** P8-style validation conjunction + A5 counts. */
+  def validateEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value") > 0 && col("props").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_valid"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** P10 (pushdown-friendly day filter): single-day slice via to_date. */
+  def dayFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(to_date(col("ts")) === lit("2024-01-15"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------------ //
+  // Mood flagship — the reference dataflow (parse → minute agg ×3 →
+  // left joins → native CaseWhen classifier) mapped onto the events table
+  // ------------------------------------------------------------------ //
+
+  /** Derived per-topic frames: the three reference streams re-expressed as
+    * deterministic projections of the events table (TESTDATA is the only
+    * sanctioned input). Speed/temp derive from `value`; weather/sentiment
+    * vocabularies are the reference's own (Vocab).
+    */
+  private[graft] def derivedStreams(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts").as("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+    val traffic = ev.select(
+      col("timestamp"),
+      concat(lit("x"), (col("user_id") % 4).cast("string")).as("intersection"),
+      (col("value") / 4).as("speed"))
+    val weather = ev.select(
+      col("event_id").as("arrival"), col("timestamp"),
+      (col("value") / 10).as("temp"),
+      when(col("event_type") === "click", "clear")
+        .when(col("event_type") === "view", "partly_cloudy")
+        .when(col("event_type") === "purchase", "mainly_clear")
+        .when(col("event_type") === "signup", "rain_heavy")
+        .otherwise("thunderstorm").as("weather"))
+    val news = ev.select(
+      col("event_id").as("arrival"), col("timestamp"),
+      when(col("event_type") === "error", "negative")
+        .when(col("event_type") === "purchase", "positive")
+        .otherwise("neutral").as("sentiment"))
+    (traffic, weather, news)
+  }
+
+  /** Flagship: full mood pipeline (A1–A3, J1–J2, U1 as native CaseWhen). */
+  def moodFlagship(s: SparkSession, dir: String): DataFrame = {
+    val (traffic, weather, news) = derivedStreams(s, dir)
+    MoodPipeline.run(traffic, weather, news, arrivalCol = "arrival")
+      .select(col("event_time"), col("intersection"),
+        round4("avg_speed"), round4("avg_temp"),
+        col("weather"), col("sentiment"), col("mood"))
+      .orderBy(col("event_time"), col("intersection"))
+  }
+
+  /** A4 daily-summary tier over the flagship output. */
+  def dailySummary(s: SparkSession, dir: String): DataFrame = {
+    val (traffic, weather, news) = derivedStreams(s, dir)
+    val mood = MoodPipeline.run(traffic, weather, news, arrivalCol = "arrival")
+    Aggregates.dailySummary(mood)
+      .select(col("intersection"), col("mood"), col("records_count"),
+        round4("avg_speed"), round4("avg_temp"))
+      .orderBy(col("intersection"), col("mood"))
+  }
+
+  /** U2 news-sentiment classifier over the documents corpus. */
+  def classifyNews(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Classify.newsSentiment(col("text")).as("sentiment"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------ //
+  // Text analysis (documents)
+  // ------------------------------------------------------------------ //
+
+  /** Token counting + quality stats + content fingerprint, all codegen'd
+    * built-ins (no UDFs).
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.uniqueTokenCount(col("text")).cast("long").as("n_unique"),
+        length(TextFunctions.normalized(col("text"))).cast("long").as("n_chars_norm"),
+        round(TextFunctions.tokenRatio(col("text"), Seq("the", "a", "of", "and", "to", "in", "is")), 6)
+          .as("stopword_ratio"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (stopword-profile argmax). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------ //
+  // Deduplication (documents)
+  // ------------------------------------------------------------------ //
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("fp"), col("keep_id"), col("dup_count"))
+      .orderBy(col("fp"))
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(s, dir), "text", "doc_id", k = 4, ngram = 2)
+      .orderBy(col("doc_id"))
+
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "text", "doc_id", k = 4, ngram = 2)
+    Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Unigram Jaccard similarity pairs, blocked by source (the oracle-friendly
+    * instantiation of the n-gram Jaccard operator).
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "source", n = 1)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 16)
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------ //
+  // Similarity search (embeddings)
+  // ------------------------------------------------------------------ //
+
+  /** Exact brute-force cosine top-k: queries = first 10 vectors, corpus =
+    * whole table (query side broadcast; corpus never shuffled pre-topk).
+    */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked by
+    * label so the self-join is per-bucket, never global.
+    */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val v = emb.select(col("vec_id"), col("label"),
+      VectorFunctions.asDouble(col("embedding")).as("v"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** ANN via sign-LSH co-bucketing — not SQL-expressible (random
+    * hyperplanes); rows-only check.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.lshTopK(emb, queries, "embedding", "vec_id", dim = 64, k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Multimodal plumbing (documents as opaque binary payloads)
+  // ------------------------------------------------------------------ //
+
+  /** Binary-column feature extraction (declarative variant — md5
+    * fingerprint, byte length, stub-decoded dimensions).
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeaturesSql(media)
+      .orderBy(col("media_id"))
+  }
+
+  /** Same features via the imperative mapPartitions kernel (the path a real
+    * codec decode would take) — rows-only check; its unit test asserts
+    * bit-equality with the declarative variant.
+    */
+  def multimodalFeaturesKernel(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media)
+      .orderBy(col("media_id"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Structured Streaming (parquet file stream → watermark → windowed agg)
+  // ------------------------------------------------------------------ //
+
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The minute aggregation executed as a real Structured Streaming query
+    * (file source → watermark → groupBy → memory sink, complete mode so the
+    * final table equals the batch result). Oracle: same SQL as minuteAgg.
+    */
+  def streamingMinuteAgg(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    val name = s"graft_stream_${streamCounter.incrementAndGet()}"
+    // file stream source needs a directory: stream the sf dir, glob-filtered
+    // to the events table file
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("minute", TimeOps.truncMinute(col("ts")))
+      .withWatermark("minute", "1 minute")
+      .groupBy(col("minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy(col("minute"), col("event_type"))
+  }
+}

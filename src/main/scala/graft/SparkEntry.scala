@@ -1,13 +1,52 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's operator surface (one entry per SURVEY.md §2
+  * operator family + training-data extensions); `oracleSql` carries the
+  * DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
+  * Implementations live in [[Queries]]; SQL in [[Oracles]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Queries.moodFlagship(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.pricingSummary _),
+    "q02_filter_project" -> (Queries.filterProject _),
+    "q03_join_revenue" -> (Queries.joinRevenue _),
+    "q04_left_join_agg" -> (Queries.leftJoinAgg _),
+    "q05_semi_anti_join" -> (Queries.semiAntiJoin _),
+    "q06_distinct" -> (Queries.distinctCombos _),
+    "q07_topk_window" -> (Queries.topkPerGroup _),
+    "q08_union_agg" -> (Queries.unionEntities _),
+    "q09_minute_agg" -> (Queries.minuteAgg _),
+    "q10_bucketing" -> (Queries.bucketing _),
+    "q11_validate" -> (Queries.validateEvents _),
+    "q12_day_filter" -> (Queries.dayFilter _),
+    "q13_mood_flagship" -> (Queries.moodFlagship _),
+    "q14_daily_summary" -> (Queries.dailySummary _),
+    "q15_classify_news" -> (Queries.classifyNews _),
+    "q16_text_stats" -> (Queries.textStats _),
+    "q17_lang_id" -> (Queries.langId _),
+    "q18_dedup_exact" -> (Queries.dedupExact _),
+    "q19_minhash_signatures" -> (Queries.minhashSignatures _),
+    "q20_lsh_candidate_pairs" -> (Queries.lshCandidatePairs _),
+    "q21_jaccard_pairs" -> (Queries.jaccardPairs _),
+    "q22_simhash" -> (Queries.simhashFingerprints _),
+    "q23_ann_brute_force" -> (Queries.annBruteForce _),
+    "q24_embedding_near_dups" -> (Queries.embeddingNearDups _),
+    "q25_multimodal_features" -> (Queries.multimodalFeatures _),
+    "q26_streaming_minute_agg" -> (Queries.streamingMinuteAgg _),
+    // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
+    "q27_ann_lsh" -> (Queries.annLsh _),
+    "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }

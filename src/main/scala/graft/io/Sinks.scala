@@ -1,0 +1,43 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+
+/** Sink abstraction (SURVEY.md §2.2): the reference writes every stream to
+  * MongoDB via a driver-side `toPandas()` collect per micro-batch
+  * (jobs/spark_mood_tracker.py:115-126) and batch tiers to Postgres/S3.
+  * Here every write is a distributed Spark write; external systems
+  * (JDBC/Mongo/S3) plug in behind the same trait via their standard
+  * DataFrameWriter formats without touching pipeline code.
+  */
+trait BatchSink {
+  def write(df: DataFrame): Unit
+}
+
+/** Parquet append table — the engine's stand-in for the reference's Mongo
+  * collections (K1) and Postgres tables (K3).
+  */
+final class ParquetSink(path: String) extends BatchSink {
+  def write(df: DataFrame): Unit = df.write.mode("append").parquet(path)
+}
+
+/** NDJSON export (K4): `df.write.json` IS newline-delimited JSON, replacing
+  * the reference's row-at-a-time `json.dumps` loop
+  * (my_airflow/dags/mongo_to_storage.py:102-104) with a distributed write.
+  */
+final class NdjsonSink(path: String) extends BatchSink {
+  def write(df: DataFrame): Unit = df.write.mode("overwrite").json(path)
+}
+
+object Sinks {
+  /** K1-analog streaming sink: checkpointed foreachBatch into any BatchSink. */
+  def streamInto(df: DataFrame, sink: BatchSink, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink.write(batch) }
+
+  /** K2: console debug sink (truncate=false like the reference). */
+  def console(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("truncate", "false")
+}

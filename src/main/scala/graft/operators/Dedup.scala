@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Corpus deduplication operators — the training-data-pipeline workhorses.
+  *
+  * Design for 100 TB:
+  *  - every variant is a pure distributed dataflow (explode → shuffle on a
+  *    compact key → aggregate); nothing is collected to the driver;
+  *  - candidate generation always goes through a bucket key (exact hash,
+  *    MinHash band, SimHash prefix, n-gram) so the pairwise phase never sees
+  *    the full cross product — the only quadratic step is WITHIN a bucket;
+  *  - hashes are md5-derived (engine-agnostic) so results are oracle-checkable.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------------- //
+  // Exact dedup
+  // --------------------------------------------------------------------- //
+
+  /** Exact (normalized-content) dedup: one representative row per distinct
+    * fingerprint — the row with the smallest `idCol` (deterministic, unlike
+    * dropDuplicates). Output: idCol of the keeper, fingerprint, group size.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // --------------------------------------------------------------------- //
+  // MinHash + LSH
+  // --------------------------------------------------------------------- //
+
+  /** Fixed (a, b) parameters for the k universal hash functions
+    * h_i(x) = (a_i * x + b_i) mod p. Constants are arbitrary odd values
+    * below 2^30 so a*x+b stays < 2^63 (no overflow under ANSI mode).
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => (2L * i * 1000003L + 1L, i * 777767777L % MinhashPrime))
+
+  /** MinHash signature: doc_id + k minhash columns `mh0..mh{k-1}` over word
+    * `n`-gram shingles. One explode + one groupBy — shuffle key is the doc id,
+    * payload is k longs per doc.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      ngram: Int = 3): DataFrame = {
+    val params = minhashParams(k)
+    val shingled = docs
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), ngram))).as("sh"))
+      .withColumn("h", fieldHash(col("sh")))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"mh$i")
+    }
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (`bands` bands of `k/bands`
+    * rows), bucket-join on (band, banded-signature hash), emit distinct
+    * (id_a < id_b) candidate pairs. The join key is a tiny string hash, so
+    * the shuffle is uniform unless the corpus genuinely contains mass
+    * duplication (in which case AQE skew-join splits the bucket).
+    */
+  def lshCandidates(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh"))
+    require(mhCols.length % bands == 0, s"bands=$bands must divide k=${mhCols.length}")
+    val rowsPerBand = mhCols.length / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws(",", mhCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(col): _*))
+          .as("sig"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  // --------------------------------------------------------------------- //
+  // SimHash
+  // --------------------------------------------------------------------- //
+
+  /** `bits`-bit SimHash over word tokens: per bit position, sum +1/-1 votes
+    * of each distinct token's hash bit; bit set iff the vote is >= 0.
+    * Distributed as explode(tokens) x explode(bits) → two-level aggregation.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val tokenHashes = docs
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("h", stableHash60(col("tok")))
+    tokenHashes
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .withColumn("vote", when(expr("shiftright(h, cast(bit as int))") % 2 === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") >= 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --------------------------------------------------------------------- //
+  // N-gram Jaccard
+  // --------------------------------------------------------------------- //
+
+  /** Pairwise word-n-gram Jaccard similarity, blocked by `blockCol` (e.g.
+    * source/shard/LSH bucket) so the self-join never goes global: explode
+    * distinct n-grams, equi-join on (block, gram), count intersections, then
+    * |A ∪ B| = |A| + |B| − |A ∩ B|.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(
+      col(idCol), col(blockCol).as("block"),
+      array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sized = grams.withColumn("n_grams", size(col("grams")))
+    val exploded = sized.select(col(idCol), col("block"), col("n_grams"), explode(col("grams")).as("g"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------------- //
+  // Embedding near-dup
+  // --------------------------------------------------------------------- //
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by an
+    * (optional) blocking column to avoid the global cross join. For unblocked
+    * use at scale, route through Similarity.lsh buckets first.
+    */
+  def embeddingNearDups(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol), VectorFunctions.asDouble(col(vecCol)).as("v"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

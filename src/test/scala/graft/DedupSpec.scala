@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "THE  quick brown fox jumps over the lazy dog", "a"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy cat", "a"),  // near dup
+    (4L, "completely different content about spark engines", "a"),
+    (5L, "unrelated short text", "b")
+  ).toDF("doc_id", "text", "src")
+
+  test("exact dedup: normalized duplicates collapse to smallest id") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+    val groups = got.collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toSet
+    assert(got.count() == 4) // 1+2 merged
+    assert(groups.contains((1L, 2L)))
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups mostly agree") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8, ngram = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"mh$i")))
+      .toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14) // near-dup agrees on more minhashes than unrelated
+  }
+
+  test("LSH candidates contain the exact-duplicate pair") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= b }) // ordered pairs only
+  }
+
+  test("simhash: identical docs equal, hamming to unrelated > 0") {
+    val sh = Dedup.simhash(docs, "text", "doc_id", bits = 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    val df = Seq((sh(1L), sh(3L), sh(4L))).toDF("a", "b", "c")
+    val (h13, h14) = df.select(
+      Dedup.hamming(col("a"), col("b")).as("x"),
+      Dedup.hamming(col("a"), col("c")).as("y"))
+      .as[(Int, Int)].head()
+    assert(h13 < h14) // near-dup closer in hamming space than unrelated
+  }
+
+  test("unigram jaccard: dup pair scores 1.0, blocked join respects blocks") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "src", n = 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L }) // 'b' block isolated
+  }
+
+  test("embedding near-dups via cosine threshold") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.99).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+/** Smoke: every declared query runs at sf0.001 and yields a sane frame.
+  * (Value-level correctness is the driver's DuckDB gate plus the per-operator
+  * suites; this catches schema drift / plan-time regressions early.)
+  */
+class QueriesSpec extends SparkSpec {
+
+  // Queries whose result may legitimately be empty at the smallest SF.
+  private val mayBeEmpty = Set("q20_lsh_candidate_pairs", "q24_embedding_near_dups",
+    "q21_jaccard_pairs")
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"oracleSql without a query impl: $unknown")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+}

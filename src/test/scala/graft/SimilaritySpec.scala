@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.9f, 0.1f)),
+    (4L, Seq(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: nearest neighbor of 0 is 1; ranks deterministic") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id", k = 4)
+      .orderBy($"rank")
+      .collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(got.head == ((1L, 1)))
+    // 2 and 3 are both orthogonal to the query (cosine 0) → tie broken by id
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("lsh top-k returns a subset ranking consistent with brute force recall") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.lshTopK(vecs, q, "embedding", "vec_id", dim = 3, k = 4,
+      bits = 2, tables = 4)
+      .collect()
+      .map(r => r.getAs[Long]("neighbor_id"))
+      .toSet
+    assert(got.nonEmpty && got.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(got.contains(1L)) // the true nearest neighbor shares all sign buckets
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(Tuple1(text)).toDF("t").select(c.as("v")).head().getAs[T]("v")
+
+  test("normalized collapses whitespace and lowercases") {
+    assert(one[String](normalized(col("t")), "  Hello   WORLD\t\n x ") == "hello world x")
+  }
+
+  test("token counts") {
+    assert(one[Int](tokenCount(col("t")), "a b c b") == 4)
+    assert(one[Int](uniqueTokenCount(col("t")), "a b c b") == 3)
+  }
+
+  test("word ngrams: n=2 over 4 tokens → 3 bigrams; short docs → empty") {
+    assert(one[collection.Seq[String]](wordNgrams(col("t"), 2), "a b c d").toSeq ==
+      Seq("a b", "b c", "c d"))
+    assert(one[collection.Seq[String]](wordNgrams(col("t"), 3), "a b").toSeq == Seq())
+  }
+
+  test("char shingles") {
+    assert(one[collection.Seq[String]](charShingles(col("t"), 3), "abcd").toSeq ==
+      Seq("abc", "bcd"))
+  }
+
+  test("stableHash60 equals DuckDB's hex-cast of md5 prefix (value pinned)") {
+    // DuckDB: CAST(concat('0x', substr(md5('abc'),1,15)) AS BIGINT) = 648541476951500027
+    assert(one[Long](stableHash60(col("t")), "abc") == 648541476951500027L)
+  }
+
+  test("fingerprint is md5 of normalized text") {
+    assert(one[String](fingerprint(col("t")), " Abc  ") ==
+      one[String](fingerprint(col("t")), "abc"))
+  }
+
+  test("tokenRatio counts duplicate hits") {
+    assert(one[Double](tokenRatio(col("t"), Seq("the")), "the cat the dog") == 0.5)
+  }
+
+  test("langId picks dominant stopword profile; unknown below threshold") {
+    assert(one[String](langId(col("t")), "the cat and the dog is in a house") == "en")
+    assert(one[String](langId(col("t")), "der hund und die katze ist ein tier") == "de")
+    assert(one[String](langId(col("t")), "zzz qqq www eee") == "unknown")
+  }
+}
