@@ -22,13 +22,25 @@ object Oracles {
 
   private val stopEn = "('the','a','of','and','to','in','is')"
 
-  val pricingSummary: String = """
+  /** Exact decimal-sum forms mirroring Queries.{sumDec2, revenueDec} and
+    * Aggregates.exactAvg — summation-order-independent, so both engines
+    * produce bit-identical doubles (plain double sums differ in the last
+    * ulp and flip rounding boundaries ~1 in 10k rows).
+    */
+  private def sumDec2(c: String) =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private def exactAvg(c: String) =
+    s"CAST(sum(CAST($c AS DECIMAL(27,6))) AS DOUBLE) / count($c)"
+  private val revenueDec =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  val pricingSummary: String = s"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(${sumDec2("l_extendedprice")}, 2) AS sum_base_price,
+           CAST(round(sum($revenueDec), 2) AS DOUBLE) AS sum_disc_price,
+           avg(l_quantity) AS avg_qty,
+           ${exactAvg("l_discount")} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -43,9 +55,9 @@ object Oracles {
       AND l_discount > 0.05
     ORDER BY l_orderkey, l_linenumber"""
 
-  val joinRevenue: String = """
+  val joinRevenue: String = s"""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum($revenueDec), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -55,11 +67,11 @@ object Oracles {
     GROUP BY r_name, n_name
     ORDER BY r_name, n_name"""
 
-  val leftJoinAgg: String = """
+  val leftJoinAgg: String = s"""
     SELECT n_nationkey, n_name, n_custs, sum_bal
     FROM nation
     LEFT JOIN (
-      SELECT c_nationkey, count(*) AS n_custs, round(sum(c_acctbal), 2) AS sum_bal
+      SELECT c_nationkey, count(*) AS n_custs, round(${sumDec2("c_acctbal")}, 2) AS sum_bal
       FROM customer GROUP BY c_nationkey
     ) ca ON n_nationkey = ca.c_nationkey
     ORDER BY n_nationkey"""
@@ -96,17 +108,17 @@ object Oracles {
     WHERE rn <= 3
     ORDER BY o_orderstatus, rn"""
 
-  val unionEntities: String = """
+  val unionEntities: String = s"""
     WITH u AS (
       SELECT 'customer' AS src, c_acctbal AS acctbal FROM customer
       UNION ALL
       SELECT 'supplier' AS src, s_acctbal AS acctbal FROM supplier)
-    SELECT src, count(*) AS n, round(sum(acctbal), 2) AS sum_bal
+    SELECT src, count(*) AS n, round(${sumDec2("acctbal")}, 2) AS sum_bal
     FROM u GROUP BY src ORDER BY src"""
 
-  val minuteAgg: String = """
+  val minuteAgg: String = s"""
     SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute, event_type,
-           count(*) AS n_events, round(avg(value), 4) AS avg_value
+           count(*) AS n_events, ${exactAvg("value")} AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2"""
@@ -121,8 +133,8 @@ object Oracles {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
-  val validateEvents: String = """
-    SELECT event_type, count(*) AS n_valid, round(sum(value), 2) AS sum_value
+  val validateEvents: String = s"""
+    SELECT event_type, count(*) AS n_valid, round(${sumDec2("value")}, 2) AS sum_value
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL
       AND value > 0 AND props IS NOT NULL
@@ -139,7 +151,7 @@ object Oracles {
     ORDER BY event_type"""
 
   /** Shared WITH-chain of the mood flagship (unrounded, pre-ORDER). */
-  private val moodCte: String = """
+  private val moodCte: String = s"""
     ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
            FROM events),
     traffic AS (
@@ -148,7 +160,7 @@ object Oracles {
              value / 4 AS speed
       FROM ev),
     tagg AS (
-      SELECT event_time, intersection, avg(speed) AS avg_speed
+      SELECT event_time, intersection, ${exactAvg("speed")} AS avg_speed
       FROM traffic GROUP BY 1, 2),
     weather AS (
       SELECT event_id, date_trunc('minute', ts) AS event_time, value / 10 AS temp,
@@ -160,7 +172,7 @@ object Oracles {
                ELSE 'thunderstorm' END AS weather
       FROM ev),
     wagg AS (
-      SELECT event_time, avg(temp) AS avg_temp, min_by(weather, event_id) AS weather
+      SELECT event_time, ${exactAvg("temp")} AS avg_temp, min_by(weather, event_id) AS weather
       FROM weather GROUP BY 1),
     news AS (
       SELECT event_id, date_trunc('minute', ts) AS event_time,
@@ -191,7 +203,7 @@ object Oracles {
   val moodFlagship: String = s"""
     WITH $moodCte
     SELECT event_time, intersection,
-           round(avg_speed, 4) AS avg_speed, round(avg_temp, 4) AS avg_temp,
+           avg_speed, avg_temp,
            weather, sentiment, mood
     FROM mood_raw
     ORDER BY event_time, intersection"""
@@ -199,7 +211,8 @@ object Oracles {
   val dailySummary: String = s"""
     WITH $moodCte
     SELECT intersection, mood, count(*) AS records_count,
-           round(avg(avg_speed), 4) AS avg_speed, round(avg(avg_temp), 4) AS avg_temp
+           ${exactAvg("avg_speed")} AS avg_speed,
+           ${exactAvg("avg_temp")} AS avg_temp
     FROM mood_raw
     GROUP BY intersection, mood
     ORDER BY intersection, mood"""

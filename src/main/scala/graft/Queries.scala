@@ -24,6 +24,16 @@ object Queries {
 
   private def round4(c: String): Column = round(col(c), 4).as(c)
 
+  /** Exact decimal forms for sums of fixed-point doubles — summation-order-
+    * independent, so results are bit-identical across engines and across
+    * re-runs at any parallelism (see Aggregates.exactAvg).
+    */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumDec2(c: Column): Column = sum(dec2(c)).cast("double")
+  /** l_extendedprice * (1 - l_discount) as an exact 4-decimal product. */
+  private def revenueDec(price: Column, disc: Column): Column =
+    dec2(price) * (lit(1).cast("decimal(3,2)") - disc.cast("decimal(3,2)"))
+
   // ------------------------------------------------------------------ //
   // Relational core (lineitem / orders / customer / nation / region)
   // ------------------------------------------------------------------ //
@@ -36,10 +46,14 @@ object Queries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(sumDec2(col("l_extendedprice")), 2).as("sum_base_price"),
+        // round in DECIMAL space: Spark rounds doubles via shortest-decimal
+        // repr, DuckDB via fp multiply — they disagree on exact midpoints
+        round(sum(revenueDec(col("l_extendedprice"), col("l_discount"))), 2).cast("double")
+          .as("sum_disc_price"),
+        // exact-sum averages ship unrounded: bit-identical across engines
+        avg(col("l_quantity")).as("avg_qty"),
+        Aggregates.exactAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -68,7 +82,8 @@ object Queries {
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(revenueDec(col("l_extendedprice"), col("l_discount"))), 2).cast("double")
+          .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
 
@@ -78,7 +93,7 @@ object Queries {
   def leftJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val custAgg = Tables.customer(s, dir)
       .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .agg(count(lit(1)).as("n_custs"), round(sumDec2(col("c_acctbal")), 2).as("sum_bal"))
     Tables.nation(s, dir)
       .join(custAgg, col("n_nationkey") === col("c_nationkey"), "left")
       .select(col("n_nationkey"), col("n_name"), col("n_custs"), col("sum_bal"))
@@ -134,7 +149,7 @@ object Queries {
         col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
     c.unionAll(sup)
       .groupBy(col("src"))
-      .agg(count(lit(1)).as("n"), round(sum(col("acctbal")), 2).as("sum_bal"))
+      .agg(count(lit(1)).as("n"), round(sumDec2(col("acctbal")), 2).as("sum_bal"))
       .orderBy(col("src"))
   }
 
@@ -150,7 +165,8 @@ object Queries {
     Tables.events(s, dir)
       .withColumn("minute", TimeOps.truncMinute(col("ts")))
       .groupBy(col("minute"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
       .orderBy(col("minute"), col("event_type"))
 
   /** P6 conditional bucketing (native CaseWhen, no UDF). */
@@ -167,7 +183,7 @@ object Queries {
       .filter(col("ts").isNotNull && col("event_type").isNotNull &&
         col("value") > 0 && col("props").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_valid"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_valid"), round(sumDec2(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
   /** P10 (pushdown-friendly day filter): single-day slice via to_date. */
@@ -219,7 +235,7 @@ object Queries {
     val (traffic, weather, news) = derivedStreams(s, dir)
     MoodPipeline.run(traffic, weather, news, arrivalCol = "arrival")
       .select(col("event_time"), col("intersection"),
-        round4("avg_speed"), round4("avg_temp"),
+        col("avg_speed"), col("avg_temp"),
         col("weather"), col("sentiment"), col("mood"))
       .orderBy(col("event_time"), col("intersection"))
   }
@@ -230,7 +246,7 @@ object Queries {
     val mood = MoodPipeline.run(traffic, weather, news, arrivalCol = "arrival")
     Aggregates.dailySummary(mood)
       .select(col("intersection"), col("mood"), col("records_count"),
-        round4("avg_speed"), round4("avg_temp"))
+        col("avg_speed"), col("avg_temp"))
       .orderBy(col("intersection"), col("mood"))
   }
 
@@ -320,7 +336,9 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val v = emb.select(col("vec_id"), col("label"),
       VectorFunctions.asDouble(col("embedding")).as("v"))
-    val a = v.as("a")
+    // spread the left side: single-file corpus → one input partition, and a
+    // broadcast self-join would serialize all pairwise cosines on one task
+    val a = v.repartition(v.sparkSession.sessionState.conf.numShufflePartitions).as("a")
     val b = v.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -387,7 +405,8 @@ object Queries {
       .withColumn("minute", TimeOps.truncMinute(col("ts")))
       .withWatermark("minute", "1 minute")
       .groupBy(col("minute"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregates.exactAvg(col("value")).as("avg_value"))
       .writeStream
       .format("memory")
       .queryName(name)

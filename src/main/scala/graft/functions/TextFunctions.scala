@@ -30,14 +30,23 @@ object TextFunctions {
 
   /** Word n-grams (arrays of space-joined n-word shingles); empty array when
     * the document has fewer than n tokens.
+    *
+    * Built by zipping n shifted views of the token array (`zip_with` pads
+    * the short side with null; null grams are filtered off). This evaluates
+    * the tokenizer O(n) times per ROW — the obvious
+    * `transform(sequence, i => element_at(toks, i+j))` form re-evaluates the
+    * whole lower+regexp+split chain per ELEMENT, which is O(tokens²) work
+    * per document (measured 80× slower at sf0.1).
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(0), count - 1),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(
+        acc,
+        slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, g => g.isNotNull)
   }
 
   /** Character n-gram shingles of the normalized text. */

@@ -13,15 +13,23 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Cast array<float> → array<double> for drift-free accumulation. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — codegen'd custom Catalyst expression (see [[ArrayDot]]);
+    * identical left-to-right accumulation order as the HOF fold, so results
+    * are bit-for-bit unchanged.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.graft.ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Reference HOF fold implementation (kept for cross-checking ArrayDot). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm (codegen'd via ArrayDot; same accumulation order as a fold). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two double arrays (0 when either norm is 0). */
   def cosine(a: Column, b: Column): Column = {

@@ -162,7 +162,9 @@ object Dedup {
       idCol: String,
       threshold: Double): DataFrame = {
     val v = vecs.select(col(idCol), VectorFunctions.asDouble(col(vecCol)).as("v"))
-    val a = v.as("a")
+    // spread the left side: a broadcast self-join would otherwise inherit a
+    // single-file corpus's one input partition and serialize every cosine
+    val a = v.repartition(v.sparkSession.sessionState.conf.numShufflePartitions).as("a")
     val b = v.as("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
       .select(

@@ -20,6 +20,15 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Broadcast joins preserve the probe side's input partitioning — a
+    * single-file corpus means ONE task doing every cosine (measured 145 s
+    * vs 6 s at sf0.1). Spread the probe side to the session's shuffle
+    * parallelism; on a real multi-file/partitioned corpus this is a cheap
+    * no-op-sized shuffle relative to the scan.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: query_id, neighbor_id, cosine (query_id != neighbor_id).
     * Ranking is deterministic: ties broken by neighbor id after rounding
@@ -31,7 +40,7 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -46,6 +55,13 @@ object Similarity {
 
   /** Sign-LSH bucket key(s) for each vector: one `bits`-bit signature per
     * hash table, from fixed pseudo-random hyperplanes (deterministic seed).
+    *
+    * The hyperplanes ride along as LITERAL ARRAY DATA (`typedLit`) consumed
+    * by higher-order functions — one small expression tree regardless of
+    * (tables × bits × dim). A naive expansion into per-dimension
+    * `element_at(v,i) * w_i` terms produces a ~tables·bits·dim-node tree
+    * that takes Janino minutes to compile (measured: 75 s at dim=64) and
+    * re-compiles per query; this form plans in milliseconds.
     */
   def lshBuckets(
       vecs: DataFrame,
@@ -56,20 +72,17 @@ object Similarity {
       tables: Int = 2,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    // fixed hyperplanes: tables x bits x dim gaussians, embedded as literals
-    val planes = Array.fill(tables, bits, dim)(rnd.nextGaussian())
+    // fixed hyperplanes: tables x bits x dim gaussians, as literal data
+    val planes: Seq[Seq[Seq[Double]]] =
+      Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
     val v = vecs.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val tableKeys = (0 until tables).map { t =>
-      val bitCols = (0 until bits).map { b =>
-        val proj = (0 until dim)
-          .map(i => element_at(col("v"), i + 1) * lit(planes(t)(b)(i)))
-          .reduce(_ + _)
-        when(proj >= 0, 1L << b).otherwise(0L)
-      }
-      struct(lit(t).as("table"), bitCols.reduce(_ + _).as("bucket"))
-    }
-    v.select(col(idCol), col("v"), explode(array(tableKeys: _*)).as("tb"))
-      .select(col(idCol), col("v"), col("tb.table"), col("tb.bucket"))
+    // per table: fold its planes into a bits-wide signature (acc*2 + signbit)
+    val bucketsPerTable = transform(
+      typedLit(planes),
+      tp => aggregate(tp, lit(0L), (acc, plane) =>
+        acc * 2 + when(dot(col("v"), plane) >= 0, 1L).otherwise(0L)))
+    v.select(col(idCol), col("v"),
+        posexplode(bucketsPerTable).as(Seq("table", "bucket")))
   }
 
   /** ANN top-k via sign-LSH co-bucketing (candidate recall < 1.0 by design). */
@@ -82,7 +95,7 @@ object Similarity {
       k: Int,
       bits: Int = 8,
       tables: Int = 2): DataFrame = {
-    val cb = lshBuckets(corpus, vecCol, idCol, dim, bits, tables)
+    val cb = lshBuckets(spread(corpus), vecCol, idCol, dim, bits, tables)
       .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("table"), col("bucket"))
     val qb = lshBuckets(queries, vecCol, idCol, dim, bits, tables)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("table"), col("bucket"))

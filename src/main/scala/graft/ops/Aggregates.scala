@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TimeOps.truncMinute
@@ -20,13 +20,24 @@ import graft.ops.TimeOps.truncMinute
   */
 object Aggregates {
 
+  /** Order-independent mean of a fixed-point measure: exact DECIMAL(27,6)
+    * sum, one double division. Plain `avg(double)` depends on partition/
+    * retry summation order — at cluster scale the same query can return
+    * different last-ulp values run-to-run, which breaks result caching,
+    * regression diffing, and oracle comparison (a measured 1-in-10k of
+    * rounded averages flip a rounding boundary). Inputs with ≤6 fractional
+    * decimal digits (sensor values, currency, permille rates) lose nothing.
+    */
+  def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(27,6)")).cast("double") / count(c)
+
   /** A1: avg speed per minute x intersection. Input needs `event_time`
     * already minute-truncated (Parse/TimeOps upstream).
     */
   def trafficPerMinute(traffic: DataFrame): DataFrame =
     traffic
       .groupBy(col("event_time"), col("intersection"))
-      .agg(avg(col("speed")).as("avg_speed"))
+      .agg(exactAvg(col("speed")).as("avg_speed"))
 
   /** A2: per-minute weather. `arrivalCol` picks the deterministic "first"
     * (row with smallest arrival key); pass null column name "" to use Spark's
@@ -37,7 +48,7 @@ object Aggregates {
       if (arrivalCol.isEmpty) first(col("weather")) else min_by(col("weather"), col(arrivalCol))
     weather
       .groupBy(col("event_time"))
-      .agg(avg(col("temp")).as("avg_temp"), firstWeather.as("weather"))
+      .agg(exactAvg(col("temp")).as("avg_temp"), firstWeather.as("weather"))
   }
 
   /** A3: per-minute news sentiment. */
@@ -53,6 +64,6 @@ object Aggregates {
       .groupBy(col("intersection"), col("mood"))
       .agg(
         count(lit(1)).as("records_count"),
-        avg(col("avg_speed")).as("avg_speed"),
-        avg(col("avg_temp")).as("avg_temp"))
+        exactAvg(col("avg_speed")).as("avg_speed"),
+        exactAvg(col("avg_temp")).as("avg_temp"))
 }

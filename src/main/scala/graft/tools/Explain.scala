@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev tool: print the formatted physical plan and wall time for named
+  * queries. `runMain graft.tools.Explain <sfDir> <q1,q2,...|all> [--no-plan]`
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val which = args.lift(1).getOrElse("all")
+    val showPlan = !args.contains("--no-plan")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (which == "all") SparkEntry.queries.keys.toSeq.sorted
+      else which.split(",").toSeq
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (showPlan) {
+        println(s"===== $name =====")
+        df.explain("formatted")
+      }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -22,6 +22,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getAs[Double]("l2") == 27.0)
   }
 
+  test("codegen ArrayDot is bit-identical to the HOF fold on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+      .select(asDouble(col("embedding")).as("v"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val diffs = a.crossJoin(b)
+      .select((dot(col("a.v"), col("b.v")) =!= dotFold(col("a.v"), col("b.v"))).as("ne"))
+      .filter(col("ne")).count()
+    assert(diffs == 0L)
+  }
+
   test("cosine of identical vectors = 1; zero vector → 0 (guard, not NaN)") {
     val df1 = pair(Seq(1.0, 1.0), Seq(1.0, 1.0))
     assert(math.abs(df1.select(cosine(col("a"), col("b"))).head().getDouble(0) - 1.0) < 1e-12)
