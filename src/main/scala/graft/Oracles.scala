@@ -363,6 +363,69 @@ object Oracles {
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
     ORDER BY id_a, id_b"""
 
+  val jsonExtract: String = """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  val slidingWindow: String = s"""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT date_trunc('minute', ts) - k * INTERVAL 1 MINUTE AS window_start,
+             event_type, value
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k))
+    SELECT window_start, event_type, count(*) AS n_events,
+           ${exactAvg("value")} AS avg_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val sessionize: String = s"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    g AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(${sumDec2("value")}, 2) AS sum_value
+    FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  val distinctUsers: String = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  val rollupRevenue: String = s"""
+    SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+           CAST(round(sum($revenueDec), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY 1, 2"""
+
+  val pivotOrders: String = """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val multimodalFeatures: String = """
     SELECT doc_id AS media_id,
            'image/fake' AS media_type,
@@ -400,5 +463,11 @@ object Oracles {
     "q23_ann_brute_force" -> annBruteForce,
     "q24_embedding_near_dups" -> embeddingNearDups,
     "q25_multimodal_features" -> multimodalFeatures,
-    "q26_streaming_minute_agg" -> minuteAgg)
+    "q26_streaming_minute_agg" -> minuteAgg,
+    "q29_json_extract" -> jsonExtract,
+    "q30_sliding_window" -> slidingWindow,
+    "q31_sessionize" -> sessionize,
+    "q32_distinct_users" -> distinctUsers,
+    "q33_rollup_revenue" -> rollupRevenue,
+    "q34_pivot_orders" -> pivotOrders)
 }

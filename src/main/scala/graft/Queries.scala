@@ -383,6 +383,81 @@ object Queries {
   }
 
   // ------------------------------------------------------------------ //
+  // Wave 2: JSON, windows, sessions, distinct-agg, rollup, pivot
+  // ------------------------------------------------------------------ //
+
+  /** P2-analog in the oracle gate: schema-checked JSON parse of the `props`
+    * payload column (from_json with explicit schema → PERMISSIVE nulls).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(s, dir)
+      .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("k_mod"))
+  }
+
+  /** Sliding event-time windows (5-minute window, 1-minute slide) — the
+    * window kind the reference lacks; each event lands in 5 windows.
+    */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Aggregates.exactAvg(col("value")).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+      .filter(col("event_type") === "purchase") // bound output size deterministically
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Session windows per user (30-minute inactivity gap) via the native
+    * session_window operator.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sumDec2(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Exact distinct aggregation (count + sum of distincts). */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Hierarchical rollup totals (grouping sets) over the join tree. */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(revenueDec(col("l_extendedprice"), col("l_discount"))), 2).cast("double")
+        .as("revenue"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"), col("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Pivot: order counts by status × priority (statuses become columns). */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  // ------------------------------------------------------------------ //
   // Structured Streaming (parquet file stream → watermark → windowed agg)
   // ------------------------------------------------------------------ //
 

@@ -42,6 +42,12 @@ object SparkEntry {
     "q24_embedding_near_dups" -> (Queries.embeddingNearDups _),
     "q25_multimodal_features" -> (Queries.multimodalFeatures _),
     "q26_streaming_minute_agg" -> (Queries.streamingMinuteAgg _),
+    "q29_json_extract" -> (Queries.jsonExtract _),
+    "q30_sliding_window" -> (Queries.slidingWindow _),
+    "q31_sessionize" -> (Queries.sessionize _),
+    "q32_distinct_users" -> (Queries.distinctUsers _),
+    "q33_rollup_revenue" -> (Queries.rollupRevenue _),
+    "q34_pivot_orders" -> (Queries.pivotOrders _),
     // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
     "q27_ann_lsh" -> (Queries.annLsh _),
     "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _))

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming sessionizer closes sessions after the inactivity gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sess-ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user 1: two bursts 2 h apart → two sessions; user 2: one burst
+      in.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+        Event(2L, ts("2024-01-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      in.addData(Event(1L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      // advance watermark far past everything to flush open sessions
+      in.addData(Event(9L, ts("2024-01-01 23:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(Event(9L, ts("2024-01-02 23:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out").as[Session].collect()
+        .filter(_.user_id <= 2).sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(got.length == 3, s"expected 3 closed sessions, got ${got.toSeq}")
+      assert(got(0) == Session(1L, ts("2024-01-01 10:00:00"), 2, 3.0))
+      assert(got(1) == Session(1L, ts("2024-01-01 12:00:00"), 1, 3.0))
+      assert(got(2) == Session(2L, ts("2024-01-01 10:05:00"), 1, 5.0))
+    } finally q.stop()
+  }
+
+  test("batch session_window agrees with the lag-based oracle shape at sf0.001") {
+    val got = Queries.sessionize(spark, sf0001)
+    assert(got.count() > 0)
+    // sessions are disjoint per user and cover all events
+    val total = got.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf0001).count())
+  }
+}
