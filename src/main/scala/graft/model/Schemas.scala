@@ -86,6 +86,24 @@ object Schemas {
   * "unknown" fallback). Mood sets: reference jobs/spark_mood_tracker.py:81-90.
   */
 object Vocab {
+
+  /** Open-Meteo weathercode → canonical label (weather_producer.py:17-40);
+    * unmapped codes → "unknown". This is the engine's canonical weather
+    * vocabulary source.
+    */
+  val WeatherCodeMap: Map[Int, String] = Map(
+    0 -> "clear", 1 -> "mainly_clear", 2 -> "partly_cloudy", 3 -> "overcast",
+    45 -> "fog", 48 -> "depositing_rime_fog",
+    51 -> "drizzle_light", 53 -> "drizzle_moderate", 55 -> "drizzle_dense",
+    61 -> "rain_slight", 63 -> "rain_moderate", 65 -> "rain_heavy",
+    71 -> "snow_slight", 73 -> "snow_moderate", 75 -> "snow_heavy",
+    80 -> "rain_showers_slight", 81 -> "rain_showers_moderate",
+    82 -> "rain_showers_heavy",
+    85 -> "snow_showers_slight", 86 -> "snow_showers_heavy",
+    95 -> "thunderstorm", 96 -> "thunderstorm_with_hail")
+
+  def weatherLabel(code: Int): String = WeatherCodeMap.getOrElse(code, "unknown")
+
   val RelaxingWeather: Seq[String] =
     Seq("clear", "mainly_clear", "partly_cloudy")
 

@@ -11,5 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a Catalyst expression tree. The lazy
+    * `ExpressionUtils.expression` wrapper (ColumnNodeExpression) is opaque
+    * to the analyzer when spliced in via the FunctionRegistry, so SQL
+    * function registration needs the real converted tree (any remaining
+    * UnresolvedFunction nodes resolve during analysis as usual).
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

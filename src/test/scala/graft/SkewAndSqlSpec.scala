@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Skew
+
+class SkewAndSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on a skewed key distribution") {
+    val left = (Seq.fill(500)(("hot", 1)) ++ Seq(("a", 2), ("b", 3))).toDF("k", "lv")
+    val right = Seq(("hot", 10), ("a", 20), ("c", 30)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"rv").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8).groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"rv").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    // left join keeps unmatched left rows exactly once per source row
+    val leftJ = Skew.saltedJoin(left, right, "k", salt = 8, joinType = "left")
+    assert(leftJ.count() == left.join(right, Seq("k"), "left").count())
+  }
+
+  test("saltedSumCount equals plain aggregation") {
+    val df = (Seq.fill(1000)(("hot", 2.0)) ++ Seq(("a", 1.0), ("a", 3.0))).toDF("k", "v")
+    val got = Skew.saltedSumCount(df, "k", "v", salt = 16).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set(("hot", 2000.0, 1000L), ("a", 4.0, 2L)))
+  }
+
+  test("registered SQL functions run from spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql("""
+      SELECT mood_label(80.0, 'clear', 'neutral') AS mood,
+             classify_news('Accident on main street') AS senti,
+             traffic_condition(25.0) AS cond,
+             graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+             token_count('a b c') AS n,
+             lang_id('the cat and the dog is here') AS lang
+    """).head()
+    assert(row.getAs[String]("mood") == "relaxed")
+    assert(row.getAs[String]("senti") == "negative")
+    assert(row.getAs[String]("cond") == "heavy")
+    assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[Int]("n") == 3)
+    assert(row.getAs[String]("lang") == "en")
+  }
+
+  test("weather code map covers the canonical vocabulary") {
+    import graft.model.Vocab
+    assert(Vocab.WeatherCodeMap.size == 22)
+    assert(Vocab.weatherLabel(0) == "clear")
+    assert(Vocab.weatherLabel(999) == "unknown")
+    assert(Vocab.WeatherCodeMap.values.toSet.subsetOf(
+      (Vocab.RelaxingWeather ++ Vocab.StressfulWeather).toSet))
+  }
+}
