@@ -417,6 +417,16 @@ object Oracles {
     GROUP BY ROLLUP(r_name, n_name)
     ORDER BY 1, 2"""
 
+  val percentiles: String = """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val pivotOrders: String = """
     SELECT o_orderpriority,
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -469,5 +479,6 @@ object Oracles {
     "q31_sessionize" -> sessionize,
     "q32_distinct_users" -> distinctUsers,
     "q33_rollup_revenue" -> rollupRevenue,
-    "q34_pivot_orders" -> pivotOrders)
+    "q34_pivot_orders" -> pivotOrders,
+    "q35_percentiles" -> percentiles)
 }

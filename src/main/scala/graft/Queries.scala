@@ -446,6 +446,20 @@ object Queries {
         coalesce(col("n_name"), lit("ALL")).as("n_name"), col("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Exact interpolated percentiles (sort-based aggregate — the one
+    * sort-heavy aggregation in the surface; Spark plans it as a single
+    * ObjectHashAggregate with per-group sorted buffers).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"))
+
   /** Pivot: order counts by status × priority (statuses become columns). */
   def pivotOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

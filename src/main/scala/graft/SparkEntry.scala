@@ -48,6 +48,7 @@ object SparkEntry {
     "q32_distinct_users" -> (Queries.distinctUsers _),
     "q33_rollup_revenue" -> (Queries.rollupRevenue _),
     "q34_pivot_orders" -> (Queries.pivotOrders _),
+    "q35_percentiles" -> (Queries.percentiles _),
     // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
     "q27_ann_lsh" -> (Queries.annLsh _),
     "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _))
