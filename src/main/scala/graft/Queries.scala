@@ -309,6 +309,16 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Full corpus dedup composition (exact → minhash/LSH candidates →
+    * jaccard verify → greedy keep-smallest-id). Rows-only check: output is
+    * the surviving documents.
+    */
+  def dedupeCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupeCorpus(Tables.documents(s, dir), "text", "doc_id",
+      threshold = 0.8, k = 8, bands = 4, ngram = 2)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 16)
       .orderBy(col("doc_id"))

@@ -51,7 +51,8 @@ object SparkEntry {
     "q35_percentiles" -> (Queries.percentiles _),
     // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
     "q27_ann_lsh" -> (Queries.annLsh _),
-    "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _))
+    "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _),
+    "q36_dedupe_corpus" -> (Queries.dedupeCorpus _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L }) // 'b' block isolated
   }
 
+  test("dedupeCorpus drops exact + near duplicates, keeps smallest ids") {
+    val survivors = Dedup.dedupeCorpus(docs, "text", "doc_id", threshold = 0.7,
+      k = 8, bands = 4, ngram = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(2L)) // exact dup of 1
+    assert(!survivors.contains(3L)) // near dup of 1 (one word differs)
+    assert(survivors.contains(1L) && survivors.contains(4L) && survivors.contains(5L))
+  }
+
   test("embedding near-dups via cosine threshold") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
