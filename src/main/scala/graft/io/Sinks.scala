@@ -29,7 +29,28 @@ final class NdjsonSink(path: String) extends BatchSink {
   def write(df: DataFrame): Unit = df.write.mode("overwrite").json(path)
 }
 
+/** K3 — JDBC append (Postgres in the reference, any JDBC target here).
+  * Uses Spark's built-in distributed JDBC writer (one connection per
+  * partition) instead of the reference's driver-side row loop. Untested in
+  * this hermetic build (no database container); wired behind the same trait
+  * so pipelines swap it in by config.
+  */
+final class JdbcSink(url: String, table: String, props: java.util.Properties)
+    extends BatchSink {
+  def write(df: DataFrame): Unit = df.write.mode("append").jdbc(url, table, props)
+}
+
 object Sinks {
+
+  /** K6 — destructive cleanup after a successful export (the reference's
+    * delete_many + os.remove): removes a filesystem table path via the
+    * Hadoop FS API (works for local and distributed filesystems alike).
+    */
+  def truncatePath(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.delete(p, true)
+  }
   /** K1-analog streaming sink: checkpointed foreachBatch into any BatchSink. */
   def streamInto(df: DataFrame, sink: BatchSink, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
