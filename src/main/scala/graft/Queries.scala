@@ -22,8 +22,6 @@ import graft.pipeline.MoodPipeline
   */
 object Queries {
 
-  private def round4(c: String): Column = round(col(c), 4).as(c)
-
   /** Exact decimal forms for sums of fixed-point doubles — summation-order-
     * independent, so results are bit-identical across engines and across
     * re-runs at any parallelism (see Aggregates.exactAvg).
