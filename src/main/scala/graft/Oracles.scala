@@ -427,6 +427,16 @@ object Oracles {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  val asofJoin: String = """
+    SELECT p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+           c.value AS last_click_value, c.ts AS last_click_ts
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.user_id, purchase_ts"""
+
   val pivotOrders: String = """
     SELECT o_orderpriority,
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -480,5 +490,6 @@ object Oracles {
     "q32_distinct_users" -> distinctUsers,
     "q33_rollup_revenue" -> rollupRevenue,
     "q34_pivot_orders" -> pivotOrders,
-    "q35_percentiles" -> percentiles)
+    "q35_percentiles" -> percentiles,
+    "q37_asof_join" -> asofJoin)
 }

@@ -468,6 +468,22 @@ object Queries {
         round(max(col("value")), 2).as("max_value"))
       .orderBy(col("event_type"))
 
+  /** As-of join: each purchase paired with the user's most recent prior
+    * click (inclusive) — DuckDB ASOF JOIN oracle.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOf.asofJoin(purchases, clicks, "user_id", "purchase_ts", "ts",
+        Seq("value" -> "last_click_value", "ts" -> "last_click_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("purchase_value"),
+        col("last_click_value"), col("last_click_ts"))
+      .orderBy(col("user_id"), col("purchase_ts"))
+  }
+
   /** Pivot: order counts by status × priority (statuses become columns). */
   def pivotOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -49,6 +49,7 @@ object SparkEntry {
     "q33_rollup_revenue" -> (Queries.rollupRevenue _),
     "q34_pivot_orders" -> (Queries.pivotOrders _),
     "q35_percentiles" -> (Queries.percentiles _),
+    "q37_asof_join" -> (Queries.asofJoin _),
     // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
     "q27_ann_lsh" -> (Queries.annLsh _),
     "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _),

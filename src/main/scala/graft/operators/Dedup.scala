@@ -38,6 +38,12 @@ object Dedup {
     * a doc is dropped if it near-matches ANY smaller-id doc, the standard
     * large-corpus policy that avoids transitive-closure computation).
     * Returns the surviving rows of `docs`, original schema.
+    *
+    * Lineage note: the survivor frame feeds three branches (signatures,
+    * gram verification, final anti-join) and is recomputed per branch — a
+    * production 100 TB run materializes each stage to a table between
+    * branches (exact-dedup output, then candidate pairs, then survivors)
+    * rather than caching a corpus-sized frame in executor memory.
     */
   def dedupeCorpus(
       docs: DataFrame,
