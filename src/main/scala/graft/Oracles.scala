@@ -491,5 +491,7 @@ object Oracles {
     "q33_rollup_revenue" -> rollupRevenue,
     "q34_pivot_orders" -> pivotOrders,
     "q35_percentiles" -> percentiles,
-    "q37_asof_join" -> asofJoin)
+    "q37_asof_join" -> asofJoin,
+    // IVF at full probe is exact — same oracle as brute force
+    "q38_ann_ivf" -> annBruteForce)
 }

@@ -367,6 +367,20 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN at full probe (nprobe = nlist): exact — hash-matches the same
+    * oracle as brute force, proving the index path loses nothing; the
+    * production setting (nprobe < nlist) is covered by unit tests.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(emb, queries, "embedding", "vec_id", k = 5,
+        nlist = 16, nprobe = 16)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------ //
   // Multimodal plumbing (documents as opaque binary payloads)
   // ------------------------------------------------------------------ //

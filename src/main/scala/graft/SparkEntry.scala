@@ -50,6 +50,7 @@ object SparkEntry {
     "q34_pivot_orders" -> (Queries.pivotOrders _),
     "q35_percentiles" -> (Queries.percentiles _),
     "q37_asof_join" -> (Queries.asofJoin _),
+    "q38_ann_ivf" -> (Queries.annIvf _),
     // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
     "q27_ann_lsh" -> (Queries.annLsh _),
     "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _),

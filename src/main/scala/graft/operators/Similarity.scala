@@ -108,4 +108,57 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN — the classic large-corpus index: partition
+    * the corpus into `nlist` KMeans cells (MLlib, trained on a bounded
+    * sample), then answer each query by scanning only its `nprobe` nearest
+    * cells. Corpus cell assignment is a one-off map pass (at 100 TB it is
+    * materialized as a partitioned table keyed by cell); the per-query
+    * candidate set shrinks by ~nprobe/nlist. With nprobe = nlist the result
+    * is EXACTLY bruteForceTopK (verified in tests).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      fitSampleRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
+      .withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(c.limit(fitSampleRows))
+    val assigned = model.transform(c)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    // nearest nprobe cells per query via the literal-data centroid pattern
+    // (see lshBuckets: literal arrays + HOFs, never a per-dim expression tree)
+    val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cellDists = transform(typedLit(centers), ctr =>
+      aggregate(zip_with(col("qv"), ctr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val probes = q
+      .withColumn("cells",
+        slice(transform(array_sort(zip_with(cellDists,
+            sequence(lit(0), lit(nlist - 1)),
+            (d, i) => struct(d.as("d"), i.as("cell")))),
+          s => s.getField("cell")), 1, nprobe))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

