@@ -54,7 +54,12 @@ object Dedup {
       bands: Int = 4,
       ngram: Int = 3): DataFrame = {
     val exactKeep = exact(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    // the exact-dedup output feeds three consumers (signatures, gram
+    // verification, final anti-join); persist it so the scan+normalize runs
+    // once. At true 100 TB scale, materialize this stage to a table instead
+    // of executor storage — same dataflow, explicit durability.
     val survivors = docs.join(exactKeep, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(survivors, textCol, idCol, k, ngram)
     val cand = lshCandidates(sigs, idCol, bands)
     // verify candidates with exact jaccard, blocked by nothing further
