@@ -40,7 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit each oracle under BOTH keys: the bare query name and the
+    // name with the ".parquet" suffix. The driver looks results up by
+    // dump file name (including suffix); round 1 recorded 0/38 with
+    // err:"no_oracle" because only bare keys were written.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

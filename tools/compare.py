@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tmp/compare.py <sfDir> <dumpDir>
+
+For each <name>.parquet dump in dumpDir, looks up oracle SQL in
+dumpDir/oracle_sql.json (accepts the key with OR without the .parquet
+suffix — mirroring the driver, which keys by dump file name), runs it in
+DuckDB over the sfDir parquet tables, and compares rows / schema / a
+value hash with columns sorted by name.
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main():
+    sf_dir, dump_dir = sys.argv[1], sys.argv[2]
+    oracles = json.load(open(os.path.join(dump_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_ok = n_bad = n_rows_only = 0
+    for d in sorted(glob.glob(os.path.join(dump_dir, "*.parquet"))):
+        name = os.path.basename(d)          # e.g. q01_pricing_summary.parquet
+        bare = name[:-len(".parquet")]
+        sql = oracles.get(name) or oracles.get(bare)
+        spark_rel = con.execute(
+            f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        s_cols = [c[0] for c in spark_rel.description]
+        s_rows = spark_rel.fetchall()
+        if sql is None:
+            print(f"{bare:32s} rows-only  spark_rows={len(s_rows)}")
+            n_rows_only += 1
+            continue
+        try:
+            o_rel = con.execute(sql)
+            o_cols = [c[0] for c in o_rel.description]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            print(f"{bare:32s} FAIL oracle sql error: {e}")
+            n_bad += 1
+            continue
+        rows_ok = len(s_rows) == len(o_rows)
+        schema_ok = sorted(s_cols) == sorted(o_cols)
+        hash_ok = schema_ok and table_hash(s_cols, s_rows) == table_hash(o_cols, o_rows)
+        if rows_ok and schema_ok and hash_ok:
+            print(f"{bare:32s} OK         rows={len(s_rows)}")
+            n_ok += 1
+        else:
+            print(f"{bare:32s} FAIL rows {len(s_rows)}/{len(o_rows)} "
+                  f"schema_ok={schema_ok} hash_ok={hash_ok}")
+            if not schema_ok:
+                print(f"   spark cols:  {sorted(s_cols)}")
+                print(f"   oracle cols: {sorted(o_cols)}")
+            n_bad += 1
+    print(f"\n{n_ok} OK, {n_bad} FAIL, {n_rows_only} rows-only")
+    sys.exit(1 if n_bad else 0)
+
+main()
