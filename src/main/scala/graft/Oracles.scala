@@ -268,7 +268,7 @@ object Oracles {
     SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
     FROM documents
     GROUP BY 1
-    ORDER BY fp"""
+    ORDER BY keep_id"""
 
   /** Word-bigram fragment (= TextFunctions.wordNgrams(text, 2)). */
   private val bigrams =
@@ -303,17 +303,29 @@ object Oracles {
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ORDER BY id_a, id_b"""
 
+  /** Mirrors ngramJaccardPairs(maxDf = 50): candidates only through grams
+    * with within-block df <= 50, then EXACT full-gram Jaccard on survivors.
+    */
   val jaccardPairs: String = s"""
     WITH t AS (
       SELECT doc_id, source AS block, list_distinct($toks) AS grams FROM documents),
     s AS (
       SELECT doc_id, block, len(grams) AS ng, unnest(grams) AS g
       FROM t WHERE len(grams) > 0),
+    rare AS (
+      SELECT block, g FROM s GROUP BY 1, 2 HAVING count(*) <= 50),
+    c AS (
+      SELECT s.doc_id, s.block, s.g FROM s JOIN rare USING (block, g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM c a JOIN c b
+        ON a.block = b.block AND a.g = b.g AND a.doc_id < b.doc_id),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
              count(*) AS inter
       FROM s a JOIN s b
         ON a.block = b.block AND a.g = b.g AND a.doc_id < b.doc_id
+      JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
       GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b,
            round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard

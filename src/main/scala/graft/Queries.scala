@@ -286,7 +286,9 @@ object Queries {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
       .select(col("fp"), col("keep_id"), col("dup_count"))
-      .orderBy(col("fp"))
+      // order by keep_id, never null — fp is null for null-text docs and
+      // Spark (NULLS FIRST) and DuckDB (NULLS LAST) would order it apart
+      .orderBy(col("keep_id"))
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(s, dir), "text", "doc_id", k = 4, ngram = 2)
@@ -299,10 +301,13 @@ object Queries {
   }
 
   /** Unigram Jaccard similarity pairs, blocked by source (the oracle-friendly
-    * instantiation of the n-gram Jaccard operator).
+    * instantiation of the n-gram Jaccard operator). maxDf = 50 exercises the
+    * hot-gram guard: with n = 1 a stopword's df² join rows would otherwise be
+    * the straggler at scale; the oracle mirrors the capped semantics.
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "source", n = 1)
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "source",
+        n = 1, maxDf = 50)
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

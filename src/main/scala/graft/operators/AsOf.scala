@@ -30,26 +30,41 @@ object AsOf {
       rightTs: String,
       carry: Seq[(String, String)]): DataFrame = {
     val carried = carry.map(_._2)
+    val clash = (carried :+ "__side" :+ "__ts" :+ "__carry")
+      .filter(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: output/internal names clash with left columns: ${clash.mkString(",")}")
+    require(carried.distinct.size == carried.size,
+      "asofJoin: duplicate carry output names")
+    // All carry columns travel as ONE struct: the struct is non-null for
+    // every right row even when individual fields are null, so the window's
+    // last(..., ignoreNulls) selects the MATCHED row's struct and nulls
+    // inside it are preserved (per-column fill would leak older rows'
+    // values into the matched row's null fields).
+    val carryType = org.apache.spark.sql.types.StructType(carry.map {
+      case (src, dst) =>
+        org.apache.spark.sql.types.StructField(dst, right.schema(src).dataType)
+    })
     val l = left.select(
       left.columns.map(col).toSeq ++
-        Seq(lit(1).as("__side"), col(leftTs).as("__ts")) ++
-        carry.map { case (src, dst) =>
-          lit(null).cast(right.schema(src).dataType).as(dst)
-        }: _*)
+        Seq(lit(1).as("__side"), col(leftTs).as("__ts"),
+          lit(null).cast(carryType).as("__carry")): _*)
     val r = right.select(
       Seq(col(key)) ++
         left.columns.filterNot(_ == key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("__side"), col(rightTs).as("__ts")) ++
-        carry.map { case (src, dst) => col(src).as(dst) }: _*)
+        Seq(lit(0).as("__side"), col(rightTs).as("__ts"),
+          struct(carry.map { case (src, dst) => col(src).as(dst) }: _*)
+            .as("__carry")): _*)
     // right rows sort BEFORE left rows at equal timestamps (__side 0 < 1)
     // → a right row at exactly left-time is matched (inclusive ≤)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side", "__ts")
+    val filled = l.unionByName(r)
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        carried.map(c => col("__carry").getField(c).as(c)): _*)
   }
 }

@@ -75,7 +75,14 @@ object Dedup {
             size(array_intersect(col("ga"), col("gb")))).cast("double")).as("j"))
       .filter(col("j") >= threshold)
     val dropIds = verified.select(col("id_b").as(idCol)).distinct()
-    survivors.join(dropIds, Seq(idCol), "left_anti")
+    val result = survivors.join(dropIds, Seq(idCol), "left_anti")
+      // materialize eagerly (truncating lineage) so the survivors cache can
+      // be released HERE instead of leaking for the session lifetime; the
+      // checkpoint blocks are reclaimed by the ContextCleaner once the
+      // returned frame is unreferenced, unlike an explicit persist
+      .localCheckpoint(true)
+    survivors.unpersist()
+    result
   }
 
   // --------------------------------------------------------------------- //
@@ -177,52 +184,114 @@ object Dedup {
     * sparse-overlap corpora the explode form shuffles only genuinely shared
     * grams while the pair form still pays for every block pair.
     */
+  /** @param maxDf hot-gram guard: grams whose within-block document
+    *   frequency exceeds `maxDf` are dropped from CANDIDATE GENERATION only
+    *   (the (block, gram) self-join is quadratic in per-gram df — one
+    *   stopword gram in a big block is a df² straggler at scale); surviving
+    *   candidate pairs are then verified with the exact FULL-gram Jaccard,
+    *   so scores are unaffected. Only pairs whose every shared gram is hot
+    *   are missed — the standard df-capping tradeoff. Default = uncapped
+    *   (exact, single-pass).
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       blockCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val grams = docs.select(
       col(idCol), col(blockCol).as("block"),
       array_distinct(wordNgrams(col(textCol), n)).as("grams"))
       .filter(size(col("grams")) > 0)
     val sized = grams.withColumn("n_grams", size(col("grams")))
     val exploded = sized.select(col(idCol), col("block"), col("n_grams"), explode(col("grams")).as("g"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (maxDf == Int.MaxValue) {
+      val a = exploded.as("a")
+      val b = exploded.as("b")
+      a.join(b, col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      val rare = exploded.groupBy(col("block"), col("g"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(col("block"), col("g"))
+      val capped = exploded.select(col(idCol), col("block"), col("g"))
+        .join(rare, Seq("block", "g"))
+      val a = capped.as("a")
+      val b = capped.as("b")
+      val cand = a.join(b, col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .distinct()
+      // exact verify on FULL gram sets — candidate count is df-bounded, so
+      // the per-pair array intersection is no longer the quadratic path
+      val inter = size(array_intersect(col("ga"), col("gb")))
+      cand
+        .join(sized.select(col(idCol).as("id_a"), col("grams").as("ga"),
+          col("n_grams").as("na")), "id_a")
+        .join(sized.select(col(idCol).as("id_b"), col("grams").as("gb"),
+          col("n_grams").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (inter.cast("double") / (col("na") + col("nb") - inter).cast("double"))
+            .as("jaccard"))
+    }
   }
 
   // --------------------------------------------------------------------- //
   // Embedding near-dup
   // --------------------------------------------------------------------- //
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by an
-    * (optional) blocking column to avoid the global cross join. For unblocked
-    * use at scale, route through Similarity.lsh buckets first.
+  /** Embedding-cosine near-duplicate pairs above `threshold`.
+    *
+    * Default path: sign-LSH co-bucketing (Similarity.lshBuckets) — only
+    * vectors sharing a bucket are compared, so the pairwise phase is an
+    * equi-join (one shuffle, no cross product) and survives any corpus
+    * size; recall < 1.0 by design (tunable via `bits`/`tables`).
+    * The exhaustive O(n²) nested-loop variant is gated behind an explicit
+    * `allPairs = true` — it is correct only for corpora small enough that
+    * n²/2 cosines is an acceptable single-stage cost.
+    *
+    * @param dim embedding dimensionality (needed to draw LSH hyperplanes)
     */
   def embeddingNearDups(
       vecs: DataFrame,
       vecCol: String,
       idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 2,
+      allPairs: Boolean = false): DataFrame = {
     val v = vecs.select(col(idCol), VectorFunctions.asDouble(col(vecCol)).as("v"))
-    // spread the left side: a broadcast self-join would otherwise inherit a
-    // single-file corpus's one input partition and serialize every cosine
-    val a = v.repartition(v.sparkSession.sessionState.conf.numShufflePartitions).as("a")
-    val b = v.as("b")
-    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(
-        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // spread: a single-file corpus would otherwise put every cosine on one task
+    val spread = v.repartition(v.sparkSession.sessionState.conf.numShufflePartitions)
+    if (allPairs) {
+      val a = spread.as("a")
+      val b = v.as("b")
+      a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(
+          col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      val buckets = Similarity.lshBuckets(spread, "v", idCol, dim, bits, tables)
+      val a = buckets.as("a")
+      val b = buckets.as("b")
+      a.join(b,
+          col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(
+          col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 }

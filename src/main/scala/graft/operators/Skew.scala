@@ -26,6 +26,14 @@ object Skew {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // Replicating the RIGHT side is only correct when unmatched right rows
+    // are never emitted: a right/full outer join would emit each unmatched
+    // right row `salt` times. Reject those join types outright.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti").contains(jt),
+      s"saltedJoin: joinType '$joinType' unsupported — right-row-emitting " +
+        "join types would duplicate unmatched right rows once per salt")
     val l = left.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")

@@ -26,12 +26,19 @@ object Sessionize {
   /** Streaming sessionizer: emits a Session row once `gapMs` of event time
     * passes with no activity for the user (or on state timeout).
     */
+  /** @param watermarkDelay lateness tolerance; defaults to the session gap
+    *                        so any event the watermark admits can still
+    *                        legally extend an open session.
+    */
   def sessions(
       events: Dataset[Event],
-      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = null): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val delay = Option(watermarkDelay)
+      .getOrElse(s"${math.max(1L, gapMs / 1000)} seconds")
     events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -48,7 +55,12 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs < gapMs =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                  // max: an out-of-order (but non-late) event must not
+                  // regress lastTs and shorten the event-time timeout;
+                  // min on start keeps session_start = earliest event
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
+                    n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))

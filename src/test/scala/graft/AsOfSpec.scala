@@ -35,4 +35,29 @@ class AsOfSpec extends SparkSpec {
       (1L, "p2", Some(30.0), Some(ts("2024-01-01 11:00:00"))),
       (2L, "p3", None, None)))
   }
+
+  test("asofJoin preserves NULLs inside the matched right row (no fill from older rows)") {
+    val left = Seq((1L, "2024-01-01 12:00:00"))
+      .toDF("k", "lt").selectExpr("k", "to_timestamp(lt) AS lt")
+    val right = Seq(
+      (1L, "2024-01-01 10:00:00", Option(10.0)),
+      (1L, "2024-01-01 11:00:00", Option.empty[Double]) // matched row: v IS NULL
+    ).toDF("k", "rt", "v").selectExpr("k", "to_timestamp(rt) AS rt", "v")
+    val got = AsOf.asofJoin(left, right, "k", "lt", "rt", Seq("v" -> "last_v"))
+      .collect()
+    assert(got.length == 1)
+    // DuckDB ASOF semantics: the matched row's null is the answer — a
+    // per-column ignoreNulls fill would wrongly surface the older 10.0
+    assert(got.head.isNullAt(got.head.fieldIndex("last_v")))
+  }
+
+  test("asofJoin rejects carry names clashing with left columns") {
+    val left = Seq((1L, "2024-01-01 12:00:00", "keepme"))
+      .toDF("k", "lt", "v").selectExpr("k", "to_timestamp(lt) AS lt", "v")
+    val right = Seq((1L, "2024-01-01 10:00:00", 1.0))
+      .toDF("k", "rt", "v").selectExpr("k", "to_timestamp(rt) AS rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, "k", "lt", "rt", Seq("v" -> "v"))
+    }
+  }
 }

@@ -74,8 +74,45 @@ class DedupSpec extends SparkSpec {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
-    val got = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.99).collect()
+    val got = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.99, dim = 2)
+      .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(got == Set((1L, 2L)))
+    val exhaustive = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.99,
+      dim = 2, allPairs = true).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exhaustive == Set((1L, 2L)))
+  }
+
+  test("embedding near-dups default plan is an equi-join, never a cross product") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.5, dim = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("jaccard maxDf: hot grams excluded from candidate gen, scores stay exact") {
+    // every doc in the block shares the hot gram "common"; pairs (1,2) also
+    // share rare grams. With maxDf = 2 the hot gram generates no candidates:
+    // (1,3)/(2,3) share ONLY "common" → absent; (1,2) found via rare grams,
+    // and its jaccard counts the hot gram too (exact full-gram verify).
+    val d = Seq(
+      (1L, "common alpha beta", "x"),
+      (2L, "common alpha beta", "x"),
+      (3L, "common zeta", "x")
+    ).toDF("doc_id", "text", "src")
+    val capped = Dedup.ngramJaccardPairs(d, "text", "doc_id", "src", n = 1, maxDf = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == 1.0) // 3/3 incl. the hot gram — verify is exact
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", "src", n = 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(exact((1L, 2L)) == 1.0 && exact.contains((1L, 3L))) // uncapped sees all
   }
 }

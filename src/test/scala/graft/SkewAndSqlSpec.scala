@@ -21,6 +21,13 @@ class SkewAndSqlSpec extends SparkSpec {
     // left join keeps unmatched left rows exactly once per source row
     val leftJ = Skew.saltedJoin(left, right, "k", salt = 8, joinType = "left")
     assert(leftJ.count() == left.join(right, Seq("k"), "left").count())
+    // right/full outer would emit unmatched right rows once per salt → rejected
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, "k", salt = 8, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, "k", salt = 8, joinType = "full_outer")
+    }
   }
 
   test("saltedSumCount equals plain aggregation") {
