@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR (default sf0.1) on local[32] and prints one JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
-  * Each query is fully executed (count of the final frame) so the measured
-  * time covers scan → shuffle → sink-ready rows, not just plan build.
+  * Each query is FULLY materialized via a `noop`-format write: every row is
+  * produced through the complete plan — including final sorts and top-level
+  * projections, which Catalyst drops under a bare `.count()` — but nothing
+  * is written anywhere.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,12 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths once on the smallest SF so measured numbers
     // reflect steady-state execution, not first-query class loading
-    try SparkEntry.entry(spark).count()
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -518,16 +518,24 @@ object Queries {
   // Structured Streaming (parquet file stream → watermark → windowed agg)
   // ------------------------------------------------------------------ //
 
-  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** The minute aggregation executed as a real Structured Streaming query
-    * (file source → watermark → groupBy → memory sink, complete mode so the
-    * final table equals the batch result). Oracle: same SQL as minuteAgg.
+  /** The minute aggregation executed as a real Structured Streaming query:
+    * file source → watermark → groupBy → checkpointed foreachBatch that
+    * writes the aggregate DISTRIBUTED to parquet, then a batch read-back.
+    * Oracle: same SQL as minuteAgg.
+    *
+    * Complete mode is required for oracle parity on a bounded input (the
+    * single micro-batch never advances the watermark, so append mode would
+    * finalize no window); its state is bounded by the AGGREGATE cardinality
+    * (minutes × event types), held in executor state stores. What must not
+    * happen at scale — the result table materializing on the driver per
+    * micro-batch, as a memory sink does — doesn't: executors write the
+    * parquet directly.
     */
   def streamingMinuteAgg(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(s, dir, "events").schema
-    val name = s"graft_stream_${streamCounter.incrementAndGet()}"
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     // file stream source needs a directory: stream the sf dir, glob-filtered
     // to the events table file
     val q = s.readStream.schema(schema)
@@ -540,12 +548,14 @@ object Queries {
       .agg(count(lit(1)).as("n_events"),
         Aggregates.exactAvg(col("value")).as("avg_value"))
       .writeStream
-      .format("memory")
-      .queryName(name)
       .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name).orderBy(col("minute"), col("event_type"))
+    s.read.parquet(out).orderBy(col("minute"), col("event_type"))
   }
 }

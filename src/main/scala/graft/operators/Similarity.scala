@@ -109,13 +109,125 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN — the classic large-corpus index: partition
-    * the corpus into `nlist` KMeans cells (MLlib, trained on a bounded
-    * sample), then answer each query by scanning only its `nprobe` nearest
-    * cells. Corpus cell assignment is a one-off map pass (at 100 TB it is
-    * materialized as a partitioned table keyed by cell); the per-query
-    * candidate set shrinks by ~nprobe/nlist. With nprobe = nlist the result
-    * is EXACTLY bruteForceTopK (verified in tests).
+  // --------------------------------------------------------------------- //
+  // IVF (inverted-file) ANN
+  // --------------------------------------------------------------------- //
+
+  /** A built IVF index: corpus cell assignments + the centroids that
+    * produced them. `cells` is (neighbor_id, cv, cell) — at 100 TB this is
+    * the frame you write once as a table PARTITIONED BY cell (partition
+    * pruning then makes each query's nprobe scan read only its cells);
+    * in-session it can be persisted and queried repeatedly.
+    */
+  final case class IvfIndex(cells: DataFrame, centers: Seq[Seq[Double]])
+
+  /** Nearest-`nprobe` cell ids for a vector column, via the literal-data
+    * centroid pattern (see lshBuckets: literal arrays + HOFs, never a
+    * per-dim expression tree).
+    */
+  private def nearestCells(vec: org.apache.spark.sql.Column,
+      centers: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
+    val dists = transform(typedLit(centers), ctr =>
+      aggregate(zip_with(vec, ctr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    slice(transform(array_sort(zip_with(dists,
+        sequence(lit(0), lit(centers.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("cell")))),
+      s => s.getField("cell")), 1, nprobe)
+  }
+
+  /** Driver-local Lloyd's KMeans on a BOUNDED sample (FAISS-style
+    * train-on-sample): nlist·|sample|·dim flops per iteration in-process —
+    * milliseconds, vs an MLlib fit that schedules a cluster job per
+    * iteration. The sample is capped at `fitSampleRows` regardless of
+    * corpus size, so this is the one intentionally driver-side step of the
+    * index BUILD (never the query path); centroid quality only needs the
+    * sample to cover the distribution.
+    */
+  private[operators] def localKMeans(
+      sample: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int = 10): Seq[Seq[Double]] = {
+    require(sample.nonEmpty, "ivf: empty training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.tabulate(math.min(k, sample.length))(i =>
+      sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 1 to maxIter) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cell: keep the previous centroid (stays deterministic)
+        c += 1
+      }
+    }
+    centers.map(_.toSeq).toSeq
+  }
+
+  /** Build the IVF index once: train centroids on a bounded sample, then
+    * ONE distributed map pass assigns every corpus vector to its nearest
+    * cell. Amortize by persisting `cells` (or writing it as a
+    * cell-partitioned table) and serving many `ivfQuery` calls against it.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      fitSampleRows: Int = 8192): IvfIndex = {
+    // sample from the UN-spread scan: stable row order → deterministic index
+    val raw = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val sample = raw.select(col("cv")).limit(fitSampleRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = localKMeans(sample, nlist, seed)
+    val cells = spread(raw)
+      .withColumn("cell", element_at(nearestCells(col("cv"), centers, 1), 1))
+    IvfIndex(cells, centers)
+  }
+
+  /** Answer top-k queries against a built index, scanning only each query's
+    * `nprobe` nearest cells. With nprobe = nlist the result is EXACTLY
+    * bruteForceTopK (verified in tests and by the q38 oracle).
+    */
+  def ivfQuery(
+      index: IvfIndex,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q
+      .withColumn("cells", nearestCells(col("qv"), index.centers, nprobe))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    val cand = index.cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** One-shot convenience: build + query. Prefer buildIvfIndex + ivfQuery
+    * when serving more than one query batch.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -126,39 +238,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L,
-      fitSampleRows: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val c = spread(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
-      .withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(c.limit(fitSampleRows))
-    val assigned = model.transform(c)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
-
-    // nearest nprobe cells per query via the literal-data centroid pattern
-    // (see lshBuckets: literal arrays + HOFs, never a per-dim expression tree)
-    val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val cellDists = transform(typedLit(centers), ctr =>
-      aggregate(zip_with(col("qv"), ctr, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
-    val probes = q
-      .withColumn("cells",
-        slice(transform(array_sort(zip_with(cellDists,
-            sequence(lit(0), lit(nlist - 1)),
-            (d, i) => struct(d.as("d"), i.as("cell")))),
-          s => s.getField("cell")), 1, nprobe))
-      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
-
-    val cand = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      fitSampleRows: Int = 8192): DataFrame =
+    ivfQuery(buildIvfIndex(corpus, vecCol, idCol, nlist, seed, fitSampleRows),
+      queries, vecCol, idCol, k, nprobe)
 }

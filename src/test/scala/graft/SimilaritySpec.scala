@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkSpec {
     assert(partialRows.map(r => (r.getLong(0), r.getLong(2))).count(bruteSet) > 0)
   }
 
+  test("ivf index built once serves multiple query batches") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+    idx.cells.persist()
+    try {
+      assert(idx.centers.length == 8)
+      val q1 = Similarity.ivfQuery(idx, emb.filter($"vec_id" < 3), "embedding",
+        "vec_id", k = 3, nprobe = 8)
+      val q2 = Similarity.ivfQuery(idx, emb.filter($"vec_id" === 7L), "embedding",
+        "vec_id", k = 3, nprobe = 8)
+      val brute1 = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+        "embedding", "vec_id", k = 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(rows(q1) == rows(brute1)) // full probe = exact, reused index
+      assert(q2.count() == 3)
+    } finally idx.cells.unpersist()
+  }
+
   test("lsh top-k returns a subset ranking consistent with brute force recall") {
     val q = vecs.filter($"vec_id" === 0L)
     val got = Similarity.lshTopK(vecs, q, "embedding", "vec_id", dim = 3, k = 4,
