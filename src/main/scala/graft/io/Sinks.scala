@@ -21,9 +21,15 @@ final class ParquetSink(path: String) extends BatchSink {
   def write(df: DataFrame): Unit = df.write.mode("append").parquet(path)
 }
 
-/** NDJSON export (K4): `df.write.json` IS newline-delimited JSON, replacing
-  * the reference's row-at-a-time `json.dumps` loop
-  * (my_airflow/dags/mongo_to_storage.py:102-104) with a distributed write.
+/** NDJSON export (K4) and object-store upload (K5): `df.write.json` IS
+  * newline-delimited JSON, replacing the reference's row-at-a-time
+  * `json.dumps` loop (my_airflow/dags/mongo_to_storage.py:102-104) and its
+  * separate boto3 upload step (`:28-42`) with ONE distributed write. The
+  * path is any Hadoop-FS URI: `file:///...` locally, `s3a://bucket/exports/
+  * ...` in production (requires hadoop-aws + credentials on the cluster —
+  * absent from this zero-egress build; scheme dispatch itself is tested
+  * with an explicit file:// URI). Executors write partitions straight to
+  * the store — no driver-side staging file, no 5 GB single-PUT ceiling.
   */
 final class NdjsonSink(path: String) extends BatchSink {
   def write(df: DataFrame): Unit = df.write.mode("overwrite").json(path)

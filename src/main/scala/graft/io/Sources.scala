@@ -30,6 +30,68 @@ final class JsonFileSource(path: String) extends EventSource {
     spark.read.schema(schema).json(path)
 }
 
+/** S1 — the reference's sole ingress: `readStream.format("kafka")` on a
+  * topic, JSON value parsed against a declared schema
+  * (jobs/spark_mood_tracker.py:28-37; consumers `:17-26`). Compiles against
+  * stock Spark — `format("kafka")` resolves the connector at RUNTIME, so
+  * this is a jar-drop away from live: put `spark-sql-kafka-0-10` on the
+  * classpath and construct with the broker list. Without the jar, calling
+  * `stream`/`batch` raises Spark's DATA_SOURCE_NOT_FOUND (tested).
+  */
+final class KafkaEventSource(
+    bootstrapServers: String,
+    topic: String,
+    startingOffsets: String = "latest") extends EventSource {
+  private def opts = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic)
+  def stream(spark: SparkSession, schema: StructType): DataFrame =
+    Parse.ingest(
+      spark.readStream.format("kafka").options(opts)
+        .option("startingOffsets", startingOffsets).load(),
+      schema)
+  /** Batch replay of the topic (always from earliest — the batch path is
+    * for backfill/oracle use, not tail-following).
+    */
+  def batch(spark: SparkSession, schema: StructType): DataFrame =
+    Parse.ingest(
+      spark.read.format("kafka").options(opts)
+        .option("startingOffsets", "earliest").load(),
+      schema)
+}
+
+/** Batch-source seam (S3 — the reference's JDBC READ:
+  * daily_summary_report.py:24-31 loads Postgres `mood_events`). Pipelines
+  * take a BatchSource so tests run on parquet/NDJSON fixtures while
+  * production wires JDBC — the write-side mirror of `BatchSink`.
+  */
+trait BatchSource {
+  def read(spark: SparkSession): DataFrame
+}
+
+/** S3 — JDBC batch read (Postgres in the reference, any JDBC target here).
+  * Spark's built-in partitioned JDBC reader; pass `partitionColumn/
+  * lowerBound/upperBound/numPartitions` in `props` for a parallel scan
+  * (unpartitioned JDBC reads are single-connection — a scale foot-gun).
+  * Hermetically untested (no database in this build), wired behind the
+  * trait so fixtures stand in.
+  */
+final class JdbcSource(url: String, table: String, props: java.util.Properties)
+    extends BatchSource {
+  def read(spark: SparkSession): DataFrame = spark.read.jdbc(url, table, props)
+}
+
+/** Parquet table as a BatchSource (tests, and the engine's own tables). */
+final class ParquetSource(path: String) extends BatchSource {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** NDJSON file as a BatchSource (corrupt-capture enabled, P7-ready). */
+final class NdjsonSource(path: String) extends BatchSource {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+}
+
 /** Raw Kafka-shaped frames (binary `value` column) from any format — applies
   * the engine's cast→from_json→flatten ingest chain (P1–P3).
   */

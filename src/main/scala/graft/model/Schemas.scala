@@ -131,4 +131,15 @@ object Vocab {
     Seq("smooth", "sunny", "festival", "celebration")
 
   val Sentiments: Seq[String] = Seq("negative", "positive", "neutral")
+
+  /** The BACKFILL writer's sentiment→mood map (fake_mood_backfill.py:17-21)
+    * — a second, drifted mood vocabulary sharing the `mood_events` table
+    * with the stream's 7-label classifier output (SURVEY §1.3). Kept
+    * centralized here; ingestion accepts the union (`AllMoods`).
+    */
+  val BackfillMoodMap: Map[String, String] = Map(
+    "positive" -> "happy", "neutral" -> "neutral", "negative" -> "stressed")
+
+  /** Union mood vocabulary: every label either writer may produce. */
+  val AllMoods: Seq[String] = (Moods ++ BackfillMoodMap.values).distinct
 }

@@ -30,9 +30,22 @@ object ExportPipeline {
     run(raw, sink)
   }
 
+  /** Schema-drift union ingest (SURVEY §1.3): the backfill writer emits INT
+    * temps and the `happy/neutral/stressed` mood vocabulary while the
+    * stream writes doubles and the 7-label classifier vocabulary — same
+    * logical table. Coerce numerics to the canonical `Schemas.mood` types;
+    * mood labels pass through (the union vocabulary `Vocab.AllMoods` is
+    * data, not a filter).
+    */
+  def coerceMoodDrift(df: DataFrame): DataFrame =
+    Seq("avg_temp" -> "double", "avg_speed" -> "double")
+      .foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+      }
+
   /** Core transform, source-agnostic (tests feed literal frames). */
   def run(raw: DataFrame, sink: BatchSink): ExportResult = {
-    val clean = Parse.dropCorrupt(raw)
+    val clean = coerceMoodDrift(Parse.dropCorrupt(raw))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val read = clean.count()

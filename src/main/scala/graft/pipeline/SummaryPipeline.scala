@@ -28,4 +28,12 @@ object SummaryPipeline {
 
   /** Whole-history summary (used when no day filter is wanted). */
   def fullSummary(mood: DataFrame): DataFrame = Aggregates.dailySummary(mood)
+
+  /** The full daily_summary_report read path behind the BatchSource seam:
+    * production wires `JdbcSource` (the reference's Postgres read,
+    * daily_summary_report.py:24-31); tests wire a parquet/NDJSON fixture.
+    */
+  def daily(spark: org.apache.spark.sql.SparkSession,
+      source: graft.io.BatchSource, day: LocalDate): DataFrame =
+    dailySummary(validated(source.read(spark)), day)
 }
