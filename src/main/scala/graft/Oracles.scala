@@ -333,6 +333,65 @@ object Oracles {
     WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
     ORDER BY id_a, id_b"""
 
+  /** Full corpus-dedup composition (= Dedup.dedupeCorpus with threshold
+    * 0.8, k = 8, bands = 4, ngram = 2): exact keepers by normalized-md5
+    * fingerprint → 8-hash minhash over word bigrams of the survivors →
+    * 4-banded LSH candidates → exact bigram-Jaccard verify → greedy drop of
+    * the larger id → surviving documents. Minhash constants are
+    * a_i = 2i·1000003+1, b_i = i·777767777 mod p (Dedup.minhashParams).
+    */
+  val dedupeCorpus: String = s"""
+    WITH fp AS (
+      SELECT doc_id, md5($norm) AS fp FROM documents),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    surv AS (
+      SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    g AS (
+      SELECT doc_id, unnest(list_distinct($bigrams)) AS sh FROM surv),
+    h AS (
+      SELECT doc_id, mod(${hash60("sh")}, 1000000007) AS hh FROM g),
+    sigs AS (
+      SELECT doc_id,
+             min(mod(hh *  2000007 + 777767777, 1000000007)) AS mh0,
+             min(mod(hh *  4000013 + 555535547, 1000000007)) AS mh1,
+             min(mod(hh *  6000019 + 333303317, 1000000007)) AS mh2,
+             min(mod(hh *  8000025 + 111071087, 1000000007)) AS mh3,
+             min(mod(hh * 10000031 + 888838864, 1000000007)) AS mh4,
+             min(mod(hh * 12000037 + 666606634, 1000000007)) AS mh5,
+             min(mod(hh * 14000043 + 444374404, 1000000007)) AS mh6,
+             min(mod(hh * 16000049 + 222142174, 1000000007)) AS mh7
+      FROM h GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(concat_ws(',', mh2, mh3)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(concat_ws(',', mh4, mh5)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 3 AS band, md5(concat_ws(',', mh6, mh7)) AS sig FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    ge AS (
+      SELECT doc_id, len(grams) AS ng, unnest(grams) AS g2
+      FROM (SELECT doc_id, list_distinct($bigrams) AS grams FROM surv)
+      WHERE len(grams) > 0),
+    inter AS (
+      SELECT c.id_a, c.id_b, a.ng AS na, b.ng AS nb, count(*) AS i
+      FROM cand c
+      JOIN ge a ON a.doc_id = c.id_a
+      JOIN ge b ON b.doc_id = c.id_b AND a.g2 = b.g2
+      GROUP BY 1, 2, 3, 4),
+    drops AS (
+      SELECT DISTINCT id_b AS doc_id FROM inter
+      WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8)
+    SELECT doc_id, source, lang, n_chars
+    FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY doc_id"""
+
   val simhashFingerprints: String = s"""
     WITH t AS (
       SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
@@ -503,6 +562,10 @@ object Oracles {
     "q33_rollup_revenue" -> rollupRevenue,
     "q34_pivot_orders" -> pivotOrders,
     "q35_percentiles" -> percentiles,
+    // the mapPartitions kernel is bit-equal to the declarative variant
+    // (unit-tested) — same oracle
+    "q28_multimodal_kernel" -> multimodalFeatures,
+    "q36_dedupe_corpus" -> dedupeCorpus,
     "q37_asof_join" -> asofJoin,
     // IVF at full probe is exact — same oracle as brute force
     "q38_ann_ivf" -> annBruteForce)
