@@ -459,19 +459,28 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
-  /** Hierarchical rollup totals (grouping sets) over the join tree. */
-  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  /** Hierarchical rollup totals (grouping sets) over the join tree.
+    * Revenue is pre-aggregated per order BEFORE the fact⟗dim join: the
+    * orderkey shuffle then carries one decimal per ORDER instead of every
+    * lineitem row (at 100 TB that's the difference between shuffling the
+    * fact table and shuffling ~1/4 of it), and decimal partial sums are
+    * exact, so the once-rounded total is bit-identical.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val orderRev = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenueDec(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    orderRev
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(revenueDec(col("l_extendedprice"), col("l_discount"))), 2).cast("double")
-        .as("revenue"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
       .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("n_name"), lit("ALL")).as("n_name"), col("revenue"))
       .orderBy(col("r_name"), col("n_name"))
+  }
 
   /** Exact interpolated percentiles (sort-based aggregate — the one
     * sort-heavy aggregation in the surface; Spark plans it as a single

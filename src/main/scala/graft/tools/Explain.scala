@@ -30,8 +30,8 @@ object Explain {
         df.explain("formatted")
       }
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
+      df.write.format("noop").mode("overwrite").save() // bench protocol
+      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     spark.stop()
   }
