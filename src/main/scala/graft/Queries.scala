@@ -482,6 +482,27 @@ object Queries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Mergeable-sketch profile (Apache DataSketches HLL built-ins) — the
+    * constant-memory scale path for q32-class distinct counting: build ONE
+    * sketch per (day, event_type) partition, then MERGE sketches per
+    * event_type. At 100 TB this is the canonical pattern — daily sketch
+    * tables are tiny, re-aggregatable over any date range, and never
+    * re-scan the facts; exact distinct (q32) re-shuffles raw user ids every
+    * time. Estimates are sketch-implementation-specific → rows-only check;
+    * the unit test bounds the error against the exact count.
+    */
+  def sketchProfile(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact interpolated percentiles (sort-based aggregate — the one
     * sort-heavy aggregation in the surface; Spark plans it as a single
     * ObjectHashAggregate with per-group sorted buffers).

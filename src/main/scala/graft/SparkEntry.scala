@@ -51,8 +51,12 @@ object SparkEntry {
     "q35_percentiles" -> (Queries.percentiles _),
     "q37_asof_join" -> (Queries.asofJoin _),
     "q38_ann_ivf" -> (Queries.annIvf _),
-    // rows-only checks (not SQL-expressible: random hyperplanes / kernel path)
+    // rows-only checks (not SQL-expressible: random hyperplanes /
+    // sketch-implementation-specific estimates)
     "q27_ann_lsh" -> (Queries.annLsh _),
+    "q39_sketch_profile" -> (Queries.sketchProfile _),
+    // oracle-checked despite the non-SQL implementation path: q28 is
+    // bit-equal to q25's declarative variant, q36 is md5-deterministic
     "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _),
     "q36_dedupe_corpus" -> (Queries.dedupeCorpus _))
 

@@ -27,4 +27,20 @@ class QueriesSpec extends SparkSpec {
       assert(df.columns.nonEmpty)
     }
   }
+
+  test("q39: merged daily HLL sketches track exact distinct counts (<2% err)") {
+    val approx = Queries.sketchProfile(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("n_events"))).toMap
+    val exact = Queries.distinctUsers(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (nUsers, nEvents)) =>
+      val (aUsers, aEvents) = approx(k)
+      assert(aEvents == nEvents) // counts are exact either way
+      assert(math.abs(aUsers - nUsers).toDouble / nUsers < 0.02,
+        s"$k: sketch $aUsers vs exact $nUsers")
+    }
+  }
 }
