@@ -1,0 +1,54 @@
+package graft
+
+/** Scale discipline, machine-checked across the WHOLE query surface:
+  * no accidental cross products, broadcast nested-loop joins only where a
+  * non-equi broadcast is the intended algorithm, pushdown reaching scans.
+  * A plan regression (e.g. a refactor dropping a join key) fails here long
+  * before it melts a cluster.
+  */
+class PlanDisciplineSpec extends SparkSpec {
+
+  // q23 brute-force ANN intentionally broadcasts the (small) query set
+  // against the corpus with a non-equi condition — the one sanctioned NLJ.
+  private val nljAllowed = Set("q23_ann_brute_force")
+
+  // Streaming/composed queries run real jobs at construction; plan checks on
+  // the cheap batch surface are enough and keep this spec fast.
+  private val skip = Set("q26_streaming_minute_agg", "q36_dedupe_corpus")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+    test(s"$name plan: no cartesian; NLJ only where sanctioned") {
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+      if (!nljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"unexpected nested-loop join in $name:\n$plan")
+    }
+  }
+
+  test("q02 filter+projection reach the parquet scan (pushdown + pruning)") {
+    val explained = org.apache.spark.sql.execution.debug.codegenString(
+      Queries.filterProject(spark, sf0001).queryExecution.executedPlan)
+    val formatted = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        Queries.filterProject(spark, sf0001).explain("formatted")
+      }
+      out.toString
+    }
+    assert(formatted.contains("PushedFilters:"), formatted)
+    assert(!formatted.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"no filters pushed:\n$formatted")
+    // projection pruning: the scan must not read the full 16-col lineitem
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+    assert(explained.nonEmpty) // codegen exists for the scan+filter+project
+  }
+
+  test("q03 dimension joins broadcast (no shuffle of the small sides)") {
+    val plan = Queries.joinRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
