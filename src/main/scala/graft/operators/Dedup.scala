@@ -45,6 +45,11 @@ object Dedup {
     * branches (exact-dedup output, then candidate pairs, then survivors)
     * rather than caching a corpus-sized frame in executor memory.
     */
+  /** @param stagingDir when set, the thrice-consumed exact-dedup stage is
+    *   MATERIALIZED to `stagingDir/survivors` as a parquet table instead of
+    *   executor storage — the 100 TB path (durable across executor loss,
+    *   no cache pressure); when None, in-session persist + eager checkpoint.
+    */
   def dedupeCorpus(
       docs: DataFrame,
       textCol: String,
@@ -52,14 +57,19 @@ object Dedup {
       threshold: Double = 0.8,
       k: Int = 8,
       bands: Int = 4,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3,
+      stagingDir: Option[String] = None): DataFrame = {
     val exactKeep = exact(docs, textCol, idCol).select(col("keep_id").as(idCol))
     // the exact-dedup output feeds three consumers (signatures, gram
-    // verification, final anti-join); persist it so the scan+normalize runs
-    // once. At true 100 TB scale, materialize this stage to a table instead
-    // of executor storage — same dataflow, explicit durability.
-    val survivors = docs.join(exactKeep, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification, final anti-join); make it run once.
+    val joined = docs.join(exactKeep, idCol)
+    val survivors = stagingDir match {
+      case Some(dir) =>
+        joined.write.mode("overwrite").parquet(s"$dir/survivors")
+        docs.sparkSession.read.parquet(s"$dir/survivors")
+      case None =>
+        joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val sigs = minhashSignatures(survivors, textCol, idCol, k, ngram)
     val cand = lshCandidates(sigs, idCol, bands)
     // verify candidates with exact jaccard, blocked by nothing further
@@ -75,14 +85,17 @@ object Dedup {
             size(array_intersect(col("ga"), col("gb")))).cast("double")).as("j"))
       .filter(col("j") >= threshold)
     val dropIds = verified.select(col("id_b").as(idCol)).distinct()
-    val result = survivors.join(dropIds, Seq(idCol), "left_anti")
+    val antiJoined = survivors.join(dropIds, Seq(idCol), "left_anti")
+    if (stagingDir.isDefined) antiJoined // inputs are durable tables: stay lazy
+    else {
       // materialize eagerly (truncating lineage) so the survivors cache can
       // be released HERE instead of leaking for the session lifetime; the
       // checkpoint blocks are reclaimed by the ContextCleaner once the
       // returned frame is unreferenced, unlike an explicit persist
-      .localCheckpoint(true)
-    survivors.unpersist()
-    result
+      val result = antiJoined.localCheckpoint(true)
+      survivors.unpersist()
+      result
+    }
   }
 
   // --------------------------------------------------------------------- //

@@ -119,7 +119,30 @@ object Similarity {
     * pruning then makes each query's nprobe scan read only its cells);
     * in-session it can be persisted and queried repeatedly.
     */
-  final case class IvfIndex(cells: DataFrame, centers: Seq[Seq[Double]])
+  final case class IvfIndex(cells: DataFrame, centers: Seq[Seq[Double]]) {
+    /** Materialize the index as the partitioned-table layout: cells
+      * parquet PARTITIONED BY cell (so a probe of `nprobe` cells is a
+      * partition-pruned scan — verified in tests via PartitionFilters),
+      * centroids as a tiny side table.
+      */
+    def save(path: String): Unit = {
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      val s = cells.sparkSession
+      import s.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    }
+  }
+
+  object IvfIndex {
+    /** Re-open a saved index; `cells` is lazy (pruned per query). */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val centers = spark.read.parquet(s"$path/centers")
+        .orderBy(col("cell")).collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("center").toSeq).toSeq
+      IvfIndex(spark.read.parquet(s"$path/cells"), centers)
+    }
+  }
 
   /** Nearest-`nprobe` cell ids for a vector column, via the literal-data
     * centroid pattern (see lshBuckets: literal arrays + HOFs, never a

@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec {
     assert(survivors.contains(1L) && survivors.contains(4L) && survivors.contains(5L))
   }
 
+  test("dedupeCorpus staged-to-table path equals the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val inMem = Dedup.dedupeCorpus(docs, "text", "doc_id", threshold = 0.7,
+      k = 8, bands = 4, ngram = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val staged = Dedup.dedupeCorpus(docs, "text", "doc_id", threshold = 0.7,
+      k = 8, bands = 4, ngram = 2, stagingDir = Some(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(staged == inMem)
+    assert(new java.io.File(s"$dir/survivors").exists()) // stage is a real table
+  }
+
   test("embedding near-dups via cosine threshold") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))

@@ -66,6 +66,24 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.cells.unpersist()
   }
 
+  test("ivf index save/load: partitioned-table layout, pruned probes, exact at full probe") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8).save(dir)
+    val loaded = Similarity.IvfIndex.load(spark, dir)
+    assert(loaded.centers.length == 8)
+    // probing a cell is a partition-PRUNED scan of the saved table
+    val probePlan = loaded.cells.filter($"cell" === 3)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") && probePlan.contains("cell"), probePlan)
+    val q = emb.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(rows(Similarity.ivfQuery(loaded, q, "embedding", "vec_id", k = 3, nprobe = 8))
+      == rows(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 3)))
+  }
+
   test("lsh top-k returns a subset ranking consistent with brute force recall") {
     val q = vecs.filter($"vec_id" === 0L)
     val got = Similarity.lshTopK(vecs, q, "embedding", "vec_id", dim = 3, k = 4,
