@@ -473,6 +473,40 @@ object Oracles {
            round(${sumDec2("value")}, 2) AS sum_value
     FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** Click sessions rebuilt with the lag/gap technique (as sessionize),
+    * then a plain inequality join pairs each purchase with its containing
+    * session — the declarative spec of RangeJoin.pointInInterval.
+    */
+  val rangeJoinSessions: String = s"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+    c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM c),
+    g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_clicks
+      FROM g GROUP BY user_id, sid),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      FROM e WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_ts, p.purchase_value, s.s_start, s.n_clicks
+    FROM p JOIN sess s
+      ON p.user_id = s.user_id
+     AND p.purchase_ts >= s.s_start AND p.purchase_ts < s.s_end
+    ORDER BY p.user_id, purchase_ts, s_start"""
+
   val distinctUsers: String = """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type"""
@@ -568,5 +602,6 @@ object Oracles {
     "q36_dedupe_corpus" -> dedupeCorpus,
     "q37_asof_join" -> asofJoin,
     // IVF at full probe is exact — same oracle as brute force
-    "q38_ann_ivf" -> annBruteForce)
+    "q38_ann_ivf" -> annBruteForce,
+    "q40_range_join" -> rangeJoinSessions)
 }

@@ -517,6 +517,29 @@ object Queries {
         round(max(col("value")), 2).as("max_value"))
       .orderBy(col("event_type"))
 
+  /** Range join: each purchase paired with the click session (30-minute
+    * session_window) of the same user that CONTAINS it — the keyed
+    * point-in-interval operator, executed as a binned equi-join
+    * (RangeJoin.pointInInterval), never a nested loop. Oracle: lag-based
+    * session reconstruction + an inequality join.
+    */
+  def rangeJoinSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sessions = ev.filter(col("event_type") === "click")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, sessions, "user_id", "purchase_ts", "s_start", "s_end")
+      .select(col("user_id"), col("purchase_ts"), col("purchase_value"),
+        col("s_start"), col("n_clicks"))
+      .orderBy(col("user_id"), col("purchase_ts"), col("s_start"))
+  }
+
   /** As-of join: each purchase paired with the user's most recent prior
     * click (inclusive) — DuckDB ASOF JOIN oracle.
     */

@@ -51,6 +51,7 @@ object SparkEntry {
     "q35_percentiles" -> (Queries.percentiles _),
     "q37_asof_join" -> (Queries.asofJoin _),
     "q38_ann_ivf" -> (Queries.annIvf _),
+    "q40_range_join" -> (Queries.rangeJoinSessions _),
     // rows-only checks (not SQL-expressible: random hyperplanes /
     // sketch-implementation-specific estimates)
     "q27_ann_lsh" -> (Queries.annLsh _),

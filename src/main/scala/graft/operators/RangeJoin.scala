@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — with as-of (AsOf.scala) and sketches, one of the
+  * classic operators Spark has no native physical strategy for: a naive
+  * `a.join(b, pointInRange)` plans as a broadcast nested loop.
+  *
+  * Built by COMPOSITION: bucket time into fixed-width bins, replicate each
+  * INTERVAL row into every bin it overlaps, map each POINT row to its
+  * single bin, then equi-join on (key, bin) and apply the exact range
+  * predicate. Because a point lives in exactly ONE bin, every matched
+  * (point, interval) pair is produced exactly once — no dedup pass. Cost at
+  * scale: one shuffle on (key, bin); interval replication factor is
+  * ceil(len/binWidth)+1, so pick binWidth near the typical interval length.
+  */
+object RangeJoin {
+
+  /** Keyed point-in-interval join: rows of `points` paired with every row
+    * of `intervals` of the same `key` whose [startTs, endTs) half-open
+    * window contains pointTs. Bin assignment uses second-truncated epoch
+    * (monotonic, so truncation never drops a cover bin); the exact
+    * predicate runs on full-precision timestamps.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      pointTs: String,
+      startTs: String,
+      endTs: String,
+      binSeconds: Long = 1800L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val p = points.withColumn("__bin",
+      floor(unix_timestamp(col(pointTs)) / binSeconds))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_timestamp(col(startTs)) / binSeconds),
+        floor(unix_timestamp(col(endTs)) / binSeconds))))
+    p.join(i, Seq(key, "__bin"))
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("__bin")
+  }
+}

@@ -51,6 +51,36 @@ class AsOfSpec extends SparkSpec {
     assert(got.head.isNullAt(got.head.fieldIndex("last_v")))
   }
 
+  test("range join: binned equi-join equals the naive inequality join") {
+    import graft.operators.RangeJoin
+    val points = Seq(
+      (1L, "2024-01-01 10:15:00"), (1L, "2024-01-01 11:59:00"),
+      (1L, "2024-01-01 13:00:00"), (2L, "2024-01-01 10:15:00")
+    ).toDF("k", "pt").selectExpr("k", "to_timestamp(pt) AS pt")
+    val intervals = Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00", "a"), // spans 4 bins
+      (1L, "2024-01-01 12:59:00", "2024-01-01 13:00:00", "b"), // end-exclusive
+      (2L, "2024-01-01 11:00:00", "2024-01-01 12:00:00", "c")  // wrong window
+    ).toDF("k", "st", "en", "tag")
+      .selectExpr("k", "to_timestamp(st) AS st", "to_timestamp(en) AS en", "tag")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "pt", "st", "en")
+      .select("k", "pt", "tag").orderBy("k", "pt").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // exactly-once per matched pair (the 10:15 point overlaps interval `a`
+    // which spans several bins, but they meet only in the point's bin);
+    // 13:00 excluded by the half-open end; user 2's point misses `c`
+    assert(got.toSeq == Seq((1L, "a"), (1L, "a")))
+    val naive = points.join(intervals, points("k") === intervals("k") &&
+        $"pt" >= $"st" && $"pt" < $"en")
+      .select(points("k"), $"pt", $"tag").orderBy("k", "pt").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == naive.toSeq)
+    // and the plan is an equi-join, not a nested loop
+    val plan = RangeJoin.pointInInterval(points, intervals, "k", "pt", "st", "en")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("asofJoin rejects carry names clashing with left columns") {
     val left = Seq((1L, "2024-01-01 12:00:00", "keepme"))
       .toDF("k", "lt", "v").selectExpr("k", "to_timestamp(lt) AS lt", "v")
