@@ -264,6 +264,27 @@ object Oracles {
     FROM b
     ORDER BY doc_id"""
 
+  /** = Queries.qualityFilter: thresholds applied to unrounded ratios. */
+  val qualityFilter: String = s"""
+    WITH s AS (
+      SELECT doc_id,
+             len($toks) AS n_toks,
+             CAST(len(replace($norm, ' ', '')) AS DOUBLE) / len($toks) AS mean_len,
+             CAST(len($norm) - len(regexp_replace($norm, '[^a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / greatest(len($norm), 1) AS sym_ratio,
+             CAST(len(list_filter($toks, x -> x IN $stopEn)) AS DOUBLE)
+               / len($toks) AS stop_ratio
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           round(mean_len, 6) AS mean_tok_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           CAST(n_toks >= 20 AND mean_len BETWEEN 3.0 AND 6.0
+                AND sym_ratio <= 0.03 AND stop_ratio >= 0.05 AS BIGINT) AS passes
+    FROM s
+    ORDER BY doc_id"""
+
   val dedupExact: String = s"""
     SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
     FROM documents
@@ -603,5 +624,6 @@ object Oracles {
     "q37_asof_join" -> asofJoin,
     // IVF at full probe is exact — same oracle as brute force
     "q38_ann_ivf" -> annBruteForce,
-    "q40_range_join" -> rangeJoinSessions)
+    "q40_range_join" -> rangeJoinSessions,
+    "q41_quality_filter" -> qualityFilter)
 }

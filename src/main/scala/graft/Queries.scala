@@ -273,6 +273,33 @@ object Queries {
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style document-quality filter: the length / mean-word-length /
+    * symbol-ratio / stopword-presence heuristics every pretraining corpus
+    * pass applies, as pure codegen'd columns. `passes` evaluates the
+    * conjunction on UNROUNDED values (integer counts divided — identical
+    * doubles in any engine); display columns are rounded.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val norm = TextFunctions.normalized(col("text"))
+    val nTokens = TextFunctions.tokenCount(col("text"))
+    val meanTokLen = length(translate(norm, " ", "")).cast("double") / nTokens
+    val symbolRatio =
+      (length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("double") /
+        greatest(length(norm), lit(1))
+    val stopRatio = TextFunctions.tokenRatio(col("text"),
+      Seq("the", "a", "of", "and", "to", "in", "is"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        round(meanTokLen, 6).as("mean_tok_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        (nTokens >= 20 && meanTokLen.between(3.0, 6.0) &&
+          symbolRatio <= 0.03 && stopRatio >= 0.05).cast("long").as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic (stopword-profile argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
