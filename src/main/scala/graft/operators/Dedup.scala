@@ -44,8 +44,8 @@ object Dedup {
     * production 100 TB run materializes each stage to a table between
     * branches (exact-dedup output, then candidate pairs, then survivors)
     * rather than caching a corpus-sized frame in executor memory.
-    */
-  /** @param stagingDir when set, the thrice-consumed exact-dedup stage is
+    *
+    * @param stagingDir when set, the thrice-consumed exact-dedup stage is
     *   MATERIALIZED to `stagingDir/survivors` as a parquet table instead of
     *   executor storage — the 100 TB path (durable across executor loss,
     *   no cache pressure); when None, in-session persist + eager checkpoint.
@@ -142,7 +142,7 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        md5(concat_ws(",", mhCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(col): _*))
+        md5(concat_ws(",", mhCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toIndexedSeq.map(col): _*))
           .as("sig"))
     }
     val banded = signatures

@@ -130,7 +130,7 @@ object PipelineRunner {
     */
   def moodExportDag(
       name: String,
-      export: () => Unit,
+      exportTask: () => Unit,
       loadWarehouse: () => Unit,
       uploadStore: () => Unit,
       cleanup: () => Unit,
@@ -138,7 +138,7 @@ object PipelineRunner {
       onFailure: FailureContext => Unit = ctx =>
         System.err.println(s"[pipeline] ${formatFailure(ctx)}")): Pipeline =
     Pipeline(name, Seq(
-      Task("export_to_file")(export),
+      Task("export_to_file")(exportTask),
       Task("load_to_warehouse", deps = Seq("export_to_file"))(loadWarehouse),
       Task("upload_to_store", deps = Seq("export_to_file"))(uploadStore),
       Task("cleanup", deps = Seq("load_to_warehouse", "upload_to_store"))(cleanup)),

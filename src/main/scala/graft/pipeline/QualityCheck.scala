@@ -40,9 +40,9 @@ object QualityCheck {
   /** Gate-then-export composition (the TriggerDagRunOperator analog):
     * runs checks, and only on pass executes `export`; returns the report.
     */
-  def gateAndExport(mood: DataFrame, required: Seq[String])(export: => Unit): Report = {
+  def gateAndExport(mood: DataFrame, required: Seq[String])(exportStep: => Unit): Report = {
     val report = run(mood, required)
-    if (report.passed) export
+    if (report.passed) exportStep
     report
   }
 }

@@ -36,7 +36,7 @@ class PipelineRunnerSpec extends AnyFunSuite {
     def mk(fail: Boolean) = {
       order = Vector.empty
       moodExportDag("mood_dag",
-        export = () => order :+= "export",
+        exportTask = () => order :+= "export",
         loadWarehouse = () => {
           order :+= "warehouse"
           if (fail) sys.error("warehouse down")
