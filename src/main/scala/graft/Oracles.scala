@@ -413,6 +413,22 @@ object Oracles {
     WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     ORDER BY doc_id"""
 
+  /** = Queries.quantizeEmbeddings (both engines round half away from zero). */
+  val quantizeEmbeddings: String = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CASE WHEN scale = 0
+                THEN list_transform(e, x -> CAST(0 AS TINYINT))
+                ELSE list_transform(e, x -> CAST(round(x / scale) AS TINYINT))
+           END AS q
+    FROM s ORDER BY vec_id"""
+
   val simhashFingerprints: String = s"""
     WITH t AS (
       SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
@@ -625,5 +641,6 @@ object Oracles {
     // IVF at full probe is exact — same oracle as brute force
     "q38_ann_ivf" -> annBruteForce,
     "q40_range_join" -> rangeJoinSessions,
-    "q41_quality_filter" -> qualityFilter)
+    "q41_quality_filter" -> qualityFilter,
+    "q42_quantize_embeddings" -> quantizeEmbeddings)
 }

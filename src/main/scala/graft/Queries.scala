@@ -413,6 +413,18 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Symmetric int8 scalar quantization of the embedding table — the 4×
+    * storage/bandwidth shrink an ANN candidate scan reads instead of fp32.
+    * Map-only; codes + per-vector scale are exactly reproducible in SQL.
+    */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("qs", VectorFunctions.quantizeInt8(
+        VectorFunctions.asDouble(col("embedding"))))
+      .select(col("vec_id"), round(col("qs.scale"), 6).as("scale"),
+        col("qs.q").as("q"))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------------------ //
   // Multimodal plumbing (documents as opaque binary payloads)
   // ------------------------------------------------------------------ //

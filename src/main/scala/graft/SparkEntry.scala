@@ -53,6 +53,7 @@ object SparkEntry {
     "q38_ann_ivf" -> (Queries.annIvf _),
     "q40_range_join" -> (Queries.rangeJoinSessions _),
     "q41_quality_filter" -> (Queries.qualityFilter _),
+    "q42_quantize_embeddings" -> (Queries.quantizeEmbeddings _),
     // rows-only checks (not SQL-expressible: random hyperplanes /
     // sketch-implementation-specific estimates)
     "q27_ann_lsh" -> (Queries.annLsh _),

@@ -41,4 +41,30 @@ object VectorFunctions {
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Unit-normalized copy of the vector (all-zero vectors pass through). */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** Per-vector symmetric int8 scalar quantization — the standard 4×
+    * shrink for ANN candidate scans (fp32 → int8 + one fp scale per
+    * vector). Returns struct(q: array<tinyint>, scale: double) with
+    * x ≈ q * scale, scale = maxAbs / 127; all-zero vectors get scale 0 and
+    * zero codes.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    struct(
+      when(scale === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(v, x => round(x / scale).cast("tinyint")))
+        .as("q"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]] (lossy: |x − q·scale| ≤ scale/2). */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), c => c.cast("double") * qs.getField("scale"))
 }

@@ -39,4 +39,23 @@ class VectorFunctionsSpec extends SparkSpec {
     val df0 = pair(Seq(0.0, 0.0), Seq(1.0, 1.0))
     assert(df0.select(cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
+
+  test("int8 quantization: codes bounded, roundtrip error ≤ scale/2, zeros safe") {
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("qs", quantizeInt8(col("v")))
+      .withColumn("back", dequantizeInt8(col("qs")))
+    val bad = emb.select(
+        col("qs.scale").as("scale"),
+        array_max(zip_with(col("v"), col("back"), (x, y) => abs(x - y))).as("maxErr"),
+        array_max(transform(col("qs.q"), c => abs(c.cast("int")))).as("maxCode"))
+      .filter(col("maxErr") > col("scale") / 2 + lit(1e-12) || col("maxCode") > 127)
+      .count()
+    assert(bad == 0L)
+    // all-zero vector: scale 0, zero codes, lossless roundtrip
+    val z = pair(Seq(0.0, 0.0), Seq(0.0, 0.0))
+      .withColumn("qs", quantizeInt8(col("a")))
+    val r = z.select(col("qs.scale"), dequantizeInt8(col("qs")).as("back")).head()
+    assert(r.getDouble(0) == 0.0 && r.getSeq[Double](1) == Seq(0.0, 0.0))
+  }
 }
