@@ -70,12 +70,23 @@ object Dedup {
       case None =>
         joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val sigs = minhashSignatures(survivors, textCol, idCol, k, ngram)
+    // tokenize ONCE: the gram arrays feed both the minhash signatures and
+    // the jaccard verification (tokenization is the dominant per-row cost;
+    // deriving both consumers from one persisted gram frame saves two full
+    // regex passes over the surviving corpus)
+    val grams0 = survivors.select(col(idCol),
+      array_distinct(wordNgrams(col(textCol), ngram)).as("grams"))
+    val grams = stagingDir match {
+      case Some(dir) =>
+        grams0.write.mode("overwrite").parquet(s"$dir/grams")
+        docs.sparkSession.read.parquet(s"$dir/grams")
+      case None =>
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val sigs = minhashFromGrams(grams, idCol, k)
     val cand = lshCandidates(sigs, idCol, bands)
     // verify candidates with exact jaccard, blocked by nothing further
     // (candidate count is already LSH-bounded)
-    val grams = survivors.select(col(idCol),
-      array_distinct(wordNgrams(col(textCol), ngram)).as("grams"))
     val verified = cand
       .join(grams.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
       .join(grams.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
@@ -88,14 +99,29 @@ object Dedup {
     val antiJoined = survivors.join(dropIds, Seq(idCol), "left_anti")
     if (stagingDir.isDefined) antiJoined // inputs are durable tables: stay lazy
     else {
-      // materialize eagerly (truncating lineage) so the survivors cache can
-      // be released HERE instead of leaking for the session lifetime; the
-      // checkpoint blocks are reclaimed by the ContextCleaner once the
-      // returned frame is unreferenced, unlike an explicit persist
+      // materialize eagerly (truncating lineage) so the survivors/grams
+      // caches can be released HERE instead of leaking for the session
+      // lifetime; the checkpoint blocks are reclaimed by the ContextCleaner
+      // once the returned frame is unreferenced, unlike an explicit persist
       val result = antiJoined.localCheckpoint(true)
       survivors.unpersist()
+      grams.unpersist()
       result
     }
+  }
+
+  /** MinHash signatures from PRE-COMPUTED distinct-gram arrays (the shared
+    * tokenization inside dedupeCorpus); same output as minhashSignatures.
+    */
+  private def minhashFromGrams(grams: DataFrame, idCol: String, k: Int): DataFrame = {
+    val params = minhashParams(k)
+    val shingled = grams
+      .select(col(idCol), explode(col("grams")).as("sh"))
+      .withColumn("h", fieldHash(col("sh")))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"mh$i")
+    }
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   // --------------------------------------------------------------------- //

@@ -24,13 +24,15 @@ object Explain {
       if (which == "all") SparkEntry.queries.keys.toSeq.sorted
       else which.split(",").toSeq
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
       if (showPlan) {
         println(s"===== $name =====")
-        df.explain("formatted")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       }
+      // time INCLUDING construction — eager queries (q36's checkpoint, q26's
+      // stream) do their work before the write, exactly as Bench measures
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save() // bench protocol
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     spark.stop()
