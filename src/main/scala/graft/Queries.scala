@@ -624,13 +624,19 @@ object Queries {
     * parquet directly.
     */
   def streamingMinuteAgg(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(s, dir, "events").schema
+    // run the stream in a CHILD session (shared SparkContext, isolated
+    // SQLConf): the aggregate is tiny, so 8 state-store partitions beat the
+    // session's 32 (fewer store commits per micro-batch), and no global
+    // conf is mutated for concurrent users of the parent session
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(ss, dir, "events").schema
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     // file stream source needs a directory: stream the sf dir, glob-filtered
     // to the events table file
-    val q = s.readStream.schema(schema)
+    val q = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
