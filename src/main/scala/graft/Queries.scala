@@ -72,18 +72,25 @@ object Queries {
     * are dims: Catalyst broadcasts them (AQE confirms at runtime), so the
     * only real shuffle is the final groupBy on n_name.
     */
-  def joinRevenue(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  def joinRevenue(s: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate per order before the fact⟗dim join (see rollupRevenue):
+    // the orderkey shuffle carries (rev, n) per ORDER, not per lineitem;
+    // decimal partial sums are exact so the once-rounded total is identical
+    val orderRev = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenueDec(col("l_extendedprice"), col("l_discount"))).as("rev"),
+        count(lit(1)).as("nl"))
+    orderRev
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(revenueDec(col("l_extendedprice"), col("l_discount"))), 2).cast("double")
-          .as("revenue"),
-        count(lit(1)).as("n_lines"))
+        round(sum(col("rev")), 2).cast("double").as("revenue"),
+        sum(col("nl")).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
+  }
 
   /** Left-outer join parity shape (reference J1/J2): nation ⟕ customer agg.
     * Nations with no customers survive with null aggregates.
