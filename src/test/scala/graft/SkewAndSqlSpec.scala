@@ -30,6 +30,28 @@ class SkewAndSqlSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // shrink thresholds so test-sized data counts as skewed
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    val left = (Seq.fill(5000)(("hot", "x" * 64)) ++
+      (1 to 50).map(i => (s"k$i", "y"))).toDF("k", "pad")
+    val right = (Seq(("hot", 1)) ++ (1 to 50).map(i => (s"k$i", i))).toDF("k", "rv")
+    val joined = left.join(right, Seq("k"))
+    // execute THIS DataFrame so its AdaptiveSparkPlan re-plans to final
+    // (a count() would execute a different query tree)
+    assert(joined.collect().length == 5050)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"), finalPlan)
+  }
+
   test("saltedSumCount equals plain aggregation") {
     val df = (Seq.fill(1000)(("hot", 2.0)) ++ Seq(("a", 1.0), ("a", 3.0))).toDF("k", "v")
     val got = Skew.saltedSumCount(df, "k", "v", salt = 16).collect()
