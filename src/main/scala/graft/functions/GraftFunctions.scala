@@ -33,5 +33,8 @@ object GraftFunctions {
     fromCols("doc_fingerprint", 1, cs => TextFunctions.fingerprint(cs(0)))(spark)
     fromCols("token_count", 1, cs => TextFunctions.tokenCount(cs(0)))(spark)
     fromCols("lang_id", 1, cs => TextFunctions.langId(cs(0)))(spark)
+    fromCols("graft_l2_normalize", 1, cs => VectorFunctions.l2Normalize(cs(0)))(spark)
+    fromCols("graft_quantize_int8", 1, cs => VectorFunctions.quantizeInt8(cs(0)))(spark)
+    fromCols("graft_dequantize_int8", 1, cs => VectorFunctions.dequantizeInt8(cs(0)))(spark)
   }
 }

@@ -75,6 +75,13 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Int]("n") == 3)
     assert(row.getAs[String]("lang") == "en")
+    val vec = spark.sql("""
+      SELECT graft_l2_normalize(array(3.0d, 4.0d)) AS nv,
+             graft_dequantize_int8(graft_quantize_int8(array(0.5d, -1.0d))) AS rt
+    """).head()
+    assert(vec.getSeq[Double](0) == Seq(0.6, 0.8))
+    val rt = vec.getSeq[Double](1)
+    assert(math.abs(rt(0) - 0.5) < 0.005 && math.abs(rt(1) + 1.0) < 0.005)
   }
 
   test("weather code map covers the canonical vocabulary") {
