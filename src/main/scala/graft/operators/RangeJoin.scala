@@ -23,6 +23,11 @@ object RangeJoin {
     * (monotonic, so truncation never drops a cover bin); the exact
     * predicate runs on full-precision timestamps.
     */
+  /** @param maxBinsPerInterval replication guard: an outlier interval far
+    *   longer than `binSeconds` would silently explode into thousands of
+    *   replicas (a year at 30-min bins is ~17k rows); the job FAILS with a
+    *   clear message instead, telling the caller to raise `binSeconds`.
+    */
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -30,14 +35,23 @@ object RangeJoin {
       pointTs: String,
       startTs: String,
       endTs: String,
-      binSeconds: Long = 1800L): DataFrame = {
+      binSeconds: Long = 1800L,
+      maxBinsPerInterval: Int = 1000): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     val p = points.withColumn("__bin",
       floor(unix_timestamp(col(pointTs)) / binSeconds))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(unix_timestamp(col(startTs)) / binSeconds),
-        floor(unix_timestamp(col(endTs)) / binSeconds))))
+    val startBin = floor(unix_timestamp(col(startTs)) / binSeconds)
+    val endBin = floor(unix_timestamp(col(endTs)) / binSeconds)
+    // the guard lives INSIDE the bin expression (assert_true yields null on
+    // pass) so column pruning can never optimize it away
+    val guardedEnd = when(
+      assert_true(
+        endBin - startBin < lit(maxBinsPerInterval.toLong),
+        concat(lit(s"rangeJoin: interval spans more than $maxBinsPerInterval " +
+          s"bins of $binSeconds s — raise binSeconds (interval "),
+          col(startTs), lit(" .. "), col(endTs), lit(")"))).isNull,
+      endBin)
+    val i = intervals.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
     p.join(i, Seq(key, "__bin"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__bin")

@@ -46,21 +46,24 @@ object Backfill {
     require(days > 0 && minPerDay > 0 && maxPerDay >= minPerDay, "bad backfill bounds")
     val rnd = new scala.util.Random(seed)
     val counts = Seq.fill(days)(minPerDay + rnd.nextInt(maxPerDay - minPerDay + 1))
-    val sentimentCol = element_at(typedLit(Vocab.Sentiments), (draw(seed, "s") % 3 + 1).cast("int"))
     val perDay = counts.zipWithIndex.map { case (n, i) =>
       val day = endDay.minusDays(i.toLong)
+      // every field draw is salted with the DAY index too — otherwise row j
+      // of each day would repeat the same value sequence
+      val sentimentCol = element_at(typedLit(Vocab.Sentiments),
+        (draw(seed, s"s$i") % 3 + 1).cast("int"))
       spark.range(n.toLong).select(
         make_timestamp(
           lit(day.getYear), lit(day.getMonthValue), lit(day.getDayOfMonth),
           (lit(6) + draw(seed, s"h$i") % 18).cast("int"),
           (draw(seed, s"m$i") % 60).cast("int"),
           lit(0)).as("event_time"),
-        element_at(typedLit(Intersections), (draw(seed, "i") % 4 + 1).cast("int"))
+        element_at(typedLit(Intersections), (draw(seed, s"i$i") % 4 + 1).cast("int"))
           .as("intersection"),
-        round(lit(20.0) + (draw(seed, "sp") % 601).cast("double") / 10.0, 1)
+        round(lit(20.0) + (draw(seed, s"sp$i") % 601).cast("double") / 10.0, 1)
           .as("avg_speed"),
-        (draw(seed, "t") % 41 - 5).cast("int").as("avg_temp"), // drift: INT temps
-        element_at(typedLit(WeatherOptions), (draw(seed, "w") % 4 + 1).cast("int"))
+        (draw(seed, s"t$i") % 41 - 5).cast("int").as("avg_temp"), // drift: INT temps
+        element_at(typedLit(WeatherOptions), (draw(seed, s"w$i") % 4 + 1).cast("int"))
           .as("weather"),
         sentimentCol.as("sentiment"),
         element_at(typedLit(Vocab.BackfillMoodMap), sentimentCol).as("mood"))

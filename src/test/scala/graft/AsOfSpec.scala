@@ -79,6 +79,14 @@ class AsOfSpec extends SparkSpec {
     val plan = RangeJoin.pointInInterval(points, intervals, "k", "pt", "st", "en")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // replication guard: an interval spanning > maxBinsPerInterval bins fails
+    // loudly instead of silently exploding
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, "k", "pt", "st", "en",
+        binSeconds = 60, maxBinsPerInterval = 10).collect()
+    }
+    assert(e.getMessage.contains("raise binSeconds") ||
+      Option(e.getCause).exists(_.getMessage.contains("raise binSeconds")), e.getMessage)
   }
 
   test("asofJoin rejects carry names clashing with left columns") {
