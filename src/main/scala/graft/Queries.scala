@@ -385,7 +385,8 @@ object Queries {
       VectorFunctions.asDouble(col("embedding")).as("v"))
     // spread the left side: single-file corpus → one input partition, and a
     // broadcast self-join would serialize all pairwise cosines on one task
-    val a = v.repartition(v.sparkSession.sessionState.conf.numShufflePartitions).as("a")
+    // (no-op when the scan is already parallel enough)
+    val a = graft.operators.Similarity.spread(v).as("a")
     val b = v.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -309,8 +309,9 @@ object Dedup {
       tables: Int = 2,
       allPairs: Boolean = false): DataFrame = {
     val v = vecs.select(col(idCol), VectorFunctions.asDouble(col(vecCol)).as("v"))
-    // spread: a single-file corpus would otherwise put every cosine on one task
-    val spread = v.repartition(v.sparkSession.sessionState.conf.numShufflePartitions)
+    // spread: a single-file corpus would otherwise put every cosine on one
+    // task (no-op when the scan is already parallel enough)
+    val spread = Similarity.spread(v)
     if (allPairs) {
       val a = spread.as("a")
       val b = v.as("b")

@@ -23,11 +23,14 @@ object Similarity {
   /** Broadcast joins preserve the probe side's input partitioning — a
     * single-file corpus means ONE task doing every cosine (measured 145 s
     * vs 6 s at sf0.1). Spread the probe side to the session's shuffle
-    * parallelism; on a real multi-file/partitioned corpus this is a cheap
-    * no-op-sized shuffle relative to the scan.
+    * parallelism ONLY when the scan is under-partitioned: a real 100 TB
+    * corpus already has thousands of scan partitions, and an unconditional
+    * repartition there would be a full corpus shuffle for nothing.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: query_id, neighbor_id, cosine (query_id != neighbor_id).
