@@ -40,6 +40,11 @@ object RangeJoin {
     require(binSeconds > 0, "binSeconds must be positive")
     val p = points.withColumn("__bin",
       floor(unix_timestamp(col(pointTs)) / binSeconds))
+    // empty/inverted half-open intervals can never match — dropping them
+    // up front also makes every bin sequence ascending (a wildly inverted
+    // interval would otherwise pass the span guard with a negative span
+    // and explode a huge DESCENDING sequence)
+    val live = intervals.filter(col(endTs) > col(startTs))
     val startBin = floor(unix_timestamp(col(startTs)) / binSeconds)
     val endBin = floor(unix_timestamp(col(endTs)) / binSeconds)
     // the guard lives INSIDE the bin expression (assert_true yields null on
@@ -51,7 +56,7 @@ object RangeJoin {
           s"bins of $binSeconds s — raise binSeconds (interval "),
           col(startTs), lit(" .. "), col(endTs), lit(")"))).isNull,
       endBin)
-    val i = intervals.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
+    val i = live.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
     p.join(i, Seq(key, "__bin"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__bin")

@@ -22,7 +22,8 @@ class RangeJoinPropertySpec extends SparkSpec {
   private val intervalGen = for {
     k <- Gen.choose(1, 3)
     start <- Gen.choose(0L, 7200L)
-    len <- Gen.choose(0L, 5400L) // up to 3 bins at 1800 s
+    // negative lengths: inverted intervals must behave as empty, not explode
+    len <- Gen.choose(-1800L, 5400L) // up to 3 bins at 1800 s
   } yield (k.toLong, new Timestamp((base + start) * 1000),
     new Timestamp((base + start + len) * 1000))
 
