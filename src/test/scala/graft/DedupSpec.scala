@@ -22,6 +22,21 @@ class DedupSpec extends SparkSpec {
     assert(groups.contains((1L, 2L)))
   }
 
+  test("exact dedup and full corpus dedup tolerate null-text documents") {
+    val withNulls = docs.unionByName(
+      Seq((6L, Option.empty[String], "a"), (7L, Option.empty[String], "b"))
+        .toDF("doc_id", "text", "src"))
+    val groups = Dedup.exact(withNulls, "text", "doc_id").collect()
+      .map(r => Option(r.getAs[String]("fp")) ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toMap
+    assert(groups(None) == ((6L, 2L))) // null texts form ONE group, min id kept
+    val survivors = Dedup.dedupeCorpus(withNulls, "text", "doc_id",
+      threshold = 0.7, k = 8, bands = 4, ngram = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(6L) && !survivors.contains(7L)) // null group deduped
+    assert(survivors.contains(4L) && survivors.contains(5L))
+  }
+
   test("minhash: identical docs get identical signatures; near-dups mostly agree") {
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8, ngram = 2).collect()
       .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"mh$i")))
