@@ -44,6 +44,43 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join restarted on the same checkpoint keeps join state, no double emits") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = tmp("ssj-rec-ckpt")
+    val outDir = tmp("ssj-rec-out")
+    val inDir = tmp("ssj-rec-in")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType), StructField("kind", StringType)))
+    def writeInput(rows: (Long, String, Double, String)*): Unit =
+      rows.toSeq.map { case (u, s, v, k) => (u, t(s), v, k) }
+        .toDF("user_id", "ts", "value", "kind")
+        .write.mode("append").parquet(inDir)
+    def startQuery() = {
+      val in = spark.readStream.schema(schema).parquet(inDir)
+      StreamJoins.purchasesWithRecentClicks(
+          in.filter($"kind" === "c").drop("kind"),
+          in.filter($"kind" === "p").drop("kind"), windowMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    }
+    // run 1: a click arrives; its purchase hasn't yet
+    writeInput((1L, "2024-01-01 10:00:00", 1.0, "c"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2, SAME checkpoint: the matching purchase arrives — the click must
+    // still be in restored join state
+    writeInput((1L, "2024-01-01 10:10:00", 100.0, "p"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "click_value", "purchase_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1.0, 100.0))) // exactly once, across the restart
+  }
+
   test("streaming dedup suppresses same-key events within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
