@@ -1,13 +1,12 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.pipeline.PipelineRunner._
 
-/** Orchestration semantics — no Spark needed: retries, failure callback,
-  * dependency skipping, deterministic topo order.
+/** Orchestration semantics: retries, failure callback, dependency
+  * skipping, deterministic topo order — plus one end-to-end DAG driving
+  * real engine steps.
   */
-class PipelineRunnerSpec extends AnyFunSuite {
+class PipelineRunnerSpec extends SparkSpec {
 
   test("retry-then-succeed: flaky task succeeds within policy") {
     var calls = 0
@@ -63,6 +62,34 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(r("load_to_warehouse").status == Skipped)
     assert(r("upload_to_store").status == Skipped)
     assert(r("cleanup").status == Skipped)
+  }
+
+  test("DAG drives real engine steps: gate → export → ndjson+warehouse → cleanup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dag_e2e").toString
+    val mood = Seq(
+      ("2024-03-05 10:00:00", "komitas", 42.0, 11.0, "clear", "neutral", "relaxed"),
+      ("2024-03-05 11:00:00", "kentron", 33.0, 7.0, "rain_slight", "positive", "normal"))
+      .toDF("event_time", "intersection", "avg_speed", "avg_temp", "weather",
+        "sentiment", "mood")
+      .withColumn("event_time", to_timestamp(col("event_time")))
+    var exported = 0L
+    val dag = moodExportDag("mood_to_storage",
+      exportTask = () => new graft.io.NdjsonSink(s"$dir/export").write(mood),
+      loadWarehouse = () => {
+        val res = graft.pipeline.ExportPipeline.loadNdjson(
+          spark, s"$dir/export", new graft.io.ParquetSink(s"$dir/warehouse"))
+        exported = res.written
+      },
+      uploadStore = () => new graft.io.ParquetSink(s"$dir/store").write(mood),
+      cleanup = () => { graft.io.Sinks.truncatePath(spark, s"$dir/export"); () })
+    val report = dag.run()
+    assert(report.succeeded, report.results.mkString(";"))
+    assert(exported == 2L)
+    assert(spark.read.parquet(s"$dir/warehouse").count() == 2)
+    assert(spark.read.parquet(s"$dir/store").count() == 2)
+    assert(!new java.io.File(s"$dir/export").exists()) // cleanup ran last
   }
 
   test("cycles and unknown deps rejected; schedule metadata carried") {
