@@ -82,6 +82,13 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(rows(Similarity.ivfQuery(loaded, q, "embedding", "vec_id", k = 3, nprobe = 8))
       == rows(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 3)))
+    // partial probe against the saved table: DYNAMIC partition pruning fires
+    // — at 100 TB the cells scan reads only the probed cells, not the index
+    val partial = Similarity.ivfQuery(loaded, q, "embedding", "vec_id",
+      k = 3, nprobe = 2)
+    partial.collect()
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
   test("approximate paths clear a measured recall bar on the real corpus") {
