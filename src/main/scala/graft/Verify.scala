@@ -19,13 +19,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query watchdog: one pathological query must not take down the
+    // whole correctness run — cancel its job group after the timeout and
+    // move on (the driver still gets every other query's dump)
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name.parquet")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup())
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name timed out after ${timeoutSec}s — cancelling")
+        spark.sparkContext.cancelJobGroup(name)
+        worker.join(30000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
