@@ -25,10 +25,25 @@ object Bench {
     // reflect steady-state execution, not first-query class loading
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // per-query watchdog (mirrors Verify): a hung query is cancelled after
+    // the timeout and recorded at the cutoff time instead of stalling the run
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e")
+        } finally spark.sparkContext.clearJobGroup())
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      if (worker.isAlive) {
+        System.err.println(s"[bench] $name timed out after ${timeoutSec}s — cancelling")
+        spark.sparkContext.cancelJobGroup(name)
+        worker.join(30000)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
