@@ -26,6 +26,19 @@ class PlanDisciplineSpec extends SparkSpec {
     }
   }
 
+  test("every batch query plans with whole-stage codegen somewhere") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+      // execute THIS DataFrame (a write would execute a different query
+      // tree) so AQE finalizes stages — codegen wrapping happens per-stage
+      val df = fn(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen'd operators carry the "*(n)" stage marker in the final plan
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+        s"$name has no whole-stage-codegen span:\n$plan")
+    }
+  }
+
   test("q02 filter+projection reach the parquet scan (pushdown + pruning)") {
     val explained = org.apache.spark.sql.execution.debug.codegenString(
       Queries.filterProject(spark, sf0001).queryExecution.executedPlan)
