@@ -64,6 +64,17 @@ class SourcesAndBackfillSpec extends SparkSpec {
     assert(graft.ops.Validate.validMood(back).count() == n)
   }
 
+  test("export of an empty frame creates an empty file, not a failure (reference parity)") {
+    // reference: test_export_creates_empty_file_when_no_data — the EXPORT
+    // step tolerates empty data (the quality gate is a separate tier)
+    val dir = Files.createTempDirectory("graft_empty").toString
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    new NdjsonSink(s"$dir/export").write(empty)
+    assert(new java.io.File(s"$dir/export").exists())
+    assert(spark.read.schema(empty.schema).json(s"$dir/export").count() == 0)
+  }
+
   test("sinks dispatch on the path URI scheme (K5: s3a:// is the same call)") {
     val dir = Files.createTempDirectory("graft_uri").toString
     val uri = s"file://$dir/export" // explicit scheme, as s3a:// would be
