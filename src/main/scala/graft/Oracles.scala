@@ -544,6 +544,33 @@ object Oracles {
      AND p.purchase_ts >= s.s_start AND p.purchase_ts < s.s_end
     ORDER BY p.user_id, purchase_ts, s_start"""
 
+  val cubeOrders: String = s"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(${sumDec2("o_totalprice")}, 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority"""
+
+  /** = Queries.runningTotals: floor-epoch subtraction mirrors Spark's
+    * timestamp→long cast; window ordered by (ts, value) on both sides.
+    */
+  val runningTotals: String = """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, ts,
+           value,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS prev_gap_s,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, value
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_value
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ORDER BY user_id, ts"""
+
   val distinctUsers: String = """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type"""
@@ -642,5 +669,7 @@ object Oracles {
     "q38_ann_ivf" -> annBruteForce,
     "q40_range_join" -> rangeJoinSessions,
     "q41_quality_filter" -> qualityFilter,
-    "q42_quantize_embeddings" -> quantizeEmbeddings)
+    "q42_quantize_embeddings" -> quantizeEmbeddings,
+    "q43_cube_orders" -> cubeOrders,
+    "q44_running_totals" -> runningTotals)
 }

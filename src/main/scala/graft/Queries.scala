@@ -555,6 +555,39 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Cube totals (all four grouping sets of status × priority) — the
+    * grouping-sets class beyond rollup's hierarchy.
+    */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sumDec2(col("o_totalprice")), 2).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Analytic window functions over each user's event timeline: previous
+    * event gap (lag) and running value total (cumulative frame) — the
+    * ordered-window class beyond q07's ranking.
+    */
+  def runningTotals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (ts, value) ordering: equal-timestamp rows get a deterministic
+    // running order in BOTH engines (ROWS frames diverge on ties otherwise)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .withColumn("running_value",
+        round(sum(dec2(col("value"))).over(cum).cast("double"), 2))
+      .orderBy(col("user_id"), col("ts"))
+  }
+
   /** Exact interpolated percentiles (sort-based aggregate — the one
     * sort-heavy aggregation in the surface; Spark plans it as a single
     * ObjectHashAggregate with per-group sorted buffers).

@@ -54,6 +54,8 @@ object SparkEntry {
     "q40_range_join" -> (Queries.rangeJoinSessions _),
     "q41_quality_filter" -> (Queries.qualityFilter _),
     "q42_quantize_embeddings" -> (Queries.quantizeEmbeddings _),
+    "q43_cube_orders" -> (Queries.cubeOrders _),
+    "q44_running_totals" -> (Queries.runningTotals _),
     // rows-only checks (not SQL-expressible: random hyperplanes /
     // sketch-implementation-specific estimates)
     "q27_ann_lsh" -> (Queries.annLsh _),
