@@ -544,6 +544,16 @@ object Oracles {
      AND p.purchase_ts >= s.s_start AND p.purchase_ts < s.s_end
     ORDER BY p.user_id, purchase_ts, s_start"""
 
+  val setOpsCohorts: String = """
+    WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'click_and_purchase' AS cohort
+    FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+    UNION ALL
+    SELECT user_id, 'click_no_purchase' AS cohort
+    FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+    ORDER BY cohort, user_id"""
+
   val cubeOrders: String = s"""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
@@ -671,5 +681,6 @@ object Oracles {
     "q41_quality_filter" -> qualityFilter,
     "q42_quantize_embeddings" -> quantizeEmbeddings,
     "q43_cube_orders" -> cubeOrders,
-    "q44_running_totals" -> runningTotals)
+    "q44_running_totals" -> runningTotals,
+    "q45_set_ops" -> setOpsCohorts)
 }

@@ -555,6 +555,22 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Set operations (INTERSECT / EXCEPT, distinct semantics) over user
+    * cohorts: users who both clicked and purchased, and users who clicked
+    * but never purchased. Spark plans both as joins (semi/anti under
+    * aggregation) — no driver-side set building.
+    */
+  def setOpsCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(kind: String) =
+      ev.filter(col("event_type") === kind).select(col("user_id"))
+    val both = users("click").intersect(users("purchase"))
+      .select(col("user_id"), lit("click_and_purchase").as("cohort"))
+    val only = users("click").except(users("purchase"))
+      .select(col("user_id"), lit("click_no_purchase").as("cohort"))
+    both.unionByName(only).orderBy(col("cohort"), col("user_id"))
+  }
+
   /** Cube totals (all four grouping sets of status × priority) — the
     * grouping-sets class beyond rollup's hierarchy.
     */

@@ -56,6 +56,7 @@ object SparkEntry {
     "q42_quantize_embeddings" -> (Queries.quantizeEmbeddings _),
     "q43_cube_orders" -> (Queries.cubeOrders _),
     "q44_running_totals" -> (Queries.runningTotals _),
+    "q45_set_ops" -> (Queries.setOpsCohorts _),
     // rows-only checks (not SQL-expressible: random hyperplanes /
     // sketch-implementation-specific estimates)
     "q27_ann_lsh" -> (Queries.annLsh _),
