@@ -544,6 +544,21 @@ object Oracles {
      AND p.purchase_ts >= s.s_start AND p.purchase_ts < s.s_end
     ORDER BY p.user_id, purchase_ts, s_start"""
 
+  /** = Queries.packSequences(budget = 512). */
+  val packSequences: String = s"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start_off / 512) AS BIGINT) AS pack_id,
+           start_off % 512 AS pack_offset
+    FROM c ORDER BY source, doc_id"""
+
   val setOpsCohorts: String = """
     WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
@@ -682,5 +697,6 @@ object Oracles {
     "q42_quantize_embeddings" -> quantizeEmbeddings,
     "q43_cube_orders" -> cubeOrders,
     "q44_running_totals" -> runningTotals,
-    "q45_set_ops" -> setOpsCohorts)
+    "q45_set_ops" -> setOpsCohorts,
+    "q46_pack_sequences" -> packSequences)
 }

@@ -555,6 +555,27 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Sequence packing for pretraining batches — the concat-then-chunk
+    * assignment (docs concatenated in id order, chunked into fixed
+    * `budget`-token sequences, documents may straddle chunk boundaries):
+    * each doc gets its pack id and offset from a per-SOURCE cumulative
+    * token sum, so packing parallelizes across shards instead of one
+    * global single-task window.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_off") / budget).as("pack_id"),
+        (col("start_off") % budget).as("pack_offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Set operations (INTERSECT / EXCEPT, distinct semantics) over user
     * cohorts: users who both clicked and purchased, and users who clicked
     * but never purchased. Spark plans both as joins (semi/anti under

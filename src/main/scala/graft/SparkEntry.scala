@@ -57,6 +57,7 @@ object SparkEntry {
     "q43_cube_orders" -> (Queries.cubeOrders _),
     "q44_running_totals" -> (Queries.runningTotals _),
     "q45_set_ops" -> (Queries.setOpsCohorts _),
+    "q46_pack_sequences" -> ((s: SparkSession, dir: String) => Queries.packSequences(s, dir)),
     // rows-only checks (not SQL-expressible: random hyperplanes /
     // sketch-implementation-specific estimates)
     "q27_ann_lsh" -> (Queries.annLsh _),
