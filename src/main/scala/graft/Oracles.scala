@@ -413,7 +413,9 @@ object Oracles {
     WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     ORDER BY doc_id"""
 
-  /** = Queries.quantizeEmbeddings (both engines round half away from zero). */
+  /** = Queries.quantizeEmbeddings (both engines round half away from zero;
+    * codes comma-joined to a scalar so the driver's pandas gate can hash them).
+    */
   val quantizeEmbeddings: String = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -423,10 +425,11 @@ object Oracles {
       FROM v)
     SELECT vec_id,
            round(scale, 6) AS scale,
-           CASE WHEN scale = 0
-                THEN list_transform(e, x -> CAST(0 AS TINYINT))
-                ELSE list_transform(e, x -> CAST(round(x / scale) AS TINYINT))
-           END AS q
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN list_transform(e, x -> CAST(CAST(0 AS TINYINT) AS VARCHAR))
+                  ELSE list_transform(e, x -> CAST(CAST(round(x / scale) AS TINYINT) AS VARCHAR))
+             END, ',') AS q_codes
     FROM s ORDER BY vec_id"""
 
   val simhashFingerprints: String = s"""
@@ -550,13 +553,17 @@ object Oracles {
       SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
       FROM documents),
     c AS (
+      -- DuckDB's windowed sum(BIGINT) yields HUGEINT (int128); CAST back to
+      -- BIGINT so the driver's pandas hasher sees the same int64 dtype Spark
+      -- emits (HUGEINT reaches pandas as object/float and hash-mismatches).
       SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_off
       FROM t)
     SELECT doc_id, source, n_tokens,
            CAST(floor(start_off / 512) AS BIGINT) AS pack_id,
-           start_off % 512 AS pack_offset
+           CAST(start_off % 512 AS BIGINT) AS pack_offset
     FROM c ORDER BY source, doc_id"""
 
   val setOpsCohorts: String = """

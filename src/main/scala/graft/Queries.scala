@@ -429,13 +429,16 @@ object Queries {
   /** Symmetric int8 scalar quantization of the embedding table — the 4×
     * storage/bandwidth shrink an ANN candidate scan reads instead of fp32.
     * Map-only; codes + per-vector scale are exactly reproducible in SQL.
+    * The codes are dumped as one comma-joined string per vector (the
+    * driver's pandas hasher can't sort/hash an array column); the raw
+    * array<tinyint> path is covered by the VectorFunctions round-trip spec.
     */
   def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("qs", VectorFunctions.quantizeInt8(
         VectorFunctions.asDouble(col("embedding"))))
       .select(col("vec_id"), round(col("qs.scale"), 6).as("scale"),
-        col("qs.q").as("q"))
+        array_join(col("qs.q").cast("array<string>"), ",").as("q_codes"))
       .orderBy(col("vec_id"))
 
   // ------------------------------------------------------------------ //
@@ -544,14 +547,29 @@ object Queries {
     * the unit test bounds the error against the exact count.
     */
   def sketchProfile(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
+    val daily = ev
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
-    daily
+    val merged = daily
       .groupBy(col("event_type"))
       .agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
         sum(col("n")).as("n_events"))
+    // exact distinct per type, joined in only to certify the estimate: the
+    // dump carries the exact columns (hash-checked vs DuckDB) plus an
+    // in-query bound assertion on the estimate (raw estimates are
+    // sketch-implementation-specific, so they stay out of the compare; the
+    // unit test covers the estimate's error directly). A production profile
+    // drops the exact column and ships the mergeable daily sketches.
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_users_exact"),
+        (abs(col("approx_users") - col("n_users_exact")) <=
+          greatest(col("n_users_exact"), lit(1)) * lit(0.05))
+          .as("estimate_within_5pct"))
       .orderBy(col("event_type"))
   }
 
@@ -737,6 +755,14 @@ object Queries {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(out).orderBy(col("minute"), col("event_type"))
+    // materialize the (cardinality-bounded) result off the temp sink, then
+    // delete both temp dirs — Bench/Verify call this per round, and a
+    // long-lived service must not accumulate /tmp/graft_stream_* residue
+    try s.read.parquet(out).orderBy(col("minute"), col("event_type"))
+      .localCheckpoint(eager = true)
+    finally {
+      graft.io.Sinks.truncatePath(s, out)
+      graft.io.Sinks.truncatePath(s, ckpt)
+    }
   }
 }
