@@ -657,6 +657,20 @@ object Oracles {
     FROM documents
     ORDER BY media_id"""
 
+  /** q39: the dump's exact columns are plain GROUP BY aggregates; the
+    * estimate-bound column is emitted as literal TRUE — exactly what the
+    * in-query 5% bound certifies (the raw sketch estimate itself is
+    * implementation-specific and stays out of the hash).
+    */
+  val sketchProfile: String = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS estimate_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -699,6 +713,9 @@ object Oracles {
     "q37_asof_join" -> asofJoin,
     // IVF at full probe is exact — same oracle as brute force
     "q38_ann_ivf" -> annBruteForce,
+    // exact columns hash-checked; the sketch-bound column certified as
+    // literal TRUE (the in-query 5% assertion is what makes that sound)
+    "q39_sketch_profile" -> sketchProfile,
     "q40_range_join" -> rangeJoinSessions,
     "q41_quality_filter" -> qualityFilter,
     "q42_quantize_embeddings" -> quantizeEmbeddings,

