@@ -71,6 +71,62 @@ class MoodStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer null emission: traffic-only minute emits mood='unknown' " +
+    "after watermark close (Trigger.AvailableNow)") {
+    implicit val ctx = spark.sqlContext
+    val traffic = MemoryStream[TrafficEvent]
+    val weather = MemoryStream[WeatherEvent]
+    val news = MemoryStream[NewsEvent]
+
+    val classified = MoodStream.aggregatedJoined(
+      traffic.toDF(), weather.toDF(), news.toDF())
+    val ckpt = tmpDir("lo-ckpt")
+    val out = tmpDir("lo-out")
+
+    // the probe minute gets ONLY traffic — weather/news never cover 16:10,
+    // so its row can only come from the join's null-padded left-outer side
+    traffic.addData(
+      TrafficEvent("baghramyan", "veh-1", Some(42.0), ts("2025-04-19 16:10:15")))
+
+    // each AvailableNow run drains everything added so far, commits the
+    // watermark into the checkpoint, and terminates; the next run resumes
+    // from it (file sinks support recovery; memory sinks don't) — null
+    // emission needs a batch where the watermark has passed the join
+    // window, hence the restart loop
+    def runOnce(): Unit = {
+      val q = MoodStream.startToParquet(classified, out, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    def emitted(): Array[org.apache.spark.sql.Row] =
+      spark.read.parquet(out)
+        .filter($"event_time" === Timestamp.valueOf("2025-04-19 16:10:00"))
+        .collect()
+    runOnce()
+
+    var minute = 20
+    var rows = Array.empty[org.apache.spark.sql.Row]
+    while (rows.isEmpty && minute < 34) {
+      traffic.addData(TrafficEvent("baghramyan", "veh-9", Some(50.0),
+        ts(f"2025-04-19 16:$minute%02d:00")))
+      weather.addData(WeatherEvent(ts(f"2025-04-19 16:$minute%02d:00"),
+        Some(10.0), Some(1.0), "fog"))
+      news.addData(NewsEvent(ts(f"2025-04-19 16:$minute%02d:00"), "x", "neutral"))
+      runOnce()
+      rows = emitted()
+      minute += 2
+    }
+    assert(rows.nonEmpty,
+      "traffic-only minute 16:10 never null-emitted from the left-outer chain")
+    val r = rows.head
+    assert(r.getAs[String]("intersection") == "baghramyan")
+    assert(r.getAs[Double]("avg_speed") == 42.0)
+    assert(r.isNullAt(r.fieldIndex("avg_temp")), "weather side must be null-padded")
+    assert(r.isNullAt(r.fieldIndex("weather")))
+    assert(r.isNullAt(r.fieldIndex("sentiment")), "news side must be null-padded")
+    assert(r.getAs[String]("mood") == "unknown")
+  }
+
   test("foreachBatch fallback: batch-join alignment per micro-batch") {
     implicit val ctx = spark.sqlContext
     val traffic = MemoryStream[TrafficEvent]
