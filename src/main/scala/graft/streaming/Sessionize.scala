@@ -54,7 +54,10 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastTs < gapMs =>
+                // inclusive boundary: the native session_window merges an
+                // event at EXACTLY lastTs+gap (adjacent windows touch), so
+                // the streaming path must too — caught by the parity spec
+                case Some(s) if t - s.lastTs <= gapMs =>
                   // max: an out-of-order (but non-late) event must not
                   // regress lastTs and shorten the event-time timeout;
                   // min on start keeps session_start = earliest event

@@ -46,6 +46,60 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming flatMapGroupsWithState sessions match batch session_window row-for-row") {
+    import org.apache.spark.sql.functions.{session_window, count, sum, lit, col}
+    implicit val ctx = spark.sqlContext
+
+    // fixture exercising the session-boundary cases: a gap of exactly the
+    // 30-min window (user 2 — native session_window MERGES the touching
+    // windows, so one session), an out-of-order but non-late event
+    // extending an open session (user 1's 10:10 arrives in batch 2), and
+    // a straddling close (user 1's 11:05 opens a second session)
+    val batch1 = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 10:29:59"), 2.5),
+      Event(2L, ts("2024-01-01 10:00:00"), 0.25),
+      Event(2L, ts("2024-01-01 10:30:00"), 0.5),
+      Event(3L, ts("2024-01-01 09:15:00"), 4.0))
+    val batch2 = Seq(
+      Event(1L, ts("2024-01-01 10:10:00"), 1.5),
+      Event(1L, ts("2024-01-01 11:05:00"), 3.0))
+
+    // ground truth: the native batch operator over the same rows
+    val expected = (batch1 ++ batch2).toDS()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .as[Session].collect().toSet
+    assert(expected.size == 4, s"fixture should yield 4 sessions: $expected")
+
+    val in = MemoryStream[Event]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions_parity")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sess-parity-ckpt").toString)
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // session's timeout, the second lets the event-time timeouts fire
+      in.addData(Event(99L, ts("2024-01-02 10:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(Event(99L, ts("2024-01-03 10:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_parity").as[Session].collect()
+        .filter(_.user_id != 99L).toSet
+      assert(got == expected,
+        s"streaming sessions diverge from batch session_window:\n  streaming=$got\n  batch=$expected")
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the lag-based oracle shape at sf0.001") {
     val got = Queries.sessionize(spark, sf0001)
     assert(got.count() > 0)
