@@ -711,8 +711,10 @@ object Oracles {
     "q28_multimodal_kernel" -> multimodalFeatures,
     "q36_dedupe_corpus" -> dedupeCorpus,
     "q37_asof_join" -> asofJoin,
-    // IVF at full probe is exact — same oracle as brute force
+    // IVF at full probe is exact — same oracle as brute force; the saved
+    // variant serves the same answers from the cell-partitioned table
     "q38_ann_ivf" -> annBruteForce,
+    "q47_ann_ivf_saved" -> annBruteForce,
     // exact columns hash-checked; the sketch-bound column certified as
     // literal TRUE (the in-query 5% assertion is what makes that sound)
     "q39_sketch_profile" -> sketchProfile,

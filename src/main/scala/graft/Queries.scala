@@ -426,6 +426,31 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN served from a SAVED index — the amortized production serving
+    * path: build once, write the cells as a cell-partitioned parquet table,
+    * then answer query batches from the re-opened table (at 100 TB the
+    * index is built once and served thousands of times; each probe is a
+    * partition-pruned scan — PartitionFilters / dynamic pruning asserted in
+    * SimilaritySpec). Full probe (nprobe = nlist) keeps it exact → same
+    * oracle as brute force. The result is materialized eagerly so the temp
+    * index directory can be deleted before returning (no /tmp residue from
+    * Bench/Verify runs).
+    */
+  def annIvfSaved(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 16).save(path)
+      val loaded = Similarity.IvfIndex.load(s, path)
+      Similarity.ivfQuery(loaded, queries, "embedding", "vec_id", k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(eager = true)
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
   /** Symmetric int8 scalar quantization of the embedding table — the 4×
     * storage/bandwidth shrink an ANN candidate scan reads instead of fp32.
     * Map-only; codes + per-vector scale are exactly reproducible in SQL.

@@ -69,6 +69,7 @@ class SimilaritySpec extends SparkSpec {
   test("ivf index save/load: partitioned-table layout, pruned probes, exact at full probe") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
     Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8).save(dir)
     val loaded = Similarity.IvfIndex.load(spark, dir)
     assert(loaded.centers.length == 8)
@@ -89,6 +90,7 @@ class SimilaritySpec extends SparkSpec {
     partial.collect()
     val plan = partial.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
   }
 
   test("approximate paths clear a measured recall bar on the real corpus") {
