@@ -28,7 +28,12 @@ object Bench {
     // per-query watchdog (mirrors Verify): a hung query is cancelled after
     // the timeout and recorded at the cutoff time instead of stalling the run
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional dev filter (unset for driver runs → full surface)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val worker = new Thread(() =>
         try {
