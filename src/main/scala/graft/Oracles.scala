@@ -671,6 +671,33 @@ object Oracles {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** q48: winnowing fingerprints — k=7 shingle hashes (same md5-derived
+    * field hash as minhash), min per w=4 sliding window, sorted distinct
+    * set joined to one string (driver hasher can't hash arrays).
+    */
+  val docFingerprints: String = s"""
+    WITH t AS (
+      SELECT doc_id, $norm AS norm FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN strlen(norm) >= 7
+               THEN list_transform(range(1, strlen(norm) - 7 + 2),
+                      i -> mod(CAST(concat('0x', substr(md5(substr(norm, i, 7)), 1, 15)) AS BIGINT), 1000000007))
+               ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM t),
+    f AS (
+      SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                          WHEN len(hs) <= 3 THEN [list_min(hs)]
+                          ELSE list_transform(range(1, len(hs) - 3 + 1),
+                                 i -> list_min(list_slice(hs, i, i + 3)))
+                     END AS mins
+      FROM h)
+    SELECT doc_id,
+           CAST(len(list_distinct(mins)) AS BIGINT) AS n_fps,
+           array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+    FROM f
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -715,6 +742,7 @@ object Oracles {
     // variant serves the same answers from the cell-partitioned table
     "q38_ann_ivf" -> annBruteForce,
     "q47_ann_ivf_saved" -> annBruteForce,
+    "q48_doc_fingerprints" -> docFingerprints,
     // exact columns hash-checked; the sketch-bound column certified as
     // literal TRUE (the in-query 5% assertion is what makes that sound)
     "q39_sketch_profile" -> sketchProfile,

@@ -313,6 +313,31 @@ object Queries {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_guess"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing (rolling-hash) document fingerprints — the MOSS-style
+    * robust content signature per doc (see
+    * TextFunctions.winnowFingerprints). Map-only scan-side projection; the
+    * fingerprint set is dumped as one comma-joined sorted string (the
+    * driver's hasher can't sort/hash array columns — q42 precedent).
+    */
+  def docFingerprints(s: SparkSession, dir: String): DataFrame =
+    // spread: a single-file scan would run the whole md5 pass on one task
+    // (map-only op — no-op on a well-partitioned 100 TB corpus)
+    graft.operators.Similarity.spread(Tables.documents(s, dir))
+      // staged projections on purpose: normalized text, then the
+      // shingle-hash array, each bound to a real attribute before the next
+      // stage — a Catalyst lambda re-evaluates non-lambda subexpressions
+      // per element, so the collapsed form is O(n²)/doc (see
+      // TextFunctions.shingleHashes scaladoc)
+      .select(col("doc_id"), TextFunctions.normalized(col("text")).as("nt"))
+      .select(col("doc_id"),
+        TextFunctions.shingleHashesOfNorm(col("nt")).as("hs"))
+      .select(col("doc_id"),
+        TextFunctions.winnowSelect(col("hs")).as("fp_arr"))
+      .select(col("doc_id"),
+        size(col("fp_arr")).cast("long").as("n_fps"),
+        array_join(col("fp_arr"), ",").as("fps"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------ //
   // Deduplication (documents)
   // ------------------------------------------------------------------ //

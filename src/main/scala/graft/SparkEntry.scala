@@ -52,6 +52,7 @@ object SparkEntry {
     "q37_asof_join" -> (Queries.asofJoin _),
     "q38_ann_ivf" -> (Queries.annIvf _),
     "q47_ann_ivf_saved" -> (Queries.annIvfSaved _),
+    "q48_doc_fingerprints" -> (Queries.docFingerprints _),
     "q40_range_join" -> (Queries.rangeJoinSessions _),
     "q41_quality_filter" -> (Queries.qualityFilter _),
     "q42_quantize_embeddings" -> (Queries.quantizeEmbeddings _),

@@ -54,8 +54,16 @@ object TextFunctions {
   }
 
   /** Character n-gram shingles of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normalized(text)
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOfNorm(normalized(text), n)
+
+  /** k-char shingles of an ALREADY-normalized text column. Prefer binding
+    * [[normalized]] to a real attribute first and calling this: Catalyst
+    * re-evaluates non-lambda subexpressions inside a lambda per ELEMENT,
+    * so the inline form above re-runs the normalization regex once per
+    * shingle — O(n²) chars/doc on long documents.
+    */
+  def charShinglesOfNorm(norm: Column, n: Int): Column = {
     val count = length(norm) - (n - 1)
     when(count <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), count), i => substring(norm, i, lit(n))))
@@ -73,6 +81,43 @@ object TextFunctions {
 
   /** Content fingerprint of the normalized document (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Per-document k-char shingle hash array — stage 1 of winnowing.
+    * MUST be materialized as its own projection (`.select(...)`) before
+    * being fed to [[winnowSelect]]: a Catalyst lambda re-evaluates every
+    * non-lambda subexpression per element, so inlining this inside the
+    * window pass re-runs the whole md5 shingle scan once per window —
+    * O(n²)/doc (measured: sf0.01 blew the 600 s verify watchdog; the
+    * two-projection form runs in seconds — same class as the q19
+    * tokenizer lesson in BASELINE.md). CollapseProject keeps the split:
+    * the alias is referenced more than once downstream, so the optimizer
+    * will not re-inline it.
+    */
+  def shingleHashes(text: Column, k: Int = 7): Column =
+    transform(charShingles(text, k), sh => fieldHash(sh))
+
+  /** [[shingleHashes]] over a pre-bound normalized column (see
+    * [[charShinglesOfNorm]] for why the caller should materialize it).
+    */
+  def shingleHashesOfNorm(norm: Column, k: Int = 7): Column =
+    transform(charShinglesOfNorm(norm, k), sh => fieldHash(sh))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * scheme) — stage 2: select the minimum hash of each w-length sliding
+    * window over a MATERIALIZED [[shingleHashes]] column; the sorted
+    * distinct selected hashes are the document's robust content signature
+    * (guaranteed to share fingerprints with any document overlapping by
+    * ≥ w+k-1 chars). O(n·w) codegen'd map-side work, no UDF, no shuffle —
+    * at 100 TB this is a scan-side projection.
+    */
+  def winnowSelect(hashes: Column, w: Int = 4): Column = {
+    val nWin = size(hashes) - (w - 1)
+    val mins = when(size(hashes) === 0, array().cast("array<long>"))
+      .when(nWin <= 0, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), nWin),
+        i => array_min(slice(hashes, i, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
 
   /** Ratio of tokens belonging to `words` (e.g. stopword ratio). Integer
     * counts divided as doubles — bit-identical across engines.

@@ -49,4 +49,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](langId(col("t")), "der hund und die katze ist ein tier") == "de")
     assert(one[String](langId(col("t")), "zzz qqq www eee") == "unknown")
   }
+
+  test("winnowing fingerprints: guarantee, edges, and determinism") {
+    def fps(text: String): Seq[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(shingleHashes(col("t")).as("hs"))
+        .select(winnowSelect(col("hs")).as("v"))
+        .head().getAs[collection.Seq[Long]]("v").toSeq
+
+    // winnowing guarantee: documents sharing a substring of >= w+k-1 = 10
+    // chars share at least one fingerprint
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val a = fps(s"PREFIX AAA $shared")
+    val b = fps(s"$shared SUFFIX ZZZZ")
+    assert(a.intersect(b).nonEmpty, s"no shared fingerprint:\n$a\n$b")
+    // unrelated texts (disjoint shingle sets) share nothing
+    assert(fps("aaaaaaaaaaaaaaa").intersect(fps("bbbbbbbbbbbbbbb")).isEmpty)
+    // output is sorted distinct
+    assert(a == a.distinct.sorted)
+    // edges: shorter than k -> empty; exactly one shingle -> one fingerprint
+    assert(fps("abc").isEmpty)
+    assert(fps("abcdefg").length == 1)
+    // identical normalized content -> identical signature
+    assert(fps("  The QUICK  brown fox jumps") == fps("the quick brown fox jumps"))
+  }
 }
