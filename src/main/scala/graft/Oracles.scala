@@ -698,6 +698,21 @@ object Oracles {
     FROM f
     ORDER BY doc_id"""
 
+  /** q49: deterministic hash sampling — membership is a pure function of
+    * md5(event_id ':' salt), so both engines select the identical row set;
+    * integer parts-per-million thresholds avoid double-rounding skew.
+    */
+  val hashSampleEvents: String = s"""
+    SELECT event_type, count(*) AS n_sampled,
+           round(${sumDec2("value")}, 2) AS sum_value
+    FROM events
+    WHERE mod(CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':graft')), 1, 15)) AS BIGINT), 1000000)
+          < CASE event_type WHEN 'click' THEN 100000
+                            WHEN 'purchase' THEN 500000
+                            ELSE 250000 END
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -743,6 +758,7 @@ object Oracles {
     "q38_ann_ivf" -> annBruteForce,
     "q47_ann_ivf_saved" -> annBruteForce,
     "q48_doc_fingerprints" -> docFingerprints,
+    "q49_hash_sample" -> hashSampleEvents,
     // exact columns hash-checked; the sketch-bound column certified as
     // literal TRUE (the in-query 5% assertion is what makes that sound)
     "q39_sketch_profile" -> sketchProfile,

@@ -313,6 +313,25 @@ object Queries {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_guess"))
       .orderBy(col("doc_id"))
 
+  /** Stratified deterministic hash sampling of the events stream —
+    * reproducible train/holdout cuts at corpus scale (see
+    * operators/Sampling.scala): 10% of clicks, 50% of purchases, 25% of
+    * everything else, keyed on event_id. The dump aggregates the sampled
+    * rows per type (count + exact decimal sum), which pins the exact
+    * membership set cross-engine without dumping every sampled row.
+    */
+  def hashSampleEvents(s: SparkSession, dir: String): DataFrame = {
+    val perMillion = when(col("event_type") === "click", lit(100000L))
+      .when(col("event_type") === "purchase", lit(500000L))
+      .otherwise(lit(250000L))
+    graft.operators.Sampling.hashSample(
+        Tables.events(s, dir), col("event_id"), perMillion)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sumDec2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Winnowing (rolling-hash) document fingerprints — the MOSS-style
     * robust content signature per doc (see
     * TextFunctions.winnowFingerprints). Map-only scan-side projection; the

@@ -53,6 +53,7 @@ object SparkEntry {
     "q38_ann_ivf" -> (Queries.annIvf _),
     "q47_ann_ivf_saved" -> (Queries.annIvfSaved _),
     "q48_doc_fingerprints" -> (Queries.docFingerprints _),
+    "q49_hash_sample" -> (Queries.hashSampleEvents _),
     "q40_range_join" -> (Queries.rangeJoinSessions _),
     "q41_quality_filter" -> (Queries.qualityFilter _),
     "q42_quantize_embeddings" -> (Queries.quantizeEmbeddings _),

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic hash-based sampling — the reproducible way to cut
+  * subsets, holdouts, and stratified mixtures from a 100 TB corpus.
+  *
+  * Unlike `df.sample()` (RNG per partition — resample on every retry,
+  * repartition, or speculative re-execution), membership here is a pure
+  * function of the row's stable key: keep iff
+  * `hash(key ':' salt) mod 1e6 < perMillion`. Same rows selected on every
+  * run, every engine, every partitioning; changing `salt` draws an
+  * independent sample (e.g. train vs holdout). Map-only — the predicate is
+  * a codegen'd scan-side filter, no shuffle, and composes with partition
+  * pruning. The hash is the engine's md5-derived [[TextFunctions.stableHash60]]
+  * (cross-engine reproducible, unlike murmur3 `hash()`).
+  */
+object Sampling {
+
+  /** Per-row keep predicate: sampling bucket of `key` (0..999999). */
+  def sampleBucket(key: Column, salt: String): Column =
+    pmod(TextFunctions.stableHash60(
+      concat(key.cast("string"), lit(":" + salt))), lit(1000000L))
+
+  /** Keep rows whose bucket falls under `perMillion` (integer rate in
+    * parts-per-million — integer thresholds avoid double-rounding skew
+    * between engines). `perMillion` may be a per-row column for
+    * stratified rates.
+    */
+  def hashSample(df: DataFrame, key: Column, perMillion: Column,
+      salt: String = "graft"): DataFrame =
+    df.filter(sampleBucket(key, salt) < perMillion)
+}
