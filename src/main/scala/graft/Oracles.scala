@@ -713,6 +713,33 @@ object Oracles {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** q50: BPE-ish pre-tokenizer match count — the pattern is lookaround-free
+    * so Java regex and RE2 agree; dollar-quoted to keep the quotes in the
+    * contraction alternatives intact.
+    */
+  val bpeTokens: String = s"""
+    SELECT doc_id,
+           CAST(len($toks) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all($norm, $$$$'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+$$$$)) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id"""
+
+  /** q51: deterministic weighted source mixture — same hash bucket as q49,
+    * per-source row_number, quota filter.
+    */
+  val sourceMixture: String = s"""
+    WITH b AS (
+      SELECT doc_id, source,
+             mod(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mixture')), 1, 15)) AS BIGINT), 1000000) AS bucket
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS BIGINT) AS rk
+      FROM b)
+    SELECT doc_id, source, rk FROM r
+    WHERE rk <= CASE WHEN source IN ('src0','src1','src2','src3') THEN 15 ELSE 5 END
+    ORDER BY source, rk"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -759,6 +786,8 @@ object Oracles {
     "q47_ann_ivf_saved" -> annBruteForce,
     "q48_doc_fingerprints" -> docFingerprints,
     "q49_hash_sample" -> hashSampleEvents,
+    "q50_bpe_tokens" -> bpeTokens,
+    "q51_source_mixture" -> sourceMixture,
     // exact columns hash-checked; the sketch-bound column certified as
     // literal TRUE (the in-query 5% assertion is what makes that sound)
     "q39_sketch_profile" -> sketchProfile,

@@ -332,6 +332,40 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Whitespace vs BPE-ish token counts per document — the two budget
+    * currencies of a packing pipeline (see TextFunctions.bpeTokenCount).
+    * Map-only scan-side projection.
+    */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic weighted source mixture — build a training mix by
+    * taking a per-source quota of documents, selected by the same
+    * deterministic hash bucket as q49 (so the mix is reproducible and
+    * monotone: raising a quota only ADDS docs). One shuffle (by source)
+    * + per-source sort; at 100 TB pre-filter each source by an
+    * approximate bucket threshold (quota / source_count × 1e6) before the
+    * exact top-k so the window sorts a sliver, not the corpus.
+    */
+  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = when(col("source").isin("src0", "src1", "src2", "src3"),
+      lit(15)).otherwise(lit(5))
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        graft.operators.Sampling.sampleBucket(col("doc_id"), "mixture"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("bucket"), col("doc_id"))))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Winnowing (rolling-hash) document fingerprints — the MOSS-style
     * robust content signature per doc (see
     * TextFunctions.winnowFingerprints). Map-only scan-side projection; the

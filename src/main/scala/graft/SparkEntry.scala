@@ -54,6 +54,8 @@ object SparkEntry {
     "q47_ann_ivf_saved" -> (Queries.annIvfSaved _),
     "q48_doc_fingerprints" -> (Queries.docFingerprints _),
     "q49_hash_sample" -> (Queries.hashSampleEvents _),
+    "q50_bpe_tokens" -> (Queries.bpeTokens _),
+    "q51_source_mixture" -> (Queries.sourceMixture _),
     "q40_range_join" -> (Queries.rangeJoinSessions _),
     "q41_quality_filter" -> (Queries.qualityFilter _),
     "q42_quantize_embeddings" -> (Queries.quantizeEmbeddings _),

@@ -29,6 +29,18 @@ object TextFunctions {
   /** Token count (0 for empty/null-safe handled by caller). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword token count: matches of a GPT-2-style pre-tokenizer
+    * pattern (contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs) over normalized text — the cheap proxy for
+    * "how many tokens will the real tokenizer emit" used to budget
+    * sequence packing without shipping a tokenizer to executors. The
+    * pattern avoids lookarounds so Java regex (Spark) and RE2 (other
+    * engines) agree on every match.
+    */
+  val BpePattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(normalized(text), lit(BpePattern))
+
   /** Distinct-token count. */
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
