@@ -129,7 +129,13 @@ object Similarity {
       * centroids as a tiny side table.
       */
     def save(path: String): Unit = {
-      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      // repartition by cell before the partitioned write: without it every
+      // write task holds rows of every cell, producing tasks × nlist small
+      // files (10k tasks × 1k cells = 10M files at corpus scale); with it
+      // each cell's rows land in O(1) files. The shuffle this costs is the
+      // one-time index build cost the save amortizes away.
+      cells.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       val s = cells.sparkSession
       import s.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "center")
