@@ -30,7 +30,7 @@ object Bench {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
     // optional dev filter (unset for driver runs → full surface)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty)
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

@@ -499,9 +499,12 @@ object Oracles {
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
     m AS (
       SELECT user_id, ts, value,
+             -- strictly greater: native session_window MERGES events at
+             -- EXACTLY gap distance (adjacent windows touch — proven by
+             -- the SessionizeSpec parity fixture)
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM e),
     g AS (
@@ -523,9 +526,12 @@ object Oracles {
     c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
     m AS (
       SELECT user_id, ts,
+             -- strictly greater: native session_window MERGES events at
+             -- EXACTLY gap distance (adjacent windows touch — proven by
+             -- the SessionizeSpec parity fixture)
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM c),
     g AS (
@@ -680,9 +686,13 @@ object Oracles {
       SELECT doc_id, $norm AS norm FROM documents),
     h AS (
       SELECT doc_id,
-             CASE WHEN strlen(norm) >= 7
-               THEN list_transform(range(1, strlen(norm) - 7 + 2),
-                      i -> mod(CAST(concat('0x', substr(md5(substr(norm, i, 7)), 1, 15)) AS BIGINT), 1000000007))
+             -- length() (characters) not strlen() (bytes): Spark's
+             -- length/substring are character-based, and substr here is
+             -- too — byte counting would desync shingle positions on any
+             -- multi-byte document
+             CASE WHEN length(norm) >= 7
+               THEN list_transform(range(1, length(norm) - 7 + 2),
+                      i -> mod(${hash60("substr(norm, i, 7)")}, 1000000007))
                ELSE CAST([] AS BIGINT[]) END AS hs
       FROM t),
     f AS (
@@ -706,7 +716,7 @@ object Oracles {
     SELECT event_type, count(*) AS n_sampled,
            round(${sumDec2("value")}, 2) AS sum_value
     FROM events
-    WHERE mod(CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':graft')), 1, 15)) AS BIGINT), 1000000)
+    WHERE mod(${hash60("concat(CAST(event_id AS VARCHAR), ':graft')")}, 1000000)
           < CASE event_type WHEN 'click' THEN 100000
                             WHEN 'purchase' THEN 500000
                             ELSE 250000 END
@@ -730,7 +740,7 @@ object Oracles {
   val sourceMixture: String = s"""
     WITH b AS (
       SELECT doc_id, source,
-             mod(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mixture')), 1, 15)) AS BIGINT), 1000000) AS bucket
+             mod(${hash60("concat(CAST(doc_id AS VARCHAR), ':mixture')")}, 1000000) AS bucket
       FROM documents),
     r AS (
       SELECT doc_id, source,
