@@ -19,6 +19,16 @@ class QueriesSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracleSql without a query impl: $unknown")
   }
 
+  test("every query is oracle-checked except the declared rows-only set") {
+    // q27 (random-hyperplane LSH) is the ONE sanctioned rows-only query;
+    // any new query must register DuckDB SQL in Oracles.all or extend this
+    // declared set with a documented reason
+    val rowsOnly = Set("q27_ann_lsh")
+    val unchecked = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unchecked == rowsOnly,
+      s"queries without an oracle beyond the declared rows-only set: ${unchecked -- rowsOnly}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
