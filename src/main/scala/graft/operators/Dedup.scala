@@ -32,6 +32,36 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental (cross-batch) exact dedup — the realistic corpus-build
+    * loop at 100 TB: dedupe each NEW ingest batch against the accumulated
+    * fingerprint store instead of re-deduping the whole corpus. Returns
+    * `(survivors, updatedStore)`: rows of `batch` that are neither
+    * in-batch duplicates (smallest-id keeper wins, as [[exact]]) nor
+    * already fingerprinted in `store`, plus the store with the survivors'
+    * fingerprints appended. The store is fingerprint-only (16-byte md5 +
+    * id per distinct doc — a sliver of the corpus); persist it between
+    * runs as a parquet table bucketed/sorted by `fp` so the anti-join on
+    * each ingest co-locates without reshuffling the history.
+    */
+  def dedupeIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val keepers = exact(batch, textCol, idCol)
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+    val survivors = batch
+      .join(keepers.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    (survivors, store.unionByName(
+      keepers.select(col("fp"), col("keep_id").as("doc_id"))))
+  }
+
+  /** Empty fingerprint store (fp, doc_id) to seed an incremental build. */
+  def emptyStore(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long)].toDF("fp", "doc_id")
+  }
+
   /** End-to-end corpus dedup: exact-dup removal, then near-dup removal via
     * MinHash+LSH candidates verified by n-gram Jaccard ≥ `threshold` —
     * keeping the smallest-id document of each duplicate group (greedy:

@@ -142,4 +142,32 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(exact((1L, 2L)) == 1.0 && exact.contains((1L, 3L))) // uncapped sees all
   }
+
+  test("incremental dedup: new batches dedupe against the accumulated store") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val batch1 = Seq(
+      (1L, "alpha content"), (2L, "ALPHA   content"), (3L, "beta content")
+    ).toDF("doc_id", "text")
+    val (s1, store1) = Dedup.dedupeIncremental(
+      batch1, Dedup.emptyStore(spark), "text", "doc_id")
+    assert(ids(s1) == Set(1L, 3L)) // in-batch dup 2 collapses to keeper 1
+    assert(store1.count() == 2)
+
+    val batch2 = Seq(
+      (4L, "beta content"),        // known from batch 1 -> dropped
+      (5L, "gamma content"),       // new -> survives
+      (6L, "gamma content"),       // in-batch dup of 5
+      (7L, " GAMMA  content ")     // normalizes to the same -> dup of 5
+    ).toDF("doc_id", "text")
+    val (s2, store2) = Dedup.dedupeIncremental(batch2, store1, "text", "doc_id")
+    assert(ids(s2) == Set(5L))
+    assert(store2.count() == 3) // alpha, beta, gamma — one fp per distinct doc
+
+    // replaying an already-ingested batch is a no-op (idempotent ingest)
+    val (s3, store3) = Dedup.dedupeIncremental(batch2, store2, "text", "doc_id")
+    assert(ids(s3).isEmpty)
+    assert(store3.count() == 3)
+  }
 }
