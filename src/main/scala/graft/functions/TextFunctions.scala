@@ -83,8 +83,20 @@ object TextFunctions {
 
   /** Deterministic 60-bit base hash of a string: first 15 hex chars of md5.
     * Engine-agnostic (md5 is standardized), unlike murmur3 `hash()`.
+    * Computed by the codegen'd [[org.apache.spark.sql.graft.StableHash60]]
+    * expression — bit-identical to the declarative
+    * `conv(substring(md5(s), 1, 15), 16, 10)` form (kept below for
+    * cross-checking) without the per-evaluation hex-string round-trip,
+    * which this hash pays per SHINGLE in the dedup/fingerprint hot paths.
     */
-  def stableHash60(s: Column): Column =
+  def stableHash60(s: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.StableHash60(ColumnBridge.expression(s)))
+  }
+
+  /** Reference declarative implementation (cross-check only). */
+  private[graft] def stableHash60Reference(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Base hash reduced into the MinHash prime field. */

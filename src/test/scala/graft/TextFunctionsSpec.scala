@@ -35,6 +35,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Long](stableHash60(col("t")), "abc") == 648541476951500027L)
   }
 
+  test("codegen'd StableHash60 is bit-identical to the declarative md5 form") {
+    // adversarial inputs: empty, single char, unicode multi-byte, long,
+    // whitespace, plus a pseudo-random ASCII/unicode mix
+    val rnd = new scala.util.Random(7)
+    val cases = Seq("", "a", "é", "日本語テキスト", " \t\n ", "x" * 10000,
+      "café ☕ναι 🚀") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(20))(rnd.nextPrintableChar()).mkString)
+    import spark.implicits._
+    val df = cases.toDF("t")
+      .select(stableHash60(col("t")).as("fast"),
+        graft.functions.TextFunctions.stableHash60Reference(col("t")).as("ref"))
+    val bad = df.filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0, s"$bad/${cases.size} inputs diverge from the reference hash")
+    // and every value fits the declared 60-bit non-negative range
+    assert(df.filter(col("fast") < 0 || col("fast") >= (1L << 60)).count() == 0)
+  }
+
   test("fingerprint is md5 of normalized text") {
     assert(one[String](fingerprint(col("t")), " Abc  ") ==
       one[String](fingerprint(col("t")), "abc"))
