@@ -36,5 +36,7 @@ object GraftFunctions {
     fromCols("graft_l2_normalize", 1, cs => VectorFunctions.l2Normalize(cs(0)))(spark)
     fromCols("graft_quantize_int8", 1, cs => VectorFunctions.quantizeInt8(cs(0)))(spark)
     fromCols("graft_dequantize_int8", 1, cs => VectorFunctions.dequantizeInt8(cs(0)))(spark)
+    fromCols("graft_stable_hash60", 1, cs => TextFunctions.stableHash60(cs(0)))(spark)
+    fromCols("bpe_token_count", 1, cs => TextFunctions.bpeTokenCount(cs(0)))(spark)
   }
 }

@@ -82,6 +82,13 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(vec.getSeq[Double](0) == Seq(0.6, 0.8))
     val rt = vec.getSeq[Double](1)
     assert(math.abs(rt(0) - 0.5) < 0.005 && math.abs(rt(1) + 1.0) < 0.005)
+    val h = spark.sql("""
+      SELECT graft_stable_hash60('abc') AS h,
+             bpe_token_count('it''s a test-123') AS nb
+    """).head()
+    assert(h.getAs[Long]("h") == 648541476951500027L) // pinned vs DuckDB
+    // it|'s| a| test|-|123 -> 6 pre-tokenizer matches
+    assert(h.getAs[Int]("nb") == 6)
   }
 
   test("weather code map covers the canonical vocabulary") {
