@@ -17,9 +17,9 @@ class CheckpointRecoverySpec extends SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("streaming agg restarted on the same checkpoint resumes state exactly once") {
-    val ckpt = java.nio.file.Files.createTempDirectory("recovery-ckpt").toString
-    val outDir = java.nio.file.Files.createTempDirectory("recovery-out").toString
-    val inDir = java.nio.file.Files.createTempDirectory("recovery-in").toString
+    val ckpt = tmpDir("recovery-ckpt")
+    val outDir = tmpDir("recovery-out")
+    val inDir = tmpDir("recovery-in")
 
     def writeInput(rows: (String, Double, String)*): Unit =
       rows.toSeq.toDF("intersection", "speed", "t")

@@ -86,7 +86,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dedupeCorpus staged-to-table path equals the in-memory path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val dir = tmpDir("graft_stage")
     val inMem = Dedup.dedupeCorpus(docs, "text", "doc_id", threshold = 0.7,
       k = 8, bands = 4, ngram = 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet

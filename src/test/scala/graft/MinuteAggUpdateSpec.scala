@@ -41,7 +41,7 @@ class MinuteAggUpdateSpec extends SparkSpec {
     }
     val q = writer
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("minagg-ckpt").toString)
+        tmpDir("minagg-ckpt"))
       .start()
     try {
       // batch 1: two rows in minute 10:00 → one changed row (n=2)

@@ -20,9 +20,6 @@ class MoodStreamSpec extends SparkSpec {
 
   private def ts(s: String) = Some(Timestamp.valueOf(s))
 
-  private def tmpDir(prefix: String) =
-    java.nio.file.Files.createTempDirectory(prefix).toString
-
   test("full streaming chain: 3 watermarked aggs → 2 left joins → classify (append)") {
     implicit val ctx = spark.sqlContext
     val traffic = MemoryStream[TrafficEvent]

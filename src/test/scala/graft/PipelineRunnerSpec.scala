@@ -67,7 +67,7 @@ class PipelineRunnerSpec extends SparkSpec {
   test("DAG drives real engine steps: gate → export → ndjson+warehouse → cleanup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("dag_e2e").toString
+    val dir = tmpDir("dag_e2e")
     val mood = Seq(
       ("2024-03-05 10:00:00", "komitas", 42.0, 11.0, "clear", "neutral", "relaxed"),
       ("2024-03-05 11:00:00", "kentron", 33.0, 7.0, "rain_slight", "positive", "normal"))

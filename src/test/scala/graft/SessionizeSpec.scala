@@ -19,7 +19,7 @@ class SessionizeSpec extends SparkSpec {
     val q = Sessionize.sessions(in.toDS())
       .writeStream.format("memory").queryName("sessions_out")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("sess-ckpt").toString)
+        tmpDir("sess-ckpt"))
       .outputMode(OutputMode.Append)
       .start()
     try {
@@ -78,7 +78,7 @@ class SessionizeSpec extends SparkSpec {
     val q = Sessionize.sessions(in.toDS())
       .writeStream.format("memory").queryName("sessions_parity")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("sess-parity-ckpt").toString)
+        tmpDir("sess-parity-ckpt"))
       .outputMode(OutputMode.Append)
       .start()
     try {

@@ -68,7 +68,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivf index save/load: partitioned-table layout, pruned probes, exact at full probe") {
     val emb = Tables.embeddings(spark, sf0001)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = tmpDir("graft_ivf")
     try {
     Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8).save(dir)
     val loaded = Similarity.IvfIndex.load(spark, dir)

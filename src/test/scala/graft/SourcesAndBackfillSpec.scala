@@ -21,7 +21,7 @@ class SourcesAndBackfillSpec extends SparkSpec {
   }
 
   test("BatchSource seam: parquet fixture stands in for the JDBC read") {
-    val dir = Files.createTempDirectory("graft_src").toString
+    val dir = tmpDir("graft_src")
     import spark.implicits._
     Seq(
       ("2024-03-05 10:00:00", "komitas", 42.0, 11.0, "clear", "neutral", "relaxed"),
@@ -55,7 +55,7 @@ class SourcesAndBackfillSpec extends SparkSpec {
   }
 
   test("backfill runs through the standard sink path with the canonical schema") {
-    val dir = Files.createTempDirectory("graft_bf").toString
+    val dir = tmpDir("graft_bf")
     val n = Backfill.run(spark, new ParquetSink(s"$dir/mood"),
       LocalDate.of(2024, 3, 10), days = 3, seed = 1L)
     val back = spark.read.parquet(s"$dir/mood")
@@ -67,7 +67,7 @@ class SourcesAndBackfillSpec extends SparkSpec {
   test("export of an empty frame creates an empty file, not a failure (reference parity)") {
     // reference: test_export_creates_empty_file_when_no_data — the EXPORT
     // step tolerates empty data (the quality gate is a separate tier)
-    val dir = Files.createTempDirectory("graft_empty").toString
+    val dir = tmpDir("graft_empty")
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "v")
     new NdjsonSink(s"$dir/export").write(empty)
@@ -76,7 +76,7 @@ class SourcesAndBackfillSpec extends SparkSpec {
   }
 
   test("sinks dispatch on the path URI scheme (K5: s3a:// is the same call)") {
-    val dir = Files.createTempDirectory("graft_uri").toString
+    val dir = tmpDir("graft_uri")
     val uri = s"file://$dir/export" // explicit scheme, as s3a:// would be
     import spark.implicits._
     new NdjsonSink(uri).write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
@@ -87,14 +87,14 @@ class SourcesAndBackfillSpec extends SparkSpec {
   }
 
   test("schema-drift union ingest: stream + backfill rows through one loadNdjson") {
-    val dir = Files.createTempDirectory("graft_drift")
+    val dir = java.nio.file.Paths.get(tmpDir("graft_drift"))
     // stream variant: double temp, 7-label mood; backfill variant: int temp,
     // 3-label mood (SURVEY §1.3) — same NDJSON table
     val lines = Seq(
       """{"event_time":"2024-03-05 10:00:00","intersection":"komitas","avg_speed":42.5,"avg_temp":11.5,"weather":"clear","sentiment":"neutral","mood":"slowed_but_chill"}""",
       """{"event_time":"2024-03-05 11:00:00","intersection":"kentron","avg_speed":33.0,"avg_temp":7,"weather":"rain","sentiment":"positive","mood":"happy"}""")
     Files.write(dir.resolve("mood.json"), String.join("\n", lines: _*).getBytes)
-    val out = Files.createTempDirectory("graft_drift_out").toString
+    val out = tmpDir("graft_drift_out")
     val res = ExportPipeline.loadNdjson(spark, dir.toString, new ParquetSink(s"$out/t"))
     assert(res.read == 2 && res.written == 2)
     val back = spark.read.parquet(s"$out/t")

@@ -1,5 +1,9 @@
 package graft
 
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -18,4 +22,33 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Temp dir for sinks/checkpoints, recursively deleted on JVM exit —
+    * repeated `sbt test` runs must not accumulate /tmp residue (same
+    * discipline the engine itself applies to its stream staging dirs).
+    */
+  def tmpDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    SparkSpec.registerForCleanup(p)
+    p.toString
+  }
+}
+
+object SparkSpec {
+  private val created = mutable.ArrayBuffer.empty[Path]
+  private lazy val hookInstalled: Unit =
+    sys.addShutdownHook {
+      created.synchronized(created.toList).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }
+    }
+
+  def registerForCleanup(p: Path): Unit = {
+    hookInstalled
+    created.synchronized(created += p): Unit
+  }
 }

@@ -12,7 +12,7 @@ class StreamJoinsSpec extends SparkSpec {
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   private def t(s: String) = Timestamp.valueOf(s)
-  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  private def tmp(p: String) = tmpDir(p)
 
   test("stream-stream interval join matches clicks within the window, across batches") {
     implicit val ctx = spark.sqlContext
