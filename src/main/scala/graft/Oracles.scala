@@ -465,6 +465,23 @@ object Oracles {
     WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** q27: the LSH ranking itself is not SQL-expressible (random
+    * hyperplanes), so the dump is the in-query certification (see
+    * Queries.annLshCertified) and every certified bound is emitted as
+    * literal TRUE — same pattern as q39's sketch bound. `n_returned` is
+    * the one exact value the oracle can predict: top-k always fills at
+    * the measured ≥40% candidate fraction.
+    */
+  val annLshCertified: String = """
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS found_exact_neighbor,
+           TRUE AS cosine_exact_ok,
+           TRUE AS within_exact_bounds,
+           TRUE AS corpus_recall_at_5_ok
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY query_id"""
+
   val embeddingNearDups: String = """
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -801,6 +818,8 @@ object Oracles {
     // exact columns hash-checked; the sketch-bound column certified as
     // literal TRUE (the in-query 5% assertion is what makes that sound)
     "q39_sketch_profile" -> sketchProfile,
+    // in-query certification vs brute force; bounds emitted as literal TRUE
+    "q27_ann_lsh" -> annLshCertified,
     "q40_range_join" -> rangeJoinSessions,
     "q41_quality_filter" -> qualityFilter,
     "q42_quantize_embeddings" -> quantizeEmbeddings,

@@ -63,8 +63,10 @@ object SparkEntry {
     "q44_running_totals" -> (Queries.runningTotals _),
     "q45_set_ops" -> (Queries.setOpsCohorts _),
     "q46_pack_sequences" -> ((s: SparkSession, dir: String) => Queries.packSequences(s, dir)),
-    // rows-only check (not SQL-expressible: random hyperplanes)
-    "q27_ann_lsh" -> (Queries.annLsh _),
+    // LSH ranking is not SQL-expressible (random hyperplanes), so the
+    // dump is the in-query certification vs brute force (model: q39) —
+    // oracle-checkable bounds instead of a rows-only pass
+    "q27_ann_lsh" -> (Queries.annLshCertified _),
     // exact columns hash-checked vs DuckDB; the sketch estimate is
     // certified in-query (bound column) + bounded tightly in QueriesSpec
     "q39_sketch_profile" -> (Queries.sketchProfile _),

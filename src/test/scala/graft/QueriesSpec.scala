@@ -19,14 +19,13 @@ class QueriesSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracleSql without a query impl: $unknown")
   }
 
-  test("every query is oracle-checked except the declared rows-only set") {
-    // q27 (random-hyperplane LSH) is the ONE sanctioned rows-only query;
-    // any new query must register DuckDB SQL in Oracles.all or extend this
-    // declared set with a documented reason
-    val rowsOnly = Set("q27_ann_lsh")
+  test("every query is oracle-checked — no rows-only queries remain") {
+    // Round 6 closed the last rows-only cell (q27 now dumps its in-query
+    // certification vs brute force); any new query must register DuckDB
+    // SQL in Oracles.all or re-introduce a declared set with a documented
+    // reason.
     val unchecked = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(unchecked == rowsOnly,
-      s"queries without an oracle beyond the declared rows-only set: ${unchecked -- rowsOnly}")
+    assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -53,6 +52,19 @@ class QueriesSpec extends SparkSpec {
       assert(aEvents == nEvents) // counts are exact either way
       assert(math.abs(aUsers - nUsers).toDouble / nUsers < 0.02,
         s"$k: sketch $aUsers vs exact $nUsers")
+    }
+  }
+
+  test("q27: certification dump — one row per query, every bound TRUE") {
+    val rows = Queries.annLshCertified(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_returned") == 5L, s"q$q: top-k under-filled")
+      assert(r.getAs[Boolean]("found_exact_neighbor"), s"q$q: zero recall")
+      assert(r.getAs[Boolean]("cosine_exact_ok"), s"q$q: cosine re-derivation drift")
+      assert(r.getAs[Boolean]("within_exact_bounds"), s"q$q: cosine above true max")
+      assert(r.getAs[Boolean]("corpus_recall_at_5_ok"), s"q$q: corpus recall under 0.5")
     }
   }
 
