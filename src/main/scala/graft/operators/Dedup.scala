@@ -39,9 +39,15 @@ object Dedup {
     * in-batch duplicates (smallest-id keeper wins, as [[exact]]) nor
     * already fingerprinted in `store`, plus the store with the survivors'
     * fingerprints appended. The store is fingerprint-only (16-byte md5 +
-    * id per distinct doc — a sliver of the corpus); persist it between
-    * runs as a parquet table bucketed/sorted by `fp` so the anti-join on
-    * each ingest co-locates without reshuffling the history.
+    * id per distinct doc — a sliver of the corpus).
+    *
+    * IN-MEMORY SEAM ONLY: the returned store is a LAZY plan stacking one
+    * union per batch — loop it unmaterialized and every prior batch's
+    * work re-executes each iteration (O(n²) ingest). For any loop, use
+    * [[dedupeIncrementalStaged]], which builds the materialization in
+    * (per-batch segment write + single-scan reload); this tuple form
+    * exists for single-step composition inside an already-materialized
+    * pipeline stage.
     */
   def dedupeIncremental(
       batch: DataFrame,
@@ -60,6 +66,92 @@ object Dedup {
   def emptyStore(s: org.apache.spark.sql.SparkSession): DataFrame = {
     import s.implicits._
     Seq.empty[(String, Long)].toDF("fp", "doc_id")
+  }
+
+  /** Filesystem-backed fingerprint store for [[dedupeIncrementalStaged]]:
+    * a directory of immutable parquet SEGMENTS (`seg_00000`, `seg_00001`,
+    * …), one appended per ingested batch, schema pinned to
+    * (fp: string, doc_id: long). Loading reads the committed segment
+    * files directly, so the store's plan is ONE parquet relation no
+    * matter how many batches were ingested — the lineage cut that the
+    * in-memory [[dedupeIncremental]] tuple API leaves to the caller (and
+    * that, forgotten, degrades an ingest loop to O(n²): each returned
+    * store stacks another union over every prior batch's plan).
+    */
+  object FingerprintStore {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val schema: StructType =
+      StructType(Seq(StructField("fp", StringType), StructField("doc_id", LongType)))
+
+    /** Committed segment paths, oldest first. A segment counts only once
+      * its `_SUCCESS` marker exists, so a crash mid-write leaves a
+      * partial directory that is never read and is overwritten by the
+      * next ingest claiming that index.
+      */
+    def segments(s: SparkSession, dir: String): Seq[String] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+        .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+        .sorted
+    }
+
+    /** The accumulated store as one parquet scan (schema-pinned, so an
+      * empty or missing store loads as an empty frame, never an
+      * inference error).
+      */
+    def load(s: SparkSession, dir: String): DataFrame = {
+      val segs = segments(s, dir)
+      if (segs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(segs: _*)
+    }
+  }
+
+  /** [[dedupeIncremental]] with the store persistence built in — the
+    * scale-safe ingest loop. Each call loads the accumulated store from
+    * `storeDir` (one parquet scan), anti-joins the batch's fingerprints
+    * against it, APPENDS the batch's new fingerprints as a fresh
+    * immutable segment, and derives the surviving rows from that
+    * materialized segment — so per-batch cost is one pass over the batch
+    * plus one anti-join against the store, independent of how many
+    * batches came before. Nothing ever reads a file it is writing: the
+    * segment list is fixed before the new segment is created. Replaying
+    * a batch appends an empty segment and returns no survivors
+    * (idempotent ingest). At 100 TB, compact the segment directory into
+    * a table bucketed by `fp` periodically so the per-ingest anti-join
+    * co-locates without reshuffling history.
+    */
+  def dedupeIncrementalStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val s = batch.sparkSession
+    val existing = FingerprintStore.segments(s, storeDir)
+    val store =
+      if (existing.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          FingerprintStore.schema)
+      else s.read.schema(FingerprintStore.schema).parquet(existing: _*)
+    val keepers = exact(batch, textCol, idCol)
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("fp"), col("keep_id").cast("long").as("doc_id"))
+    val nextIdx = existing
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    val seg = f"$storeDir/seg_$nextIdx%05d"
+    // overwrite: reclaims a partial (uncommitted) directory left by a
+    // crashed attempt at the same index
+    keepers.write.mode("overwrite").parquet(seg)
+    val committed = s.read.schema(FingerprintStore.schema).parquet(seg)
+    batch.join(committed.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** End-to-end corpus dedup: exact-dup removal, then near-dup removal via

@@ -170,4 +170,47 @@ class DedupSpec extends SparkSpec {
     assert(ids(s3).isEmpty)
     assert(store3.count() == 3)
   }
+
+  test("staged incremental dedup: persisted store, plan size flat across batches") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = tmpDir("graft_fp_store")
+
+    val batch1 = Seq(
+      (1L, "alpha content"), (2L, "ALPHA   content"), (3L, "beta content")
+    ).toDF("doc_id", "text")
+    assert(ids(Dedup.dedupeIncrementalStaged(batch1, dir, "text", "doc_id"))
+      == Set(1L, 3L))
+    assert(Dedup.FingerprintStore.load(spark, dir).count() == 2)
+    val planAfter1 =
+      Dedup.FingerprintStore.load(spark, dir).queryExecution.optimizedPlan
+        .collect { case p => p }.size
+
+    val batch2 = Seq(
+      (4L, "beta content"),    // known from batch 1 -> dropped
+      (5L, "gamma content"),   // new -> survives
+      (6L, "gamma content"),   // in-batch dup of 5
+      (7L, " GAMMA  content ") // normalizes to the same -> dup of 5
+    ).toDF("doc_id", "text")
+    assert(ids(Dedup.dedupeIncrementalStaged(batch2, dir, "text", "doc_id"))
+      == Set(5L))
+    assert(Dedup.FingerprintStore.load(spark, dir).count() == 3)
+
+    // idempotent replay: appends an empty segment, returns no survivors
+    assert(ids(Dedup.dedupeIncrementalStaged(batch2, dir, "text", "doc_id")).isEmpty)
+    assert(Dedup.FingerprintStore.load(spark, dir).count() == 3)
+
+    // two more batches, then the seam's whole point: the store's plan is
+    // one parquet relation, NOT a union stack growing with batch count
+    for (i <- 10L to 11L) {
+      val b = Seq((i, s"doc $i body")).toDF("doc_id", "text")
+      assert(ids(Dedup.dedupeIncrementalStaged(b, dir, "text", "doc_id")) == Set(i))
+    }
+    assert(Dedup.FingerprintStore.segments(spark, dir).size == 5)
+    val planAfter5 =
+      Dedup.FingerprintStore.load(spark, dir).queryExecution.optimizedPlan
+        .collect { case p => p }.size
+    assert(planAfter5 == planAfter1,
+      s"store plan grew with batch count: $planAfter1 -> $planAfter5")
+  }
 }
