@@ -28,9 +28,22 @@ object Bench {
     // per-query watchdog (mirrors Verify): a hung query is cancelled after
     // the timeout and recorded at the cutoff time instead of stalling the run
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
-    // optional dev filter (unset for driver runs → full surface)
+    // optional dev filter (unset for driver runs → full surface). A typo
+    // or stale env var must not produce a plausible-looking partial run:
+    // unknown names abort, and a filtered run is labeled "partial".
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(",")}")
+      spark.stop()
+      sys.exit(2)
+    }
+    if (only.nonEmpty)
+      System.err.println(s"[bench] ONLY filter active (${only.size} of " +
+        s"${SparkEntry.queries.size} queries): ${only.toSeq.sorted.mkString(",")}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -55,7 +68,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val metric = if (only.isEmpty) "total" else "partial"
+    println(f"""{"metric":"$metric%s","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,6 @@ object GraftFunctions {
     fromCols("graft_quantize_int8", 1, cs => VectorFunctions.quantizeInt8(cs(0)))(spark)
     fromCols("graft_dequantize_int8", 1, cs => VectorFunctions.dequantizeInt8(cs(0)))(spark)
     fromCols("graft_stable_hash60", 1, cs => TextFunctions.stableHash60(cs(0)))(spark)
-    fromCols("bpe_token_count", 1, cs => TextFunctions.bpeTokenCount(cs(0)))(spark)
+    fromCols("graft_bpe_token_count", 1, cs => TextFunctions.bpeTokenCount(cs(0)))(spark)
   }
 }

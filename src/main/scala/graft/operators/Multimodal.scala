@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // one digest per executor thread, reset per use — a per-row
+  // getInstance() is harmless at spec scale but measurable per billion
+  // blobs (same pattern as StableHash60's codegen'd digest)
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("payload", BinaryType),
@@ -63,8 +69,10 @@ object Multimodal {
           val (w, h) = stubDecode(payload)
           val nBytes = if (payload == null) 0L else payload.length.toLong
           val fp = if (payload == null) null
-            else java.security.MessageDigest.getInstance("MD5")
-              .digest(payload).map("%02x".format(_)).mkString
+            else {
+              val d = digests.get(); d.reset()
+              d.digest(payload).map("%02x".format(_)).mkString
+            }
           Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes, fp, w, h)
         }
       }(enc)

@@ -41,8 +41,10 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // unionByName: a positional unionAll would silently mis-map columns if
+    // any remap select ever drifts from the base column order
     def shards(base: DataFrame)(mk: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(i => mk(base, i)).reduce(_ unionAll _)
+      (0 until factor).map(i => mk(base, i)).reduce(_ unionByName _)
 
     // documents — id space: shard i offsets by i * 10^10
     val docs = Tables.documents(spark, src)
@@ -51,8 +53,10 @@ object ScaleData {
       if (i == 0) d
       else d.select(
           (col("doc_id") + lit(i * docOff)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"~$i"))), " ").as("text"),
+          // suffix every non-space run in place: whitespace is preserved
+          // verbatim and a blank/empty doc stays blank (a split-on-space
+          // remap would hand blank docs a phantom "~i" token)
+          regexp_replace(col("text"), "(\\S+)", s"$$1~$i").as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.repartition(32).write.mode("overwrite")

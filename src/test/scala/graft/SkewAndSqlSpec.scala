@@ -84,7 +84,7 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(math.abs(rt(0) - 0.5) < 0.005 && math.abs(rt(1) + 1.0) < 0.005)
     val h = spark.sql("""
       SELECT graft_stable_hash60('abc') AS h,
-             bpe_token_count('it''s a test-123') AS nb
+             graft_bpe_token_count('it''s a test-123') AS nb
     """).head()
     assert(h.getAs[Long]("h") == 648541476951500027L) // pinned vs DuckDB
     // it|'s| a| test|-|123 -> 6 pre-tokenizer matches
