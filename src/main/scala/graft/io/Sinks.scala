@@ -37,9 +37,10 @@ final class NdjsonSink(path: String) extends BatchSink {
 
 /** K3 — JDBC append (Postgres in the reference, any JDBC target here).
   * Uses Spark's built-in distributed JDBC writer (one connection per
-  * partition) instead of the reference's driver-side row loop. Untested in
-  * this hermetic build (no database container); wired behind the same trait
-  * so pipelines swap it in by config.
+  * partition) instead of the reference's driver-side row loop. Driven
+  * end-to-end in JdbcRoundTripSpec through embedded Derby (batch append
+  * and checkpointed streaming foreachBatch); no NETWORKED database exists
+  * in this build, so fixtures stand in for Postgres itself.
   */
 final class JdbcSink(url: String, table: String, props: java.util.Properties)
     extends BatchSink {

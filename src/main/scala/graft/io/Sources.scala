@@ -73,8 +73,9 @@ trait BatchSource {
   * Spark's built-in partitioned JDBC reader; pass `partitionColumn/
   * lowerBound/upperBound/numPartitions` in `props` for a parallel scan
   * (unpartitioned JDBC reads are single-connection — a scale foot-gun).
-  * Hermetically untested (no database in this build), wired behind the
-  * trait so fixtures stand in.
+  * Driven end-to-end in JdbcRoundTripSpec through embedded Derby (plain
+  * and partitioned scans); no NETWORKED database exists in this build, so
+  * fixtures stand in for Postgres itself.
   */
 final class JdbcSource(url: String, table: String, props: java.util.Properties)
     extends BatchSource {
