@@ -22,10 +22,23 @@ trait EventSource {
   def batch(spark: SparkSession, schema: StructType): DataFrame
 }
 
-/** NDJSON event files (one JSON object per line, like a Kafka topic dump). */
-final class JsonFileSource(path: String) extends EventSource {
-  def stream(spark: SparkSession, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).json(path)
+/** NDJSON event files (one JSON object per line, like a Kafka topic dump).
+  *
+  * `maxFilesPerTrigger` is the file-source backpressure knob — the first
+  * thing a real deployment reaches for when a restart faces a large
+  * backlog: without it the recovery micro-batch swallows the whole
+  * backlog at once (state spike, straggler batch); with it the backlog
+  * drains in bounded increments and `Trigger.AvailableNow` still
+  * terminates when caught up. Result parity across batch sizes is pinned
+  * by StreamBackpressureSpec.
+  */
+final class JsonFileSource(path: String, maxFilesPerTrigger: Option[Int] = None)
+    extends EventSource {
+  def stream(spark: SparkSession, schema: StructType): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(path)
+  }
   def batch(spark: SparkSession, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 }
@@ -41,15 +54,20 @@ final class JsonFileSource(path: String) extends EventSource {
 final class KafkaEventSource(
     bootstrapServers: String,
     topic: String,
-    startingOffsets: String = "latest") extends EventSource {
+    startingOffsets: String = "latest",
+    maxOffsetsPerTrigger: Option[Long] = None) extends EventSource {
   private def opts = Map(
     "kafka.bootstrap.servers" -> bootstrapServers,
     "subscribe" -> topic)
-  def stream(spark: SparkSession, schema: StructType): DataFrame =
-    Parse.ingest(
-      spark.readStream.format("kafka").options(opts)
-        .option("startingOffsets", startingOffsets).load(),
-      schema)
+  def stream(spark: SparkSession, schema: StructType): DataFrame = {
+    val r = spark.readStream.format("kafka").options(opts)
+      .option("startingOffsets", startingOffsets)
+    // Kafka's backpressure knob (the offset-count analog of the file
+    // source's maxFilesPerTrigger): bounds each micro-batch, so a restart
+    // against a deep topic backlog drains in increments
+    maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n))
+    Parse.ingest(r.load(), schema)
+  }
   /** Batch replay of the topic (always from earliest — the batch path is
     * for backfill/oracle use, not tail-following).
     */
