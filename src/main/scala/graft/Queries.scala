@@ -516,7 +516,6 @@ object Queries {
     * itself, fine for certification, never the serving path.
     */
   def annLshCertified(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", dim = 64,
@@ -550,11 +549,14 @@ object Queries {
         min(col("cosine") === col("cosine2")).as("cosine_exact_ok"),
         min(col("cosine") <= col("bf_max") + lit(1e-9)).as("within_exact_bounds"),
         sum(when(col("in_bf"), 1L).otherwise(0L)).as("hits"))
-    val all = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perQuery
-      .withColumn("corpus_recall_at_5_ok",
-        sum(col("hits")).over(all) >= sum(col("n_returned")).over(all) * lit(0.5))
+    // corpus-level bound attached via a broadcast equi-join on a literal
+    // key (a global window would drag the frame to one partition and log
+    // WindowExec warnings; the agg side is a single row)
+    val bound = perQuery.agg(
+      (sum(col("hits")) >= sum(col("n_returned")) * lit(0.5))
+        .as("corpus_recall_at_5_ok"))
+    perQuery.withColumn("one", lit(1))
+      .join(broadcast(bound.withColumn("one", lit(1))), Seq("one"))
       .select(col("query_id"), col("n_returned"), col("found_exact_neighbor"),
         col("cosine_exact_ok"), col("within_exact_bounds"),
         col("corpus_recall_at_5_ok"))
@@ -916,11 +918,18 @@ object Queries {
     val schema = Tables.load(ss, dir, "events").schema
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    // file stream source needs a directory: stream the sf dir, glob-filtered
-    // to the events table file
-    val q = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // file stream source needs a directory. The events table is a single
+    // FILE in the driver corpus (stream the sf dir, glob-filtered to it)
+    // but a parquet DIRECTORY in scaled/production layouts (stream it
+    // directly — a glob for the table name would match none of its part
+    // files and silently stream nothing)
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val evFs = evPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val reader = ss.readStream.schema(schema)
+    val src =
+      if (evFs.getFileStatus(evPath).isDirectory) reader.parquet(evPath.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = src
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withColumn("minute", TimeOps.truncMinute(col("ts")))
       .withWatermark("minute", "1 minute")

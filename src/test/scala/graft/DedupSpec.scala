@@ -213,4 +213,31 @@ class DedupSpec extends SparkSpec {
     assert(planAfter5 == planAfter1,
       s"store plan grew with batch count: $planAfter1 -> $planAfter5")
   }
+
+  test("staged incremental dedup: a crashed (uncommitted) segment is never read") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = tmpDir("graft_fp_store_crash")
+
+    val batch1 = Seq((1L, "first doc")).toDF("doc_id", "text")
+    assert(ids(Dedup.dedupeIncrementalStaged(batch1, dir, "text", "doc_id")) == Set(1L))
+
+    // simulate a crash mid-write: a partial segment directory with data
+    // files but NO _SUCCESS marker must be invisible to load/segments and
+    // reclaimed (overwritten) by the next ingest at that index
+    val partial = java.nio.file.Paths.get(dir, "seg_00001")
+    java.nio.file.Files.createDirectories(partial)
+    Seq(("deadbeef", 999L)).toDF("fp", "doc_id")
+      .write.mode("overwrite").parquet(partial.toString)
+    java.nio.file.Files.delete(partial.resolve("_SUCCESS"))
+    assert(Dedup.FingerprintStore.segments(spark, dir).size == 1)
+    assert(Dedup.FingerprintStore.load(spark, dir).count() == 1)
+
+    val batch2 = Seq((2L, "second doc")).toDF("doc_id", "text")
+    assert(ids(Dedup.dedupeIncrementalStaged(batch2, dir, "text", "doc_id")) == Set(2L))
+    // the ghost fingerprint from the dead write is gone, not resurrected
+    val store = Dedup.FingerprintStore.load(spark, dir)
+    assert(store.count() == 2)
+    assert(store.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
