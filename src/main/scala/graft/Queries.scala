@@ -549,14 +549,15 @@ object Queries {
         min(col("cosine") === col("cosine2")).as("cosine_exact_ok"),
         min(col("cosine") <= col("bf_max") + lit(1e-9)).as("within_exact_bounds"),
         sum(when(col("in_bf"), 1L).otherwise(0L)).as("hits"))
-    // corpus-level bound attached via a broadcast equi-join on a literal
-    // key (a global window would drag the frame to one partition and log
-    // WindowExec warnings; the agg side is a single row)
+    // corpus-level bound attached by broadcasting the ONE-ROW global
+    // aggregate against the per-query frame (a broadcast nested-loop with
+    // a single build row — the plan a scalar-subquery attach gets;
+    // sanctioned in PlanDisciplineSpec. A global window would instead
+    // drag the frame to one partition)
     val bound = perQuery.agg(
       (sum(col("hits")) >= sum(col("n_returned")) * lit(0.5))
         .as("corpus_recall_at_5_ok"))
-    perQuery.withColumn("one", lit(1))
-      .join(broadcast(bound.withColumn("one", lit(1))), Seq("one"))
+    perQuery.crossJoin(broadcast(bound))
       .select(col("query_id"), col("n_returned"), col("found_exact_neighbor"),
         col("cosine_exact_ok"), col("within_exact_bounds"),
         col("corpus_recall_at_5_ok"))

@@ -8,9 +8,12 @@ package graft
   */
 class PlanDisciplineSpec extends SparkSpec {
 
-  // q23 brute-force ANN intentionally broadcasts the (small) query set
-  // against the corpus with a non-equi condition — the one sanctioned NLJ.
-  private val nljAllowed = Set("q23_ann_brute_force")
+  // Sanctioned NLJs: q23 brute-force ANN intentionally broadcasts the
+  // (small) query set against the corpus with a non-equi condition; q27's
+  // certification attaches a ONE-ROW global recall bound to the per-query
+  // frame via crossJoin(broadcast(_)) — a single-build-row broadcast NLJ,
+  // the same plan a scalar subquery gets.
+  private val nljAllowed = Set("q23_ann_brute_force", "q27_ann_lsh")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.
