@@ -595,11 +595,18 @@ object Queries {
     try {
       Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 16).save(path)
       val loaded = Similarity.IvfIndex.load(s, path)
-      Similarity.ivfQuery(loaded, queries, "embedding", "vec_id", k = 5, nprobe = 16)
+      val result = Similarity.ivfQuery(loaded, queries, "embedding", "vec_id", k = 5, nprobe = 16)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
-        .localCheckpoint(eager = true)
+      // materialize as a LOCAL relation before deleting the index dir: the
+      // result is k×|queries| rows (bounded small by construction), and a
+      // local relation survives executor loss / block eviction, which a
+      // localCheckpoint of a frame whose source was deleted would not.
+      // Real serving keeps the index on disk and streams ivfQuery results
+      // directly — this collect exists only so the GATE can clean up /tmp.
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.collect().toSeq.asJava, result.schema)
     } finally graft.io.Sinks.truncatePath(s, path)
   }
 

@@ -53,6 +53,21 @@ class JdbcRoundTripSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == rows)
   }
 
+  test("S3: predicates push down into the JDBC scan") {
+    val df = rows.toSeq.toDF("id", "name", "score")
+    new JdbcSink(url, "t_pushdown", props).write(df)
+    val filtered = new JdbcSource(url, "t_pushdown", props).read(spark)
+      .filter(col("id") > 1)
+    // Spark compiles supported predicates into the remote query
+    // (JDBCRelation PushedFilters) — the scan must not fetch the whole
+    // table and filter engine-side
+    val scan = filtered.queryExecution.executedPlan.toString
+    // the * marker means the filter is FULLY handled by the remote side
+    assert(scan.contains("PushedFilters") && scan.contains("*GreaterThan(id,1)"),
+      s"filter not pushed into the JDBC scan:\n$scan")
+    assert(filtered.count() == 2)
+  }
+
   test("K1+K3: checkpointed streaming foreachBatch into the JDBC sink") {
     val src = tmpDir("graft_jdbc_stream_src")
     val ckpt = tmpDir("graft_jdbc_stream_ckpt")

@@ -29,8 +29,15 @@ class PlanDisciplineSpec extends SparkSpec {
     }
   }
 
+  // q47's returned frame is BY DESIGN a bounded local relation (the gate
+  // materializes the k×|queries| result so the temp index dir can be
+  // deleted; the serving-path plan — codegen + partition-pruned probes —
+  // is asserted in SimilaritySpec on Similarity.ivfQuery itself).
+  private val codegenExempt = Set("q47_ann_ivf_saved")
+
   test("every batch query plans with whole-stage codegen somewhere") {
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !skip(name) && !codegenExempt(name)) {
       // execute THIS DataFrame (a write would execute a different query
       // tree) so AQE finalizes stages — codegen wrapping happens per-stage
       val df = fn(spark, sf0001)
