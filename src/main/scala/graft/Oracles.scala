@@ -767,6 +767,106 @@ object Oracles {
     WHERE rk <= CASE WHEN source IN ('src0','src1','src2','src3') THEN 15 ELSE 5 END
     ORDER BY source, rk"""
 
+  /** Connected-component labels — transitive closure via recursive CTE,
+    * feasible at oracle scale (the engine side uses O(log² n)
+    * star-contraction instead; see graft.operators.Cluster). Candidate
+    * edges are q20's, verbatim.
+    */
+  val dupClusters: String = s"""
+    WITH RECURSIVE $minhashCte,
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(concat_ws(',', mh2, mh3)) AS sig FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+    asg AS (
+      SELECT d.doc_id,
+             coalesce(least(l.doc_id, l.mn), d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM asg
+    ORDER BY doc_id"""
+
+  /** Word-trigram fragment (= TextFunctions.wordNgrams(text, 3)). */
+  private val trigrams =
+    s"list_transform(generate_series(1, len($toks) - 2)," +
+      s" i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"
+
+  val decontaminate: String = s"""
+    WITH tg AS (
+      SELECT doc_id, unnest(list_distinct($trigrams)) AS g FROM documents),
+    ev AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0),
+    bad AS (
+      SELECT DISTINCT doc_id FROM tg
+      WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev))
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE doc_id % 97 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id"""
+
+  /** Plant + scrub mirrored from Queries.piiScrub; patterns come from
+    * TextFunctions.PiiPatterns verbatim (RE2 ∩ Java subset), so the two
+    * sides can never drift.
+    */
+  val piiScrub: String = {
+    val patterns = graft.functions.TextFunctions.PiiPatterns
+    val scrub = patterns.foldLeft("tainted") {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    val counts = patterns.zip(Seq("n_urls", "n_emails", "n_nums")).map {
+      case ((p, _), name) =>
+        s"CAST(len(regexp_extract_all(tainted, '$p')) AS BIGINT) AS $name"
+    }
+    s"""
+    WITH t AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or http://example.com/u/',
+                    CAST(doc_id AS VARCHAR), ' tel +1 (555) 010-',
+                    lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS tainted
+      FROM documents)
+    SELECT doc_id,
+           $scrub AS clean_text,
+           ${counts.mkString(",\n           ")}
+    FROM t
+    ORDER BY doc_id"""
+  }
+
+  val vocabulary: String = s"""
+    WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents)
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY tok
+    ORDER BY tf DESC, tok
+    LIMIT 100"""
+
+  /** Per-day stats from the SOURCE table; `single_file` is the layout
+    * bound the engine asserts off the rewritten table's scan (pinned as
+    * literal TRUE here, like q39's sketch bound).
+    */
+  val compactLayout: String = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_rows,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           TRUE AS single_file
+    FROM events
+    GROUP BY 1
+    ORDER BY day"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -826,5 +926,13 @@ object Oracles {
     "q43_cube_orders" -> cubeOrders,
     "q44_running_totals" -> runningTotals,
     "q45_set_ops" -> setOpsCohorts,
-    "q46_pack_sequences" -> packSequences)
+    "q46_pack_sequences" -> packSequences,
+    "q52_dup_clusters" -> dupClusters,
+    "q53_decontaminate" -> decontaminate,
+    "q54_pii_scrub" -> piiScrub,
+    "q55_vocabulary" -> vocabulary,
+    // per-day stats oracle-checked from the source table; single_file is
+    // the in-query layout certification (input_file_name() on the
+    // rewritten table), pinned as literal TRUE
+    "q56_compact_layout" -> compactLayout)
 }

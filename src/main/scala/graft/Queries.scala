@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.model.Vocab
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Cluster, Dedup, Layout, Multimodal, Similarity}
 import graft.ops._
 import graft.pipeline.MoodPipeline
 
@@ -962,5 +962,110 @@ object Queries {
       graft.io.Sinks.truncatePath(s, out)
       graft.io.Sinks.truncatePath(s, ckpt)
     }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Corpus curation (clustering / decontamination / scrubbing / layout)
+  // ------------------------------------------------------------------ //
+
+  /** q52: duplicate-CLUSTER assignment — connected components over the
+    * q20 LSH candidate edges (alternating large-star/small-star,
+    * O(log² n) rounds independent of component diameter — see
+    * [[graft.operators.Cluster]]), every document labeled with its
+    * cluster's minimum doc_id plus the cluster size. Pair emission
+    * (q20) finds who MIGHT be duplicates; this is the step that turns
+    * pairs into the dedup groups a curation pipeline actually keys on.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+    val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q53: train/eval decontamination — the eval split (stand-in: every
+    * 97th document) is a small benchmark suite whose distinct word
+    * 3-grams broadcast to probe the train side in one scan-side
+    * semi-join; any train document sharing a shingle is dropped. See
+    * Dedup.decontaminate for the 100 TB shape.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % 97 === 0
+    Dedup.decontaminate(
+        docs.filter(!isEval), docs.filter(isEval), "text", "doc_id", n = 3)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q54: PII scrubbing — redact URLs / emails / phone-like digit runs
+    * to typed placeholders, counting each class. The synthetic corpus
+    * carries no PII, so the query plants a deterministic contact block
+    * per document first and then provably removes it (the oracle
+    * recomputes both the planting and the scrub) — the operator is
+    * exercised on every row instead of vacuously passing on clean text.
+    * Map-only: three codegen'd regex passes on the ingest scan.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val tainted = concat(col("text"),
+      lit(" contact user"), id,
+      lit("@example.com or http://example.com/u/"), id,
+      lit(" tel +1 (555) 010-"), lpad(id, 4, "0"))
+    val counts = TextFunctions.piiCounts(col("tainted"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tainted.as("tainted"))
+      .select(col("doc_id"),
+        TextFunctions.scrubPii(col("tainted")).as("clean_text"),
+        counts(0).cast("long").as("n_urls"),
+        counts(1).cast("long").as("n_emails"),
+        counts(2).cast("long").as("n_nums"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q55: corpus vocabulary — term and document frequency per token,
+    * top 100 by tf with a deterministic tie-break. Map-side partial
+    * aggregation collapses the exploded tokens before the shuffle, and
+    * the top-k is a TakeOrderedAndProject (per-partition heaps, driver
+    * merges 100 rows) — never a global sort of the vocabulary.
+    */
+  def vocabulary(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(100)
+
+  /** q56: layout compaction audit — rewrite events day-partitioned with
+    * exactly one sorted file per day (see [[graft.operators.Layout]]),
+    * then certify the layout in-query: per-day row counts / event-id
+    * bounds are oracle-checked against the source table, and
+    * `single_file` — read off the rewritten table's scan via
+    * input_file_name() — is the layout bound the oracle pins as
+    * literal TRUE. Collected to a local relation (rows = number of
+    * days) so the gate can clean up the temp dir, like q47.
+    */
+  def compactLayout(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    try {
+      val table = Layout.compactByDay(Tables.events(s, dir), "ts", "event_id", out)
+      val audit = Layout.auditByDay(table, "event_id")
+        .select(col("day").cast("string").as("day"), col("n_rows"),
+          col("min_event_id"), col("max_event_id"),
+          (col("n_files") === 1).as("single_file"))
+        .orderBy(col("day"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(audit.collect().toSeq.asJava, audit.schema)
+    } finally graft.io.Sinks.truncatePath(s, out)
   }
 }

@@ -73,7 +73,12 @@ object SparkEntry {
     // oracle-checked despite the non-SQL implementation path: q28 is
     // bit-equal to q25's declarative variant, q36 is md5-deterministic
     "q28_multimodal_kernel" -> (Queries.multimodalFeaturesKernel _),
-    "q36_dedupe_corpus" -> (Queries.dedupeCorpus _))
+    "q36_dedupe_corpus" -> (Queries.dedupeCorpus _),
+    "q52_dup_clusters" -> (Queries.dupClusters _),
+    "q53_decontaminate" -> (Queries.decontaminate _),
+    "q54_pii_scrub" -> (Queries.piiScrub _),
+    "q55_vocabulary" -> (Queries.vocabulary _),
+    "q56_compact_layout" -> (Queries.compactLayout _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -163,6 +163,30 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "des", "et", "est"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
 
+  /** PII redaction patterns, ordered: URLs first (an email-shaped
+    * userinfo inside a URL must be swallowed by the URL rule, not split
+    * by the email rule), then emails, then phone-ish digit runs (≥ 8
+    * digit/sep chars bounded by digits — long enough to spare ordinary
+    * small numbers). Restricted to the Java-regex ∩ RE2 common subset
+    * (no lookaround, no backrefs) so any engine — and the SQL oracle —
+    * can evaluate the same patterns verbatim.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ \\t\\n]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9][0-9 ()+.-]{6,}[0-9]" -> "<NUM>")
+
+  /** Redact URLs/emails/phone-like digit runs to typed placeholder
+    * tokens. Pure scan-side projection (three codegen'd regex passes,
+    * no shuffle) — at 100 TB this rides the ingest scan for free.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of matches of each PII class, same patterns as [[scrubPii]]. */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
+
   def langId(text: Column, minRatio: Double = 0.02): Column = {
     val toks = tokens(text)
     val langs = LangProfiles.map(_._1)

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph clustering — the finishing step of near-dup
+  * deduplication: LSH/Jaccard emits candidate PAIRS, but a duplicate
+  * GROUP is the connected component those pairs span (a~b, b~c ⇒
+  * {a,b,c} is one cluster even when a~c was never emitted).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+  * in O(log² n) rounds REGARDLESS of component diameter. That is the
+  * property that matters at 100 TB: the naive min-label propagation
+  * loop needs O(diameter) rounds and dies on chain-shaped duplicate
+  * graphs (a₁~a₂~…~aₖ), which template-heavy web corpora produce.
+  * Each round is a constant number of shuffles over the CURRENT edge
+  * set (which only shrinks toward star graphs), and every round's
+  * output is eagerly materialized so the iterative lineage never
+  * stacks.
+  */
+object Cluster {
+
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the smallest node of its neighborhood (including
+    * itself). Edges kept canonical (a < b); the emitted (m, v) pair
+    * needs no reorder since m ≤ u < v.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge from its larger to its
+    * smaller endpoint, then every node connects all its (smaller)
+    * neighbors — and itself — to the smallest of them.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+    val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val nbr = dir.join(m, "u").select(col("m").as("a"), col("v").as("b"))
+    val self = m.select(col("m").as("a"), col("u").as("b"))
+    nbr.unionByName(self)
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Connected components of the undirected graph given by
+    * (`srcCol`, `dstCol`) pairs. Returns one row per node that appears
+    * in `edges` — (node, component), component = the smallest node id
+    * of its component. Nodes with no edges are the caller's to label
+    * (left-join + coalesce to self — see Queries.dupClusters), so the
+    * full vertex set never rides through the iteration.
+    *
+    * Materialization: each round's edge set is localCheckpoint'ed
+    * (eager) — right for a single-machine gate; for a long-running
+    * cluster job pass `stagingDir` to stage rounds as parquet instead
+    * (durable across executor loss, like Dedup.dedupeCorpus's seam).
+    * Convergence is detected exactly (count + except on the
+    * materialized frames — by then the edge set is stars, a sliver of
+    * the input), bounded by `maxRounds` as a safety net at ~2 log₂ n.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 25,
+      stagingDir: Option[String] = None): DataFrame = {
+    val s = edges.sparkSession
+    def materialize(df: DataFrame, round: Int): DataFrame = stagingDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(f"$dir/cc_round_$round%03d")
+        s.read.parquet(f"$dir/cc_round_$round%03d")
+      case None => df.localCheckpoint(true)
+    }
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // one aggregate job per round: count + order-independent checksum
+    // (XOR of row hashes — overflow-free under ANSI, and the frames are
+    // distinct so set and multiset semantics coincide). Only when the
+    // signature repeats do we pay the exact exceptAll confirmation —
+    // i.e. exactly once, at the true fixpoint.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = materialize(canon, 0)
+    var curSig = signature(cur)
+    var converged = curSig._1 == 0L
+    var round = 1
+    while (!converged && round <= maxRounds) {
+      val next = materialize(smallStar(largeStar(cur)), round)
+      val nextSig = signature(next)
+      converged = nextSig == curSig && next.exceptAll(cur).isEmpty
+      cur = next
+      curSig = nextSig
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds")
+    // fixpoint edge set is a union of stars rooted at each component's
+    // minimum: (root=a, child=b)
+    cur.select(col("b").as("node"), col("a").as("component"))
+      .unionByName(cur.select(col("a").as("node"), col("a").as("component")))
+      .distinct()
+  }
+}

@@ -406,6 +406,41 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------- //
+  // Train/eval decontamination
+  // --------------------------------------------------------------------- //
+
+  /** Benchmark decontamination: drop from `train` every document that
+    * shares at least one word `n`-gram with any document of `eval` —
+    * the standard guard against test-set leakage into a training
+    * corpus (the GPT-3/PaLM-style n-gram overlap rule).
+    *
+    * Shape at 100 TB: the eval side is a benchmark suite — thousands
+    * of documents, not billions — so its distinct gram set is
+    * broadcast; the train side is ONE explode feeding a broadcast
+    * left-semi probe (no shuffle of the corpus at all), then the
+    * contaminated-id set (≤ |train| ids) drives a left-anti join. If
+    * the eval suite ever outgrows broadcast range, drop the hint and
+    * the same plan degrades gracefully to a shuffled semi-join on the
+    * gram hash.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  // --------------------------------------------------------------------- //
   // Embedding near-dup
   // --------------------------------------------------------------------- //
 

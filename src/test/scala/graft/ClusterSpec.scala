@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.operators.Cluster
+
+/** Connected components (alternating large-star/small-star) — checked
+  * against a driver-side union-find on hand-shaped and random graphs.
+  * The chain case matters most: it is exactly the shape where naive
+  * min-label propagation needs O(n) rounds and the star algorithm's
+  * O(log² n) bound pays off.
+  */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: every node labeled by its component's minimum
+    val byRoot = parent.keys.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min
+      ns.map(_ -> m)
+    }.toMap
+  }
+
+  test("two components plus a duplicate edge and a reversed edge") {
+    val edges = Seq((3L, 1L), (1L, 3L), (3L, 5L), (10L, 20L), (20L, 10L))
+    assert(run(edges) == Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 20L -> 10L))
+  }
+
+  test("a 60-node chain converges (diameter >> round count)") {
+    val edges = (0L until 59L).map(i => (i + 1, i))
+    val got = run(edges)
+    assert(got.size == 60 && got.values.forall(_ == 0L))
+  }
+
+  test("empty edge set yields empty labels") {
+    assert(run(Seq.empty) == Map.empty)
+  }
+
+  test("random graphs match driver-side union-find (randomized rounds)") {
+    val edgeGen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+    val seed = org.scalacheck.rng.Seed(7L)
+    val datasets = Gen.listOfN(5, edgeGen)
+      .apply(Gen.Parameters.default, seed).getOrElse(Nil)
+    assert(datasets.nonEmpty)
+    datasets.foreach { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      assert(run(real) == unionFind(real))
+    }
+  }
+
+  test("staged variant (parquet rounds) matches the checkpoint variant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 9L))
+    val staged = Cluster.connectedComponents(
+        edges.toDF("s", "d"), "s", "d",
+        stagingDir = Some(tmpDir("graft_cc_stage")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(staged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Layout}
+
+/** Corpus-curation operators: decontamination, PII scrubbing, layout
+  * compaction (including the partition-pruning property the layout
+  * exists to buy).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate drops exactly the train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma"
+      (2L, "epsilon zeta eta theta"),        // clean
+      (3L, "x y alpha beta gamma tail"),     // shares, embedded
+      (4L, "alpha beta X gamma")             // bigram overlap only — stays at n=3
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval, "text", "doc_id", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("decontaminate with an empty eval set keeps everything") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.decontaminate(train, eval, "text", "doc_id").count() == 1)
+  }
+
+  test("scrubPii redacts urls, emails and phone runs; counts match") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or see https://x.io/p?q=1 now"),
+      (2L, "call +1 (555) 010-7788 twice: 555 010 7788"),
+      (3L, "clean text with the number 42 and v2.0 left alone")
+    ).toDF("id", "t")
+    val counts = TextFunctions.piiCounts(col("t"))
+    val got = df.select(col("id"), TextFunctions.scrubPii(col("t")).as("c"),
+        counts(0).as("u"), counts(1).as("e"), counts(2).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) == (("mail me at <EMAIL> or see <URL> now", 1, 1, 0)))
+    assert(got(2L) == (("call +<NUM> twice: <NUM>", 0, 0, 2)))
+    assert(got(3L) == (("clean text with the number 42 and v2.0 left alone", 0, 0, 0)))
+  }
+
+  test("scrubPii swallows an email-shaped userinfo inside a url as one URL") {
+    val got = Seq((1L, "fetch http://user@host.com/path here"))
+      .toDF("id", "t")
+      .select(TextFunctions.scrubPii(col("t"))).head().getString(0)
+    assert(got == "fetch <URL> here")
+  }
+
+  test("compactByDay writes one sorted file per day and prunes on the day key") {
+    val out = tmpDir("graft_layout_spec")
+    // 2 days × interleaved ids across 3 input partitions — the small-file mess
+    val rows = (0L until 60L).map { i =>
+      (i, java.sql.Timestamp.valueOf(s"2024-01-0${1 + (i % 2)} 0${i % 10}:00:00"))
+    }
+    val df = rows.toDF("event_id", "ts").repartition(3)
+    val table = Layout.compactByDay(df, "ts", "event_id", out)
+    val audit = Layout.auditByDay(table, "event_id").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"))).toMap
+    assert(audit == Map("2024-01-01" -> ((30L, 1L)), "2024-01-02" -> ((30L, 1L))))
+
+    // the point of the layout: a day filter prunes to that day's ONE file
+    val pruned = table.filter(col("day") === lit("2024-01-02"))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("day"))
+    pruned.count() // materialize so selectedPartitions is exercised
+    assert(scan.relation.location.inputFiles.length == 2) // table has 2 files total
+    val readFiles = pruned.select(input_file_name()).distinct().collect()
+    assert(readFiles.length == 1) // ...but the day filter reads exactly 1
+
+    // rows inside each file are sorted by event_id (row-group skip fodder)
+    val perFile = table.select(col("event_id"), input_file_name().as("f"))
+      .collect().groupBy(_.getString(1))
+    perFile.values.foreach { rs =>
+      val ids = rs.map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted)
+    }
+  }
+
+  test("compactByDay maxRecordsPerFile rolls a day into bounded sorted files") {
+    val out = tmpDir("graft_layout_split")
+    val rows = (0L until 40L).map { i =>
+      (i, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    }
+    val table = Layout.compactByDay(rows.toDF("event_id", "ts"), "ts", "event_id",
+      out, maxRecordsPerFile = 15L)
+    val audit = Layout.auditByDay(table, "event_id").collect().head
+    assert(audit.getAs[Long]("n_rows") == 40L)
+    assert(audit.getAs[Long]("n_files") == 3L) // ceil(40 / 15)
+    // rolling preserved the within-day sort: file min/max ranges are disjoint
+    val ranges = table.select(col("event_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    })
+  }
+}

@@ -33,7 +33,10 @@ class PlanDisciplineSpec extends SparkSpec {
   // materializes the k×|queries| result so the temp index dir can be
   // deleted; the serving-path plan — codegen + partition-pruned probes —
   // is asserted in SimilaritySpec on Similarity.ivfQuery itself).
-  private val codegenExempt = Set("q47_ann_ivf_saved")
+  // same for q56: the audit is collected (rows = days) so the gate can
+  // delete the rewritten temp table; the layout plan itself is exercised
+  // in CurationSpec (pruning + sorted-roll assertions)
+  private val codegenExempt = Set("q47_ann_ivf_saved", "q56_compact_layout")
 
   test("every batch query plans with whole-stage codegen somewhere") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
