@@ -24,7 +24,11 @@ object Cluster {
   /** One large-star round: every node connects its strictly-larger
     * neighbors to the smallest node of its neighborhood (including
     * itself). Edges kept canonical (a < b); the emitted (m, v) pair
-    * needs no reorder since m ≤ u < v.
+    * needs no reorder since m ≤ u < v. Output is NOT deduped — the
+    * algorithm is insensitive to duplicate edges (min aggregation and
+    * connectivity both are), and the following small-star step ends in
+    * the round's single distinct, so deduping here would only buy an
+    * extra shuffle.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
@@ -36,7 +40,6 @@ object Cluster {
       .filter(col("v") > col("u"))
       .select(col("m").as("a"), col("v").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
   }
 
   /** One small-star round: orient every edge from its larger to its
