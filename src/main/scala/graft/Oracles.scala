@@ -867,6 +867,49 @@ object Oracles {
     GROUP BY 1
     ORDER BY day"""
 
+  /** Latest-wins upsert mirrored from Queries.mergeUpsert: union base +
+    * change batch, row_number per key ordered by (version desc, source
+    * desc — updates beat base on ties), keep rank 1.
+    */
+  val mergeUpsert: String = """
+    WITH updates AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+             user_id, event_type, value * 2 AS value
+      FROM events WHERE user_id % 10 = 0),
+    unioned AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, 0 AS src
+      FROM events
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value, 1 AS src FROM updates),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, src DESC) AS rn
+      FROM unioned)
+    SELECT event_id, ts, user_id, event_type, value
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id"""
+
+  val profileOrders: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val perCol = cols.map { c => s"""
+    SELECT '$c' AS col_name, count($c) AS n,
+           sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_value,
+           CAST(max($c) AS VARCHAR) AS max_value
+    FROM t""" }
+    s"""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             o_orderpriority
+      FROM orders)
+    ${perCol.mkString(" UNION ALL ")}
+    ORDER BY col_name"""
+  }
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -934,5 +977,7 @@ object Oracles {
     // per-day stats oracle-checked from the source table; single_file is
     // the in-query layout certification (input_file_name() on the
     // rewritten table), pinned as literal TRUE
-    "q56_compact_layout" -> compactLayout)
+    "q56_compact_layout" -> compactLayout,
+    "q57_merge_upsert" -> mergeUpsert,
+    "q58_profile_orders" -> profileOrders)
 }

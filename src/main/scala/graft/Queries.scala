@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.model.Vocab
-import graft.operators.{Cluster, Dedup, Layout, Multimodal, Similarity}
+import graft.operators.{Cluster, Dedup, Layout, Merge, Multimodal, Profile, Similarity}
 import graft.ops._
 import graft.pipeline.MoodPipeline
 
@@ -1067,5 +1067,37 @@ object Queries {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(audit.collect().toSeq.asJava, audit.schema)
     } finally graft.io.Sinks.truncatePath(s, out)
+  }
+
+  /** q57: CDC merge — a deterministic change batch (every tenth user's
+    * events arrive again an hour later with a doubled value) upserted
+    * into the events snapshot, latest version per event_id winning.
+    * The full merged table is dumped: updated keys must carry the new
+    * row, untouched keys must survive exactly once. See
+    * [[graft.operators.Merge]] for the 100 TB shape.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val updates = ev.filter(col("user_id") % 10 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("value", col("value") * 2)
+    Merge.upsertLatest(ev, updates, Seq("event_id"), "ts")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q58: table profile — per-column non-null/null/distinct counts and
+    * min/max over orders, in ONE aggregate pass (see
+    * [[graft.operators.Profile]]). o_totalprice is pre-cast to
+    * DECIMAL(18,2) so min/max render identically in every engine
+    * (double→string formatting diverges above 1e7).
+    */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val o = Tables.orders(s, dir)
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+    Profile.profile(o, cols).orderBy(col("col_name"))
   }
 }

@@ -78,7 +78,9 @@ object SparkEntry {
     "q53_decontaminate" -> (Queries.decontaminate _),
     "q54_pii_scrub" -> (Queries.piiScrub _),
     "q55_vocabulary" -> (Queries.vocabulary _),
-    "q56_compact_layout" -> (Queries.compactLayout _))
+    "q56_compact_layout" -> (Queries.compactLayout _),
+    "q57_merge_upsert" -> (Queries.mergeUpsert _),
+    "q58_profile_orders" -> (Queries.profileOrders _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge (CDC upsert) — the operator that keeps a 100 TB curated
+  * table current: a base snapshot plus a (much smaller) batch of
+  * changed rows, latest version per key wins. The classic
+  * copy-on-write merge a lakehouse table format performs on write,
+  * expressed as a plain dataflow so it composes with the rest of the
+  * engine.
+  */
+object Merge {
+
+  /** Latest-wins upsert of `updates` into `base`: one row per key,
+    * ordered by `versionCol` descending with `updates` beating `base`
+    * on exact ties (the CDC convention — a correction that does not
+    * advance the version must still apply). Schemas must match by
+    * name.
+    *
+    * Shape: union → one shuffle on the key → per-key top-1 via
+    * row_number (partial ordering inside the shuffle's sort, no global
+    * sort). At 100 TB the base side dominates; if the base table is
+    * bucketed by the key, the union's shuffle degrades to the updates
+    * side only. Deletes compose as an anti-join before calling this
+    * (tombstones are a filter, not a merge concern).
+    */
+  def upsertLatest(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val unioned = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+}

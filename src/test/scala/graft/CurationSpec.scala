@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Layout}
+import graft.operators.{Dedup, Layout, Merge, Profile}
 
 /** Corpus-curation operators: decontamination, PII scrubbing, layout
   * compaction (including the partition-pruning property the layout
@@ -86,6 +86,55 @@ class CurationSpec extends SparkSpec {
       val ids = rs.map(_.getLong(0)).toSeq
       assert(ids == ids.sorted)
     }
+  }
+
+  test("upsertLatest: latest version wins, updates beat base on ties, inserts land") {
+    val base = Seq(
+      (1L, 10L, "a"),  // will be updated by a newer version
+      (2L, 10L, "b"),  // tied version — update must win
+      (3L, 10L, "c")   // untouched
+    ).toDF("k", "v", "payload")
+    val updates = Seq(
+      (1L, 20L, "a2"),
+      (2L, 10L, "b2"),
+      (4L, 5L, "d")    // pure insert
+    ).toDF("k", "v", "payload")
+    val got = Merge.upsertLatest(base, updates, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(1L -> ((20L, "a2")), 2L -> ((10L, "b2")),
+      3L -> ((10L, "c")), 4L -> ((5L, "d"))))
+  }
+
+  test("upsertLatest keeps exactly one row per key under repeated updates") {
+    val base = Seq((1L, 0L, "x")).toDF("k", "v", "payload")
+    val updates = Seq((1L, 1L, "u1"), (1L, 2L, "u2"), (1L, 3L, "u3"))
+      .toDF("k", "v", "payload")
+    val got = Merge.upsertLatest(base, updates, Seq("k"), "v").collect()
+    assert(got.length == 1 && got.head.getString(2) == "u3")
+  }
+
+  test("profile: one pass yields per-column null/distinct/min/max") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
+      (None, Some("x"))
+    ).toDF("num", "s")
+    val got = Profile.profile(df, Seq("num", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("num") == ((3L, 1L, 2L, "1", "2")))
+    assert(got("s") == ((3L, 1L, 2L, "x", "y")))
+  }
+
+  test("profile approx variant agrees on small cardinalities") {
+    val df = (1L to 50L).map(i => (i % 7, s"v${i % 5}")).toDF("a", "b")
+    val exact = Profile.profile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.profile(df, Seq("a", "b"), exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact == Map("a" -> 7L, "b" -> 5L))
+    // HLL at tiny cardinalities is exact in practice; allow ±1 to stay honest
+    approx.foreach { case (c, n) => assert(math.abs(n - exact(c)) <= 1) }
   }
 
   test("compactByDay maxRecordsPerFile rolls a day into bounded sorted files") {
