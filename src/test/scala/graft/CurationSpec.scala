@@ -137,6 +137,27 @@ class CurationSpec extends SparkSpec {
     approx.foreach { case (c, n) => assert(math.abs(n - exact(c)) <= 1) }
   }
 
+  test("decontaminate probes eval grams via a broadcast semi-join (no corpus shuffle)") {
+    val train = (1L to 200L).map(i => (i, s"tok$i a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((900L, "a b c")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(train, eval, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi gram probe:\n$plan")
+  }
+
+  test("upsertLatest plan shuffles once, on the key") {
+    val base = (1L to 100L).map(i => (i, i, s"p$i")).toDF("k", "v", "payload")
+    val updates = Seq((1L, 200L, "u")).toDF("k", "v", "payload")
+    val plan = Merge.upsertLatest(base, updates, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    // union is shuffle-free; the window's hashpartitioning(k) must be the
+    // plan's ONLY exchange
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("hashpartitioning(k"),
+      s"expected exactly one key-partitioned exchange:\n$plan")
+  }
+
   test("compactByDay maxRecordsPerFile rolls a day into bounded sorted files") {
     val out = tmpDir("graft_layout_split")
     val rows = (0L until 40L).map { i =>
