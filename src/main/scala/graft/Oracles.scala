@@ -910,6 +910,24 @@ object Oracles {
     ORDER BY col_name"""
   }
 
+  /** Unsalted equivalents of the skew-salted q59/q60 — salting must be
+    * invisible in the results.
+    */
+  val saltedJoinQty: String = """
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  val saltedAggValues: String = """
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -979,5 +997,9 @@ object Oracles {
     // rewritten table), pinned as literal TRUE
     "q56_compact_layout" -> compactLayout,
     "q57_merge_upsert" -> mergeUpsert,
-    "q58_profile_orders" -> profileOrders)
+    "q58_profile_orders" -> profileOrders,
+    // oracles are the UNSALTED equivalents: salting is a physical
+    // rewrite and must not change results
+    "q59_salted_join" -> saltedJoinQty,
+    "q60_salted_agg" -> saltedAggValues)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.model.Vocab
-import graft.operators.{Cluster, Dedup, Layout, Merge, Multimodal, Profile, Similarity}
+import graft.operators.{Cluster, Dedup, Layout, Merge, Multimodal, Profile, Similarity, Skew}
 import graft.ops._
 import graft.pipeline.MoodPipeline
 
@@ -1099,5 +1099,38 @@ object Queries {
     val o = Tables.orders(s, dir)
       .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
     Profile.profile(o, cols).orderBy(col("col_name"))
+  }
+
+  /** q59: skew-salted join — lineitem sprayed across 8 salts, orders
+    * salt-replicated, joined on (key, salt) and aggregated per
+    * priority. The oracle is the UNSALTED join: salting must be
+    * invisible in the result. See [[graft.operators.Skew]] for when
+    * salting beats AQE's skew-join (shuffled-hash joins, groupBy skew,
+    * streaming micro-batches).
+    */
+  def saltedJoinQty(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    Skew.saltedJoin(li, o, "k", salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q60: skew-salted aggregation — two-phase sum/count of event values
+    * split across 8 salted reducers per key, final-merged per key.
+    * Values ride as DECIMAL so the partial/final summation is exact and
+    * the unsalted oracle matches bit-for-bit at any parallelism.
+    */
+  def saltedAggValues(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("v", col("value").cast("decimal(27,6)"))
+    Skew.saltedSumCount(ev, "event_type", "v", salt = 8)
+      .select(col("event_type"),
+        col("sum_v").cast("double").as("sum_value"), col("n"))
+      .orderBy(col("event_type"))
   }
 }

@@ -80,7 +80,9 @@ object SparkEntry {
     "q55_vocabulary" -> (Queries.vocabulary _),
     "q56_compact_layout" -> (Queries.compactLayout _),
     "q57_merge_upsert" -> (Queries.mergeUpsert _),
-    "q58_profile_orders" -> (Queries.profileOrders _))
+    "q58_profile_orders" -> (Queries.profileOrders _),
+    "q59_salted_join" -> (Queries.saltedJoinQty _),
+    "q60_salted_agg" -> (Queries.saltedAggValues _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
