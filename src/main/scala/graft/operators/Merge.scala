@@ -21,10 +21,14 @@ object Merge {
     *
     * Shape: union → one shuffle on the key → per-key top-1 via
     * row_number (partial ordering inside the shuffle's sort, no global
-    * sort). At 100 TB the base side dominates; if the base table is
-    * bucketed by the key, the union's shuffle degrades to the updates
-    * side only. Deletes compose as an anti-join before calling this
-    * (tombstones are a filter, not a merge concern).
+    * sort). Spark 4 plans the rn=1 filter as WindowGroupLimit on BOTH
+    * sides of the exchange — each map task keeps only its local top-1
+    * per key before shuffling, so a key updated many times ships one
+    * row, not its history (plan-asserted: exactly one key-partitioned
+    * Exchange). At 100 TB the base side dominates; if the base table
+    * is bucketed by the key, the union's shuffle degrades to the
+    * updates side only. Deletes compose as an anti-join before calling
+    * this (tombstones are a filter, not a merge concern).
     */
   def upsertLatest(
       base: DataFrame,
