@@ -928,6 +928,32 @@ object Oracles {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Global latest-wins replay of q61's three CDC batches — sequential
+    * application through the upsert sink must agree with the one-shot
+    * merge (versions are monotone per key across the batches, so both
+    * resolve to the same rows).
+    */
+  val cdcApply: String = """
+    WITH u AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, 0 AS src
+      FROM events
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR, user_id,
+             event_type, value * 2, 1
+      FROM events WHERE user_id % 10 = 0
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR, user_id,
+             event_type, value * 3, 2
+      FROM events WHERE user_id % 100 = 0),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, src DESC) AS rn
+      FROM u)
+    SELECT event_id, ts, user_id, event_type, value
+    FROM r WHERE rn = 1
+    ORDER BY event_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1001,5 +1027,6 @@ object Oracles {
     // oracles are the UNSALTED equivalents: salting is a physical
     // rewrite and must not change results
     "q59_salted_join" -> saltedJoinQty,
-    "q60_salted_agg" -> saltedAggValues)
+    "q60_salted_agg" -> saltedAggValues,
+    "q61_cdc_apply" -> cdcApply)
 }

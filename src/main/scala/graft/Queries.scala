@@ -1133,4 +1133,33 @@ object Queries {
         col("sum_v").cast("double").as("sum_value"), col("n"))
       .orderBy(col("event_type"))
   }
+
+  /** q61: CDC apply through the versioned upsert sink — three
+    * deterministic change batches (snapshot; every 10th user an hour
+    * later at 2× value; every 100th user two hours later at 3×)
+    * applied sequentially via [[graft.streaming.ParquetUpsertTable]]
+    * (version dirs + marker commits + GC all exercised), final table
+    * dumped. The oracle replays the same three batches as one
+    * latest-wins window — sequential sink application and global
+    * merge must agree.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_tbl").toString
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val table = new graft.streaming.ParquetUpsertTable(
+        s, tableDir, Seq("event_id"), "ts")
+      table.applyBatch(ev, 0)
+      table.applyBatch(ev.filter(col("user_id") % 10 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("value", col("value") * 2), 1)
+      table.applyBatch(ev.filter(col("user_id") % 100 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 HOUR"))
+        .withColumn("value", col("value") * 3), 2)
+      table.snapshot().get.orderBy(col("event_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, tableDir)
+  }
 }
