@@ -834,7 +834,7 @@ object Oracles {
     s"""
     WITH t AS (
       SELECT doc_id,
-             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+             concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR),
                     '@example.com or http://example.com/u/',
                     CAST(doc_id AS VARCHAR), ' tel +1 (555) 010-',
                     lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS tainted

@@ -1017,7 +1017,10 @@ object Queries {
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
-    val tainted = concat(col("text"),
+    // coalesce: Spark's concat is null-on-any-null while DuckDB's
+    // ignores nulls — pin a null text to '' on BOTH sides so the
+    // engines cannot diverge if the corpus ever carries one
+    val tainted = concat(coalesce(col("text"), lit("")),
       lit(" contact user"), id,
       lit("@example.com or http://example.com/u/"), id,
       lit(" tel +1 (555) 010-"), lpad(id, 4, "0"))
