@@ -85,11 +85,22 @@ object Cluster {
         s.read.parquet(f"$dir/cc_round_$round%03d")
       case None => df.localCheckpoint(true)
     }
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
+    val raw = edges.select(
+      least(col(srcCol), col(dstCol)).as("a"),
+      greatest(col(srcCol), col(dstCol)).as("b"))
+    val canon = raw
       .filter(col("a") =!= col("b"))
       .distinct()
+    // self-loops carry no connectivity but their node DID appear in
+    // `edges` — honor the contract by emitting it as a singleton
+    // (unless a real edge also covers the node, which would label it
+    // twice) rather than silently dropping it with the loop edge
+    val connectedNodes = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+    val selfLoopSingletons = raw.filter(col("a") === col("b"))
+      .select(col("a").as("node")).distinct()
+      .join(connectedNodes, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
     // one aggregate job per round: count + order-independent checksum
     // (XOR of row hashes — overflow-free under ANSI, and the frames are
     // distinct so set and multiset semantics coincide). Only when the
@@ -118,6 +129,7 @@ object Cluster {
     // minimum: (root=a, child=b)
     cur.select(col("b").as("node"), col("a").as("component"))
       .unionByName(cur.select(col("a").as("node"), col("a").as("component")))
+      .unionByName(selfLoopSingletons)
       .distinct()
   }
 }

@@ -35,10 +35,21 @@ object Merge {
       updates: DataFrame,
       keyCols: Seq[String],
       versionCol: String): DataFrame = {
+    require(!base.columns.exists(c => c == "__src" || c == "__rn"),
+      "upsertLatest reserves __src/__rn as working columns")
     val unioned = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
+    // full deterministic order: after (version, source), ties — two
+    // change rows for one key at the SAME version in one batch — are
+    // broken by the remaining columns, so a replayed batch reproduces
+    // the identical winner (UpsertSink's exactly-once rewrite depends
+    // on this; a bare (version, src) order left the survivor to
+    // shuffle arrival order)
+    val tieCols = base.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == versionCol)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy((col(versionCol).desc +: col("__src").desc +:
+        tieCols.map(col(_).desc)): _*)
     unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

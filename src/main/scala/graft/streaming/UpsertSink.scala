@@ -10,14 +10,16 @@ import graft.operators.Merge
   * keyed parquet table (copy-on-write, like a lakehouse MERGE without
   * the format dependency).
   *
-  * Layout: `dir/v_<batchId>` immutable version directories plus a tiny
-  * `_LATEST` marker naming the committed version. A reader always
-  * resolves the marker first, so it never sees a half-written version;
-  * a crash between version write and marker commit leaves the marker
-  * on the previous version and the replayed batch overwrites the
-  * partial directory (exactly-once table state from at-least-once
-  * batch delivery — the same idempotence contract Structured
-  * Streaming's foreachBatch asks of a sink).
+  * Layout: immutable `dir/v_<batchId>` version directories; a version
+  * is COMMITTED iff its `_SUCCESS` marker exists (the same gating as
+  * Dedup.FingerprintStore), and the table state is the newest
+  * committed version. The parquet job committer makes `_SUCCESS` the
+  * last file to appear, so there is no separate pointer to repoint and
+  * no window where a reader can resolve a half-written table: a crash
+  * mid-write leaves a markerless directory that no reader sees and
+  * that the replayed batch's overwrite reclaims (exactly-once table
+  * state from at-least-once batch delivery — the idempotence contract
+  * Structured Streaming's foreachBatch asks of a sink).
   *
   * Scale note: copy-on-write rewrites the full table per batch — right
   * for dimension-sized keyed tables (the reference's mood summary, a
@@ -31,38 +33,41 @@ class ParquetUpsertTable(
     keyCols: Seq[String],
     versionCol: String,
     keepVersions: Int = 2) {
-  require(keepVersions >= 1, "keepVersions must be >= 1")
+  // >= 2: a concurrent reader that resolved the previous version must
+  // still find its files after the next commit's GC (the handoff
+  // guarantee in applyBatch's doc); 1 would delete the version a lazy
+  // snapshot() frame is still scanning
+  require(keepVersions >= 2, "keepVersions must be >= 2")
 
   private val root = new Path(dir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def marker = new Path(root, "_LATEST")
 
-  /** Name of the committed version (e.g. "v_00000000000000000003"). */
-  def latestVersion: Option[String] =
-    if (!fs.exists(marker)) None
-    else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fs.open(marker), java.nio.charset.StandardCharsets.UTF_8))
-      try Option(in.readLine()).map(_.trim).filter(_.nonEmpty)
-      finally in.close()
-    }
+  /** Committed version names (dirs whose `_SUCCESS` exists), oldest first. */
+  def committedVersions: Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).sorted
+
+  /** Name of the newest committed version (e.g. "v_00000000000000000003"). */
+  def latestVersion: Option[String] = committedVersions.lastOption
 
   /** The committed table state; None before the first commit. */
   def snapshot(): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(new Path(root, v).toString))
 
   /** Merge one micro-batch of change rows (latest-wins per key, see
-    * Merge.upsertLatest) into a NEW version directory, then atomically
-    * repoint `_LATEST`. Old versions beyond `keepVersions` are removed
-    * AFTER the commit, so a concurrent reader holding the previous
-    * marker value still finds its files during the handoff window.
+    * Merge.upsertLatest) into a NEW version directory; the directory's
+    * `_SUCCESS` marker IS the commit. Versions beyond `keepVersions`
+    * are removed AFTER the commit, so a concurrent reader holding the
+    * previous version still finds its files during the handoff window.
     */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val version = f"v_$batchId%020d"
-    // versions commit in batch order, so a marker at or past this id
-    // means the batch's changes are already folded into the table —
-    // skip the rewrite instead of regressing the marker (at-least-once
-    // replay after a checkpoint/table race)
+    // versions commit in batch order, so a committed version at or past
+    // this id means the batch's changes are already folded into the
+    // table — skip (at-least-once replay after a checkpoint/table race)
     if (latestVersion.exists(_ >= version)) return
     val target = new Path(root, version)
     val merged = snapshot() match {
@@ -72,14 +77,10 @@ class ParquetUpsertTable(
           batch.schema), batch, keyCols, versionCol)
     }
     // reads the PREVIOUS version dir while writing the new one — never
-    // the same files, so the lazy merge plan is safe to execute here
+    // the same files, so the lazy merge plan is safe to execute here;
+    // overwrite reclaims a partial directory left by a crashed attempt
     merged.write.mode("overwrite").parquet(target.toString)
-    val out = fs.create(marker, true)
-    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val stale = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
-      .map(_.getPath.getName).sorted.dropRight(keepVersions)
+    val stale = committedVersions.dropRight(keepVersions)
       .filter(_ < version) // never GC a replayed-future version
     stale.foreach(v => fs.delete(new Path(root, v), true): Unit)
   }

@@ -72,6 +72,16 @@ class ClusterSpec extends SparkSpec {
         edges.toDF("s", "d"), "s", "d",
         stagingDir = Some(tmpDir("graft_cc_stage")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(staged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // 9's only edge is a self-loop: still labeled (as a singleton)
+    assert(staged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L))
+  }
+
+  test("a node with both a self-loop and a real edge is labeled exactly once") {
+    val got = Cluster.connectedComponents(
+      Seq((5L, 5L), (3L, 5L)).toDF("s", "d"), "s", "d").collect()
+    assert(got.length == 2)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(3L -> 3L, 5L -> 3L))
   }
 }
