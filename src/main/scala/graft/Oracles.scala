@@ -893,12 +893,21 @@ object Oracles {
   val profileOrders: String = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderpriority")
+    // same canonicalization as Profile.canonicalNumber, generated from
+    // the SHARED pattern constant (q54's fold-generated discipline), so
+    // Spark and the oracle can never disagree on how a DECIMAL min/max
+    // renders — DuckDB versions differ on trailing fractional zeros
+    def canon(x: String): String =
+      s"CASE WHEN regexp_matches($x, " +
+        s"'${graft.operators.Profile.TrailingZeroDecimal}') " +
+        s"THEN regexp_replace(regexp_replace($x, '0+$$', '', 'g'), " +
+        s"'\\.$$', '', 'g') ELSE $x END"
     val perCol = cols.map { c => s"""
     SELECT '$c' AS col_name, count($c) AS n,
            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
            count(DISTINCT $c) AS n_distinct,
-           CAST(min($c) AS VARCHAR) AS min_value,
-           CAST(max($c) AS VARCHAR) AS max_value
+           ${canon(s"CAST(min($c) AS VARCHAR)")} AS min_value,
+           ${canon(s"CAST(max($c) AS VARCHAR)")} AS max_value
     FROM t""" }
     s"""
     WITH t AS (

@@ -35,7 +35,7 @@ object Merge {
       updates: DataFrame,
       keyCols: Seq[String],
       versionCol: String): DataFrame = {
-    require(!base.columns.exists(c => c == "__src" || c == "__rn"),
+    require(!(base.columns ++ updates.columns).exists(c => c == "__src" || c == "__rn"),
       "upsertLatest reserves __src/__rn as working columns")
     val unioned = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
@@ -44,12 +44,19 @@ object Merge {
     // broken by the remaining columns, so a replayed batch reproduces
     // the identical winner (UpsertSink's exactly-once rewrite depends
     // on this; a bare (version, src) order left the survivor to
-    // shuffle arrival order)
-    val tieCols = base.columns.toSeq
-      .filterNot(c => keyCols.contains(c) || c == versionCol)
+    // shuffle arrival order). Non-orderable columns (MapType payloads)
+    // can't sit in an ORDER BY — stand in a content hash of their JSON
+    // rendering, which preserves the replay-determinism guarantee
+    // (equal content → equal rank either way).
+    val tieExprs = base.schema.fields.toSeq
+      .filterNot(f => keyCols.contains(f.name) || f.name == versionCol)
+      .map { f =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+          col(f.name).desc
+        else xxhash64(to_json(struct(col(f.name)))).desc
+      }
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col(versionCol).desc +: col("__src").desc +:
-        tieCols.map(col(_).desc)): _*)
+      .orderBy((col(versionCol).desc +: col("__src").desc +: tieExprs): _*)
     unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

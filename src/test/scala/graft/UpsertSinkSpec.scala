@@ -87,14 +87,41 @@ class UpsertSinkSpec extends SparkSpec {
     assert(winners.distinct == Seq(Seq("y"))) // ties break by remaining cols desc
   }
 
+  test("non-orderable (map) payload columns merge; reserved names rejected both sides") {
+    import graft.operators.Merge
+    // MapType can't appear in an ORDER BY — the tie-break must hash it
+    val base = Seq((1L, 1L, Map("a" -> 1))).toDF("k", "v", "m")
+    val updates = Seq((1L, 2L, Map("a" -> 2)), (2L, 1L, Map("b" -> 3)))
+      .toDF("k", "v", "m")
+    val out = Merge.upsertLatest(base, updates, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Int](2).toMap).toMap
+    assert(out == Map(1L -> Map("a" -> 2), 2L -> Map("b" -> 3)))
+    // an updates frame smuggling a reserved working column fails fast
+    // with the require message, not an opaque union/window error
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsertLatest(base,
+        updates.withColumn("__rn", org.apache.spark.sql.functions.lit(1)), Seq("k"), "v")
+    }
+    assert(ex.getMessage.contains("__src/__rn"))
+  }
+
   test("old versions are GC'd beyond keepVersions; in-batch dup keys collapse") {
     val dir = tmpDir("graft_upsert_gc")
-    val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v", keepVersions = 1)
+    // keepVersions floor is 2 (a concurrent reader of the previous
+    // version must survive the next commit's GC), so GC is observed at
+    // the THIRD commit: v_0 goes, the two newest stay
+    val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v", keepVersions = 2)
+    intercept[IllegalArgumentException] {
+      new ParquetUpsertTable(spark, dir, Seq("k"), "v", keepVersions = 1)
+    }
     table.applyBatch(Seq((1L, 1L, "x"), (1L, 9L, "y")).toDF("k", "v", "p"), 0)
     table.applyBatch(Seq((2L, 1L, "z")).toDF("k", "v", "p"), 1)
-    assert(state(table) == Map(1L -> ((9L, "y")), 2L -> ((1L, "z"))))
+    table.applyBatch(Seq((3L, 1L, "w")).toDF("k", "v", "p"), 2)
+    assert(state(table) == Map(1L -> ((9L, "y")), 2L -> ((1L, "z")),
+      3L -> ((1L, "w"))))
     val vdirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v_")).map(_.getName)
-    assert(vdirs.toSeq == Seq("v_00000000000000000001"))
+    assert(vdirs.toSeq.sorted ==
+      Seq("v_00000000000000000001", "v_00000000000000000002"))
   }
 }
