@@ -963,6 +963,44 @@ object Oracles {
     FROM r WHERE rn = 1
     ORDER BY event_id"""
 
+  /** Global latest-wins replay of q62's updates AND deletes as ONE
+    * window — a tombstone (del=1) wins its key unless a HIGHER-versioned
+    * change exists (ties go to the delete), and a deleted winner is
+    * filtered from the output. Sequential application through the
+    * tombstone-persisting upsert sink must agree with this global
+    * replay; observable rank-1 rows are tie-free by construction (the
+    * only same-version collisions, +1h updates for users divisible by
+    * 70, sit beneath their +2h tombstone).
+    */
+  val cdcDeletes: String = """
+    WITH u AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, 0 AS del
+      FROM events
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR, user_id,
+             event_type, value * 2, 0
+      FROM events WHERE user_id % 10 = 0
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR, NULL,
+             NULL, NULL, 1
+      FROM events WHERE user_id % 7 = 0
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR, user_id,
+             event_type, value * 4, 0
+      FROM events WHERE user_id % 14 = 0
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR, user_id,
+             event_type, value * 3, 0
+      FROM events WHERE user_id % 21 = 0),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, del DESC) AS rn
+      FROM u)
+    SELECT event_id, ts, user_id, event_type, value
+    FROM r WHERE rn = 1 AND del = 0
+    ORDER BY event_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1037,5 +1075,6 @@ object Oracles {
     // rewrite and must not change results
     "q59_salted_join" -> saltedJoinQty,
     "q60_salted_agg" -> saltedAggValues,
-    "q61_cdc_apply" -> cdcApply)
+    "q61_cdc_apply" -> cdcApply,
+    "q62_cdc_deletes" -> cdcDeletes)
 }

@@ -1165,4 +1165,44 @@ object Queries {
         .localCheckpoint(true)
     } finally graft.io.Sinks.truncatePath(s, tableDir)
   }
+
+  /** q62: CDC apply WITH tombstones — batch 1 updates every 10th user
+    * (+1h, 2×) and deletes every 7th user's events at ts+2h; batch 2
+    * replays a LATE lower-versioned update (+1h, 4×) for every 14th
+    * user — already tombstoned at +2h, so it must NOT resurrect — and a
+    * higher-versioned one (+3h, 3×) for every 21st user, which beats
+    * its tombstone and does. The oracle replays all changes as ONE
+    * latest-wins window: persisted tombstones are exactly what makes
+    * sequential sink application agree with the global replay (see
+    * [[graft.operators.Merge.applyChanges]]).
+    */
+  def cdcDeletes(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_del").toString
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val table = new graft.streaming.ParquetUpsertTable(
+        s, tableDir, Seq("event_id"), "ts")
+      table.applyBatch(ev, 0)
+      table.applyChanges(
+        ev.filter(col("user_id") % 10 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") * 2),
+        ev.filter(col("user_id") % 7 === 0)
+          .select(col("event_id"),
+            (col("ts") + expr("INTERVAL 2 HOUR")).as("ts")),
+        1)
+      table.applyBatch(
+        ev.filter(col("user_id") % 14 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") * 4)
+          .unionByName(ev.filter(col("user_id") % 21 === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 3 HOUR"))
+            .withColumn("value", col("value") * 3)),
+        2)
+      table.snapshot().get.orderBy(col("event_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, tableDir)
+  }
 }

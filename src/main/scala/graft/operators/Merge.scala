@@ -4,14 +4,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Keyed merge (CDC upsert) — the operator that keeps a 100 TB curated
-  * table current: a base snapshot plus a (much smaller) batch of
-  * changed rows, latest version per key wins. The classic
-  * copy-on-write merge a lakehouse table format performs on write,
-  * expressed as a plain dataflow so it composes with the rest of the
-  * engine.
+/** Keyed merge (CDC upsert/delete) — the operator that keeps a 100 TB
+  * curated table current: a base snapshot plus a (much smaller) batch
+  * of changed rows and tombstones, latest version per key wins. The
+  * classic copy-on-write merge a lakehouse table format performs on
+  * write, expressed as a plain dataflow so it composes with the rest
+  * of the engine.
   */
 object Merge {
+
+  /** Column name a tombstone-keeping merge carries on its output (and
+    * accepts on its base): true marks a key whose latest change is a
+    * delete. Persisting the flag is what makes sequential batch
+    * application equal a single global latest-wins replay — a table
+    * that physically dropped the row would let a LATER-arriving but
+    * LOWER-versioned update resurrect the key.
+    */
+  val TombstoneCol = "__tombstone"
 
   /** Latest-wins upsert of `updates` into `base`: one row per key,
     * ordered by `versionCol` descending with `updates` beating `base`
@@ -27,28 +36,75 @@ object Merge {
     * row, not its history (plan-asserted: exactly one key-partitioned
     * Exchange). At 100 TB the base side dominates; if the base table
     * is bucketed by the key, the union's shuffle degrades to the
-    * updates side only. Deletes compose as an anti-join before calling
-    * this (tombstones are a filter, not a merge concern).
+    * updates side only. Deletes ride [[applyChanges]]' tombstone path.
     */
   def upsertLatest(
       base: DataFrame,
       updates: DataFrame,
       keyCols: Seq[String],
-      versionCol: String): DataFrame = {
-    require(!(base.columns ++ updates.columns).exists(c => c == "__src" || c == "__rn"),
-      "upsertLatest reserves __src/__rn as working columns")
-    val unioned = base.withColumn("__src", lit(0))
-      .unionByName(updates.withColumn("__src", lit(1)))
-    // full deterministic order: after (version, source), ties — two
-    // change rows for one key at the SAME version in one batch — are
-    // broken by the remaining columns, so a replayed batch reproduces
-    // the identical winner (UpsertSink's exactly-once rewrite depends
-    // on this; a bare (version, src) order left the survivor to
-    // shuffle arrival order). Non-orderable columns (MapType payloads)
-    // can't sit in an ORDER BY — stand in a content hash of their JSON
-    // rendering, which preserves the replay-determinism guarantee
-    // (equal content → equal rank either way).
-    val tieExprs = base.schema.fields.toSeq
+      versionCol: String): DataFrame =
+    // the empty-deletes union child is pruned by the optimizer
+    // (limit-0 → empty LocalRelation → PropagateEmptyRelation), so the
+    // physical plan is identical to a two-way merge
+    applyChanges(base, updates,
+      base.limit(0).select((keyCols :+ versionCol).map(col): _*),
+      keyCols, versionCol)
+
+  /** Latest-wins merge of `updates` AND `deletes` into `base`. A
+    * delete is (key, version) — it wins the key iff no update/base row
+    * carries a higher version, beating data rows on exact version ties
+    * (a retraction issued at the version it retracts must apply).
+    *
+    * `deletes` carries exactly `keyCols :+ versionCol`. With
+    * `keepTombstones = true` the winner rows INCLUDE deleted keys,
+    * flagged by [[TombstoneCol]] (payload columns null) — the form a
+    * versioned table persists so late lower-versioned changes cannot
+    * resurrect a deleted key (see [[graft.streaming.ParquetUpsertTable]]);
+    * `base` may itself carry the flag from a previous merge. With
+    * `keepTombstones = false` (default) deleted keys are dropped from
+    * the output. Tombstones accumulate one row per deleted key; at
+    * 100 TB, purge those older than the pipeline's max change lateness
+    * during periodic compaction (they are a filter, not a merge cost —
+    * one boolean column through the same single shuffle).
+    */
+  def applyChanges(
+      base: DataFrame,
+      updates: DataFrame,
+      deletes: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      keepTombstones: Boolean = false): DataFrame = {
+    require(!(base.columns ++ updates.columns ++ deletes.columns)
+      .exists(c => c == "__src" || c == "__rn"),
+      "applyChanges reserves __src/__rn as working columns")
+    require(!updates.columns.contains(TombstoneCol) &&
+      !deletes.columns.contains(TombstoneCol),
+      s"$TombstoneCol is engine-managed; only base may carry it")
+    val b0 =
+      if (base.columns.contains(TombstoneCol)) base
+      else base.withColumn(TombstoneCol, lit(false))
+    val dataFields = b0.schema.fields.filterNot(_.name == TombstoneCol).toSeq
+    // pad tombstones to the table schema: key + version carried,
+    // payload columns null — they never surface unless keepTombstones
+    val delPadded = deletes.select(dataFields.map { f =>
+      if (keyCols.contains(f.name) || f.name == versionCol)
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*).withColumn(TombstoneCol, lit(true))
+    val unioned = b0.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn(TombstoneCol, lit(false))
+        .withColumn("__src", lit(1)))
+      .unionByName(delPadded.withColumn("__src", lit(2)))
+    // full deterministic order: after (version, tombstone, source),
+    // ties — two change rows for one key at the SAME version in one
+    // batch — are broken by the remaining columns, so a replayed batch
+    // reproduces the identical winner (UpsertSink's exactly-once
+    // rewrite depends on this; a bare (version, src) order left the
+    // survivor to shuffle arrival order). Non-orderable columns
+    // (MapType payloads) can't sit in an ORDER BY — stand in a content
+    // hash of their JSON rendering, which preserves the
+    // replay-determinism guarantee (equal content → equal rank).
+    val tieExprs = dataFields
       .filterNot(f => keyCols.contains(f.name) || f.name == versionCol)
       .map { f =>
         if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
@@ -56,10 +112,13 @@ object Merge {
         else xxhash64(to_json(struct(col(f.name)))).desc
       }
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col(versionCol).desc +: col("__src").desc +: tieExprs): _*)
-    unioned
+      .orderBy((col(versionCol).desc +: col(TombstoneCol).desc +:
+        col("__src").desc +: tieExprs): _*)
+    val merged = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
+    if (keepTombstones) merged
+    else merged.filter(!col(TombstoneCol)).drop(TombstoneCol)
   }
 }

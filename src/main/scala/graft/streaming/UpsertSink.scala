@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Merge
 
@@ -53,8 +54,21 @@ class ParquetUpsertTable(
   /** Name of the newest committed version (e.g. "v_00000000000000000003"). */
   def latestVersion: Option[String] = committedVersions.lastOption
 
-  /** The committed table state; None before the first commit. */
+  /** The committed table state (live rows only); None before the first
+    * commit. Deleted keys persist in storage as tombstone rows (see
+    * [[graft.operators.Merge.TombstoneCol]]) so a late lower-versioned
+    * change in a future batch cannot resurrect them — this read drops
+    * them.
+    */
   def snapshot(): Option[DataFrame] =
+    snapshotFull().map { df =>
+      if (df.columns.contains(Merge.TombstoneCol))
+        df.filter(!col(Merge.TombstoneCol)).drop(Merge.TombstoneCol)
+      else df // pre-tombstone table layout
+    }
+
+  /** The stored frame including tombstone rows — the merge input. */
+  private def snapshotFull(): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(new Path(root, v).toString))
 
   /** Merge one micro-batch of change rows (latest-wins per key, see
@@ -63,19 +77,29 @@ class ParquetUpsertTable(
     * are removed AFTER the commit, so a concurrent reader holding the
     * previous version still finds its files during the handoff window.
     */
-  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+  def applyBatch(batch: DataFrame, batchId: Long): Unit =
+    applyChanges(batch,
+      batch.limit(0).select((keyCols :+ versionCol).map(col): _*), batchId)
+
+  /** As [[applyBatch]] with tombstones: `deletes` is (keyCols,
+    * versionCol) rows removing each key unless a higher-versioned
+    * change exists (delete beats data on exact version ties). Deleted
+    * keys are stored flagged, not dropped, so sequential batch
+    * application stays equal to a single global latest-wins replay of
+    * all changes (Merge.applyChanges' contract).
+    */
+  def applyChanges(updates: DataFrame, deletes: DataFrame, batchId: Long): Unit = {
     val version = f"v_$batchId%020d"
     // versions commit in batch order, so a committed version at or past
     // this id means the batch's changes are already folded into the
     // table — skip (at-least-once replay after a checkpoint/table race)
     if (latestVersion.exists(_ >= version)) return
     val target = new Path(root, version)
-    val merged = snapshot() match {
-      case Some(base) => Merge.upsertLatest(base, batch, keyCols, versionCol)
-      case None => Merge.upsertLatest(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          batch.schema), batch, keyCols, versionCol)
-    }
+    val base = snapshotFull().getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        updates.schema))
+    val merged = Merge.applyChanges(base, updates, deletes, keyCols,
+      versionCol, keepTombstones = true)
     // reads the PREVIOUS version dir while writing the new one — never
     // the same files, so the lazy merge plan is safe to execute here;
     // overwrite reclaims a partial directory left by a crashed attempt

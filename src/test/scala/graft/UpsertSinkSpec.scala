@@ -87,6 +87,42 @@ class UpsertSinkSpec extends SparkSpec {
     assert(winners.distinct == Seq(Seq("y"))) // ties break by remaining cols desc
   }
 
+  test("deletes tombstone a key; late lower-versioned updates cannot resurrect it") {
+    val dir = tmpDir("graft_upsert_del")
+    val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v")
+    table.applyBatch(Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"))
+      .toDF("k", "v", "p"), 0)
+    // batch 1: delete k=1 at v=5, update k=2 to v=3
+    table.applyChanges(
+      Seq((2L, 3L, "b2")).toDF("k", "v", "p"),
+      Seq((1L, 5L)).toDF("k", "v"), 1)
+    assert(state(table) == Map(2L -> ((3L, "b2")), 3L -> ((1L, "c1"))))
+    // batch 2: late update for k=1 at v=4 (< tombstone's 5) must stay dead;
+    // update at v=6 for k=3 applies normally
+    table.applyBatch(Seq((1L, 4L, "a-late"), (3L, 6L, "c2")).toDF("k", "v", "p"), 2)
+    assert(state(table) == Map(2L -> ((3L, "b2")), 3L -> ((6L, "c2"))))
+    // batch 3: update at v=7 (> tombstone's 5) resurrects k=1
+    table.applyBatch(Seq((1L, 7L, "a-reborn")).toDF("k", "v", "p"), 3)
+    assert(state(table) == Map(1L -> ((7L, "a-reborn")), 2L -> ((3L, "b2")),
+      3L -> ((6L, "c2"))))
+  }
+
+  test("delete beats a data row on an exact version tie") {
+    import graft.operators.Merge
+    val base = Seq((1L, 1L, "a")).toDF("k", "v", "p")
+    val updates = Seq((1L, 5L, "a2"), (2L, 5L, "b")).toDF("k", "v", "p")
+    val deletes = Seq((1L, 5L)).toDF("k", "v")
+    val got = Merge.applyChanges(base, updates, deletes, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(2L -> "b")) // k=1's v=5 retraction applies
+    // keepTombstones surfaces the deleted key, flagged, payload null
+    val kept = Merge.applyChanges(base, updates, deletes, Seq("k"), "v",
+      keepTombstones = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Boolean](Merge.TombstoneCol), Option(r.get(2))))).toMap
+    assert(kept == Map(1L -> ((true, None)), 2L -> ((false, Some("b")))))
+  }
+
   test("non-orderable (map) payload columns merge; reserved names rejected both sides") {
     import graft.operators.Merge
     // MapType can't appear in an ORDER BY — the tie-break must hash it
