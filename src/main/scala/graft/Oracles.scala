@@ -1001,6 +1001,43 @@ object Oracles {
     FROM r WHERE rn = 1 AND del = 0
     ORDER BY event_id"""
 
+  /** q63's change set is q62's restricted to the newest day; the day
+    * column is derived from the ORIGINAL ts (key-stable — version
+    * bumps don't move it), and the whole replay is one global window:
+    * partition-scoped application must be invisible in the result.
+    */
+  val cdcPartitioned: String = """
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      FROM events),
+    hot AS (SELECT * FROM e WHERE day = (SELECT max(day) FROM e)),
+    u AS (
+      SELECT event_id, ts, user_id, event_type, value, day, 0 AS del
+      FROM e
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type,
+             value * 2, day, 0
+      FROM hot WHERE user_id % 10 = 0
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 2 HOUR, NULL, NULL, NULL, day, 1
+      FROM hot WHERE user_id % 7 = 0
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type,
+             value * 4, day, 0
+      FROM hot WHERE user_id % 14 = 0
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 3 HOUR, user_id, event_type,
+             value * 3, day, 0
+      FROM hot WHERE user_id % 21 = 0),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, del DESC) AS rn
+      FROM u)
+    SELECT event_id, ts, user_id, event_type, value, day
+    FROM r WHERE rn = 1 AND del = 0
+    ORDER BY event_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1076,5 +1113,6 @@ object Oracles {
     "q59_salted_join" -> saltedJoinQty,
     "q60_salted_agg" -> saltedAggValues,
     "q61_cdc_apply" -> cdcApply,
-    "q62_cdc_deletes" -> cdcDeletes)
+    "q62_cdc_deletes" -> cdcDeletes,
+    "q63_cdc_partitioned" -> cdcPartitioned)
 }

@@ -1205,4 +1205,50 @@ object Queries {
         .localCheckpoint(true)
     } finally graft.io.Sinks.truncatePath(s, tableDir)
   }
+
+  /** q63: partition-scoped CDC — the events snapshot bulk-loaded into a
+    * day-partitioned table (day derived from the ORIGINAL ts, so it is
+    * key-stable under version bumps), then q62's update/delete/late
+    * change set replayed against the LAST day only: batches 1 and 2
+    * rewrite exactly one of N day partitions
+    * ([[graft.streaming.PartitionedUpsertTable]]), every other
+    * partition's files untouched. The oracle replays all changes as one
+    * latest-wins window — partition scoping, like salting, must be
+    * invisible in the result.
+    */
+  def cdcPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_part").toString
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("day", to_date(col("ts")).cast("string"))
+      // one value, driver-bounded: the change set targets the newest
+      // day (CDC corrections cluster in recent partitions — the very
+      // access pattern partition scoping exists for)
+      val lastDay = ev.agg(max(col("day"))).first().getString(0)
+      val hot = ev.filter(col("day") === lastDay)
+      val table = new graft.streaming.PartitionedUpsertTable(
+        s, tableDir, Seq("event_id"), "ts", "day")
+      table.bootstrap(ev, 0)
+      table.applyChanges(
+        hot.filter(col("user_id") % 10 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") * 2),
+        hot.filter(col("user_id") % 7 === 0)
+          .select(col("event_id"),
+            (col("ts") + expr("INTERVAL 2 HOUR")).as("ts"), col("day")),
+        1)
+      table.applyBatch(
+        hot.filter(col("user_id") % 14 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") * 4)
+          .unionByName(hot.filter(col("user_id") % 21 === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 3 HOUR"))
+            .withColumn("value", col("value") * 3)),
+        2)
+      table.snapshot().get.orderBy(col("event_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, tableDir)
+  }
 }

@@ -84,7 +84,8 @@ object SparkEntry {
     "q59_salted_join" -> (Queries.saltedJoinQty _),
     "q60_salted_agg" -> (Queries.saltedAggValues _),
     "q61_cdc_apply" -> (Queries.cdcApply _),
-    "q62_cdc_deletes" -> (Queries.cdcDeletes _))
+    "q62_cdc_deletes" -> (Queries.cdcDeletes _),
+    "q63_cdc_partitioned" -> (Queries.cdcPartitioned _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.ParquetUpsertTable
+import graft.streaming.{ParquetUpsertTable, PartitionedUpsertTable}
 
 /** Streaming CDC apply: micro-batches of change rows merged into a
   * versioned parquet table, exactly-once table state from
@@ -139,6 +139,123 @@ class UpsertSinkSpec extends SparkSpec {
         updates.withColumn("__rn", org.apache.spark.sql.functions.lit(1)), Seq("k"), "v")
     }
     assert(ex.getMessage.contains("__src/__rn"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // partition-scoped copy-on-write
+  // ------------------------------------------------------------------ //
+
+  private def pstate(t: PartitionedUpsertTable): Map[Long, (Long, String, String)] =
+    t.snapshot().get.collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[Long]("v"),
+        r.getAs[String]("p"), r.getAs[String]("day")))).toMap
+
+  /** Every file under dir/part, with size and mtime — byte-identity proxy. */
+  private def listing(dir: String, part: String): Set[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir, part))
+      .map(f => (f.getPath, f.length, f.lastModified)).toSet
+  }
+
+  private def seed(dir: String): PartitionedUpsertTable = {
+    val t = new PartitionedUpsertTable(spark, dir, Seq("k"), "v", "day")
+    t.applyBatch(Seq(
+      (1L, 1L, "a1", "2024-01-01"),
+      (2L, 1L, "b1", "2024-01-02"),
+      (3L, 1L, "c1", "2024-01-03")).toDF("k", "v", "p", "day"), 0)
+    t
+  }
+
+  private val noDeletes =
+    () => Seq.empty[(Long, Long, String)].toDF("k", "v", "day")
+
+  test("partitioned COW rewrites only the touched partition; others are byte-identical") {
+    val dir = tmpDir("graft_part_touch")
+    val t = seed(dir)
+    assert(t.partitionDirs ==
+      Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+    val before1 = listing(dir, "day=2024-01-01")
+    val before3 = listing(dir, "day=2024-01-03")
+    t.applyChanges(Seq((2L, 2L, "b2", "2024-01-02")).toDF("k", "v", "p", "day"),
+      noDeletes(), 1)
+    // untouched partitions: same files, same sizes, same mtimes
+    assert(listing(dir, "day=2024-01-01") == before1)
+    assert(listing(dir, "day=2024-01-03") == before3)
+    // touched partition advanced to the batch's version
+    assert(new java.io.File(dir, "day=2024-01-02/v_00000000000000000001").isDirectory)
+    assert(pstate(t) == Map(
+      1L -> ((1L, "a1", "2024-01-01")),
+      2L -> ((2L, "b2", "2024-01-02")),
+      3L -> ((1L, "c1", "2024-01-03"))))
+  }
+
+  test("partitioned COW deletes tombstone within their named partition only") {
+    val dir = tmpDir("graft_part_del")
+    val t = seed(dir)
+    val before2 = listing(dir, "day=2024-01-02")
+    t.applyChanges(Seq.empty[(Long, Long, String, String)].toDF("k", "v", "p", "day"),
+      Seq((1L, 5L, "2024-01-01")).toDF("k", "v", "day"), 1)
+    assert(listing(dir, "day=2024-01-02") == before2)
+    assert(pstate(t) == Map(
+      2L -> ((1L, "b1", "2024-01-02")),
+      3L -> ((1L, "c1", "2024-01-03"))))
+    // the tombstone holds: a late lower-versioned update can't resurrect
+    t.applyChanges(Seq((1L, 3L, "a-late", "2024-01-01")).toDF("k", "v", "p", "day"),
+      noDeletes(), 2)
+    assert(pstate(t).get(1L).isEmpty)
+  }
+
+  test("bootstrap bulk-loads all partitions in one job; merges compose on top") {
+    val dir = tmpDir("graft_part_boot")
+    val t = new PartitionedUpsertTable(spark, dir, Seq("k"), "v", "day")
+    t.bootstrap(Seq(
+      (1L, 1L, "a1", "2024-01-01"),
+      (2L, 1L, "b1", "2024-01-02"),
+      (3L, 1L, "c1", "2024-01-02")).toDF("k", "v", "p", "day"), 0)
+    assert(t.partitionDirs == Seq("day=2024-01-01", "day=2024-01-02"))
+    // every partition committed (markers present), no staging residue
+    assert(new java.io.File(dir,
+      "day=2024-01-02/v_00000000000000000000/_SUCCESS").exists())
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")))
+    assert(pstate(t) == Map(
+      1L -> ((1L, "a1", "2024-01-01")),
+      2L -> ((1L, "b1", "2024-01-02")),
+      3L -> ((1L, "c1", "2024-01-02"))))
+    // re-running the bootstrap (replay) is a no-op on committed partitions
+    val before = t.partitionDirs.map(p => p -> listing(dir, p)).toMap
+    t.bootstrap(Seq((1L, 9L, "ghost", "2024-01-01")).toDF("k", "v", "p", "day"), 0)
+    t.partitionDirs.foreach(p => assert(listing(dir, p) == before(p)))
+    // merge on top of the bootstrapped (tombstone-less) layout
+    t.applyChanges(Seq((2L, 2L, "b2", "2024-01-02")).toDF("k", "v", "p", "day"),
+      Seq((3L, 2L, "2024-01-02")).toDF("k", "v", "day"), 1)
+    assert(pstate(t) == Map(
+      1L -> ((1L, "a1", "2024-01-01")),
+      2L -> ((2L, "b2", "2024-01-02"))))
+  }
+
+  test("partitioned COW replay skips committed partitions; GC is per-partition") {
+    val dir = tmpDir("graft_part_replay")
+    val t = seed(dir)
+    val upd = Seq((1L, 2L, "a2", "2024-01-01")).toDF("k", "v", "p", "day")
+    t.applyChanges(upd, noDeletes(), 1)
+    val all = t.partitionDirs.map(p => p -> listing(dir, p)).toMap
+    // at-least-once replay of the committed batch: nothing moves anywhere
+    t.applyChanges(upd, noDeletes(), 1)
+    t.partitionDirs.foreach(p => assert(listing(dir, p) == all(p)))
+    // two more batches on day 1 — its v_0 is GC'd, other partitions keep theirs
+    t.applyChanges(Seq((1L, 3L, "a3", "2024-01-01")).toDF("k", "v", "p", "day"),
+      noDeletes(), 2)
+    t.applyChanges(Seq((1L, 4L, "a4", "2024-01-01")).toDF("k", "v", "p", "day"),
+      noDeletes(), 3)
+    val v1 = new java.io.File(dir, "day=2024-01-01").listFiles()
+      .filter(_.getName.startsWith("v_")).map(_.getName).sorted
+    assert(v1.toSeq ==
+      Seq("v_00000000000000000002", "v_00000000000000000003"))
+    val v2 = new java.io.File(dir, "day=2024-01-02").listFiles()
+      .filter(_.getName.startsWith("v_")).map(_.getName)
+    assert(v2.toSeq == Seq("v_00000000000000000000"))
+    assert(pstate(t)(1L) == ((4L, "a4", "2024-01-01")))
   }
 
   test("old versions are GC'd beyond keepVersions; in-batch dup keys collapse") {
