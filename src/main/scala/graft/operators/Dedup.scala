@@ -102,14 +102,92 @@ object Dedup {
         .sorted
     }
 
-    /** The accumulated store as one parquet scan (schema-pinned, so an
-      * empty or missing store loads as an empty frame, never an
-      * inference error).
+    /** The accumulated store: the current compacted GENERATION (a
+      * catalog table bucketed by fp, if [[compact]] has run) unioned
+      * with every segment appended since. Schema-pinned, so an empty or
+      * missing store loads as an empty frame, never an inference error.
       */
     def load(s: SparkSession, dir: String): DataFrame = {
       val segs = segments(s, dir)
-      if (segs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else s.read.schema(schema).parquet(segs: _*)
+      val gen = currentGenTable(s, dir)
+        .map(t => s.table(t).select(col("fp"), col("doc_id")))
+      val seg =
+        if (segs.isEmpty) None
+        else Some(s.read.schema(schema).parquet(segs: _*))
+      (gen, seg) match {
+        case (Some(g), Some(p)) => g.unionByName(p)
+        case (Some(g), None) => g
+        case (None, Some(p)) => p
+        case (None, None) => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }
+
+    /** Name of the newest committed generation's catalog table, read
+      * from the highest `gen_*` marker file in the store dir (the
+      * marker's CONTENT is the table name, so the store stays fully
+      * self-describing on the filesystem).
+      */
+    def currentGenTable(s: SparkSession, dir: String): Option[String] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
+        .sortBy(_.getPath.getName)
+        .lastOption.map { st =>
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }.filter(_.nonEmpty)
+    }
+
+    /** Fold the current generation + every committed segment into a NEW
+      * generation: a catalog table bucketed (and sorted) by fp. After a
+      * compaction the per-ingest anti-join reads the store side
+      * co-located — no Exchange on the store, only the (small) batch
+      * side shuffles to the bucket count; segments appended afterwards
+      * ride a union until the next compaction re-folds them.
+      *
+      * Commit protocol: write the bucketed table, then atomically
+      * rename a marker file (`gen_%05d`, content = table name) into the
+      * store dir; ONLY then drop the previous generation and delete the
+      * folded segments. A crash anywhere leaves a SUPERSET of the store
+      * (stale table/segments), which an fp anti-join is insensitive to,
+      * and the next compaction reclaims. Single concurrent writer, like
+      * segment ingest itself.
+      *
+      * @return the new generation's table name
+      */
+    def compact(
+        s: SparkSession,
+        dir: String,
+        buckets: Int,
+        tablePrefix: String = "graft_fp_store"): String = {
+      require(buckets > 0, "buckets must be positive")
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p)
+      val prevMarker = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
+        .map(_.getPath.getName).sorted.lastOption
+      val prevTable = currentGenTable(s, dir)
+      val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)
+      val segs = segments(s, dir)
+      val table = f"${tablePrefix}_g$gen%05d"
+      load(s, dir).write
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .mode("overwrite").saveAsTable(table)
+      // commit: temp-write + rename, atomic on HDFS-like filesystems
+      val tmp = new Path(p, f"gen_$gen%05d.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(table.getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(p, f"gen_$gen%05d"))
+      // cleanup strictly after the commit
+      prevTable.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      prevMarker.foreach(m => fs.delete(new Path(p, m), false): Unit)
+      segs.foreach(seg => fs.delete(new Path(seg), true): Unit)
+      table
     }
   }
 
@@ -134,11 +212,8 @@ object Dedup {
       idCol: String): DataFrame = {
     val s = batch.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
-    val store =
-      if (existing.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          FingerprintStore.schema)
-      else s.read.schema(FingerprintStore.schema).parquet(existing: _*)
+    // gen table (bucketed, shuffle-free side) + post-compaction segments
+    val store = FingerprintStore.load(s, storeDir)
     val keepers = exact(batch, textCol, idCol)
       .join(store.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("fp"), col("keep_id").cast("long").as("doc_id"))

@@ -214,6 +214,67 @@ class DedupSpec extends SparkSpec {
       s"store plan grew with batch count: $planAfter1 -> $planAfter5")
   }
 
+  test("FingerprintStore.compact folds segments into a bucketed generation") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = tmpDir("graft_fp_compact")
+    spark.sql("DROP TABLE IF EXISTS fp_spec_g00001")
+    spark.sql("DROP TABLE IF EXISTS fp_spec_g00002")
+    try {
+      for (i <- 1L to 3L) {
+        val b = Seq((i, s"doc $i body")).toDF("doc_id", "text")
+        assert(ids(Dedup.dedupeIncrementalStaged(b, dir, "text", "doc_id")) == Set(i))
+      }
+      assert(Dedup.FingerprintStore.segments(spark, dir).size == 3)
+
+      val table = Dedup.FingerprintStore.compact(spark, dir, buckets = 4,
+        tablePrefix = "fp_spec")
+      assert(table == "fp_spec_g00001")
+      // segment count collapses; the store's content is intact
+      assert(Dedup.FingerprintStore.segments(spark, dir).isEmpty)
+      assert(Dedup.FingerprintStore.currentGenTable(spark, dir).contains(table))
+      assert(Dedup.FingerprintStore.load(spark, dir).count() == 3)
+
+      // the per-ingest anti-join reads the bucketed store WITHOUT an
+      // exchange on the store side: only the batch's fps shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq((50L, "doc 2 body"), (51L, "unseen body"))
+        .toDF("doc_id", "text")
+      val antiPlan = Dedup.exact(probe, "text", "doc_id")
+        .join(Dedup.FingerprintStore.load(spark, dir)
+          .select(org.apache.spark.sql.functions.col("fp").as("fp_s")),
+          org.apache.spark.sql.functions.col("fp") ===
+            org.apache.spark.sql.functions.col("fp_s"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(antiPlan.contains("SelectedBucketsCount"),
+        s"store side not read as bucketed:\n$antiPlan")
+      assert(!antiPlan.contains("Exchange hashpartitioning(fp_s"),
+        s"bucketed store side still shuffles:\n$antiPlan")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+      // ingest results unchanged across the layout change
+      val b4 = Seq((40L, "doc 2 body"), (41L, "fresh body")).toDF("doc_id", "text")
+      assert(ids(Dedup.dedupeIncrementalStaged(b4, dir, "text", "doc_id")) == Set(41L))
+      assert(Dedup.FingerprintStore.load(spark, dir).count() == 4)
+      assert(Dedup.FingerprintStore.segments(spark, dir).size == 1)
+
+      // a second compaction folds gen + new segments into the next gen
+      val table2 = Dedup.FingerprintStore.compact(spark, dir, buckets = 4,
+        tablePrefix = "fp_spec")
+      assert(table2 == "fp_spec_g00002")
+      assert(Dedup.FingerprintStore.segments(spark, dir).isEmpty)
+      assert(Dedup.FingerprintStore.load(spark, dir).count() == 4)
+      assert(!spark.catalog.tableExists("fp_spec_g00001")) // prior gen dropped
+      // replayed known doc still filtered against the re-folded store
+      val b5 = Seq((60L, "fresh body")).toDF("doc_id", "text")
+      assert(ids(Dedup.dedupeIncrementalStaged(b5, dir, "text", "doc_id")).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS fp_spec_g00001")
+      spark.sql("DROP TABLE IF EXISTS fp_spec_g00002")
+    }
+  }
+
   test("staged incremental dedup: a crashed (uncommitted) segment is never read") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet

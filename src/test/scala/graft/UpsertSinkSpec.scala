@@ -87,6 +87,55 @@ class UpsertSinkSpec extends SparkSpec {
     assert(winners.distinct == Seq(Seq("y"))) // ties break by remaining cols desc
   }
 
+  test("restart on the same checkpoint: the replayed epoch is skipped exactly-once") {
+    val inDir = tmpDir("graft_upsert_rec_in")
+    val ckpt = tmpDir("graft_upsert_rec_ckpt")
+    val tableDir = tmpDir("graft_upsert_rec_tbl")
+    val table = new ParquetUpsertTable(spark, tableDir, Seq("k"), "v")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    def writeInput(rows: (Long, Long, String)*): Unit =
+      rows.toSeq.toDF("k", "v", "p").coalesce(1).write.mode("append").parquet(inDir)
+    def start() = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(table.sink).start()
+
+    // run 1: two micro-batches (0 and 1) through the sink
+    writeInput((1L, 1L, "a1"), (2L, 1L, "b1"))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      writeInput((1L, 2L, "a2"), (3L, 1L, "c1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(state(table) == Map(1L -> ((2L, "a2")), 2L -> ((1L, "b1")),
+      3L -> ((1L, "c1"))))
+
+    // crash simulation: the sink committed epoch 1 but the engine died
+    // before recording the offset commit — delete the commit marker, so
+    // the restart REPLAYS epoch 1 (at-least-once delivery, for real)
+    assert(new java.io.File(ckpt, "commits/1").delete())
+    // the local ChecksumFileSystem's sidecar must go too, or the replay's
+    // metadata rename fails and masquerades as a concurrent-query error
+    new java.io.File(ckpt, "commits/.1.crc").delete()
+    val v1files = listing(tableDir, "v_00000000000000000001")
+    writeInput((2L, 5L, "b2")) // epoch 2, delivered after the replay
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the replayed epoch rewrote NOTHING (same files, same mtimes)...
+    assert(listing(tableDir, "v_00000000000000000001") == v1files)
+    // ...and the final state matches the one-shot merge of all changes
+    assert(state(table) == Map(1L -> ((2L, "a2")), 2L -> ((5L, "b2")),
+      3L -> ((1L, "c1"))))
+    val vdirs = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_")).map(_.getName)
+    assert(vdirs.toSeq.sorted ==
+      Seq("v_00000000000000000001", "v_00000000000000000002"))
+  }
+
   test("deletes tombstone a key; late lower-versioned updates cannot resurrect it") {
     val dir = tmpDir("graft_upsert_del")
     val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v")
