@@ -1038,6 +1038,25 @@ object Oracles {
     FROM r WHERE rn = 1 AND del = 0
     ORDER BY event_id"""
 
+  /** One-window replay of q64's three-batch incremental dedup: with
+    * ascending-id ingest batches, the cross-batch first-occurrence-wins
+    * rule collapses to global min(doc_id) per fingerprint — segment
+    * appends and the mid-sequence bucketed compaction must be invisible.
+    */
+  val incrementalDedup: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+      FROM documents)
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5($norm)
+                                ORDER BY doc_id) AS rn
+      FROM corpus) t
+    WHERE rn = 1
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1114,5 +1133,6 @@ object Oracles {
     "q60_salted_agg" -> saltedAggValues,
     "q61_cdc_apply" -> cdcApply,
     "q62_cdc_deletes" -> cdcDeletes,
-    "q63_cdc_partitioned" -> cdcPartitioned)
+    "q63_cdc_partitioned" -> cdcPartitioned,
+    "q64_incremental_dedup" -> incrementalDedup)
 }

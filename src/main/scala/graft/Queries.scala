@@ -1251,4 +1251,48 @@ object Queries {
         .localCheckpoint(true)
     } finally graft.io.Sinks.truncatePath(s, tableDir)
   }
+
+  /** q64: incremental corpus dedup through the persisted
+    * [[graft.operators.Dedup.FingerprintStore]], WITH a mid-sequence
+    * [[graft.operators.Dedup.FingerprintStore.compact]] — the documents
+    * table arrives as three ascending-id batches, each deduped against
+    * the accumulated store (segment appends), the store folded into a
+    * bucketed generation between batches 2 and 3 (so batch 3's
+    * anti-join probes the co-located layout). Ascending-id batch order
+    * makes first-occurrence-wins ≡ global min(doc_id) per fingerprint,
+    * which is exactly what the oracle's one-window replay computes —
+    * the storage layout must be invisible in the result.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_fp_gate").toString
+    val prefix = "graft_q64_store"
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the synthetic corpus carries no exact duplicates — plant a full
+      // id-shifted copy (q54's plant-and-remove discipline) so the
+      // later batches genuinely DROP docs against the store, not just
+      // append to it
+      val maxId0 = docs0.agg(max(col("doc_id"))).first().getLong(0)
+      val docs = docs0.unionByName(docs0.select(
+        (col("doc_id") + lit(maxId0 + 1)).as("doc_id"), col("text")))
+      val maxId = 2 * maxId0 + 1
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val b1 = Dedup.dedupeIncrementalStaged(
+        docs.filter(col("doc_id") <= t1), storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      val b2 = Dedup.dedupeIncrementalStaged(
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+        storeDir, "text", "doc_id").localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
+      val b3 = Dedup.dedupeIncrementalStaged(
+        docs.filter(col("doc_id") > t2), storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      b1.unionByName(b2).unionByName(b3).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
 }

@@ -85,7 +85,8 @@ object SparkEntry {
     "q60_salted_agg" -> (Queries.saltedAggValues _),
     "q61_cdc_apply" -> (Queries.cdcApply _),
     "q62_cdc_deletes" -> (Queries.cdcDeletes _),
-    "q63_cdc_partitioned" -> (Queries.cdcPartitioned _))
+    "q63_cdc_partitioned" -> (Queries.cdcPartitioned _),
+    "q64_incremental_dedup" -> (Queries.incrementalDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -214,7 +214,15 @@ object Dedup {
     val existing = FingerprintStore.segments(s, storeDir)
     // gen table (bucketed, shuffle-free side) + post-compaction segments
     val store = FingerprintStore.load(s, storeDir)
+    // a null-text doc has a null fingerprint; stored as-is it would pass
+    // the anti-join in EVERY later batch (null never equi-matches null).
+    // A sentinel — unreachable by md5's 32-hex output — keeps null-text
+    // docs deduping across batches through a plain (bucketable)
+    // equi-join; a null-SAFE join would break the post-compaction
+    // co-located read (hash keys wrap in coalesce, losing bucket
+    // alignment).
     val keepers = exact(batch, textCol, idCol)
+      .withColumn("fp", coalesce(col("fp"), lit("__null_text__")))
       .join(store.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("fp"), col("keep_id").cast("long").as("doc_id"))
     val nextIdx = existing

@@ -94,16 +94,43 @@ class ParquetUpsertTable(
     // this id means the batch's changes are already folded into the
     // table — skip (at-least-once replay after a checkpoint/table race)
     if (latestVersion.exists(_ >= version)) return
-    val target = new Path(root, version)
     val base = snapshotFull().getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         updates.schema))
-    val merged = Merge.applyChanges(base, updates, deletes, keyCols,
-      versionCol, keepTombstones = true)
+    commitVersion(Merge.applyChanges(base, updates, deletes, keyCols,
+      versionCol, keepTombstones = true), version)
+  }
+
+  /** Drop tombstones whose version sorts below `horizon`, as a new
+    * committed version. Run periodically with `horizon` trailing the
+    * pipeline's maximum change lateness: a tombstone younger than the
+    * lateness window must stay (it is what blocks a late lower-
+    * versioned update from resurrecting its key — Merge.applyChanges'
+    * contract); one older than any change that can still arrive is
+    * dead weight, and at 100 TB dead weight is a scan tax on every
+    * merge. `batchId` must exceed every data batch's id (replay-skipped
+    * like any batch).
+    */
+  def purgeTombstones(horizon: org.apache.spark.sql.Column, batchId: Long): Unit = {
+    val version = f"v_$batchId%020d"
+    if (latestVersion.exists(_ >= version)) return
+    snapshotFull().foreach { cur =>
+      commitVersion(
+        cur.filter(!(col(Merge.TombstoneCol) && col(versionCol) < horizon)),
+        version)
+    }
+  }
+
+  /** Write `df` as `v_<version>` (the parquet job's `_SUCCESS` IS the
+    * commit), then GC versions beyond `keepVersions` — strictly after
+    * the commit, so a concurrent reader holding the previous version
+    * still finds its files during the handoff window.
+    */
+  private def commitVersion(df: DataFrame, version: String): Unit = {
     // reads the PREVIOUS version dir while writing the new one — never
-    // the same files, so the lazy merge plan is safe to execute here;
+    // the same files, so the lazy plan is safe to execute here;
     // overwrite reclaims a partial directory left by a crashed attempt
-    merged.write.mode("overwrite").parquet(target.toString)
+    df.write.mode("overwrite").parquet(new Path(root, version).toString)
     val stale = committedVersions.dropRight(keepVersions)
       .filter(_ < version) // never GC a replayed-future version
     stale.foreach(v => fs.delete(new Path(root, v), true): Unit)

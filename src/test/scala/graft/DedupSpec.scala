@@ -214,6 +214,22 @@ class DedupSpec extends SparkSpec {
       s"store plan grew with batch count: $planAfter1 -> $planAfter5")
   }
 
+  test("staged incremental dedup: null-text docs dedupe ACROSS batches too") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = tmpDir("graft_fp_null")
+    val b1 = Seq((1L, null.asInstanceOf[String]), (2L, "real text"))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.dedupeIncrementalStaged(b1, dir, "text", "doc_id"))
+      == Set(1L, 2L))
+    // a later batch's null-text doc is a duplicate of batch 1's — the
+    // sentinel fp must match where a raw null fp never would
+    val b2 = Seq((3L, null.asInstanceOf[String]), (4L, "other text"))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.dedupeIncrementalStaged(b2, dir, "text", "doc_id"))
+      == Set(4L))
+  }
+
   test("FingerprintStore.compact folds segments into a bucketed generation") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet

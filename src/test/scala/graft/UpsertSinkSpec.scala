@@ -156,6 +156,34 @@ class UpsertSinkSpec extends SparkSpec {
       3L -> ((6L, "c2"))))
   }
 
+  test("purgeTombstones drops only tombstones older than the horizon") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_upsert_purge")
+    val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v")
+    table.applyBatch(Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("k", "v", "p"), 0)
+    table.applyChanges(Seq.empty[(Long, Long, String)].toDF("k", "v", "p"),
+      Seq((1L, 3L), (2L, 8L)).toDF("k", "v"), 1) // tombstones at v=3 and v=8
+    // horizon 5: k=1's tombstone (v=3) is past the lateness window, k=2's
+    // (v=8) is still inside it
+    table.purgeTombstones(lit(5L), batchId = 2)
+    assert(state(table) == Map(3L -> ((1L, "c"))))
+    val stored = spark.read
+      .parquet(new java.io.File(dir, "v_00000000000000000002").getPath)
+    val tombs = stored.filter(stored("__tombstone")).collect()
+      .map(_.getAs[Long]("k")).toSet
+    assert(tombs == Set(2L)) // k=1's purged, k=2's retained
+    // the retained tombstone still blocks late lower-versioned updates;
+    // the purged one no longer does — the documented retention contract:
+    // the horizon must trail max change lateness
+    table.applyBatch(Seq((1L, 2L, "a-late"), (2L, 5L, "b-late"))
+      .toDF("k", "v", "p"), 3)
+    assert(state(table) == Map(1L -> ((2L, "a-late")), 3L -> ((1L, "c"))))
+    // replaying the purge batch id is a no-op
+    table.purgeTombstones(lit(99L), batchId = 2)
+    assert(state(table) == Map(1L -> ((2L, "a-late")), 3L -> ((1L, "c"))))
+  }
+
   test("delete beats a data row on an exact version tie") {
     import graft.operators.Merge
     val base = Seq((1L, 1L, "a")).toDF("k", "v", "p")
