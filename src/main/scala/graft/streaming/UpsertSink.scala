@@ -166,10 +166,12 @@ class ParquetUpsertTable(
   * Scale: work per batch = Σ size of touched partitions — the win over
   * full-table COW, which pays the whole table regardless. Commits run
   * one distributed job per touched partition (a CDC batch touches few
-  * — that is the point of partitioning by a key-stable column); rows
-  * within each rewrite are sorted by key for row-group pruning,
-  * composing with [[graft.operators.Layout.compactByDay]]'s layout
-  * discipline.
+  * — that is the point of partitioning by a key-stable column),
+  * submitted through a bounded thread pool (`maxConcurrentRewrites`)
+  * so a wide batch pays ~max rewrite latency, not the sum; each
+  * rewrite lands `filesPerRewrite` key-sorted files, composing with
+  * [[graft.operators.Layout.compactByDay]]'s layout discipline instead
+  * of spraying shuffle-partition-count small files per version.
   */
 class PartitionedUpsertTable(
     spark: SparkSession,
@@ -177,10 +179,14 @@ class PartitionedUpsertTable(
     keyCols: Seq[String],
     versionCol: String,
     partCol: String,
-    keepVersions: Int = 2) {
+    keepVersions: Int = 2,
+    filesPerRewrite: Int = 1,
+    maxConcurrentRewrites: Int = 4) {
   require(keepVersions >= 2, "keepVersions must be >= 2")
   require(!keyCols.contains(versionCol) && partCol != versionCol,
     "versionCol must be distinct from keys and partition column")
+  require(filesPerRewrite >= 1 && maxConcurrentRewrites >= 1,
+    "filesPerRewrite and maxConcurrentRewrites must be >= 1")
 
   private val root = new Path(dir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -292,7 +298,7 @@ class PartitionedUpsertTable(
       val touched = ups.select(col(partCol).cast("string"))
         .unionByName(dels.select(col(partCol).cast("string")))
         .distinct().collect().map(_.getString(0)).sorted
-      touched.foreach { pv =>
+      def rewrite(pv: String): Unit = {
         val partDir = s"$partCol=$pv"
         // per-partition replay skip: a crash mid-batch commits a prefix
         // of the touched set; the replay must finish the rest
@@ -305,13 +311,40 @@ class PartitionedUpsertTable(
           val merged = Merge.applyChanges(base, ups.filter(partEq),
             dels.filter(partEq), keyCols, versionCol, keepTombstones = true)
           val target = new Path(new Path(root, partDir), version)
-          merged.sortWithinPartitions(keyCols.map(col): _*)
+          // coalesce bounds the output to a few well-sized files (a raw
+          // window merge would spray shuffle.partitions files into a
+          // partition-sized dir — the small-file tax Layout.compactByDay
+          // exists to undo); the key sort AFTER the coalesce keeps
+          // monotone min/max column chunks for row-group pruning
+          merged.coalesce(filesPerRewrite)
+            .sortWithinPartitions(keyCols.map(col): _*)
             .write.mode("overwrite").parquet(target.toString)
           val stale = committedVersionsIn(partDir).dropRight(keepVersions)
             .filter(_ < version)
           stale.foreach(v =>
             fs.delete(new Path(new Path(root, partDir), v), true): Unit)
         }
+      }
+      // partitions are disjoint dirs merged from disjoint slices — the
+      // rewrites are independent jobs, so run them through a bounded
+      // pool instead of serially (a 30-partition batch pays ~max job
+      // latency, not the sum; Spark's scheduler is thread-safe)
+      if (touched.length <= 1 || maxConcurrentRewrites == 1)
+        touched.foreach(rewrite)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentRewrites, touched.length))
+        try {
+          val tasks = touched.map { pv =>
+            new java.util.concurrent.Callable[Unit] { def call(): Unit = rewrite(pv) }
+          }
+          pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+            .forEach { f =>
+              try f.get()
+              catch { case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause }
+            }
+        } finally pool.shutdown()
       }
     } finally {
       ups.unpersist()

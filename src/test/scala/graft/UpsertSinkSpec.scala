@@ -311,6 +311,58 @@ class UpsertSinkSpec extends SparkSpec {
       2L -> ((2L, "b2", "2024-01-02"))))
   }
 
+  test("partitioned sink behind a real checkpointed stream") {
+    val dir = tmpDir("graft_part_stream")
+    val t = new PartitionedUpsertTable(spark, dir, Seq("k"), "v", "day")
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = mem.toDF().toDF("k", "v", "p", "day")
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft_part_stream_ckpt"))
+      .foreachBatch(t.sink)
+      .start()
+    try {
+      mem.addData((1L, 1L, "a1", "2024-01-01"), (2L, 1L, "b1", "2024-01-02"))
+      q.processAllAvailable()
+      assert(pstate(t) == Map(1L -> ((1L, "a1", "2024-01-01")),
+        2L -> ((1L, "b1", "2024-01-02"))))
+      mem.addData((1L, 2L, "a2", "2024-01-01"))
+      q.processAllAvailable()
+      assert(pstate(t) == Map(1L -> ((2L, "a2", "2024-01-01")),
+        2L -> ((1L, "b1", "2024-01-02"))))
+      // day 2 untouched by batch 1: still on its bootstrap-batch version
+      assert(new java.io.File(dir,
+        "day=2024-01-02").listFiles().map(_.getName).count(_.startsWith("v_")) == 1)
+    } finally q.stop()
+  }
+
+  test("multi-partition batch rewrites concurrently, bounded files per version") {
+    val dir = tmpDir("graft_part_multi")
+    val t = new PartitionedUpsertTable(spark, dir, Seq("k"), "v", "day",
+      filesPerRewrite = 1, maxConcurrentRewrites = 3)
+    t.applyBatch(Seq(
+      (1L, 1L, "a1", "2024-01-01"),
+      (2L, 1L, "b1", "2024-01-02"),
+      (3L, 1L, "c1", "2024-01-03")).toDF("k", "v", "p", "day"), 0)
+    // one batch touching all three partitions → three concurrent rewrites
+    t.applyChanges(Seq(
+      (1L, 2L, "a2", "2024-01-01"),
+      (2L, 2L, "b2", "2024-01-02"),
+      (4L, 1L, "d1", "2024-01-03")).toDF("k", "v", "p", "day"),
+      Seq((3L, 5L, "2024-01-03")).toDF("k", "v", "day"), 1)
+    assert(pstate(t) == Map(
+      1L -> ((2L, "a2", "2024-01-01")),
+      2L -> ((2L, "b2", "2024-01-02")),
+      4L -> ((1L, "d1", "2024-01-03"))))
+    // every committed version dir holds exactly filesPerRewrite data files
+    t.partitionDirs.foreach { p =>
+      val v1 = new java.io.File(dir, s"$p/v_00000000000000000001")
+      assert(v1.isDirectory, s"$p not rewritten by the multi-partition batch")
+      val dataFiles = v1.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1, s"$p: ${dataFiles.length} files")
+    }
+  }
+
   test("partitioned COW replay skips committed partitions; GC is per-partition") {
     val dir = tmpDir("graft_part_replay")
     val t = seed(dir)
