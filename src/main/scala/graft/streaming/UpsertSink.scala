@@ -358,6 +358,40 @@ class PartitionedUpsertTable(
       batch.limit(0).select((keyCols :+ versionCol :+ partCol).map(col): _*),
       batchId)
 
+  /** Partition-scoped tombstone retention (see
+    * [[ParquetUpsertTable.purgeTombstones]] for the horizon contract):
+    * rewrites ONLY `partitions` (default: every partition that
+    * currently exists) dropping tombstones older than `horizon`. Run
+    * it partition-by-partition behind the ingest frontier — old
+    * partitions stop receiving changes first, so their tombstones age
+    * out first; purging them does not touch hot partitions' files.
+    */
+  def purgeTombstones(
+      horizon: org.apache.spark.sql.Column,
+      batchId: Long,
+      partitions: Option[Seq[String]] = None): Unit = {
+    val version = f"v_$batchId%020d"
+    val targets = partitions
+      .map(_.map(pv => s"$partCol=$pv"))
+      .getOrElse(partitionDirs)
+    targets.foreach { partDir =>
+      if (!latestIn(partDir).exists(_ >= version)) {
+        partitionFull(partDir).foreach { cur =>
+          val pruned = cur.filter(
+            !(col(Merge.TombstoneCol) && col(versionCol) < horizon))
+          pruned.coalesce(filesPerRewrite)
+            .sortWithinPartitions(keyCols.map(col): _*)
+            .write.mode("overwrite")
+            .parquet(new Path(new Path(root, partDir), version).toString)
+          val stale = committedVersionsIn(partDir).dropRight(keepVersions)
+            .filter(_ < version)
+          stale.foreach(v =>
+            fs.delete(new Path(new Path(root, partDir), v), true): Unit)
+        }
+      }
+    }
+  }
+
   /** foreachBatch adapter. */
   def sink: (DataFrame, Long) => Unit = (batch, id) => applyBatch(batch, id)
 }

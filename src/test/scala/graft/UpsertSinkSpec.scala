@@ -363,6 +363,39 @@ class UpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("partitioned purgeTombstones rewrites only the named partitions") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_part_purge")
+    val t = seed(dir)
+    // tombstone k=1 (day 1) at v=3 and k=2 (day 2) at v=8
+    t.applyChanges(Seq.empty[(Long, Long, String, String)].toDF("k", "v", "p", "day"),
+      Seq((1L, 3L, "2024-01-01"), (2L, 8L, "2024-01-02")).toDF("k", "v", "day"), 1)
+    val before2 = listing(dir, "day=2024-01-02")
+    val before3 = listing(dir, "day=2024-01-03")
+    // purge day 1 only, horizon 5: its v=3 tombstone goes; days 2/3 untouched
+    t.purgeTombstones(lit(5L), batchId = 2, partitions = Some(Seq("2024-01-01")))
+    assert(listing(dir, "day=2024-01-02") == before2)
+    assert(listing(dir, "day=2024-01-03") == before3)
+    val day1 = spark.read.parquet(
+      new java.io.File(dir, "day=2024-01-01/v_00000000000000000002").getPath)
+    assert(day1.count() == 0) // only content was the now-purged tombstone
+    // day 2's newer tombstone still blocks late lower-versioned updates
+    t.applyBatch(Seq((2L, 5L, "b-late", "2024-01-02")).toDF("k", "v", "p", "day"), 3)
+    assert(pstate(t) == Map(3L -> ((1L, "c1", "2024-01-03"))))
+  }
+
+  test("a three-way merge (base + updates + deletes) still shuffles once") {
+    import graft.operators.Merge
+    val base = (1L to 100L).map(i => (i, i, s"p$i")).toDF("k", "v", "p")
+    val updates = Seq((1L, 200L, "u")).toDF("k", "v", "p")
+    val deletes = Seq((2L, 200L)).toDF("k", "v")
+    val plan = Merge.applyChanges(base, updates, deletes, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("hashpartitioning(k"),
+      s"expected exactly one key-partitioned exchange:\n$plan")
+  }
+
   test("partitioned COW replay skips committed partitions; GC is per-partition") {
     val dir = tmpDir("graft_part_replay")
     val t = seed(dir)
