@@ -66,6 +66,15 @@ object Merge {
     * 100 TB, purge those older than the pipeline's max change lateness
     * during periodic compaction (they are a filter, not a merge cost —
     * one boolean column through the same single shuffle).
+    *
+    * `allowSchemaEvolution = true` accepts an `updates` frame whose
+    * payload columns are a superset of `base`'s (the lakehouse
+    * schema-evolution convention): new columns ride through, base rows
+    * read null there. Update rows still replace the WHOLE row — a
+    * column the updates frame omits entirely is null on update winners
+    * too, so it refuses frames MISSING base payload columns (partial
+    * updates are a different operator); keys and the version column
+    * must always be present.
     */
   def applyChanges(
       base: DataFrame,
@@ -73,16 +82,32 @@ object Merge {
       deletes: DataFrame,
       keyCols: Seq[String],
       versionCol: String,
-      keepTombstones: Boolean = false): DataFrame = {
+      keepTombstones: Boolean = false,
+      allowSchemaEvolution: Boolean = false): DataFrame = {
     require(!(base.columns ++ updates.columns ++ deletes.columns)
       .exists(c => c == "__src" || c == "__rn"),
       "applyChanges reserves __src/__rn as working columns")
     require(!updates.columns.contains(TombstoneCol) &&
       !deletes.columns.contains(TombstoneCol),
       s"$TombstoneCol is engine-managed; only base may carry it")
-    val b0 =
-      if (base.columns.contains(TombstoneCol)) base
-      else base.withColumn(TombstoneCol, lit(false))
+    val missingFromUpdates = base.columns
+      .filterNot(c => c == TombstoneCol || updates.columns.contains(c))
+    require(missingFromUpdates.isEmpty,
+      s"updates must carry every base column (full-row replacement); " +
+        s"missing: ${missingFromUpdates.mkString(", ")}")
+    val newCols = updates.schema.fields
+      .filterNot(f => base.columns.contains(f.name)).toSeq
+    require(allowSchemaEvolution || newCols.isEmpty,
+      s"updates carry columns absent from base " +
+        s"(${newCols.map(_.name).mkString(", ")}); pass " +
+        "allowSchemaEvolution = true to widen the table")
+    val b0 = {
+      // evolution: base rows read null in the batch's new columns
+      val widened = newCols.foldLeft(base)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+      if (widened.columns.contains(TombstoneCol)) widened
+      else widened.withColumn(TombstoneCol, lit(false))
+    }
     val dataFields = b0.schema.fields.filterNot(_.name == TombstoneCol).toSeq
     // pad tombstones to the table schema: key + version carried,
     // payload columns null — they never surface unless keepTombstones

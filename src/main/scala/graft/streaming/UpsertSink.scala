@@ -33,7 +33,8 @@ class ParquetUpsertTable(
     dir: String,
     keyCols: Seq[String],
     versionCol: String,
-    keepVersions: Int = 2) {
+    keepVersions: Int = 2,
+    allowSchemaEvolution: Boolean = false) {
   // >= 2: a concurrent reader that resolved the previous version must
   // still find its files after the next commit's GC (the handoff
   // guarantee in applyBatch's doc); 1 would delete the version a lazy
@@ -98,7 +99,8 @@ class ParquetUpsertTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         updates.schema))
     commitVersion(Merge.applyChanges(base, updates, deletes, keyCols,
-      versionCol, keepTombstones = true), version)
+      versionCol, keepTombstones = true,
+      allowSchemaEvolution = allowSchemaEvolution), version)
   }
 
   /** Drop tombstones whose version sorts below `horizon`, as a new
@@ -181,7 +183,8 @@ class PartitionedUpsertTable(
     partCol: String,
     keepVersions: Int = 2,
     filesPerRewrite: Int = 1,
-    maxConcurrentRewrites: Int = 4) {
+    maxConcurrentRewrites: Int = 4,
+    allowSchemaEvolution: Boolean = false) {
   require(keepVersions >= 2, "keepVersions must be >= 2")
   require(!keyCols.contains(versionCol) && partCol != versionCol,
     "versionCol must be distinct from keys and partition column")
@@ -309,7 +312,8 @@ class PartitionedUpsertTable(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               updates.schema))
           val merged = Merge.applyChanges(base, ups.filter(partEq),
-            dels.filter(partEq), keyCols, versionCol, keepTombstones = true)
+            dels.filter(partEq), keyCols, versionCol, keepTombstones = true,
+            allowSchemaEvolution = allowSchemaEvolution)
           val target = new Path(new Path(root, partDir), version)
           // coalesce bounds the output to a few well-sized files (a raw
           // window merge would spray shuffle.partitions files into a

@@ -200,6 +200,40 @@ class UpsertSinkSpec extends SparkSpec {
     assert(kept == Map(1L -> ((true, None)), 2L -> ((false, Some("b")))))
   }
 
+  test("schema evolution: a widening batch flows through when opted in") {
+    import graft.operators.Merge
+    val base = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p")
+    val widened = Seq((2L, 2L, "b2", "extra")).toDF("k", "v", "p", "q")
+    // off by default: widening is an explicit decision, not an accident
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsertLatest(base, widened, Seq("k"), "v")
+    }
+    assert(ex.getMessage.contains("allowSchemaEvolution"))
+    // narrowing is never allowed: update rows replace the WHOLE row
+    val ex2 = intercept[IllegalArgumentException] {
+      Merge.applyChanges(base, Seq((2L, 2L)).toDF("k", "v"),
+        base.limit(0).select("k", "v"), Seq("k"), "v")
+    }
+    assert(ex2.getMessage.contains("full-row replacement"))
+    val got = Merge.applyChanges(base, widened,
+      base.limit(0).select("k", "v"), Seq("k"), "v",
+      allowSchemaEvolution = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), Option(r.getString(3))))).toMap
+    assert(got == Map(1L -> (("a", None)), 2L -> (("b2", Some("extra")))))
+    // end-to-end through the versioned table: the stored schema widens,
+    // prior rows read null in the new column
+    val dir = tmpDir("graft_upsert_evolve")
+    val t = new ParquetUpsertTable(spark, dir, Seq("k"), "v",
+      allowSchemaEvolution = true)
+    t.applyBatch(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p"), 0)
+    t.applyBatch(Seq((2L, 2L, "b2", "x")).toDF("k", "v", "p", "q"), 1)
+    val snap = t.snapshot().get.collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("p"), Option(r.getAs[String]("q"))))).toMap
+    assert(snap == Map(1L -> (("a", None)), 2L -> (("b2", Some("x")))))
+  }
+
   test("non-orderable (map) payload columns merge; reserved names rejected both sides") {
     import graft.operators.Merge
     // MapType can't appear in an ORDER BY — the tie-break must hash it
