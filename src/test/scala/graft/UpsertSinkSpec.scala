@@ -428,6 +428,11 @@ class UpsertSinkSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1 && plan.contains("hashpartitioning(k"),
       s"expected exactly one key-partitioned exchange:\n$plan")
+    // the rn=1 filter must plan as WindowGroupLimit on BOTH sides of the
+    // exchange — map tasks keep only their local top-1 per key before
+    // shuffling, so a hot key ships one row, not its change history
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
   }
 
   test("partitioned COW replay skips committed partitions; GC is per-partition") {
