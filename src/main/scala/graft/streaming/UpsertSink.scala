@@ -72,6 +72,22 @@ class ParquetUpsertTable(
   private def snapshotFull(): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(new Path(root, v).toString))
 
+  /** Time travel: the table as of `batchId` — the newest committed
+    * version at or before it (None if nothing that old survives GC).
+    * Retention is `keepVersions`, so point lookups into recent history
+    * (diffing the batch that corrupted a row, reproducing yesterday's
+    * training snapshot) are free reads, not replays.
+    */
+  def snapshotAt(batchId: Long): Option[DataFrame] = {
+    val ceiling = f"v_$batchId%020d"
+    committedVersions.filter(_ <= ceiling).lastOption.map { v =>
+      val df = spark.read.parquet(new Path(root, v).toString)
+      if (df.columns.contains(Merge.TombstoneCol))
+        df.filter(!col(Merge.TombstoneCol)).drop(Merge.TombstoneCol)
+      else df
+    }
+  }
+
   /** Merge one micro-batch of change rows (latest-wins per key, see
     * Merge.upsertLatest) into a NEW version directory; the directory's
     * `_SUCCESS` marker IS the commit. Versions beyond `keepVersions`
@@ -234,6 +250,29 @@ class PartitionedUpsertTable(
   def snapshot(): Option[DataFrame] = {
     val dirs = partitionDirs.flatMap(p =>
       latestIn(p).map(v => new Path(new Path(root, p), v).toString))
+    if (dirs.isEmpty) None
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      Some(
+        if (df.columns.contains(Merge.TombstoneCol))
+          df.filter(!coalesce(col(Merge.TombstoneCol), lit(false)))
+            .drop(Merge.TombstoneCol)
+        else df)
+    }
+  }
+
+  /** Time travel across the partitioned layout: each partition's
+    * newest committed version at or before `batchId` (partitions a
+    * batch never touched contribute their older chain head — exactly
+    * the table state after that batch committed), through one
+    * multi-path scan. None if no partition has history that old.
+    */
+  def snapshotAt(batchId: Long): Option[DataFrame] = {
+    val ceiling = f"v_$batchId%020d"
+    val dirs = partitionDirs.flatMap { p =>
+      committedVersionsIn(p).filter(_ <= ceiling).lastOption
+        .map(v => new Path(new Path(root, p), v).toString)
+    }
     if (dirs.isEmpty) None
     else {
       val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)

@@ -200,6 +200,32 @@ class UpsertSinkSpec extends SparkSpec {
     assert(kept == Map(1L -> ((true, None)), 2L -> ((false, Some("b")))))
   }
 
+  test("snapshotAt time-travels within the retained version window") {
+    val dir = tmpDir("graft_upsert_tt")
+    val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v", keepVersions = 3)
+    table.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "v", "p"), 0)
+    table.applyChanges(Seq((2L, 1L, "b1")).toDF("k", "v", "p"),
+      Seq((1L, 5L)).toDF("k", "v"), 1)
+    table.applyBatch(Seq((3L, 1L, "c1")).toDF("k", "v", "p"), 2)
+    def at(id: Long) = table.snapshotAt(id).map(_.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("p")).toMap)
+    assert(at(0).contains(Map(1L -> "a1")))
+    assert(at(1).contains(Map(2L -> "b1"))) // k=1 tombstoned at batch 1
+    assert(at(2).contains(Map(2L -> "b1", 3L -> "c1")))
+    assert(at(7) == at(2)) // future id floors to the newest version
+
+    // partitioned: untouched partitions contribute their older chain head
+    val pdir = tmpDir("graft_part_tt")
+    val pt = seed(pdir)
+    pt.applyBatch(Seq((1L, 2L, "a2", "2024-01-01")).toDF("k", "v", "p", "day"), 1)
+    val at0 = pt.snapshotAt(0).get.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("p")).toMap
+    assert(at0 == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+    val at1 = pt.snapshotAt(1).get.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("p")).toMap
+    assert(at1 == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+  }
+
   test("schema evolution: a widening batch flows through when opted in") {
     import graft.operators.Merge
     val base = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p")
