@@ -1057,6 +1057,22 @@ object Oracles {
     WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Same chunk arithmetic as Queries.chunkDocs: 1-based starts
+    * 1, 81, 161, … up to max(len, 1), chunk = substr(text, start, 100),
+    * index = (start-1) // 80.
+    */
+  val chunkDocs: String = """
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1,
+               greatest(coalesce(len(text), 0), 1), 80)) AS start
+      FROM documents)
+    SELECT doc_id,
+           CAST((start - 1) // 80 AS BIGINT) AS chunk_idx,
+           substr(text, start, 100) AS chunk
+    FROM starts
+    ORDER BY doc_id, chunk_idx"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1134,5 +1150,6 @@ object Oracles {
     "q61_cdc_apply" -> cdcApply,
     "q62_cdc_deletes" -> cdcDeletes,
     "q63_cdc_partitioned" -> cdcPartitioned,
-    "q64_incremental_dedup" -> incrementalDedup)
+    "q64_incremental_dedup" -> incrementalDedup,
+    "q65_chunk_docs" -> chunkDocs)
 }

@@ -1295,4 +1295,24 @@ object Queries {
       graft.io.Sinks.truncatePath(s, storeDir)
     }
   }
+
+  /** q65: overlapping document chunking — every doc split into
+    * 100-char windows with 20-char overlap (stride 80), the
+    * context-window prep of a training/RAG pipeline. Map-only: one
+    * scan, a sequence explode, substr arithmetic — no shuffle until
+    * the gate's final sort. See
+    * [[graft.functions.TextFunctions.chunkStarts]].
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val (chunkLen, overlap) = (100, 20)
+    val stride = chunkLen - overlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(TextFunctions.chunkStarts(col("text"), chunkLen, overlap))
+          .as("start"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $stride").cast("long").as("chunk_idx"),
+        substr(col("text"), col("start"), lit(chunkLen)).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -187,6 +187,24 @@ object TextFunctions {
   def piiCounts(text: Column): Seq[Column] =
     PiiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
 
+  /** 1-based character offsets of overlapping chunk windows over
+    * `text`: 1, 1+stride, 1+2·stride, … while ≤ max(len, 1) — every
+    * doc gets at least one chunk (an empty text yields one empty
+    * chunk), and each chunk is `substr(text, start, chunkLen)`
+    * (the final one may run short). Pure scan-side arithmetic — the
+    * chunk explode is the context-window prep step of a training/RAG
+    * pipeline, and it rides the ingest scan with no shuffle; chunk
+    * index recovers as (start − 1) / stride, so the expression stays
+    * shared with the SQL oracle instead of needing posexplode.
+    */
+  def chunkStarts(text: Column, chunkLen: Int, overlap: Int): Column = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      "need chunkLen > overlap >= 0")
+    sequence(lit(1),
+      greatest(coalesce(length(text), lit(0)), lit(1)),
+      lit(chunkLen - overlap))
+  }
+
   def langId(text: Column, minRatio: Double = 0.02): Column = {
     val toks = tokens(text)
     val langs = LangProfiles.map(_._1)

@@ -58,6 +58,25 @@ class TextFunctionsSpec extends SparkSpec {
       one[String](fingerprint(col("t")), "abc"))
   }
 
+  test("chunkStarts: stride offsets, short tail, empty/null text, guards") {
+    def starts(s: String) =
+      one[scala.collection.Seq[Int]](chunkStarts(col("t"), 10, 3), s).toSeq
+    assert(starts("x" * 25) == Seq(1, 8, 15, 22)) // stride 7 over len 25
+    assert(starts("short") == Seq(1))
+    assert(starts("") == Seq(1))   // one (empty) chunk per doc, always
+    val nullStarts = spark.sql("SELECT 1").select(
+      chunkStarts(org.apache.spark.sql.functions.lit(null).cast("string"), 10, 3))
+      .collect().head.getSeq[Int](0)
+    assert(nullStarts == Seq(1)) // null text behaves like empty
+    intercept[IllegalArgumentException] { chunkStarts(col("t"), 10, 10) }
+    // chunk reconstruction covers the text with the declared overlap
+    val text = "abcdefghijklmnopqrstuvwxyz"
+    val chunks = starts(text).map(s0 => text.slice(s0 - 1, s0 - 1 + 10))
+    assert(chunks.head == "abcdefghij" && chunks.last.nonEmpty)
+    assert(chunks.sliding(2).forall {
+      case Seq(a, b) => a.takeRight(3) == b.take(3); case _ => true })
+  }
+
   test("tokenRatio counts duplicate hits") {
     assert(one[Double](tokenRatio(col("t"), Seq("the")), "the cat the dog") == 0.5)
   }
