@@ -1057,6 +1057,33 @@ object Oracles {
     WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.tfidfTopK: tf per (doc, token), df off the tf
+    * frame, smoothed idf, round 4dp BEFORE the per-doc top-5 window so
+    * both engines rank the identical rounded values (tok asc breaks
+    * rounded ties).
+    */
+  val tfidfTopK: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest($toks) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+    dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+               AS tfidf
+      FROM tf, dfreq, n WHERE tf.tok = dfreq.tok),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rk
+      FROM scored)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, tfidf
+    FROM r WHERE rk <= 5
+    ORDER BY doc_id, rk"""
+
   /** Same chunk arithmetic as Queries.chunkDocs: 1-based starts
     * 1, 81, 161, … up to max(len, 1), chunk = substr(text, start, 100),
     * index = (start-1) // 80.
@@ -1151,5 +1178,6 @@ object Oracles {
     "q62_cdc_deletes" -> cdcDeletes,
     "q63_cdc_partitioned" -> cdcPartitioned,
     "q64_incremental_dedup" -> incrementalDedup,
-    "q65_chunk_docs" -> chunkDocs)
+    "q65_chunk_docs" -> chunkDocs,
+    "q66_tfidf_topk" -> tfidfTopK)
 }

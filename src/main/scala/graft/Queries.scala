@@ -1303,6 +1303,41 @@ object Queries {
     * the gate's final sort. See
     * [[graft.functions.TextFunctions.chunkStarts]].
     */
+  /** q66: TF-IDF top-5 terms per document — tokenize once, term
+    * frequency per (doc, token), document frequency off the SAME
+    * aggregated frame (the df shuffle moves vocabulary-sized data, not
+    * corpus-sized), smoothed idf = ln((N+1)/(df+1)) + 1, then a per-doc
+    * top-5 window (WindowGroupLimit keeps per-partition heaps, no
+    * global sort of the score space). Score rounded 4dp on both
+    * engines: ln is transcendental, so a value landing within an ulp
+    * of a rounding boundary — the only way the engines could disagree
+    * — has vanishing probability.
+    */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // one scalar: corpus size for the idf
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("tok"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def chunkDocs(s: SparkSession, dir: String): DataFrame = {
     val (chunkLen, overlap) = (100, 20)
     val stride = chunkLen - overlap

@@ -87,7 +87,8 @@ object SparkEntry {
     "q62_cdc_deletes" -> (Queries.cdcDeletes _),
     "q63_cdc_partitioned" -> (Queries.cdcPartitioned _),
     "q64_incremental_dedup" -> (Queries.incrementalDedup _),
-    "q65_chunk_docs" -> (Queries.chunkDocs _))
+    "q65_chunk_docs" -> (Queries.chunkDocs _),
+    "q66_tfidf_topk" -> (Queries.tfidfTopK _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
