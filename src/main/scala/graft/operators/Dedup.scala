@@ -107,8 +107,15 @@ object Dedup {
       * with every segment appended since. Schema-pinned, so an empty or
       * missing store loads as an empty frame, never an inference error.
       */
-    def load(s: SparkSession, dir: String): DataFrame = {
-      val segs = segments(s, dir)
+    def load(s: SparkSession, dir: String): DataFrame =
+      loadBefore(s, dir, Long.MaxValue)
+
+    /** As [[load]] but only segments with id strictly below
+      * `belowSegId` — the history a replayed micro-batch is allowed to
+      * see (its own earlier half-commit is not history).
+      */
+    def loadBefore(s: SparkSession, dir: String, belowSegId: Long): DataFrame = {
+      val segs = segments(s, dir).filter(p => segId(p) < belowSegId)
       val gen = currentGenTable(s, dir)
         .map(t => s.table(t).select(col("fp"), col("doc_id")))
       val seg =
@@ -122,6 +129,10 @@ object Dedup {
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     }
+
+    /** Numeric id of a segment path (`…/seg_00042` → 42). */
+    def segId(path: String): Long =
+      path.substring(path.lastIndexOf("seg_") + 4).toLong
 
     /** Name of the newest committed generation's catalog table, read
       * from the highest `gen_*` marker file in the store dir (the
@@ -163,7 +174,8 @@ object Dedup {
         s: SparkSession,
         dir: String,
         buckets: Int,
-        tablePrefix: String = "graft_fp_store"): String = {
+        tablePrefix: String = "graft_fp_store",
+        keepNewestSegments: Int = 0): String = {
       require(buckets > 0, "buckets must be positive")
       val p = new Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -173,9 +185,26 @@ object Dedup {
         .map(_.getPath.getName).sorted.lastOption
       val prevTable = currentGenTable(s, dir)
       val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)
-      val segs = segments(s, dir)
+      // keepNewestSegments > 0 spares the newest segments from the fold
+      // — REQUIRED (=1) while a stream feeds the store: Structured
+      // Streaming may replay its most recent epoch, and the replay
+      // re-derives that epoch's survivors from its own segment file
+      // (see dedupeStreamStaged); folding it away would break the
+      // replay. Batch-loop ingest (dedupeIncrementalStaged) never
+      // replays, so 0 folds everything.
+      val segs = segments(s, dir).dropRight(keepNewestSegments)
       val table = f"${tablePrefix}_g$gen%05d"
-      load(s, dir).write
+      val folded =
+        if (segs.isEmpty)
+          currentGenTable(s, dir)
+            .map(t => s.table(t).select(col("fp"), col("doc_id")))
+            .getOrElse(s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        else currentGenTable(s, dir)
+          .map(t => s.table(t).select(col("fp"), col("doc_id")))
+          .map(_.unionByName(s.read.schema(schema).parquet(segs: _*)))
+          .getOrElse(s.read.schema(schema).parquet(segs: _*))
+      folded.write
         .bucketBy(buckets, "fp").sortBy("fp")
         .mode("overwrite").saveAsTable(table)
       // commit: temp-write + rename, atomic on HDFS-like filesystems
@@ -234,6 +263,43 @@ object Dedup {
     keepers.write.mode("overwrite").parquet(seg)
     val committed = s.read.schema(FingerprintStore.schema).parquet(seg)
     batch.join(committed.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
+  /** [[dedupeIncrementalStaged]] for Structured Streaming's foreachBatch
+    * protocol: the segment is keyed by the MICRO-BATCH id, which is what
+    * makes at-least-once delivery exactly-once — a replayed epoch
+    * overwrites its own (possibly half-written, never-committed) segment,
+    * or, if the segment already committed, skips the merge entirely and
+    * re-derives the identical survivors from it. The anti-join history is
+    * the generation table plus segments with ids STRICTLY below this
+    * batch (a replay must not see its own earlier attempt as history).
+    * One writer per store; a compaction running between epochs must spare
+    * the newest segment (`FingerprintStore.compact(keepNewestSegments=1)`)
+    * because only the newest epoch can ever replay.
+    */
+  def dedupeStreamStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    val segName = f"seg_$batchId%05d"
+    val seg = s"$storeDir/$segName"
+    val alreadyCommitted =
+      FingerprintStore.segments(s, storeDir).exists(_.endsWith(segName))
+    if (!alreadyCommitted) {
+      val store = FingerprintStore.loadBefore(s, storeDir, batchId)
+      val keepers = exact(batch, textCol, idCol)
+        .withColumn("fp", coalesce(col("fp"), lit("__null_text__")))
+        .join(store.select(col("fp")), Seq("fp"), "left_anti")
+        .select(col("fp"), col("keep_id").cast("long").as("doc_id"))
+      keepers.write.mode("overwrite").parquet(seg)
+    }
+    val keepers = s.read.schema(FingerprintStore.schema).parquet(seg)
+    batch.join(
+      keepers.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
       Seq(idCol), "left_semi")
   }
 

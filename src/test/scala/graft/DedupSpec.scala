@@ -230,6 +230,66 @@ class DedupSpec extends SparkSpec {
       == Set(4L))
   }
 
+  test("streaming dedup: cross-batch dups drop through a real stream; replay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val storeDir = tmpDir("graft_stream_fp")
+    val outDir = tmpDir("graft_stream_corpus")
+    val dedup = new graft.streaming.DedupStream(
+      spark, storeDir, outDir, "text", "doc_id")
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft_stream_fp_ckpt"))
+      .foreachBatch(dedup.sink)
+      .start()
+    try {
+      mem.addData((1L, "alpha body"), (2L, "beta body"))
+      q.processAllAvailable()
+      mem.addData((3L, "ALPHA   body"), (4L, "gamma body")) // 3 dups 1
+      q.processAllAvailable()
+      val corpus = dedup.corpus().collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(corpus == Set(1L, 2L, 4L))
+    } finally q.stop()
+    // at-least-once replay of the NEWEST epoch (the only one Structured
+    // Streaming can redeliver): identical survivors, no store growth
+    val segsBefore = Dedup.FingerprintStore.segments(spark, storeDir)
+    val replayed = Dedup.dedupeStreamStaged(
+      Seq((3L, "ALPHA   body"), (4L, "gamma body")).toDF("doc_id", "text"),
+      storeDir, "text", "doc_id", batchId = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(4L))
+    assert(Dedup.FingerprintStore.segments(spark, storeDir) == segsBefore)
+  }
+
+  test("streaming dedup: replay survives a compaction that spares the newest segment") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = tmpDir("graft_stream_fp_compact")
+    spark.sql("DROP TABLE IF EXISTS fp_stream_g00001")
+    try {
+      val b0 = Seq((1L, "one body"), (2L, "two body")).toDF("doc_id", "text")
+      val b1 = Seq((3L, "one body"), (4L, "three body")).toDF("doc_id", "text")
+      assert(ids(Dedup.dedupeStreamStaged(b0, dir, "text", "doc_id", 0))
+        == Set(1L, 2L))
+      assert(ids(Dedup.dedupeStreamStaged(b1, dir, "text", "doc_id", 1))
+        == Set(4L))
+      Dedup.FingerprintStore.compact(spark, dir, buckets = 4,
+        tablePrefix = "fp_stream", keepNewestSegments = 1)
+      // the newest segment survived the fold — its epoch can still replay
+      assert(Dedup.FingerprintStore.segments(spark, dir).size == 1)
+      assert(ids(Dedup.dedupeStreamStaged(b1, dir, "text", "doc_id", 1))
+        == Set(4L))
+      // and the folded history still dedupes the next epoch
+      val b2 = Seq((5L, "two body"), (6L, "four body")).toDF("doc_id", "text")
+      assert(ids(Dedup.dedupeStreamStaged(b2, dir, "text", "doc_id", 2))
+        == Set(6L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fp_stream_g00001")
+    }
+  }
+
   test("FingerprintStore.compact folds segments into a bucketed generation") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
