@@ -891,23 +891,29 @@ object Oracles {
     ORDER BY event_id"""
 
   val profileOrders: String = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderpriority")
-    // same canonicalization as Profile.canonicalNumber, generated from
-    // the SHARED pattern constant (q54's fold-generated discipline), so
-    // Spark and the oracle can never disagree on how a DECIMAL min/max
-    // renders — DuckDB versions differ on trailing fractional zeros
-    def canon(x: String): String =
-      s"CASE WHEN regexp_matches($x, " +
-        s"'${graft.operators.Profile.TrailingZeroDecimal}') " +
-        s"THEN regexp_replace(regexp_replace($x, '0+$$', '', 'g'), " +
-        s"'\\.$$', '', 'g') ELSE $x END"
-    val perCol = cols.map { c => s"""
+    // (name, isString) — same recipe as Queries.profileOrders: numeric
+    // min/max emitted as BIGINT centi-units (value × 100; exact because
+    // o_totalprice is pre-cast DECIMAL(18,2) and the rest are integral),
+    // string min/max in the _str pair, the unused pair NULL. Integers
+    // hash identically in every engine — no rendering on the hashed
+    // surface, so no DuckDB-version dependence.
+    val cols = Seq(
+      "o_orderkey" -> false, "o_custkey" -> false, "o_orderstatus" -> true,
+      "o_totalprice" -> false, "o_orderpriority" -> true)
+    val perCol = cols.map { case (c, isStr) =>
+      val (minC, maxC, minS, maxS) =
+        if (isStr)
+          ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+            s"min($c)", s"max($c)")
+        else
+          (s"CAST(min($c) * 100 AS BIGINT)", s"CAST(max($c) * 100 AS BIGINT)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""
     SELECT '$c' AS col_name, count($c) AS n,
            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
            count(DISTINCT $c) AS n_distinct,
-           ${canon(s"CAST(min($c) AS VARCHAR)")} AS min_value,
-           ${canon(s"CAST(max($c) AS VARCHAR)")} AS max_value
+           $minC AS min_c100, $maxC AS max_c100,
+           $minS AS min_str, $maxS AS max_str
     FROM t""" }
     s"""
     WITH t AS (

@@ -1092,9 +1092,12 @@ object Queries {
 
   /** q58: table profile — per-column non-null/null/distinct counts and
     * min/max over orders, in ONE aggregate pass (see
-    * [[graft.operators.Profile]]). o_totalprice is pre-cast to
-    * DECIMAL(18,2) so min/max render identically in every engine
-    * (double→string formatting diverges above 1e7).
+    * [[graft.operators.Profile]]). Numeric min/max ride as BIGINT
+    * centi-units (`min_c100`/`max_c100`), string min/max as
+    * `min_str`/`max_str` — integers hash identically in every engine,
+    * so nothing on the hashed surface depends on decimal rendering.
+    * o_totalprice is pre-cast to DECIMAL(18,2) so the ×100 scaling is
+    * exact arithmetic.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, NumericType, StringType}
 
 /** Single-pass table profiling — the data-QA sweep a corpus build runs
   * before and after every curation stage: per-column non-null count,
@@ -9,14 +10,27 @@ import org.apache.spark.sql.functions._
   * scan; the per-column stats ride the same pass (Catalyst plans the
   * multi-distinct via Expand — one shuffle, rows × |cols| expansion,
   * map-side partials first).
+  *
+  * Two output surfaces:
+  *   - [[profile]] (the default, and the one on the oracle gate):
+  *     min/max of NUMERIC columns are emitted as scaled BIGINT
+  *     centi-units (`min_c100`/`max_c100` = value × 100); min/max of
+  *     STRING columns ride `min_str`/`max_str`. Integers hash
+  *     identically in every engine and survive any type-inferring
+  *     hasher — no rendering, no canonicalization, nothing version-
+  *     dependent on the hashed surface.
+  *   - [[profileRendered]]: the human-facing variant that renders every
+  *     min/max as a string in one shared column pair, canonicalized via
+  *     [[canonicalNumber]]. Kept for dashboards/reports; engines
+  *     disagree on decimal rendering, so it stays OFF the hash gate.
   */
 object Profile {
 
   /** Rendered numbers whose fractional part ends in a zero — the one
     * string shape engines disagree on when rendering a DECIMAL
     * ("1013.70" vs "1013.7" across DuckDB versions). Java-regex ∩ RE2
-    * subset (see TextFunctions.PiiPatterns) so the SQL oracle evaluates
-    * the same pattern verbatim.
+    * subset (see TextFunctions.PiiPatterns) so a SQL oracle can
+    * evaluate the same pattern verbatim.
     */
   val TrailingZeroDecimal: String = "^-?[0-9]+\\.[0-9]*0$"
 
@@ -24,7 +38,8 @@ object Profile {
     * a fractional zero, strip the trailing zeros (then a bare trailing
     * dot), so "1013.70", "1013.7" and "1013.700" all read "1013.7" no
     * matter which engine rendered them. Non-matching strings (integers,
-    * text columns) pass through untouched.
+    * text columns) pass through untouched. Used by [[profileRendered]]
+    * only.
     */
   def canonicalNumber(c: Column): Column =
     when(c.rlike(TrailingZeroDecimal),
@@ -32,12 +47,16 @@ object Profile {
       .otherwise(c)
 
   /** One row per profiled column: (col_name, n, n_nulls, n_distinct,
-    * min_value, max_value). Min/max are rendered as strings so columns
-    * of different types share the output schema — callers should
-    * pre-cast doubles to DECIMAL for engine-stable rendering (plain
-    * double→string formatting diverges across engines above 1e7), and
-    * the rendering is canonicalized via [[canonicalNumber]] so the
-    * result hashes identically whichever engine produced it.
+    * min_c100, max_c100, min_str, max_str).
+    *
+    * Numeric columns carry min/max as BIGINT centi-units
+    * (value × 100, truncated at scale 0 — exact for integral types and
+    * for DECIMAL inputs with scale ≤ 2; callers pre-cast doubles to
+    * DECIMAL so the ×100 is exact arithmetic, not float). String
+    * columns carry min/max in the `_str` pair. Any other type (date,
+    * timestamp, …) is rendered into the `_str` pair via a plain cast.
+    * The unused pair is NULL, so all column types share one schema and
+    * the whole profile stays a single stack() over one aggregate row.
     *
     * `exact = false` swaps the distinct counts for
     * approx_count_distinct — the 100 TB default, where the Expand
@@ -45,6 +64,51 @@ object Profile {
     * matters and ±2% on a QA dashboard is free.
     */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val types: Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val nullLong = min(lit(null).cast("long"))
+    val nullStr = min(lit(null).cast("string"))
+    val aggs = cols.flatMap { c =>
+      val (minN, maxN, minS, maxS) = types(c) match {
+        case _: NumericType =>
+          ((min(col(c)) * lit(100)).cast("long"),
+            (max(col(c)) * lit(100)).cast("long"), nullStr, nullStr)
+        case StringType =>
+          (nullLong, nullLong, min(col(c)), max(col(c)))
+        case _ =>
+          (nullLong, nullLong,
+            min(col(c).cast("string")), max(col(c).cast("string")))
+      }
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__nd"),
+        minN.as(s"${c}__minc"), maxN.as(s"${c}__maxc"),
+        minS.as(s"${c}__mins"), maxS.as(s"${c}__maxs"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__nd`, " +
+        s"`${c}__minc`, `${c}__maxc`, `${c}__mins`, `${c}__maxs`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n, n_nulls, n_distinct, min_c100, max_c100, min_str, max_str)")
+  }
+
+  /** Human-facing profile: (col_name, n, n_nulls, n_distinct,
+    * min_value, max_value) with every min/max rendered as a string so
+    * columns of different types share one output pair — callers should
+    * pre-cast doubles to DECIMAL for engine-stable rendering (plain
+    * double→string formatting diverges across engines above 1e7), and
+    * the rendering is canonicalized via [[canonicalNumber]]. Decimal
+    * rendering is engine-version-dependent, so this surface is for
+    * reports, not for cross-engine hash comparison — use [[profile]]
+    * on any correctness gate.
+    */
+  def profileRendered(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(

@@ -113,17 +113,51 @@ class CurationSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(2) == "u3")
   }
 
-  test("profile: one pass yields per-column null/distinct/min/max") {
+  test("profile: one pass yields per-column null/distinct/min/max (typed surface)") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
       (None, Some("x"))
     ).toDF("num", "s")
     val got = Profile.profile(df, Seq("num", "s")).collect()
+      .map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[String]),
+          Option(r.get(7)).map(_.asInstanceOf[String])))
+      }.toMap
+    // numeric col: min/max as centi-units, string pair null
+    assert(got("num") ==
+      ((3L, 1L, 2L, Some(100L), Some(200L), None, None)))
+    // string col: min/max in the _str pair, numeric pair null
+    assert(got("s") == ((3L, 1L, 2L, None, None, Some("x"), Some("y"))))
+  }
+
+  test("profile: decimal centi-units are exact (no rendering on the hashed surface)") {
+    val df = Seq("1013.70", "499978.59", "2500.00")
+      .toDF("raw")
+      .select(col("raw").cast("decimal(18,2)").as("price"))
+    val r = Profile.profile(df, Seq("price")).collect().head
+    assert(r.getLong(4) == 101370L && r.getLong(5) == 49997859L)
+    assert(r.isNullAt(6) && r.isNullAt(7))
+  }
+
+  test("profileRendered: string surface with canonical decimal rendering (off the gate)") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
+      (None, Some("x"))
+    ).toDF("num", "s")
+    val got = Profile.profileRendered(df, Seq("num", "s")).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
       .toMap
     assert(got("num") == ((3L, 1L, 2L, "1", "2")))
     assert(got("s") == ((3L, 1L, 2L, "x", "y")))
+    // the canonicalization itself: trailing fractional zeros collapse
+    val dec = Seq("1013.70").toDF("raw")
+      .select(col("raw").cast("decimal(18,2)").as("d"))
+    val rendered = Profile.profileRendered(dec, Seq("d")).collect().head
+    assert(rendered.getString(4) == "1013.7")
   }
 
   test("profile approx variant agrees on small cardinalities") {
