@@ -134,12 +134,25 @@ object Dedup {
     def segId(path: String): Long =
       path.substring(path.lastIndexOf("seg_") + 4).toLong
 
-    /** Name of the newest committed generation's catalog table, read
-      * from the highest `gen_*` marker file in the store dir (the
-      * marker's CONTENT is the table name, so the store stays fully
-      * self-describing on the filesystem).
+    /** Store-scoped catalog identifier: the name embeds a hash of the
+      * store directory, so two stores compacted with the same
+      * `tablePrefix` can NEVER write the same table name (they used to,
+      * silently replacing each other's dedup history).
       */
-    def currentGenTable(s: SparkSession, dir: String): Option[String] = {
+    private[graft] def tableFor(tablePrefix: String, dir: String, gen: Int): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+      f"${tablePrefix}_${h}_g$gen%05d"
+    }
+
+    /** The newest committed generation, read from the highest `gen_*`
+      * marker file in the store dir. The marker's CONTENT is
+      * `<table>\t<data subdir>\t<buckets>` — the DATA lives under the
+      * store dir (the catalog entry is just a bucketed-read handle over
+      * it), so the store is fully self-describing on the filesystem and
+      * survives a session restart with the default in-memory catalog.
+      */
+    private def currentGen(s: SparkSession, dir: String): Option[(String, String, Int)] = {
       val p = new Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
@@ -150,8 +163,35 @@ object Dedup {
           val in = fs.open(st.getPath)
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        }.filter(_.nonEmpty)
+        }.filter(_.nonEmpty).map { content =>
+          content.split("\t") match {
+            case Array(table, sub, b) => (table, sub, b.toInt)
+            case other => sys.error(
+              s"malformed fingerprint-store generation marker in $dir: " +
+                other.mkString("\\t"))
+          }
+        }
     }
+
+    /** Name of the newest committed generation's catalog table,
+      * registering it first if this session's catalog has never seen it
+      * (fresh session over a persisted store): the marker carries the
+      * data subdirectory and bucket count, so the bucketed-read handle
+      * is recreated as an external table over the existing files —
+      * load after restart stays exchange-free, not just readable.
+      */
+    def currentGenTable(s: SparkSession, dir: String): Option[String] =
+      currentGen(s, dir).map { case (table, sub, buckets) =>
+        if (!s.catalog.tableExists(table)) {
+          val loc = new Path(new Path(dir), sub).toString
+          s.sql(
+            s"""CREATE TABLE $table (fp STRING, doc_id BIGINT)
+               |USING PARQUET
+               |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+        }
+        table
+      }
 
     /** Fold the current generation + every committed segment into a NEW
       * generation: a catalog table bucketed (and sorted) by fp. After a
@@ -160,13 +200,21 @@ object Dedup {
       * side shuffles to the bucket count; segments appended afterwards
       * ride a union until the next compaction re-folds them.
       *
-      * Commit protocol: write the bucketed table, then atomically
-      * rename a marker file (`gen_%05d`, content = table name) into the
-      * store dir; ONLY then drop the previous generation and delete the
-      * folded segments. A crash anywhere leaves a SUPERSET of the store
-      * (stale table/segments), which an fp anti-join is insensitive to,
-      * and the next compaction reclaims. Single concurrent writer, like
-      * segment ingest itself.
+      * The generation's DATA is parquet under the store dir itself
+      * (`gen_data_%05d/`); the catalog entry is an EXTERNAL bucketed
+      * table over it, name scoped to the store dir via [[tableFor]].
+      * A session restart with the default in-memory catalog loses the
+      * entry but not the data — [[currentGenTable]] re-registers the
+      * handle from the marker, so the store is never bricked and two
+      * stores can never overwrite each other's history.
+      *
+      * Commit protocol: write the bucketed data, then atomically rename
+      * a marker file (`gen_%05d`, content = table + data subdir +
+      * buckets) into the store dir; ONLY then drop the previous
+      * generation and delete the folded segments. A crash anywhere
+      * leaves a SUPERSET of the store (stale table/segments), which an
+      * fp anti-join is insensitive to, and the next compaction
+      * reclaims. Single concurrent writer, like segment ingest itself.
       *
       * @return the new generation's table name
       */
@@ -183,6 +231,7 @@ object Dedup {
       val prevMarker = fs.listStatus(p).toSeq
         .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
         .map(_.getPath.getName).sorted.lastOption
+      val prev = currentGen(s, dir)
       val prevTable = currentGenTable(s, dir)
       val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)
       // keepNewestSegments > 0 spares the newest segments from the fold
@@ -193,28 +242,40 @@ object Dedup {
       // replay. Batch-loop ingest (dedupeIncrementalStaged) never
       // replays, so 0 folds everything.
       val segs = segments(s, dir).dropRight(keepNewestSegments)
-      val table = f"${tablePrefix}_g$gen%05d"
+      val table = tableFor(tablePrefix, dir, gen)
+      val dataSub = f"gen_data_$gen%05d"
+      val dataDir = new Path(p, dataSub).toString
       val folded =
         if (segs.isEmpty)
-          currentGenTable(s, dir)
+          prevTable
             .map(t => s.table(t).select(col("fp"), col("doc_id")))
             .getOrElse(s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-        else currentGenTable(s, dir)
+        else prevTable
           .map(t => s.table(t).select(col("fp"), col("doc_id")))
           .map(_.unionByName(s.read.schema(schema).parquet(segs: _*)))
           .getOrElse(s.read.schema(schema).parquet(segs: _*))
+      // a crashed prior attempt at this gen may have left the table
+      // registered over a half-written dir — drop the handle so the
+      // external overwrite starts clean
+      s.sql(s"DROP TABLE IF EXISTS $table")
       folded.write
         .bucketBy(buckets, "fp").sortBy("fp")
+        .option("path", dataDir)
         .mode("overwrite").saveAsTable(table)
       // commit: temp-write + rename, atomic on HDFS-like filesystems
       val tmp = new Path(p, f"gen_$gen%05d.tmp")
       val out = fs.create(tmp, true)
-      try out.write(table.getBytes("UTF-8")) finally out.close()
+      try out.write(s"$table\t$dataSub\t$buckets".getBytes("UTF-8"))
+      finally out.close()
       fs.rename(tmp, new Path(p, f"gen_$gen%05d"))
-      // cleanup strictly after the commit
+      // cleanup strictly after the commit: the handle, the marker, the
+      // prior generation's data dir, and the folded segments
       prevTable.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       prevMarker.foreach(m => fs.delete(new Path(p, m), false): Unit)
+      prev.foreach { case (_, sub, _) =>
+        fs.delete(new Path(p, sub), true): Unit
+      }
       segs.foreach(seg => fs.delete(new Path(seg), true): Unit)
       table
     }

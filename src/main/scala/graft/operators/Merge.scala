@@ -55,7 +55,11 @@ object Merge {
     * carries a higher version, beating data rows on exact version ties
     * (a retraction issued at the version it retracts must apply).
     *
-    * `deletes` carries exactly `keyCols :+ versionCol`. With
+    * `deletes` carries at least `keyCols :+ versionCol`; any further
+    * column it carries (e.g. a partitioned table's partition column)
+    * is carried onto the persisted tombstone row rather than padded
+    * null, so a direct reader or partition-pruning scan can still
+    * attribute the tombstone to its partition. With
     * `keepTombstones = true` the winner rows INCLUDE deleted keys,
     * flagged by [[TombstoneCol]] (payload columns null) — the form a
     * versioned table persists so late lower-versioned changes cannot
@@ -109,10 +113,15 @@ object Merge {
       else widened.withColumn(TombstoneCol, lit(false))
     }
     val dataFields = b0.schema.fields.filterNot(_.name == TombstoneCol).toSeq
-    // pad tombstones to the table schema: key + version carried,
-    // payload columns null — they never surface unless keepTombstones
+    // pad tombstones to the table schema: key + version (and any other
+    // column the deletes frame carries, e.g. a partition column)
+    // carried; remaining payload columns null — they never surface
+    // unless keepTombstones. Keys/version stay unconditional so a
+    // deletes frame MISSING one fails resolution instead of silently
+    // padding a null key.
     val delPadded = deletes.select(dataFields.map { f =>
-      if (keyCols.contains(f.name) || f.name == versionCol)
+      if (keyCols.contains(f.name) || f.name == versionCol ||
+          deletes.columns.contains(f.name))
         col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*).withColumn(TombstoneCol, lit(true))

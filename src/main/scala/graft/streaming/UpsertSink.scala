@@ -133,9 +133,13 @@ class ParquetUpsertTable(
     val version = f"v_$batchId%020d"
     if (latestVersion.exists(_ >= version)) return
     snapshotFull().foreach { cur =>
-      commitVersion(
-        cur.filter(!(col(Merge.TombstoneCol) && col(versionCol) < horizon)),
-        version)
+      // pre-tombstone-layout table: nothing to purge, and filtering on
+      // the absent column would be an AnalysisException — no-op, like
+      // snapshot()'s guard
+      if (cur.columns.contains(Merge.TombstoneCol))
+        commitVersion(
+          cur.filter(!(col(Merge.TombstoneCol) && col(versionCol) < horizon)),
+          version)
     }
   }
 
@@ -179,7 +183,9 @@ class ParquetUpsertTable(
   * row in an untouched partition. Updates carry `partCol` as a normal
   * column; deletes carry (keyCols, versionCol, partCol) — a tombstone
   * must name the one partition its key lives in, or scoping is lost.
-  * Partition values must be path-safe (day strings, bucket ids).
+  * Partition values must be path-safe (day strings, bucket ids) —
+  * ENFORCED: bootstrap and applyChanges reject values outside
+  * [A-Za-z0-9._-]+ before committing anything (see requirePathSafe).
   *
   * Scale: work per batch = Σ size of touched partitions — the win over
   * full-table COW, which pays the whole table regardless. Commits run
@@ -209,6 +215,21 @@ class PartitionedUpsertTable(
 
   private val root = new Path(dir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The documented path-safety contract, enforced: partition values
+    * become raw directory names (`partCol=<value>`), while bootstrap
+    * routes through partitionBy, which HIVE-ESCAPES special characters
+    * — a value like "2024/01" or one carrying ':' would bootstrap into
+    * an escaped dir but merge into a differently-named raw dir,
+    * silently splitting the partition. Restricting values to
+    * [A-Za-z0-9._-] (day strings, bucket ids) makes both paths name
+    * the same directory; anything else fails fast here.
+    */
+  private def requirePathSafe(pv: String): Unit =
+    require(pv.matches("[A-Za-z0-9._-]+") && pv != "__HIVE_DEFAULT_PARTITION__",
+      s"partition value '$pv' is not path-safe: values must be non-null " +
+        "and match [A-Za-z0-9._-]+ (day strings, bucket ids) so the raw " +
+        "merge path and the hive-escaped bootstrap path name the same dir")
 
   /** Existing partition dir names, e.g. "day=2024-02-01". */
   def partitionDirs: Seq[String] =
@@ -309,8 +330,12 @@ class PartitionedUpsertTable(
     fs.listStatus(staging).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__p="))
       .foreach { st =>
-        val partDir = new Path(root,
-          s"$partCol=${st.getPath.getName.stripPrefix("__p=")}")
+        val pv = st.getPath.getName.stripPrefix("__p=")
+        // an unsafe source value surfaces here hive-escaped ('%xx') or
+        // as the null sentinel — both fail the contract check before
+        // any rename, leaving only the reclaimable staging dir
+        requirePathSafe(pv)
+        val partDir = new Path(root, s"$partCol=$pv")
         val target = new Path(partDir, version)
         if (!fs.exists(new Path(target, "_SUCCESS"))) { // replay skip
           fs.mkdirs(partDir)
@@ -339,7 +364,10 @@ class PartitionedUpsertTable(
       // batch's distinct partition values, not by data size)
       val touched = ups.select(col(partCol).cast("string"))
         .unionByName(dels.select(col(partCol).cast("string")))
-        .distinct().collect().map(_.getString(0)).sorted
+        .distinct().collect()
+        .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__" else r.getString(0))
+        .sorted
+      touched.foreach(requirePathSafe) // before ANY partition commits
       def rewrite(pv: String): Unit = {
         val partDir = s"$partCol=$pv"
         // per-partition replay skip: a crash mid-batch commits a prefix
@@ -414,6 +442,7 @@ class PartitionedUpsertTable(
       batchId: Long,
       partitions: Option[Seq[String]] = None): Unit = {
     val version = f"v_$batchId%020d"
+    partitions.foreach(_.foreach(requirePathSafe))
     val targets = partitions
       .map(_.map(pv => s"$partCol=$pv"))
       .getOrElse(partitionDirs)

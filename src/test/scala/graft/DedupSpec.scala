@@ -267,7 +267,6 @@ class DedupSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val dir = tmpDir("graft_stream_fp_compact")
-    spark.sql("DROP TABLE IF EXISTS fp_stream_g00001")
     try {
       val b0 = Seq((1L, "one body"), (2L, "two body")).toDF("doc_id", "text")
       val b1 = Seq((3L, "one body"), (4L, "three body")).toDF("doc_id", "text")
@@ -286,7 +285,8 @@ class DedupSpec extends SparkSpec {
       assert(ids(Dedup.dedupeStreamStaged(b2, dir, "text", "doc_id", 2))
         == Set(6L))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS fp_stream_g00001")
+      Dedup.FingerprintStore.currentGenTable(spark, dir)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
@@ -294,8 +294,6 @@ class DedupSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val dir = tmpDir("graft_fp_compact")
-    spark.sql("DROP TABLE IF EXISTS fp_spec_g00001")
-    spark.sql("DROP TABLE IF EXISTS fp_spec_g00002")
     try {
       for (i <- 1L to 3L) {
         val b = Seq((i, s"doc $i body")).toDF("doc_id", "text")
@@ -305,7 +303,8 @@ class DedupSpec extends SparkSpec {
 
       val table = Dedup.FingerprintStore.compact(spark, dir, buckets = 4,
         tablePrefix = "fp_spec")
-      assert(table == "fp_spec_g00001")
+      // the name is store-scoped: prefix + dir hash + generation
+      assert(table.startsWith("fp_spec_") && table.endsWith("_g00001"))
       // segment count collapses; the store's content is intact
       assert(Dedup.FingerprintStore.segments(spark, dir).isEmpty)
       assert(Dedup.FingerprintStore.currentGenTable(spark, dir).contains(table))
@@ -337,17 +336,65 @@ class DedupSpec extends SparkSpec {
       // a second compaction folds gen + new segments into the next gen
       val table2 = Dedup.FingerprintStore.compact(spark, dir, buckets = 4,
         tablePrefix = "fp_spec")
-      assert(table2 == "fp_spec_g00002")
+      assert(table2.endsWith("_g00002"))
       assert(Dedup.FingerprintStore.segments(spark, dir).isEmpty)
       assert(Dedup.FingerprintStore.load(spark, dir).count() == 4)
-      assert(!spark.catalog.tableExists("fp_spec_g00001")) // prior gen dropped
+      assert(!spark.catalog.tableExists(table)) // prior gen dropped
       // replayed known doc still filtered against the re-folded store
       val b5 = Seq((60L, "fresh body")).toDF("doc_id", "text")
       assert(ids(Dedup.dedupeIncrementalStaged(b5, dir, "text", "doc_id")).isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS fp_spec_g00001")
-      spark.sql("DROP TABLE IF EXISTS fp_spec_g00002")
+      Dedup.FingerprintStore.currentGenTable(spark, dir)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("FingerprintStore generation survives a catalog restart and never cross-talks") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dirA = tmpDir("graft_fp_restart_a")
+    val dirB = tmpDir("graft_fp_restart_b")
+    try {
+      Dedup.dedupeIncrementalStaged(
+        Seq((1L, "alpha body")).toDF("doc_id", "text"), dirA, "text", "doc_id").count()
+      Dedup.dedupeIncrementalStaged(
+        Seq((2L, "beta body")).toDF("doc_id", "text"), dirB, "text", "doc_id").count()
+      // DEFAULT tablePrefix on both stores: the dir-hash-scoped names
+      // must differ, so neither compaction can overwrite the other
+      val tA = Dedup.FingerprintStore.compact(spark, dirA, buckets = 4)
+      val tB = Dedup.FingerprintStore.compact(spark, dirB, buckets = 4)
+      assert(tA != tB)
+      assert(ids(Dedup.FingerprintStore.load(spark, dirA)) == Set(1L))
+      assert(ids(Dedup.FingerprintStore.load(spark, dirB)) == Set(2L))
+
+      // simulate a fresh session over a persisted store: the in-memory
+      // catalog entry is gone, the store dir is all that's left
+      spark.sql(s"DROP TABLE $tA")
+      assert(ids(Dedup.FingerprintStore.load(spark, dirA)) == Set(1L))
+      // and the re-registered handle is still a BUCKETED read — the
+      // anti-join stays exchange-free on the store side after restart
+      spark.sql(s"DROP TABLE $tA")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq((9L, "alpha body")).toDF("doc_id", "text")
+      val plan = Dedup.exact(probe, "text", "doc_id")
+        .join(Dedup.FingerprintStore.load(spark, dirA)
+          .select(org.apache.spark.sql.functions.col("fp").as("fp_s")),
+          org.apache.spark.sql.functions.col("fp") ===
+            org.apache.spark.sql.functions.col("fp_s"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"restarted store side not read as bucketed:\n$plan")
+      // ingest keeps working against the recovered store
+      assert(ids(Dedup.dedupeIncrementalStaged(
+        Seq((3L, "alpha body"), (4L, "new body")).toDF("doc_id", "text"),
+        dirA, "text", "doc_id")) == Set(4L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq(dirA, dirB).foreach { d =>
+        Dedup.FingerprintStore.currentGenTable(spark, d)
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
     }
   }
 

@@ -504,4 +504,55 @@ class UpsertSinkSpec extends SparkSpec {
     assert(vdirs.toSeq.sorted ==
       Seq("v_00000000000000000001", "v_00000000000000000002"))
   }
+
+  test("persisted tombstones carry their partition value, not null") {
+    import graft.operators.Merge
+    val dir = tmpDir("graft_part_tomb_attr")
+    val t = seed(dir)
+    t.applyChanges(Seq.empty[(Long, Long, String, String)].toDF("k", "v", "p", "day"),
+      Seq((1L, 5L, "2024-01-01")).toDF("k", "v", "day"), 1)
+    // read the stored frame directly (not through snapshot, which drops
+    // tombstones): the delete row must be attributable to its partition
+    val stored = spark.read.parquet(
+      new java.io.File(dir, "day=2024-01-01/v_00000000000000000001").getPath)
+    val tomb = stored.filter(stored(Merge.TombstoneCol)).collect()
+    assert(tomb.length == 1)
+    assert(tomb.head.getAs[String]("day") == "2024-01-01")
+    assert(tomb.head.isNullAt(tomb.head.fieldIndex("p"))) // payload still padded
+  }
+
+  test("purgeTombstones on a pre-tombstone-layout table is a no-op") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_upsert_pretomb")
+    // a version written before the tombstone feature: no __tombstone col
+    Seq((1L, 1L, "a")).toDF("k", "v", "p").write
+      .parquet(new java.io.File(dir, "v_00000000000000000000").getPath)
+    val table = new ParquetUpsertTable(spark, dir, Seq("k"), "v")
+    table.purgeTombstones(lit(5L), batchId = 1) // must not throw
+    assert(table.latestVersion.contains("v_00000000000000000000")) // no new commit
+    assert(state(table) == Map(1L -> ((1L, "a"))))
+  }
+
+  test("unsafe partition values are rejected before anything commits") {
+    val dir = tmpDir("graft_part_unsafe")
+    val t = new PartitionedUpsertTable(spark, dir, Seq("k"), "v", "day")
+    // merge path: a raw '/' would nest directories; ':' would diverge
+    // from the hive-escaped bootstrap dir; null has no path form
+    intercept[IllegalArgumentException] {
+      t.applyBatch(Seq((1L, 1L, "a", "2024/01")).toDF("k", "v", "p", "day"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      t.applyChanges(Seq.empty[(Long, Long, String, String)].toDF("k", "v", "p", "day"),
+        Seq((1L, 1L, null.asInstanceOf[String])).toDF("k", "v", "day"), 0)
+    }
+    // bootstrap path: partitionBy hive-escapes ':' — caught before any
+    // partition is renamed into place
+    intercept[IllegalArgumentException] {
+      t.bootstrap(Seq((1L, 1L, "a", "2024:01")).toDF("k", "v", "p", "day"))
+    }
+    assert(t.partitionDirs.isEmpty, "a rejected batch must commit nothing")
+    // sane values still flow
+    t.applyBatch(Seq((1L, 1L, "a", "2024-01-01")).toDF("k", "v", "p", "day"), 1)
+    assert(t.partitionDirs == Seq("day=2024-01-01"))
+  }
 }
