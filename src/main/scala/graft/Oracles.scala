@@ -1063,6 +1063,56 @@ object Oracles {
     WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** One global pass of q67's three-batch incremental NEAR-dup dedup:
+    * with ascending-id ingest batches and the greedy matches-any-
+    * smaller-id policy (dropped docs' band keys register too), the
+    * sequential band-store loop collapses to "drop b when a smaller-id
+    * a shares an LSH band" over the whole planted corpus — the store's
+    * segments, mid-sequence compaction, and owner-aware replay
+    * matching must be invisible. Minhash/band recipe = dedupeCorpus's
+    * (k = 8, bands = 4, word bigrams, minhashParams constants).
+    */
+  val incrementalNearDedup: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+             text || ' qz17 qz18' AS text
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct($bigrams)) AS sh FROM corpus),
+    h AS (
+      SELECT doc_id, mod(${hash60("sh")}, 1000000007) AS hh FROM g),
+    sigs AS (
+      SELECT doc_id,
+             min(mod(hh *  2000007 + 777767777, 1000000007)) AS mh0,
+             min(mod(hh *  4000013 + 555535547, 1000000007)) AS mh1,
+             min(mod(hh *  6000019 + 333303317, 1000000007)) AS mh2,
+             min(mod(hh *  8000025 + 111071087, 1000000007)) AS mh3,
+             min(mod(hh * 10000031 + 888838864, 1000000007)) AS mh4,
+             min(mod(hh * 12000037 + 666606634, 1000000007)) AS mh5,
+             min(mod(hh * 14000043 + 444374404, 1000000007)) AS mh6,
+             min(mod(hh * 16000049 + 222142174, 1000000007)) AS mh7
+      FROM h GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(concat_ws(',', mh2, mh3)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(concat_ws(',', mh4, mh5)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 3 AS band, md5(concat_ws(',', mh6, mh7)) AS sig FROM sigs),
+    drops AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    SELECT doc_id, text FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY doc_id"""
+
   /** Mirrors Queries.tfidfTopK: tf per (doc, token), df off the tf
     * frame, smoothed idf, round 4dp BEFORE the per-doc top-5 window so
     * both engines rank the identical rounded values (tok asc breaks
@@ -1185,5 +1235,6 @@ object Oracles {
     "q63_cdc_partitioned" -> cdcPartitioned,
     "q64_incremental_dedup" -> incrementalDedup,
     "q65_chunk_docs" -> chunkDocs,
-    "q66_tfidf_topk" -> tfidfTopK)
+    "q66_tfidf_topk" -> tfidfTopK,
+    "q67_incremental_near_dedup" -> incrementalNearDedup)
 }

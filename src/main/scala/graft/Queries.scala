@@ -1353,4 +1353,47 @@ object Queries {
         substr(col("text"), col("start"), lit(chunkLen)).as("chunk"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** q67: incremental NEAR-dup dedup through the persisted MinHash
+    * band store (see
+    * [[graft.operators.Dedup.dedupeNearIncrementalStaged]]) — three
+    * ascending-id ingest batches with a mid-sequence bucketed
+    * compaction, exactly q64's protocol, but matching on LSH band keys
+    * instead of exact fingerprints. The corpus is the documents table
+    * plus TWO planted full copies (q54's plant-and-remove discipline):
+    * an id-shifted EXACT copy (every band matches — the whole second
+    * batch must drop against the first's stored bands) and an
+    * id-shifted NEAR copy with two tokens appended (bands match iff
+    * the appended bigrams don't displace a banded minimum — decided
+    * identically by both engines). Ascending ids make the sequential
+    * greedy policy equal ONE global "drop b when a smaller-id a shares
+    * a band" pass, which is the oracle's window; segments, the
+    * compaction, and owner-aware replay matching must all be invisible
+    * in the result.
+    */
+  def incrementalNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_sig_gate").toString
+    val prefix = "graft_q67_store"
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val m1 = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val b1 = docs0
+      val b2 = docs0.select((col("doc_id") + lit(m1)).as("doc_id"), col("text"))
+      val b3 = docs0.select((col("doc_id") + lit(2 * m1)).as("doc_id"),
+        concat(col("text"), lit(" qz17 qz18")).as("text"))
+      val r1 = Dedup.dedupeNearIncrementalStaged(b1, storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      val r2 = Dedup.dedupeNearIncrementalStaged(b2, storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
+      val r3 = Dedup.dedupeNearIncrementalStaged(b3, storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      r1.unionByName(r2).unionByName(r3).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
 }

@@ -88,7 +88,8 @@ object SparkEntry {
     "q63_cdc_partitioned" -> (Queries.cdcPartitioned _),
     "q64_incremental_dedup" -> (Queries.incrementalDedup _),
     "q65_chunk_docs" -> (Queries.chunkDocs _),
-    "q66_tfidf_topk" -> (Queries.tfidfTopK _))
+    "q66_tfidf_topk" -> (Queries.tfidfTopK _),
+    "q67_incremental_near_dedup" -> (Queries.incrementalNearDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

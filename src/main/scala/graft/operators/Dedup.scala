@@ -364,6 +364,95 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Incremental NEAR-dup dedup through the persisted store — the
+    * cross-batch twin of [[dedupeIncrementalStaged]], closing the gap
+    * where a new batch was only ever checked against PRIOR batches'
+    * exact fingerprints: here the store persists each document's
+    * MinHash LSH band keys, so a near-duplicate of a document ingested
+    * three batches ago drops just like an exact one.
+    *
+    * Store: [[FingerprintStore]] UNCHANGED — `fp` holds the combined
+    * band key (`"b<band>:<md5(banded signature)>"`, [[bandKeys]]),
+    * `doc_id` the smallest id seen owning that key, one row per key,
+    * `bands` rows per doc. Same immutable `_SUCCESS`-gated segments,
+    * same bucketed compaction (the per-ingest probe against a compacted
+    * store reads the store side with no Exchange), same crash story.
+    *
+    * Policy (the greedy large-corpus rule, as [[dedupeCorpus]]): a doc
+    * is dropped iff ANY of its band keys is owned by a smaller-id doc —
+    * surviving or not, which is why every batch doc's keys register,
+    * not just survivors' — so with ascending-id ingest batches the
+    * sequential loop is EQUAL to one global pass of "drop b when a
+    * smaller-id a shares a band" (the SQL-expressible oracle form).
+    * Candidate-level (band-match) dropping, no Jaccard verify: at
+    * 100 TB the verify pass re-reads corpus text per candidate, and
+    * the store holds keys, not text; tune precision with k/bands
+    * (8/4 ≈ pairs over ~0.72 estimated Jaccard at 2-row bands).
+    * Owner-aware matching (`owner < id`, not mere key existence) makes
+    * a replayed batch idempotent: its own keys, re-seen in the store,
+    * are owned by itself. Docs with no shingles (null/short text) carry
+    * no keys and always survive — run exact dedup first for those.
+    */
+  def dedupeNearIncrementalStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      ngram: Int = 2): DataFrame = {
+    val s = batch.sparkSession
+    val existing = FingerprintStore.segments(s, storeDir)
+    val store = FingerprintStore.load(s, storeDir)
+    val keys = bandKeys(
+      minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
+    // cross-batch (and replayed-self) matches: key owned by a smaller id
+    val crossDrop = keys
+      .join(store.select(col("fp"), col("doc_id").as("__owner")), Seq("fp"))
+      .filter(col("__owner") < col(idCol))
+      .select(col(idCol)).distinct()
+    // within-batch matches: the same banded equi-join as lshCandidates —
+    // bucket-keyed, never all-pairs
+    val withinDrop = keys.as("a")
+      .join(keys.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    val dropIds = crossDrop.unionByName(withinDrop).distinct()
+    // register EVERY batch doc's keys (dropped docs' too — see policy),
+    // min owner per key, only keys the store has never seen
+    val newKeys = keys
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).cast("long").as("doc_id"))
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+    val nextIdx = existing
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    val seg = f"$storeDir/seg_$nextIdx%05d"
+    newKeys.write.mode("overwrite").parquet(seg)
+    batch.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Per-document combined LSH band keys: one row per (doc, band),
+    * `fp = "b<band>:<md5 of the band's signature slice>"` — the single-
+    * column join/store key form of [[lshCandidates]]' (band, sig) pair,
+    * chosen so a band store bucketed on `fp` co-locates the probe join
+    * on ONE column (a two-column join over a one-column bucket layout
+    * would re-shuffle the store side).
+    */
+  def bandKeys(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh"))
+    require(mhCols.nonEmpty && mhCols.length % bands == 0,
+      s"bands=$bands must divide k=${mhCols.length}")
+    val rowsPerBand = mhCols.length / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":", lit(s"b$b"),
+        md5(concat_ws(",",
+          mhCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            .toIndexedSeq.map(col): _*)))
+    }
+    signatures.select(col(idCol), explode(array(bandCols: _*)).as("fp"))
+  }
+
   /** End-to-end corpus dedup: exact-dup removal, then near-dup removal via
     * MinHash+LSH candidates verified by n-gram Jaccard ≥ `threshold` —
     * keeping the smallest-id document of each duplicate group (greedy:

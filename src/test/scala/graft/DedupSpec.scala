@@ -350,6 +350,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup dedup equals the global band-match policy") {
+    import org.apache.spark.sql.functions.{col => c}
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic corpus: 12 base texts, then exact copies, then
+    // near copies (two tokens appended) — ids strictly ascending across
+    // the three groups, which is the ingest-batch contract
+    val base = (0 until 12).map { i =>
+      // disjoint per-doc vocabulary: no base pair shares a bigram, so
+      // every base doc must survive the global policy
+      (i.toLong + 1, (0 until 10).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val exactCopies = base.map { case (id, t) => (id + 100, t) }
+    val nearCopies = base.map { case (id, t) => (id + 200, t + " nu xi") }
+    val corpus = base ++ exactCopies ++ nearCopies
+    val all = corpus.toDF("doc_id", "text")
+
+    // global policy: drop b when ANY smaller-id a shares a band key
+    val keys = Dedup.bandKeys(
+      Dedup.minhashSignatures(all, "text", "doc_id", k = 8, ngram = 2),
+      "doc_id", bands = 4)
+    val globalDrops = keys.as("a")
+      .join(keys.as("b"), c("a.fp") === c("b.fp") && c("a.doc_id") < c("b.doc_id"))
+      .select(c("b.doc_id").as("doc_id")).distinct()
+    val expected = corpus.map(_._1).toSet -- ids(globalDrops)
+    // sanity: exact copies MUST all be caught; the plant is real
+    assert(exactCopies.map(_._1).toSet.intersect(expected).isEmpty)
+    assert(expected.size >= 12) // every base doc survives
+
+    // sequential loop over three batches, compaction mid-sequence
+    val dir = tmpDir("graft_sig_store")
+    try {
+      val got1 = ids(Dedup.dedupeNearIncrementalStaged(
+        base.toDF("doc_id", "text"), dir, "text", "doc_id"))
+      val got2 = ids(Dedup.dedupeNearIncrementalStaged(
+        exactCopies.toDF("doc_id", "text"), dir, "text", "doc_id"))
+      Dedup.FingerprintStore.compact(spark, dir, buckets = 4,
+        tablePrefix = "sig_spec")
+      val got3 = ids(Dedup.dedupeNearIncrementalStaged(
+        nearCopies.toDF("doc_id", "text"), dir, "text", "doc_id"))
+      assert(got1 ++ got2 ++ got3 == expected,
+        s"sequential=${(got1 ++ got2 ++ got3).toSeq.sorted} " +
+          s"global=${expected.toSeq.sorted}")
+      // replay idempotence: rerunning the LAST batch re-derives the
+      // identical survivors (its own stored keys are owned by itself,
+      // so owner-aware matching does not self-drop)
+      val replayed = ids(Dedup.dedupeNearIncrementalStaged(
+        nearCopies.toDF("doc_id", "text"), dir, "text", "doc_id"))
+      assert(replayed == got3)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(spark, dir)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("FingerprintStore generation survives a catalog restart and never cross-talks") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
