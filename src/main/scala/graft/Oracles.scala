@@ -1236,5 +1236,10 @@ object Oracles {
     "q64_incremental_dedup" -> incrementalDedup,
     "q65_chunk_docs" -> chunkDocs,
     "q66_tfidf_topk" -> tfidfTopK,
-    "q67_incremental_near_dedup" -> incrementalNearDedup)
+    "q67_incremental_near_dedup" -> incrementalNearDedup,
+    // q68 shares q64's oracle BY DESIGN: the streaming epoch protocol
+    // (segment-per-batch-id, replay re-derivation, newest-segment-
+    // sparing compaction) must be invisible against the same global
+    // min-id-per-fingerprint replay the batch loop is held to.
+    "q68_streaming_dedup" -> incrementalDedup)
 }

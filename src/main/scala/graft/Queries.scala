@@ -1354,6 +1354,56 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** q68: STREAMING corpus dedup on the oracle gate — the documents
+    * table (plus q64's planted id-shifted exact copy) ingested as
+    * three ascending-id micro-batch epochs through
+    * [[graft.operators.Dedup.dedupeStreamStaged]], exercising the
+    * whole streaming protocol inside the gated result: epoch 1 is
+    * REPLAYED after its commit (at-least-once delivery) and it is the
+    * replay's survivors that feed the output — a replay that derived
+    * anything but the identical set would hash-diverge; the
+    * compaction between epochs 1 and 2 spares the newest segment
+    * (`keepNewestSegments = 1`), the contract that keeps the
+    * replayable epoch's history intact. Batch ids are the epoch ids a
+    * checkpointed foreachBatch would deliver, so the gate is
+    * deterministic; the real MemoryStream + checkpoint drive of the
+    * same code path lives in DedupSpec/DedupStream specs. Oracle =
+    * q64's one-window global min-id-per-fingerprint replay: epochs,
+    * segment keying, replay, and compaction must all be invisible.
+    */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+    val prefix = "graft_q68_store"
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val maxId0 = docs0.agg(max(col("doc_id"))).first().getLong(0)
+      val docs = docs0.unionByName(docs0.select(
+        (col("doc_id") + lit(maxId0 + 1)).as("doc_id"), col("text")))
+      val maxId = 2 * maxId0 + 1
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val e0 = docs.filter(col("doc_id") <= t1)
+      val e1 = docs.filter(col("doc_id") > t1 && col("doc_id") <= t2)
+      val e2 = docs.filter(col("doc_id") > t2)
+      val r0 = Dedup.dedupeStreamStaged(e0, storeDir, "text", "doc_id", 0L)
+        .localCheckpoint(true)
+      Dedup.dedupeStreamStaged(e1, storeDir, "text", "doc_id", 1L)
+        .localCheckpoint(true)
+      // the replayed epoch's survivors are what the gate emits
+      val r1 = Dedup.dedupeStreamStaged(e1, storeDir, "text", "doc_id", 1L)
+        .localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8,
+        tablePrefix = prefix, keepNewestSegments = 1)
+      val r2 = Dedup.dedupeStreamStaged(e2, storeDir, "text", "doc_id", 2L)
+        .localCheckpoint(true)
+      r0.unionByName(r1).unionByName(r2).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
+
   /** q67: incremental NEAR-dup dedup through the persisted MinHash
     * band store (see
     * [[graft.operators.Dedup.dedupeNearIncrementalStaged]]) — three

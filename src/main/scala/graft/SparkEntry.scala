@@ -89,7 +89,8 @@ object SparkEntry {
     "q64_incremental_dedup" -> (Queries.incrementalDedup _),
     "q65_chunk_docs" -> (Queries.chunkDocs _),
     "q66_tfidf_topk" -> (Queries.tfidfTopK _),
-    "q67_incremental_near_dedup" -> (Queries.incrementalNearDedup _))
+    "q67_incremental_near_dedup" -> (Queries.incrementalNearDedup _),
+    "q68_streaming_dedup" -> (Queries.streamingDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
