@@ -250,6 +250,81 @@ class PartitionedUpsertTable(
   private def latestIn(partDir: String): Option[String] =
     committedVersionsIn(partDir).lastOption
 
+  // ---- commit manifests ------------------------------------------------ //
+  // A batch's LAST step writes `_manifests/m_<version>`: the full
+  // partition→version map of the table after the batch (one line per
+  // partition, tmp+rename committed). snapshot()/snapshotAt() resolve
+  // from the newest manifest in ONE file read instead of one
+  // listStatus per partition — at 10k+ partitions that is the
+  // difference between 1 and 10k namenode RPCs per read. The listing
+  // path below stays as the pre-manifest fallback and the repair path.
+  //
+  // Crash story: partitions commit individually first; a crash before
+  // the manifest leaves the BATCH uncommitted at table level, so
+  // readers see the previous manifest's consistent state (its version
+  // dirs survive GC — keepVersions >= 2). The streaming contract
+  // replays the failed batch id before any later one: the replay skips
+  // already-committed partitions, finishes the rest, and lands the
+  // manifest. Merge-base resolution (partitionFull) deliberately keeps
+  // using the per-partition listing — a replay must see a crashed
+  // batch's committed halves to skip them deterministically.
+
+  private val manifestsDir = new Path(root, "_manifests")
+
+  private def manifestNames: Seq[String] =
+    if (!fs.exists(manifestsDir)) Seq.empty
+    else fs.listStatus(manifestsDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("m_v_\\d{20}"))
+      .map(_.getPath.getName).sorted
+
+  /** The one FS read a manifest-resolved snapshot costs. */
+  private def readManifest(name: String): Map[String, String] = {
+    val in = fs.open(new Path(manifestsDir, name))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(p, v) = line.split("\t")
+      p -> v
+    }.toMap
+  }
+
+  /** Fold the batch's touched partitions over the previous manifest
+    * (or, for a legacy/pre-manifest table, over one full listing — the
+    * repair path) and commit the result as `m_<version>`. A replay of
+    * an OLD batch never regresses the manifest chain (name guard), and
+    * manifests are GC'd on the same retention as version dirs.
+    */
+  private def commitManifest(touched: Seq[String], version: String): Unit = {
+    val names = manifestNames
+    if (names.lastOption.exists(_ >= s"m_$version")) return // stale replay
+    val prev = names.lastOption.map(readManifest).getOrElse {
+      partitionDirs.flatMap(p => latestIn(p).map(p -> _)).toMap
+    }
+    val next = prev ++ touched.map(p => p -> version)
+    fs.mkdirs(manifestsDir)
+    val tmp = new Path(manifestsDir, s"m_$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      next.toSeq.sorted.map { case (p, v) => s"$p\t$v" }.mkString("\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(manifestsDir, s"m_$version"))
+    (names :+ s"m_$version").sorted.dropRight(keepVersions)
+      .foreach(n => fs.delete(new Path(manifestsDir, n), false): Unit)
+  }
+
+  /** Version dirs of the current table state: ONE manifest read when a
+    * manifest chain exists, per-partition listing otherwise.
+    */
+  private def currentVersionDirs(): Seq[String] =
+    manifestNames.lastOption match {
+      case Some(m) => readManifest(m).toSeq.sorted
+        .map { case (p, v) => new Path(new Path(root, p), v).toString }
+      case None => partitionDirs.flatMap(p =>
+        latestIn(p).map(v => new Path(new Path(root, p), v).toString))
+    }
+
   /** One partition's committed state (tombstones included); None before
     * the partition's first commit. Bootstrapped versions carry no
     * tombstone column — normalize so snapshot's union is schema-stable.
@@ -269,8 +344,7 @@ class PartitionedUpsertTable(
     * layout where bootstrapped partitions carry no tombstone column.
     */
   def snapshot(): Option[DataFrame] = {
-    val dirs = partitionDirs.flatMap(p =>
-      latestIn(p).map(v => new Path(new Path(root, p), v).toString))
+    val dirs = currentVersionDirs()
     if (dirs.isEmpty) None
     else {
       val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
@@ -290,9 +364,15 @@ class PartitionedUpsertTable(
     */
   def snapshotAt(batchId: Long): Option[DataFrame] = {
     val ceiling = f"v_$batchId%020d"
-    val dirs = partitionDirs.flatMap { p =>
-      committedVersionsIn(p).filter(_ <= ceiling).lastOption
-        .map(v => new Path(new Path(root, p), v).toString)
+    // one manifest read when the chain covers the asked-for id;
+    // per-partition version-ceiling listing for pre-manifest history
+    val dirs = manifestNames.filter(_ <= s"m_$ceiling").lastOption match {
+      case Some(m) => readManifest(m).toSeq.sorted
+        .map { case (p, v) => new Path(new Path(root, p), v).toString }
+      case None => partitionDirs.flatMap { p =>
+        committedVersionsIn(p).filter(_ <= ceiling).lastOption
+          .map(v => new Path(new Path(root, p), v).toString)
+      }
     }
     if (dirs.isEmpty) None
     else {
@@ -345,6 +425,7 @@ class PartitionedUpsertTable(
         }
       }
     fs.delete(staging, true): Unit
+    commitManifest(partitionDirs, version)
   }
 
   /** Merge one batch of updates + tombstones, rewriting ONLY the
@@ -417,6 +498,9 @@ class PartitionedUpsertTable(
             }
         } finally pool.shutdown()
       }
+      // table-level commit: every touched partition is in, land the
+      // manifest (a replayed batch whose manifest exists is a no-op)
+      commitManifest(touched.map(pv => s"$partCol=$pv").toSeq, version)
     } finally {
       ups.unpersist()
       dels.unpersist(): Unit
@@ -462,6 +546,9 @@ class PartitionedUpsertTable(
         }
       }
     }
+    // purge only rewrites partitions that HAD a committed state, so the
+    // manifest update is exactly the rewritten set
+    commitManifest(targets.filter(p => latestIn(p).contains(version)), version)
   }
 
   /** foreachBatch adapter. */

@@ -505,6 +505,48 @@ class UpsertSinkSpec extends SparkSpec {
       Seq("v_00000000000000000001", "v_00000000000000000002"))
   }
 
+  test("snapshots resolve from the commit manifest, one file read, listing as fallback") {
+    val dir = tmpDir("graft_part_manifest")
+    val t = seed(dir)
+    t.applyBatch(Seq((1L, 2L, "a2", "2024-01-01")).toDF("k", "v", "p", "day"), 1)
+    // the chain exists and its head names the last batch
+    val manifests = new java.io.File(dir, "_manifests").listFiles()
+      .map(_.getName).filterNot(_.endsWith(".crc")).sorted
+    assert(manifests.last == "m_v_00000000000000000001")
+    val viaManifest = pstate(t)
+    assert(viaManifest(1L) == ((2L, "a2", "2024-01-01")))
+
+    // plant a FOREIGN committed version dir the manifest never
+    // referenced: a listing-based resolution would read it; manifest
+    // resolution must not see it — which proves snapshot() resolves
+    // from the one manifest read, not from per-partition listings
+    val foreignDir = new java.io.File(dir, "day=2024-01-02/v_00000000000000000009")
+    Seq((9L, 9L, "z9", "2024-01-02")).toDF("k", "v", "p", "day")
+      .write.parquet(foreignDir.getPath)
+    assert(new java.io.File(foreignDir, "_SUCCESS").exists())
+    assert(pstate(t) == viaManifest)
+    // snapshotAt rides the manifest chain the same way
+    val at1 = t.snapshotAt(1).get.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("p")).toMap
+    assert(at1 == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+
+    // fallback/repair path: with the manifests gone, the listing
+    // resolution takes over (and now sees the planted dir — the two
+    // paths agree whenever the filesystem matches the manifest)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(dir, "_manifests"))
+    val viaListing = pstate(t)
+    assert(viaListing(9L) == ((9L, "z9", "2024-01-02")))
+    assert(viaListing - 9L - 2L + (2L -> viaManifest(2L)) == viaManifest)
+    // the next batch repairs the chain from the listing
+    t.applyBatch(Seq((3L, 2L, "c2", "2024-01-03")).toDF("k", "v", "p", "day"), 10)
+    assert(pstate(t)(9L) == ((9L, "z9", "2024-01-02"))) // foreign dir folded in
+    assert(new java.io.File(dir, "_manifests/m_v_00000000000000000010").exists())
+  }
+
   test("persisted tombstones carry their partition value, not null") {
     import graft.operators.Merge
     val dir = tmpDir("graft_part_tomb_attr")
