@@ -34,9 +34,11 @@ object Merge {
     * sides of the exchange — each map task keeps only its local top-1
     * per key before shuffling, so a key updated many times ships one
     * row, not its history (plan-asserted: exactly one key-partitioned
-    * Exchange). At 100 TB the base side dominates; if the base table
-    * is bucketed by the key, the union's shuffle degrades to the
-    * updates side only. Deletes ride [[applyChanges]]' tombstone path.
+    * Exchange). At 100 TB the base side dominates; a Union discards
+    * its children's partitioning, so THIS shape always shuffles the
+    * base — use [[upsertLatestKeyed]] against a key-bucketed base
+    * table to confine the shuffle to the updates side. Deletes ride
+    * [[applyChanges]]' tombstone path.
     */
   def upsertLatest(
       base: DataFrame,
@@ -49,6 +51,70 @@ object Merge {
     applyChanges(base, updates,
       base.limit(0).select((keyCols :+ versionCol).map(col): _*),
       keyCols, versionCol)
+
+  /** [[upsertLatest]] for a MAINTAINED base table — one that already
+    * holds at most one row per key (what every merge in this file
+    * outputs) — shaped so a key-bucketed base never shuffles: the
+    * updates collapse to their per-key winner first (one Exchange over
+    * the SMALL side), then a full-outer join against the base picks
+    * the survivor per key, updates beating base at equal versions.
+    * When the base is a table bucketed (and sorted) by the key, the
+    * join reads it co-located — the plan's ONLY Exchange is the
+    * updates side (spec-asserted via SelectedBucketsCount + exchange
+    * count). This is the 100 TB ingest-loop shape: the billion-row
+    * base pays a local sort-merge against yesterday's layout, the
+    * million-row batch pays the lone shuffle. Semantics are pinned to
+    * [[upsertLatest]] by a bit-equality spec; the union+window form
+    * stays the general path (it also accepts multi-row-per-key bases).
+    * Size `buckets` to the ingest parallelism (mismatched bucket vs
+    * shuffle-partition counts make the planner fall back to a
+    * re-shuffle of both sides).
+    */
+  def upsertLatestKeyed(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(!(base.columns ++ updates.columns)
+      .exists(c => c == "__rn" || c == "__b" || c == "__u"),
+      "upsertLatestKeyed reserves __rn/__b/__u as working columns")
+    val missing = base.columns.filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"updates must carry every base column; missing: ${missing.mkString(", ")}")
+    val nonKey = base.columns.filterNot(keyCols.contains).toSeq
+    // per-key winner among the updates: same deterministic order as
+    // applyChanges (version desc, then content-desc tie-break) so a
+    // replayed batch reproduces the identical survivor
+    val tieExprs = base.schema.fields
+      .filterNot(f => keyCols.contains(f.name) || f.name == versionCol)
+      .toSeq.map { f =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+          col(f.name).desc
+        else xxhash64(to_json(struct(col(f.name)))).desc
+      }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieExprs: _*)
+    val u1 = updates.select(base.columns.map(col).toSeq: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // pack each side's payload into one struct so the full-outer join's
+    // null-side detection is a single IsNull; the projection preserves
+    // the base scan's bucketed output partitioning
+    val bs = base.select(keyCols.map(col) :+
+      struct(nonKey.map(col): _*).as("__b"): _*)
+    val us = u1.select(keyCols.map(col) :+
+      struct(nonKey.map(col): _*).as("__u"): _*)
+    val winner = when(col("__u").isNull, col("__b"))
+      .when(col("__b").isNull, col("__u"))
+      // exact-version tie goes to the update (the CDC convention)
+      .when(col("__u").getField(versionCol) >= col("__b").getField(versionCol),
+        col("__u"))
+      .otherwise(col("__b"))
+    bs.join(us, keyCols, "full_outer")
+      .select(keyCols.map(col) :+ winner.as("__w"): _*)
+      .select(keyCols.map(col) ++ nonKey.map(c => col(s"__w.$c")): _*)
+  }
 
   /** Latest-wins merge of `updates` AND `deletes` into `base`. A
     * delete is (key, version) — it wins the key iff no update/base row

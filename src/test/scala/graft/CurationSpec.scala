@@ -113,6 +113,42 @@ class CurationSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(2) == "u3")
   }
 
+  test("upsertLatestKeyed matches upsertLatest; a bucketed base merges with ONE exchange") {
+    val base = (1L to 200L).map(i => (i, i % 7, s"p$i")).toDF("k", "v", "payload")
+    val updates = Seq(
+      (1L, 100L, "u1"), (1L, 100L, "t-tie"), // same-version tie inside the batch
+      (2L, 0L, "stale"),                     // must lose to the base row
+      (5L, 5 % 7L, "tie-upd"),               // exact tie vs base: update wins
+      (300L, 1L, "insert")                   // pure insert
+    ).toDF("k", "v", "payload")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    // semantics pinned to the union+window form, bit for bit
+    assert(rows(Merge.upsertLatestKeyed(base, updates, Seq("k"), "v")) ==
+      rows(Merge.upsertLatest(base, updates, Seq("k"), "v")))
+
+    // the 100 TB shape: base bucketed+sorted by the key — the merge's
+    // only Exchange is the (small) updates side
+    spark.sql("DROP TABLE IF EXISTS merge_bucketed_base")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      base.write.bucketBy(4, "k").sortBy("k").saveAsTable("merge_bucketed_base")
+      val bb = spark.table("merge_bucketed_base")
+      val merged = Merge.upsertLatestKeyed(bb, updates, Seq("k"), "v")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"base side not read as bucketed:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected the updates side's lone exchange:\n$plan")
+      // and the co-located plan still produces the identical table
+      assert(rows(merged) == rows(Merge.upsertLatest(base, updates, Seq("k"), "v")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS merge_bucketed_base")
+    }
+  }
+
   test("profile: one pass yields per-column null/distinct/min/max (typed surface)") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
