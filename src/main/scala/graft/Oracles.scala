@@ -285,6 +285,34 @@ object Oracles {
     FROM s
     ORDER BY doc_id"""
 
+  /** = Queries.repetitionSignals: per-doc list-lambda form (no unnest →
+    * docs with empty n-gram lists keep their rows, null text propagates
+    * null like Spark).
+    */
+  val repetitionSignals: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i + 1])) AS bgs,
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS tgs
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(list_max(list_transform(list_distinct(toks),
+                   u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                 / len(toks), 6) AS top_token_frac,
+           CASE WHEN len(bgs) = 0 THEN 0.0
+                ELSE round(CAST(list_max(list_transform(list_distinct(bgs),
+                        u -> len(list_filter(bgs, x -> x = u)))) AS DOUBLE)
+                      / len(bgs), 6) END AS top_bigram_frac,
+           CASE WHEN len(tgs) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE)
+                      / len(tgs), 6) END AS dup_trigram_frac
+    FROM s
+    ORDER BY doc_id"""
+
   val dedupExact: String = s"""
     SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
     FROM documents
@@ -1241,5 +1269,6 @@ object Oracles {
     // (segment-per-batch-id, replay re-derivation, newest-segment-
     // sparing compaction) must be invisible against the same global
     // min-id-per-fingerprint replay the batch loop is held to.
-    "q68_streaming_dedup" -> incrementalDedup)
+    "q68_streaming_dedup" -> incrementalDedup,
+    "q69_repetition_signals" -> repetitionSignals)
 }

@@ -307,6 +307,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style REPETITION quality signals — the "most of this document
+    * is the same phrase over and over" detectors (Rae et al. 2021, §A1.1)
+    * that length/symbol heuristics (q41) can't see: top-token frequency
+    * fraction, top-bigram frequency fraction, and the fraction of word
+    * trigrams that are duplicates within the document.
+    *
+    * Entirely map-only: token/n-gram arrays are bound to attributes once,
+    * then per-row `array_sort` + linear folds (see
+    * TextFunctions.maxElementCount) — no explode, no per-doc groupBy, zero
+    * shuffles before the output sort. At 100 TB this runs at scan speed;
+    * the explode→groupBy(doc_id, token) form this replaces shuffles the
+    * entire tokenized corpus.
+    */
+  def repetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      // n-gram arrays bound as attributes: each width reuses the bound
+      // token array instead of re-running the tokenizer regex
+      .select(col("doc_id"), col("toks"),
+        TextFunctions.ngramsOfTokens(col("toks"), 2).as("bgs"),
+        TextFunctions.ngramsOfTokens(col("toks"), 3).as("tgs"))
+    staged.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      round(TextFunctions.maxElementCount(col("toks")).cast("double") /
+        size(col("toks")), 6).as("top_token_frac"),
+      when(size(col("bgs")) === 0, lit(0.0))
+        .otherwise(round(TextFunctions.maxElementCount(col("bgs")).cast("double") /
+          size(col("bgs")), 6)).as("top_bigram_frac"),
+      when(size(col("tgs")) === 0, lit(0.0))
+        .otherwise(round(lit(1.0) -
+          size(array_distinct(col("tgs"))).cast("double") / size(col("tgs")), 6))
+        .as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic (stopword-profile argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -90,7 +90,8 @@ object SparkEntry {
     "q65_chunk_docs" -> (Queries.chunkDocs _),
     "q66_tfidf_topk" -> (Queries.tfidfTopK _),
     "q67_incremental_near_dedup" -> (Queries.incrementalNearDedup _),
-    "q68_streaming_dedup" -> (Queries.streamingDedup _))
+    "q68_streaming_dedup" -> (Queries.streamingDedup _),
+    "q69_repetition_signals" -> (Queries.repetitionSignals _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -54,8 +54,14 @@ object TextFunctions {
     * whole lower+regexp+split chain per ELEMENT, which is O(tokens²) work
     * per document (measured 80× slower at sf0.1).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(tokens(text), n)
+
+  /** Word n-grams from an ALREADY-bound token-array column (bind [[tokens]]
+    * to a real attribute first when the same array feeds several n-gram
+    * widths — otherwise each width re-runs the tokenizer regex).
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     val joined = (1 until n).foldLeft(toks) { (acc, k) =>
       zip_with(
         acc,
@@ -64,6 +70,31 @@ object TextFunctions {
     }
     filter(joined, g => g.isNotNull)
   }
+
+  /** Count of the most frequent element in a string array (null array →
+    * null, empty → 0). Computed as the longest equal-run of the SORTED
+    * array — one `array_sort` + one linear `aggregate` fold per row, all
+    * codegen'd built-ins. The obvious per-distinct-element
+    * `size(filter(arr, _ === e))` scan is O(n²) per document and melts on
+    * the long tail at corpus scale; this form is O(n log n) and map-only
+    * (no explode, no shuffle), which is what a 100 TB quality pass needs.
+    */
+  def maxElementCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** Character n-gram shingles of the normalized text. */
   def charShingles(text: Column, n: Int): Column =

@@ -110,4 +110,26 @@ class TextFunctionsSpec extends SparkSpec {
     // identical normalized content -> identical signature
     assert(fps("  The QUICK  brown fox jumps") == fps("the quick brown fox jumps"))
   }
+
+  test("maxElementCount = max frequency of any element (sorted-run fold)") {
+    assert(one[Int](maxElementCount(tokens(col("t"))), "a b a c a b") == 3)
+    assert(one[Int](maxElementCount(tokens(col("t"))), "x") == 1)
+    assert(one[Int](maxElementCount(wordNgrams(col("t"), 3)), "a b") == 0)
+  }
+
+  test("maxElementCount agrees with a driver-side frequency count (property)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "d", "e")
+    val cases = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val got = cases.toDF("t")
+      .select(col("t"), maxElementCount(tokens(col("t"))).as("mc"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    got.foreach { case (text, mc) =>
+      // the tokenizer yields [""] for empty text — mirror that, not Seq()
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val expect = toks.groupBy(identity).values.map(_.size).max
+      assert(mc == expect, s"'$text': got $mc want $expect")
+    }
+  }
 }
