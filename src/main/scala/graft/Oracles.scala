@@ -475,6 +475,29 @@ object Oracles {
                 AS BIGINT) AS simhash
     FROM v GROUP BY doc_id ORDER BY doc_id"""
 
+  /** = Queries.semanticDedup: coordinate-sign cells are plain array
+    * indexing (DuckDB lists are 1-based: dims 0/16/32/48 → v[1]/v[17]/
+    * v[33]/v[49]); same round-6 cosine threshold, same chain-free
+    * smaller-id domination rule.
+    */
+  val semanticDedup: String = """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (
+      SELECT vec_id, label, v,
+             (CASE WHEN v[1]  >= 0 THEN 8 ELSE 0 END +
+              CASE WHEN v[17] >= 0 THEN 4 ELSE 0 END +
+              CASE WHEN v[33] >= 0 THEN 2 ELSE 0 END +
+              CASE WHEN v[49] >= 0 THEN 1 ELSE 0 END) AS cell
+      FROM v),
+    dom AS (
+      SELECT DISTINCT a.vec_id FROM c a JOIN c b
+      ON a.cell = b.cell AND b.vec_id < a.vec_id
+         AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+    SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS cell
+    FROM c WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    ORDER BY vec_id"""
+
   val annBruteForce: String = """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1270,5 +1293,6 @@ object Oracles {
     // sparing compaction) must be invisible against the same global
     // min-id-per-fingerprint replay the batch loop is held to.
     "q68_streaming_dedup" -> incrementalDedup,
-    "q69_repetition_signals" -> repetitionSignals)
+    "q69_repetition_signals" -> repetitionSignals,
+    "q70_semantic_dedup" -> semanticDedup)
 }

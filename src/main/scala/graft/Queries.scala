@@ -474,6 +474,21 @@ object Queries {
     Dedup.simhash(Tables.documents(s, dir), "text", "doc_id", bits = 16)
       .orderBy(col("doc_id"))
 
+  /** SemDeDup-style semantic dedup of the embedding table: coordinate-sign
+    * cells (axis-aligned planes at dims 0/16/32/48 → 16 cells), drop any
+    * vector with a smaller-id cell-mate at cosine ≥ 0.3, emit survivors.
+    * See Dedup.semanticDedup for the scale shape (one per-cell equi-join,
+    * chain-free domination, no iteration).
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val planes = Seq(0, 16, 32, 48)
+      .map(i => Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0))
+    Dedup.semanticDedup(Tables.embeddings(s, dir), "embedding", "vec_id",
+        planes, threshold = 0.3)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------------ //
   // Similarity search (embeddings)
   // ------------------------------------------------------------------ //

@@ -790,4 +790,53 @@ object Dedup {
         .dropDuplicates("id_a", "id_b")
     }
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into cells, then
+    * drop every vector that has a smaller-id cell-mate with cosine ≥
+    * `threshold`. Returns the SURVIVORS with their `cell` id (all input
+    * columns preserved).
+    *
+    * `planes` are explicit separating hyperplanes; a vector's cell is the
+    * bit-fold of its dot-product signs. Axis-aligned unit planes make the
+    * cell a pure coordinate-sign code — deterministic and reproducible by
+    * any SQL engine (an oracle indexes the array directly); gaussian
+    * planes (the [[Similarity.lshBuckets]] draw) slot in unchanged when
+    * recall matters more than cross-engine checkability. SemDeDup proper
+    * uses k-means cells; sign cells keep the same within-cell pruning
+    * semantics with a build-free, data-independent assignment.
+    *
+    * Scale shape: one map-side cell assignment, one per-cell self
+    * equi-join (never a global cross product), one anti-join back — and
+    * the domination rule ("ANY smaller-id near neighbor kills you",
+    * dropped vectors still dominate) is chain-free, so survivors are
+    * decided in ONE pairwise round with no iteration. Cosines are rounded
+    * to 6 dp before thresholding so cell membership at the boundary is
+    * ulp-stable across engines and re-runs.
+    */
+  def semanticDedup(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      planes: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val v = Similarity.spread(
+      vecs.withColumn("v", VectorFunctions.asDouble(col(vecCol))))
+    // bit-fold of dot signs over literal-data planes: one small expression
+    // tree regardless of planes x dim (see Similarity.lshBuckets)
+    val cellExpr = aggregate(
+      typedLit(planes), lit(0L),
+      (acc, plane) => acc * 2 +
+        when(VectorFunctions.dot(col("v"), plane) >= 0, 1L).otherwise(0L))
+    val cells = v.withColumn("cell", cellExpr)
+    val a = cells.as("a")
+    val b = cells.as("b")
+    val dominated = a.join(b,
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol") &&
+          round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col(s"a.$idCol").as(idCol))
+      .distinct()
+    cells.drop("v").join(dominated, Seq(idCol), "left_anti")
+  }
 }

@@ -111,6 +111,29 @@ class DedupSpec extends SparkSpec {
     assert(exhaustive == Set((1L, 2L)))
   }
 
+  test("semanticDedup: smaller-id cell-mate kills, cross-cell near-dup survives") {
+    // 2-d space, one axis-aligned plane on dim 0 → 2 cells (sign of x)
+    val planes = Seq(Seq(1.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cell 1
+      (2L, Seq(1.0f, 0.001f)),  // cell 1, ~identical to 1 → dropped
+      (3L, Seq(0.0f, 1.0f)),    // cell 1 (0 >= 0), orthogonal → survives
+      (4L, Seq(-1.0f, 0.01f)),  // cell 0 — near-mirror of 1 but other cell
+      (5L, Seq(-1.0f, 0.0f))    // cell 0, ~identical to 4 → dropped
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id", planes, 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L, 4L -> 0L))
+    // domination is chain-free: dropped vectors still kill their own dups
+    // (2 is dropped by 1 yet 5 is dropped by 4, not rescued)
+    assert(!out.contains(5L))
+    // plan discipline: per-cell equi-join, never a cross product
+    val plan = Dedup.semanticDedup(vecs, "embedding", "vec_id", planes, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("embedding near-dups default plan is an equi-join, never a cross product") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
