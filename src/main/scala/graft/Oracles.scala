@@ -475,6 +475,33 @@ object Oracles {
                 AS BIGINT) AS simhash
     FROM v GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bit-spread ladder (= Layout.spread16) rendered as SQL: low 16 bits
+    * of `e` into the even bit positions. Pure integer shift/mask — the
+    * nesting doubles the string per step but the VALUE is engine-exact.
+    */
+  private def spread16Sql(e: String): String = {
+    val x0 = s"(($e) & 65535)"
+    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+    s"(($x3 | ($x3 << 1)) & 1431655765)"
+  }
+
+  /** = Queries.zorderEvents: DuckDB date_diff('minute', epoch, ts) equals
+    * Spark's `unix_timestamp(ts) div 60` (both floor the minute index for
+    * post-epoch timestamps, UTC session).
+    */
+  val zorderEvents: String = {
+    val m = "(date_diff('minute', TIMESTAMP '1970-01-01 00:00:00'," +
+      " CAST(ts AS TIMESTAMP)) & 65535)"
+    val u = "(user_id & 65535)"
+    val z = s"(${spread16Sql(u)} | (${spread16Sql(m)} << 1))"
+    s"""
+    SELECT event_id, user_id, $m AS minute16, $z AS z
+    FROM events
+    ORDER BY z, event_id"""
+  }
+
   /** = Queries.semanticDedup: coordinate-sign cells are plain array
     * indexing (DuckDB lists are 1-based: dims 0/16/32/48 → v[1]/v[17]/
     * v[33]/v[49]); same round-6 cosine threshold, same chain-free
@@ -1294,5 +1321,6 @@ object Oracles {
     // min-id-per-fingerprint replay the batch loop is held to.
     "q68_streaming_dedup" -> incrementalDedup,
     "q69_repetition_signals" -> repetitionSignals,
-    "q70_semantic_dedup" -> semanticDedup)
+    "q70_semantic_dedup" -> semanticDedup,
+    "q71_zorder_key" -> zorderEvents)
 }

@@ -1130,6 +1130,26 @@ object Queries {
     * row, untouched keys must survive exactly once. See
     * [[graft.operators.Merge]] for the 100 TB shape.
     */
+  /** Z-order (Morton) clustering key over the events stream: user_id ×
+    * minute-of-ts interleaved into one 32-bit sort key (see
+    * Layout.zOrder2). The gate pins the code itself — bit-exact across
+    * engines since it's pure integer shift/mask — and the total z sort;
+    * the file-level pruning payoff (a 2-d box predicate touching a
+    * fraction of files a 1-d sort must read in full) is asserted in
+    * CurationSpec on a controlled grid, since file boundaries aren't
+    * SQL-observable.
+    */
+  def zorderEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val u16 = col("user_id").bitwiseAND(lit(65535L))
+    val m16 = expr("unix_timestamp(ts) div 60").bitwiseAND(lit(65535L))
+    ev.select(
+        col("event_id"), col("user_id"),
+        m16.as("minute16"),
+        graft.operators.Layout.zOrder2(u16, m16).as("z"))
+      .orderBy(col("z"), col("event_id"))
+  }
+
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val updates = ev.filter(col("user_id") % 10 === 0)

@@ -92,7 +92,8 @@ object SparkEntry {
     "q67_incremental_near_dedup" -> (Queries.incrementalNearDedup _),
     "q68_streaming_dedup" -> (Queries.streamingDedup _),
     "q69_repetition_signals" -> (Queries.repetitionSignals _),
-    "q70_semantic_dedup" -> (Queries.semanticDedup _))
+    "q70_semantic_dedup" -> (Queries.semanticDedup _),
+    "q71_zorder_key" -> (Queries.zorderEvents _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -228,6 +228,57 @@ class CurationSpec extends SparkSpec {
       s"expected exactly one key-partitioned exchange:\n$plan")
   }
 
+  test("zOrder2 interleaves bits; z-order layout prunes 2-d boxes a 1-d sort can't") {
+    // pinned values: interleave(3=0b011, 5=0b101) = 0b100111 = 39
+    val pinned = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zOrder2(col("a"), col("b")).as("z")).head().getLong(0)
+    assert(pinned == 39L)
+
+    // 128×128 grid, one row per cell, written as 16 files of 1024 rows:
+    // linear layout sorts by x alone; z layout clusters both dimensions
+    val grid = spark.range(16384).select(
+      (col("id") % 128).as("x"), expr("id div 128").as("y"))
+    val linDir = tmpDir("graft_zorder_lin")
+    val zDir = tmpDir("graft_zorder_z")
+    grid.orderBy(col("x")).write.mode("overwrite")
+      .option("maxRecordsPerFile", 1024L).parquet(linDir)
+    val zTable = Layout.zOrderWrite(grid, "x", "y", zDir, maxRecordsPerFile = 1024L)
+    assert(zTable.count() == 16384L)
+    // z column rides along and is the write order
+    assert(zTable.columns.contains("z"))
+
+    // per-file min/max stats — exactly what parquet footer pruning sees
+    def fileRanges(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .select(col("x"), col("y"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+        .map(r => (r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+          r.getAs[Long]("y0"), r.getAs[Long]("y1")))
+    def touching(rs: Array[(Long, Long, Long, Long)],
+        bx: (Long, Long), by: (Long, Long)): Int =
+      rs.count { case (x0, x1, y0, y1) =>
+        x1 >= bx._1 && x0 <= bx._2 && y1 >= by._1 && y0 <= by._2 }
+
+    val lin = fileRanges(linDir)
+    val zs = fileRanges(zDir)
+    assert(lin.length == 16 && zs.length == 16)
+    // 32×32 corner box = 1/16 of the data: the z layout isolates it into
+    // fewer files than the x-sorted layout (which reads every file whose
+    // x-range overlaps, each spanning all of y)
+    val boxLin = touching(lin, (0L, 31L), (0L, 31L))
+    val boxZ = touching(zs, (0L, 31L), (0L, 31L))
+    assert(boxZ < boxLin, s"z=$boxZ lin=$boxLin")
+    // y-only band: invisible to the x sort (all 16 files touched), still
+    // pruned by the z layout
+    val bandLin = touching(lin, (0L, 127L), (0L, 31L))
+    val bandZ = touching(zs, (0L, 127L), (0L, 31L))
+    assert(bandLin == 16)
+    assert(bandZ < bandLin, s"z=$bandZ lin=$bandLin")
+  }
+
   test("compactByDay maxRecordsPerFile rolls a day into bounded sorted files") {
     val out = tmpDir("graft_layout_split")
     val rows = (0L until 40L).map { i =>
