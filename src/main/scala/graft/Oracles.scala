@@ -1150,8 +1150,7 @@ object Oracles {
     * matching must be invisible. Minhash/band recipe = dedupeCorpus's
     * (k = 8, bands = 4, word bigrams, minhashParams constants).
     */
-  val incrementalNearDedup: String = s"""
-    WITH corpus AS (
+  val incrementalNearDedup: String = nearDedupOnePass(s"""
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
@@ -1159,7 +1158,25 @@ object Oracles {
       UNION ALL
       SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
              text || ' qz17 qz18' AS text
-      FROM documents),
+      FROM documents""")
+
+  /** = q72: the STREAMING near-dup loop over a two-copy planted corpus
+    * (originals + suffixed near-dups) collapses to the same one-pass
+    * band-drop rule — epoch segments, the replayed middle epoch, and
+    * the newest-segment-sparing compaction must all be invisible.
+    */
+  val streamingNearDedup: String = nearDedupOnePass(s"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+             text || ' qz17 qz18' AS text
+      FROM documents""")
+
+  /** Shared one-pass collapse of the band-store near-dup loops (q67/q72):
+    * "drop b when a smaller-id a shares an LSH band" over `corpusSql`.
+    */
+  private def nearDedupOnePass(corpusSql: String): String = s"""
+    WITH corpus AS ($corpusSql),
     g AS (
       SELECT doc_id, unnest(list_distinct($bigrams)) AS sh FROM corpus),
     h AS (
@@ -1322,5 +1339,6 @@ object Oracles {
     "q68_streaming_dedup" -> incrementalDedup,
     "q69_repetition_signals" -> repetitionSignals,
     "q70_semantic_dedup" -> semanticDedup,
-    "q71_zorder_key" -> zorderEvents)
+    "q71_zorder_key" -> zorderEvents,
+    "q72_streaming_near_dedup" -> streamingNearDedup)
 }

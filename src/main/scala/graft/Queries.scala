@@ -1492,6 +1492,48 @@ object Queries {
     * compaction, and owner-aware replay matching must all be invisible
     * in the result.
     */
+  /** Streaming NEAR-dup dedup on the gate — q68's epoch protocol (three
+    * ascending-id epochs, the middle one replayed after commit, a
+    * newest-segment-sparing compaction mid-sequence) applied to the
+    * MinHash band store (q67's semantics): cross-epoch near-duplicates
+    * drop, and the oracle's one-pass band-drop collapse must see none of
+    * the machinery. Corpus = documents ∪ suffixed near-dup copies.
+    */
+  def streamingNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_nearstream_gate").toString
+    val prefix = "graft_q72_store"
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val m1 = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val docs = docs0.unionByName(docs0.select(
+        (col("doc_id") + lit(m1)).as("doc_id"),
+        concat(col("text"), lit(" qz17 qz18")).as("text")))
+      val maxId = 2 * m1 - 1
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val e0 = docs.filter(col("doc_id") <= t1)
+      val e1 = docs.filter(col("doc_id") > t1 && col("doc_id") <= t2)
+      val e2 = docs.filter(col("doc_id") > t2)
+      val r0 = Dedup.dedupeNearStreamStaged(e0, storeDir, "text", "doc_id", 0L)
+        .localCheckpoint(true)
+      Dedup.dedupeNearStreamStaged(e1, storeDir, "text", "doc_id", 1L)
+        .localCheckpoint(true)
+      // the replayed epoch's survivors are what the gate emits
+      val r1 = Dedup.dedupeNearStreamStaged(e1, storeDir, "text", "doc_id", 1L)
+        .localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8,
+        tablePrefix = prefix, keepNewestSegments = 1)
+      val r2 = Dedup.dedupeNearStreamStaged(e2, storeDir, "text", "doc_id", 2L)
+        .localCheckpoint(true)
+      r0.unionByName(r1).unionByName(r2).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
+
   def incrementalNearDedup(s: SparkSession, dir: String): DataFrame = {
     val storeDir = java.nio.file.Files.createTempDirectory("graft_sig_gate").toString
     val prefix = "graft_q67_store"

@@ -406,30 +406,79 @@ object Dedup {
     val store = FingerprintStore.load(s, storeDir)
     val keys = bandKeys(
       minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
-    // cross-batch (and replayed-self) matches: key owned by a smaller id
-    val crossDrop = keys
-      .join(store.select(col("fp"), col("doc_id").as("__owner")), Seq("fp"))
-      .filter(col("__owner") < col(idCol))
-      .select(col(idCol)).distinct()
-    // within-batch matches: the same banded equi-join as lshCandidates —
-    // bucket-keyed, never all-pairs
-    val withinDrop = keys.as("a")
-      .join(keys.as("b"),
-        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"b.$idCol").as(idCol)).distinct()
-    val dropIds = crossDrop.unionByName(withinDrop).distinct()
-    // register EVERY batch doc's keys (dropped docs' too — see policy),
-    // min owner per key, only keys the store has never seen
-    val newKeys = keys
-      .groupBy(col("fp"))
-      .agg(min(col(idCol)).cast("long").as("doc_id"))
-      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+    val dropIds = nearDropIds(keys, store, idCol)
+    val newKeys = nearNewKeys(keys, store, idCol)
     val nextIdx = existing
       .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
       .maxOption.map(_ + 1).getOrElse(0)
     val seg = f"$storeDir/seg_$nextIdx%05d"
     newKeys.write.mode("overwrite").parquet(seg)
     batch.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Near-dup drop set: batch docs with any band key owned by a
+    * smaller-id doc — across batches (store owner) or within the batch
+    * (banded self equi-join, the lshCandidates shape — bucket-keyed,
+    * never all-pairs). Owner-aware (`owner < id`, not mere existence) so
+    * a replayed batch's own registered keys don't kill it.
+    */
+  private def nearDropIds(
+      keys: DataFrame, store: DataFrame, idCol: String): DataFrame = {
+    val crossDrop = keys
+      .join(store.select(col("fp"), col("doc_id").as("__owner")), Seq("fp"))
+      .filter(col("__owner") < col(idCol))
+      .select(col(idCol)).distinct()
+    val withinDrop = keys.as("a")
+      .join(keys.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    crossDrop.unionByName(withinDrop).distinct()
+  }
+
+  /** Keys to register for a batch: EVERY batch doc's keys (dropped docs'
+    * too — see the [[dedupeNearIncrementalStaged]] policy), min owner per
+    * key, only keys the store has never seen.
+    */
+  private def nearNewKeys(
+      keys: DataFrame, store: DataFrame, idCol: String): DataFrame =
+    keys
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).cast("long").as("doc_id"))
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+
+  /** [[dedupeNearIncrementalStaged]] for Structured Streaming's
+    * foreachBatch protocol — the near-dup twin of [[dedupeStreamStaged]]:
+    * the band-key segment is keyed by the MICRO-BATCH id, so a replayed
+    * epoch overwrites its own uncommitted segment or, if it committed,
+    * skips the write entirely. Survivors are RE-DERIVED on replay rather
+    * than read back: the drop set is a pure function of the (replayed,
+    * deterministic) batch and `loadBefore(batchId)` — history strictly
+    * below this epoch, which neither the epoch's own commit nor a
+    * compaction sparing the newest segment can change — so a replay
+    * emits byte-identical survivors. One writer per store;
+    * `FingerprintStore.compact(keepNewestSegments = 1)` between epochs,
+    * exactly as the exact-dup stream.
+    */
+  def dedupeNearStreamStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      batchId: Long,
+      k: Int = 8,
+      bands: Int = 4,
+      ngram: Int = 2): DataFrame = {
+    val s = batch.sparkSession
+    val segName = f"seg_$batchId%05d"
+    val seg = s"$storeDir/$segName"
+    val keys = bandKeys(
+      minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
+    val store = FingerprintStore.loadBefore(s, storeDir, batchId)
+    val alreadyCommitted =
+      FingerprintStore.segments(s, storeDir).exists(_.endsWith(segName))
+    if (!alreadyCommitted)
+      nearNewKeys(keys, store, idCol).write.mode("overwrite").parquet(seg)
+    batch.join(nearDropIds(keys, store, idCol), Seq(idCol), "left_anti")
   }
 
   /** Per-document combined LSH band keys: one row per (doc, band),

@@ -38,6 +38,16 @@ class DedupStream(
     Dedup.dedupeStreamStaged(batch, storeDir, textCol, idCol, id)
       .write.mode("overwrite").parquet(s"$outDir/batch=$id")
 
+  /** NEAR-dup foreachBatch adapter — the band-store twin of [[sink]]
+    * ([[Dedup.dedupeNearStreamStaged]]): each micro-batch drops docs
+    * whose LSH band keys are owned by any smaller-id doc ever ingested,
+    * then registers its own keys. Same replay/compaction contract.
+    */
+  def nearSink(k: Int = 8, bands: Int = 4, ngram: Int = 2): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      Dedup.dedupeNearStreamStaged(batch, storeDir, textCol, idCol, id, k, bands, ngram)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+
   /** The deduped corpus so far (hive-discovers the `batch` column). */
   def corpus(): DataFrame = spark.read.parquet(outDir)
 }

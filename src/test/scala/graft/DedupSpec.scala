@@ -313,6 +313,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming NEAR-dup: band matches drop through a real stream; replay + compaction exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val storeDir = tmpDir("graft_nearstream_fp")
+    val outDir = tmpDir("graft_nearstream_corpus")
+    val dedup = new graft.streaming.DedupStream(
+      spark, storeDir, outDir, "text", "doc_id")
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft_nearstream_ckpt"))
+      .foreachBatch(dedup.nearSink(k = 8, bands = 4, ngram = 2))
+      .start()
+    try {
+      // doc 3 extends doc 1 with an ALREADY-PRESENT bigram: different
+      // fingerprint (not an exact dup) but an identical distinct-bigram
+      // set → identical MinHash bands — a guaranteed near-dup
+      mem.addData((1L, "w x y z w x"), (2L, "p q p q"))
+      q.processAllAvailable()
+      mem.addData((3L, "w x y z w x y"), (4L, "unrelated tokens here now"))
+      q.processAllAvailable()
+      val corpus = dedup.corpus().collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(corpus == Set(1L, 2L, 4L))
+    } finally q.stop()
+    // newest-epoch replay: byte-identical survivors, no store growth
+    val segsBefore = Dedup.FingerprintStore.segments(spark, storeDir)
+    val replayed = Dedup.dedupeNearStreamStaged(
+      Seq((3L, "w x y z w x y"), (4L, "unrelated tokens here now"))
+        .toDF("doc_id", "text"),
+      storeDir, "text", "doc_id", batchId = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed == Set(4L))
+    assert(Dedup.FingerprintStore.segments(spark, storeDir) == segsBefore)
+    try {
+      Dedup.FingerprintStore.compact(spark, storeDir, buckets = 4,
+        tablePrefix = "fp_nearstream", keepNewestSegments = 1)
+      // replay still exact after the fold spared the newest segment
+      assert(Dedup.dedupeNearStreamStaged(
+        Seq((3L, "w x y z w x y"), (4L, "unrelated tokens here now"))
+          .toDF("doc_id", "text"),
+        storeDir, "text", "doc_id", batchId = 1)
+        .collect().map(_.getLong(0)).toSet == Set(4L))
+      // folded band history still near-dedupes the next epoch
+      val e2 = Seq((5L, "p q p q p"), (6L, "totally different words"))
+        .toDF("doc_id", "text")
+      assert(Dedup.dedupeNearStreamStaged(
+        e2, storeDir, "text", "doc_id", batchId = 2)
+        .collect().map(_.getLong(0)).toSet == Set(6L))
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(spark, storeDir)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("FingerprintStore.compact folds segments into a bucketed generation") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
