@@ -404,8 +404,15 @@ object Dedup {
     val s = batch.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
     val store = FingerprintStore.load(s, storeDir)
+    // materialize the band keys ONCE: the frame feeds four consumers
+    // (both sides of the within-batch self-join, the store probe, the
+    // register write) and its lineage is the full tokenize+minhash scan —
+    // unmaterialized, that scan re-runs per consumer (measured 3.1× the
+    // corpus ratio at 10× data). The frame is skinny (id, fp) × bands;
+    // at 100 TB stage it under storeDir instead of executor storage.
     val keys = bandKeys(
       minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
+      .localCheckpoint(true)
     val dropIds = nearDropIds(keys, store, idCol)
     val newKeys = nearNewKeys(keys, store, idCol)
     val nextIdx = existing
@@ -471,8 +478,12 @@ object Dedup {
     val s = batch.sparkSession
     val segName = f"seg_$batchId%05d"
     val seg = s"$storeDir/$segName"
+    // materialized once for its four consumers (see
+    // dedupeNearIncrementalStaged); replay determinism is unaffected —
+    // the checkpoint just pins the same deterministic computation
     val keys = bandKeys(
       minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
+      .localCheckpoint(true)
     val store = FingerprintStore.loadBefore(s, storeDir, batchId)
     val alreadyCommitted =
       FingerprintStore.segments(s, storeDir).exists(_.endsWith(segName))
@@ -861,7 +872,11 @@ object Dedup {
     * dropped vectors still dominate) is chain-free, so survivors are
     * decided in ONE pairwise round with no iteration. Cosines are rounded
     * to 6 dp before thresholding so cell membership at the boundary is
-    * ulp-stable across engines and re-runs.
+    * ulp-stable across engines and re-runs. Within-cell work is quadratic
+    * in cell OCCUPANCY, so hold occupancy constant as the corpus grows by
+    * adding planes (cells = 2^planes; SemDeDup's k-means k plays the same
+    * role) — the fixed 4-plane gate instantiation is sized for the test
+    * corpus, not a scaling policy.
     */
   def semanticDedup(
       vecs: DataFrame,
