@@ -475,6 +475,20 @@ object Oracles {
                 AS BIGINT) AS simhash
     FROM v GROUP BY doc_id ORDER BY doc_id"""
 
+  /** = Queries.incrementalAgg: three-delta additive maintenance must
+    * equal the one-shot aggregate — counts and DECIMAL sums are
+    * associative, so the fold sequence is invisible by construction;
+    * this row certifies the merge machinery (null-safe keys, typed
+    * zeros, fixed state schema), not the arithmetic.
+    */
+  val incrementalAgg: String = s"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           ${sumDec2("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   /** Bit-spread ladder (= Layout.spread16) rendered as SQL: low 16 bits
     * of `e` into the even bit positions. Pure integer shift/mask — the
     * nesting doubles the string per step but the VALUE is engine-exact.
@@ -1340,5 +1354,6 @@ object Oracles {
     "q69_repetition_signals" -> repetitionSignals,
     "q70_semantic_dedup" -> semanticDedup,
     "q71_zorder_key" -> zorderEvents,
-    "q72_streaming_near_dedup" -> streamingNearDedup)
+    "q72_streaming_near_dedup" -> streamingNearDedup,
+    "q73_incremental_agg" -> incrementalAgg)
 }

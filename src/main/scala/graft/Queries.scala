@@ -1130,6 +1130,35 @@ object Queries {
     * row, untouched keys must survive exactly once. See
     * [[graft.operators.Merge]] for the 100 TB shape.
     */
+  /** Incremental aggregation (materialized-view maintenance): the events
+    * stream arrives as three disjoint deltas; each delta's per-(day, type)
+    * partials fold additively into a maintained state table
+    * (Merge.foldAdditive), state materialized between folds exactly as a
+    * warehouse ingest loop would persist it. The oracle is the ONE-SHOT
+    * aggregate over all events — sequential maintenance must be
+    * indistinguishable from recomputation. Sums are DECIMAL in the state
+    * (summation-order-independent), rendered once at the end.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      to_date(col("ts")).as("day"), col("event_type"),
+      col("value"), col("event_id"))
+    def deltaAgg(df: DataFrame): DataFrame =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("decimal(28,2)").as("sum_value"))
+    val keys = Seq("day", "event_type")
+    val empty = deltaAgg(ev).limit(0)
+    val state = (0 until 3).foldLeft(empty) { (st, i) =>
+      Merge.foldAdditive(st,
+          deltaAgg(ev.filter(pmod(col("event_id"), lit(3)) === i)), keys)
+        .localCheckpoint(true)
+    }
+    state.select(col("day"), col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Z-order (Morton) clustering key over the events stream: user_id ×
     * minute-of-ts interleaved into one 32-bit sort key (see
     * Layout.zOrder2). The gate pins the code itself — bit-exact across

@@ -94,7 +94,8 @@ object SparkEntry {
     "q69_repetition_signals" -> (Queries.repetitionSignals _),
     "q70_semantic_dedup" -> (Queries.semanticDedup _),
     "q71_zorder_key" -> (Queries.zorderEvents _),
-    "q72_streaming_near_dedup" -> (Queries.streamingNearDedup _))
+    "q72_streaming_near_dedup" -> (Queries.streamingNearDedup _),
+    "q73_incremental_agg" -> (Queries.incrementalAgg _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

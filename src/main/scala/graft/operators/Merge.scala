@@ -146,6 +146,65 @@ object Merge {
     * updates are a different operator); keys and the version column
     * must always be present.
     */
+  /** Additive fold of a delta's per-key partial aggregates into a
+    * maintained aggregate-state table — incremental MATERIALIZED-VIEW
+    * maintenance for the sum/count family: after every fold the state
+    * equals the one-shot aggregate over all data ever folded, but each
+    * fold touches only the delta plus one join against the state.
+    *
+    * `base` and `deltaAgg` share the schema `keyCols ++ additive
+    * columns`; the fold is a null-safe full-outer join on the keys with
+    * column-wise addition (typed zero for the side missing a key), cast
+    * back to the base column's type so the state schema is FIXED across
+    * folds (size the decimal for the lifetime total, not the delta).
+    * avg/stddev derive from (sum, count) states; min/max fold the same
+    * way with `greatest`/`least` — not provided here because they are
+    * not retractable.
+    *
+    * Scale shape: the lone data-sized cost is aggregating the delta
+    * BEFORE the fold (caller does it, so the partial agg fuses with the
+    * delta scan); the join is state-sized. Against a key-bucketed state
+    * table the join reads the state co-located — only the (small) delta
+    * partials shuffle, exactly the [[upsertLatestKeyed]] property
+    * (plan-asserted in CurationSpec).
+    */
+  /** @param nullSafeKeys true (default) joins with `<=>` so a NULL key
+    *   (e.g. day-of-null-timestamp) stays ONE state group across folds;
+    *   Spark plans null-safe keys as derived (coalesce, isnull) pairs,
+    *   which a key-bucketed layout cannot satisfy — so a bucketed state
+    *   table only skips its exchange with `nullSafeKeys = false`, the
+    *   right setting when keys are known non-null (enforce at ingest).
+    *   This is the real tradeoff, not an implementation shortcut:
+    *   bucket-co-located null-safe joins would need the layout itself
+    *   to hash the derived keys.
+    */
+  def foldAdditive(
+      base: DataFrame,
+      deltaAgg: DataFrame,
+      keyCols: Seq[String],
+      nullSafeKeys: Boolean = true): DataFrame = {
+    require(base.columns.sorted.sameElements(deltaAgg.columns.sorted),
+      s"state/delta schemas differ: ${base.columns.mkString(",")} vs " +
+        deltaAgg.columns.mkString(","))
+    val addCols = base.columns.filterNot(keyCols.contains).toSeq
+    val b = base.as("b")
+    val d = deltaAgg
+      .select(keyCols.map(col) ++ addCols.map(c => col(c).as(s"__d_$c")): _*)
+      .as("d")
+    val cond = keyCols.map { k =>
+      if (nullSafeKeys) col(s"b.$k") <=> col(s"d.$k")
+      else col(s"b.$k") === col(s"d.$k")
+    }.reduce(_ && _)
+    b.join(d, cond, "full_outer").select(
+      keyCols.map(k => coalesce(col(s"b.$k"), col(s"d.$k")).as(k)) ++
+        addCols.map { c =>
+          val t = base.schema(c).dataType
+          val zero = lit(0).cast(t)
+          (coalesce(col(s"b.$c"), zero) + coalesce(col(s"__d_$c"), zero))
+            .cast(t).as(c)
+        }: _*)
+  }
+
   def applyChanges(
       base: DataFrame,
       updates: DataFrame,

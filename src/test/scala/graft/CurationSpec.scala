@@ -149,6 +149,54 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("foldAdditive: sequential folds equal one-shot agg; bucketed state folds with ONE exchange") {
+    val raw = Seq(
+      (Some("a"), 1L, 10L), (Some("a"), 2L, 5L), (Some("b"), 3L, 7L),
+      (None, 4L, 2L), (None, 5L, 1L), (Some("b"), 6L, 3L)
+    ).toDF("k", "id", "x")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val empty = agg(raw).limit(0)
+    // three disjoint deltas folded sequentially...
+    val state = (0L to 2L).foldLeft(empty) { (st, i) =>
+      Merge.foldAdditive(st, agg(raw.filter(col("id") % 3 === i)), Seq("k"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // ...equal the one-shot aggregate — including the NULL key group,
+    // which the null-safe join must keep as ONE group across folds
+    assert(rows(state) == rows(agg(raw)))
+    // state schema is fixed across folds (typed zero + cast-back);
+    // nullability may widen, names/types must not
+    assert(state.schema.map(f => (f.name, f.dataType)) ==
+      empty.schema.map(f => (f.name, f.dataType)))
+
+    // the MV-maintenance shape at scale: state bucketed by key → the
+    // fold's only Exchange is the delta's partial aggregate
+    spark.sql("DROP TABLE IF EXISTS fold_state_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // nullSafeKeys=false (keys non-null here): <=> plans as derived
+      // (coalesce, isnull) join keys a bucketed layout can't satisfy
+      val nn = raw.filter(col("k").isNotNull)
+      agg(nn).write.bucketBy(4, "k").sortBy("k").saveAsTable("fold_state_b")
+      val folded = Merge.foldAdditive(
+        spark.table("fold_state_b"), agg(nn), Seq("k"), nullSafeKeys = false)
+      val plan = folded.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"state side not read as bucketed:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected the delta side's lone exchange:\n$plan")
+      // folding the whole input once more exactly doubles every state
+      assert(rows(folded) == rows(agg(nn)).map {
+        case (k, n, sx) => (k, 2 * n, 2 * sx) })
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS fold_state_b")
+    }
+  }
+
   test("profile: one pass yields per-column null/distinct/min/max (typed surface)") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
