@@ -77,4 +77,15 @@ class PlanDisciplineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q69/q71 are map-only: the lone exchange is the output sort") {
+    // the scan-speed claim, machine-checked: no aggregation/join shuffle
+    // anywhere — one rangepartitioning exchange for the deterministic
+    // ORDER BY and nothing else
+    for (q <- Seq(Queries.repetitionSignals _, Queries.zorderEvents _)) {
+      val plan = q(spark, sf0001).queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size == 1, plan)
+      assert(plan.contains("rangepartitioning"), plan)
+    }
+  }
 }
