@@ -1355,5 +1355,10 @@ object Oracles {
     "q70_semantic_dedup" -> semanticDedup,
     "q71_zorder_key" -> zorderEvents,
     "q72_streaming_near_dedup" -> streamingNearDedup,
-    "q73_incremental_agg" -> incrementalAgg)
+    "q73_incremental_agg" -> incrementalAgg,
+    // q74 shares q64's oracle BY DESIGN: the bloom prefilter is sound
+    // (a negative probe proves store absence, positives are re-checked
+    // by the exact anti-join), so the sketch must be bit-invisible
+    // against the same global min-id-per-fingerprint replay.
+    "q74_bloom_dedup" -> incrementalDedup)
 }

@@ -1399,6 +1399,46 @@ object Queries {
     }
   }
 
+  /** q74: q64's three-batch incremental ingest driven through the
+    * BLOOM-prefiltered store probe
+    * ([[graft.operators.Dedup.dedupeIncrementalBloomStaged]]) — same
+    * planted corpus, same mid-sequence compaction, same oracle. The
+    * bloom is a sound prefilter (a negative proves absence), so the
+    * sketch, the probe split, and the shrunken anti-join must be
+    * bit-invisible next to the plain path; what changes is the PLAN:
+    * only bloom-positive fingerprints enter the join exchange. The
+    * codegen'd probe is
+    * [[org.apache.spark.sql.graft.BloomMightContain]].
+    */
+  def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_bloom_gate").toString
+    val prefix = "graft_q74_store"
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val maxId0 = docs0.agg(max(col("doc_id"))).first().getLong(0)
+      val docs = docs0.unionByName(docs0.select(
+        (col("doc_id") + lit(maxId0 + 1)).as("doc_id"), col("text")))
+      val maxId = 2 * maxId0 + 1
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val b1 = Dedup.dedupeIncrementalBloomStaged(
+        docs.filter(col("doc_id") <= t1), storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      val b2 = Dedup.dedupeIncrementalBloomStaged(
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+        storeDir, "text", "doc_id").localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
+      val b3 = Dedup.dedupeIncrementalBloomStaged(
+        docs.filter(col("doc_id") > t2), storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      b1.unionByName(b2).unionByName(b3).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
+
   /** q65: overlapping document chunking — every doc split into
     * 100-char windows with 20-char overlap (stride 80), the
     * context-window prep of a training/RAG pipeline. Map-only: one

@@ -95,7 +95,8 @@ object SparkEntry {
     "q70_semantic_dedup" -> (Queries.semanticDedup _),
     "q71_zorder_key" -> (Queries.zorderEvents _),
     "q72_streaming_near_dedup" -> (Queries.streamingNearDedup _),
-    "q73_incremental_agg" -> (Queries.incrementalAgg _))
+    "q73_incremental_agg" -> (Queries.incrementalAgg _),
+    "q74_bloom_dedup" -> (Queries.bloomDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

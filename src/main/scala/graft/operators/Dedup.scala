@@ -327,6 +327,68 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** [[dedupeIncrementalStaged]] with a bloom prefilter on the store
+    * probe — the 100 TB ingest-loop shape. Identical output by
+    * construction (gate-checked against the same oracle as the plain
+    * path): a bloom NEGATIVE proves the fingerprint absent from the
+    * store, so those keepers commit straight to the segment; only
+    * bloom POSITIVES — the true duplicates plus an `fpp` sliver of
+    * false positives — go through the exact anti-join, whose probe
+    * side therefore shrinks from |batch-distinct| to ≈|dups| +
+    * fpp·|batch-distinct|. At a 1% duplicate rate and fpp=0.01 that
+    * is ~98% less data entering the join exchange; the bloom build
+    * itself is one aggregation over the fingerprint-only store (16
+    * bytes/doc), not the corpus.
+    *
+    * The probed keeper frame is STAGED to parquet once and re-read by
+    * its two consumers (the negative branch and the join branch) with
+    * the `maybe_seen` filter pushed to the scan — without staging,
+    * each branch would re-run the batch's dedup aggregation.
+    * Store/segment protocol (commit markers, crash reclaim, replay
+    * visibility) is exactly [[dedupeIncrementalStaged]]'s.
+    */
+  def dedupeIncrementalBloomStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    val s = batch.sparkSession
+    val existing = FingerprintStore.segments(s, storeDir)
+    val store = FingerprintStore.load(s, storeDir)
+    val keepers = exact(batch, textCol, idCol)
+      .withColumn("fp", coalesce(col("fp"), lit("__null_text__")))
+      .select(col("fp"), col("keep_id").cast("long").as("doc_id"))
+    val nextIdx = existing
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    val seg = f"$storeDir/seg_$nextIdx%05d"
+    // parquet/catalog row count: metadata-only, no data scan
+    val storeRows = store.count()
+    if (storeRows == 0L) {
+      // empty history — every keeper is new; no bloom, no join
+      keepers.write.mode("overwrite").parquet(seg)
+    } else {
+      val bloom = BloomFunctions.bloomFor(store, "fp", storeRows, fpp)
+      val staging = f"$storeDir/tmp_probe_$nextIdx%05d"
+      keepers
+        .withColumn("maybe_seen", BloomFunctions.mightContain(bloom, col("fp")))
+        .write.mode("overwrite").parquet(staging)
+      val staged = s.read.parquet(staging)
+      val definiteNew = staged.filter(!col("maybe_seen"))
+      val candidates = staged.filter(col("maybe_seen"))
+        .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      definiteNew.unionByName(candidates)
+        .select(col("fp"), col("doc_id"))
+        .write.mode("overwrite").parquet(seg)
+      graft.io.Sinks.truncatePath(s, staging)
+    }
+    val committed = s.read.schema(FingerprintStore.schema).parquet(seg)
+    batch.join(committed.select(col("doc_id").cast(batch.schema(idCol).dataType).as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** [[dedupeIncrementalStaged]] for Structured Streaming's foreachBatch
     * protocol: the segment is keyed by the MICRO-BATCH id, which is what
     * makes at-least-once delivery exactly-once — a replayed epoch

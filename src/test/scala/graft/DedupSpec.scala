@@ -556,4 +556,73 @@ class DedupSpec extends SparkSpec {
     assert(store.count() == 2)
     assert(store.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("bloom probe: zero false negatives vs the builder; codegen = interpreted; null-safe") {
+    import graft.functions.BloomFunctions
+    import org.apache.spark.sql.graft.{BloomMightContain, ColumnBridge}
+    val vals = (0 until 2000).map(i => s"fp_$i%032x")
+    val df = vals.toDF("fp")
+    val bloom = BloomFunctions.bloomFor(df, "fp", vals.size.toLong, fpp = 0.01)
+    // the soundness contract the prefilter rests on: every inserted value
+    // MUST probe positive (a false negative would let a duplicate through)
+    val probed = df
+      .withColumn("hit", BloomFunctions.mightContain(bloom, col("fp")))
+      .filter(!col("hit")).count()
+    assert(probed == 0L, "bloom returned a false negative")
+    // interpreted eval agrees with the codegen'd path row-for-row
+    val expr = BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.StringType), bloom)
+    assert(expr.eval(null) == null, "null input must yield null")
+    val interp = vals.map(v => BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)), bloom)
+      .eval(null).asInstanceOf[Boolean])
+    assert(interp.forall(identity))
+  }
+
+  test("bloom prefilter prunes: a disjoint batch sends almost nothing to the join") {
+    import graft.functions.BloomFunctions
+    val stored = (0 until 1000).map(i => s"stored_$i").toDF("fp")
+    val bloom = BloomFunctions.bloomFor(stored, "fp", 1000L, fpp = 0.01)
+    val fresh = (0 until 1000).map(i => s"fresh_$i").toDF("fp")
+    val positives = fresh
+      .withColumn("hit", BloomFunctions.mightContain(bloom, col("fp")))
+      .filter(col("hit")).count()
+    // expectation ≈ fpp · 1000 = 10; anything near the batch size means
+    // the prefilter stopped pruning
+    assert(positives <= 50L,
+      s"bloom passed $positives of 1000 disjoint fps to the join")
+  }
+
+  test("bloom incremental dedup: bit-identical to the plain staged path, batch for batch") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plainDir = tmpDir("graft_fp_plain")
+    val bloomDir = tmpDir("graft_fp_bloom")
+    val batches = Seq(
+      Seq((1L, "alpha content"), (2L, "ALPHA   content"), (3L, "beta content"),
+        (4L, null.asInstanceOf[String])),
+      Seq((5L, "beta content"), (6L, "gamma content"), (7L, " GAMMA  content "),
+        (8L, null.asInstanceOf[String])),
+      Seq((9L, "delta content"), (10L, "alpha content"))
+    ).map(_.toDF("doc_id", "text"))
+    batches.foreach { b =>
+      val p = ids(Dedup.dedupeIncrementalStaged(b, plainDir, "text", "doc_id"))
+      val q = ids(Dedup.dedupeIncrementalBloomStaged(b, bloomDir, "text", "doc_id"))
+      assert(p == q, s"bloom path diverged: plain=$p bloom=$q")
+    }
+    // stores end identical too (fp, doc_id) — and no staging residue
+    val sp = Dedup.FingerprintStore.load(spark, plainDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sb = Dedup.FingerprintStore.load(spark, bloomDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sp == sb)
+    val residue = new java.io.File(bloomDir).listFiles()
+      .map(_.getName).filter(_.startsWith("tmp_probe"))
+    assert(residue.isEmpty, s"staging residue left behind: ${residue.toSeq}")
+    // replay idempotency through the bloom path as well
+    assert(ids(Dedup.dedupeIncrementalBloomStaged(
+      batches(2), bloomDir, "text", "doc_id")).isEmpty)
+  }
 }
