@@ -1360,5 +1360,8 @@ object Oracles {
     // (a negative probe proves store absence, positives are re-checked
     // by the exact anti-join), so the sketch must be bit-invisible
     // against the same global min-id-per-fingerprint replay.
-    "q74_bloom_dedup" -> incrementalDedup)
+    "q74_bloom_dedup" -> incrementalDedup,
+    // q75 shares the brute-force ANN oracle (as q38/q47): a full-probe
+    // query over the appended index must be exact over base ∪ deltas.
+    "q75_ann_ivf_append" -> annBruteForce)
 }

@@ -661,6 +661,40 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, path)
   }
 
+  /** q75: the saved IVF index grows INCREMENTALLY — build on the first
+    * ~60% of the corpus, save, [[graft.operators.Similarity.IvfIndex.append]]
+    * the remaining vectors in two delta batches (frozen centroids, one
+    * assignment map pass each, immutable `_SUCCESS`-gated delta segments),
+    * then serve queries from the re-opened index spanning base + deltas.
+    * Full probe (nprobe = nlist) keeps it exact over the WHOLE corpus →
+    * same brute-force oracle as q38/q47: the append protocol must be
+    * bit-invisible. Result materialized as a local relation so the temp
+    * index dir can be deleted (q47's discipline).
+    */
+  def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    try {
+      val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+      val (t1, t2) = (maxId * 3 / 5, maxId * 4 / 5)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") <= t1),
+        "embedding", "vec_id", nlist = 16).save(path)
+      Similarity.IvfIndex.append(s, path,
+        emb.filter(col("vec_id") > t1 && col("vec_id") <= t2), "embedding", "vec_id")
+      Similarity.IvfIndex.append(s, path,
+        emb.filter(col("vec_id") > t2), "embedding", "vec_id")
+      val loaded = Similarity.IvfIndex.load(s, path)
+      val result = Similarity.ivfQuery(loaded, queries, "embedding", "vec_id",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.collect().toSeq.asJava, result.schema)
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
   /** Symmetric int8 scalar quantization of the embedding table — the 4×
     * storage/bandwidth shrink an ANN candidate scan reads instead of fp32.
     * Map-only; codes + per-vector scale are exactly reproducible in SQL.

@@ -96,7 +96,8 @@ object SparkEntry {
     "q71_zorder_key" -> (Queries.zorderEvents _),
     "q72_streaming_near_dedup" -> (Queries.streamingNearDedup _),
     "q73_incremental_agg" -> (Queries.incrementalAgg _),
-    "q74_bloom_dedup" -> (Queries.bloomDedup _))
+    "q74_bloom_dedup" -> (Queries.bloomDedup _),
+    "q75_ann_ivf_append" -> (Queries.annIvfAppend _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

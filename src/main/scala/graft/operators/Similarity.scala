@@ -134,8 +134,15 @@ object Similarity {
       // files (10k tasks × 1k cells = 10M files at corpus scale); with it
       // each cell's rows land in O(1) files. The shuffle this costs is the
       // one-time index build cost the save amortizes away.
+      //
+      // Layout: cells/seg=base/cell=N/… — `seg` is a PARTITION COLUMN, so
+      // incremental appends ([[IvfIndex.append]]) land as sibling
+      // seg=delta_NNNNN dirs and the whole index stays ONE partitioned
+      // parquet relation (uncommitted segments are excluded by a partition
+      // filter, never a multi-root union). Re-saving in place refreshes
+      // seg=base only; fold deltas by `load(...).save(freshPath)`.
       cells.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells/seg=base")
       val s = cells.sparkSession
       import s.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "center")
@@ -144,12 +151,92 @@ object Similarity {
   }
 
   object IvfIndex {
-    /** Re-open a saved index; `cells` is lazy (pruned per query). */
-    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-      val centers = spark.read.parquet(s"$path/centers")
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SparkSession
+
+    /** Committed segment names under `cells/` (`base`, `delta_00000`, …),
+      * oldest first — the FingerprintStore discipline: a segment counts
+      * only once its `_SUCCESS` marker exists; a crashed append leaves a
+      * partial dir that is never read (its partition is filtered out of
+      * every load) and is overwritten by the next append claiming that
+      * index.
+      */
+    def committedSegs(spark: SparkSession, path: String): Seq[String] = {
+      val p = new Path(s"$path/cells")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+        .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("seg="))
+        .sorted
+    }
+
+    /** Committed APPEND segments only (excludes the base build). */
+    def deltaSegments(spark: SparkSession, path: String): Seq[String] =
+      committedSegs(spark, path).filterNot(_ == "base")
+
+    private[graft] def loadCenters(
+        spark: SparkSession, path: String): Seq[Seq[Double]] =
+      spark.read.parquet(s"$path/centers")
         .orderBy(col("cell")).collect()
         .map(_.getAs[scala.collection.Seq[Double]]("center").toSeq).toSeq
-      IvfIndex(spark.read.parquet(s"$path/cells"), centers)
+
+    /** Re-open a saved index; `cells` is lazy (pruned per query) and spans
+      * the base build plus every committed append delta. `seg` is a
+      * partition column of ONE parquet relation rooted at `cells/` — no
+      * union stack, partition pruning over `cell` works across base +
+      * deltas, and uncommitted segments are excluded by a PARTITION
+      * filter (their files are never opened; the data schema is pinned
+      * from the base segment, so no footer of a half-written delta is
+      * ever touched for inference either).
+      */
+    def load(spark: SparkSession, path: String): IvfIndex = {
+      val segs = committedSegs(spark, path)
+      require(segs.contains("base"), s"ivf index at $path has no committed base")
+      val dataSchema = spark.read.parquet(s"$path/cells/seg=base").schema
+      val cells = spark.read
+        .option("basePath", s"$path/cells")
+        .schema(dataSchema.add("seg", org.apache.spark.sql.types.StringType))
+        .parquet(s"$path/cells")
+        .filter(col("seg").isin(segs: _*))
+        .drop("seg")
+      IvfIndex(cells, loadCenters(spark, path))
+    }
+
+    /** Incrementally add a batch of vectors to a SAVED index — the corpus
+      * grew, the index should not be rebuilt. Centroids are FROZEN (the
+      * FAISS-style contract: cell geometry is trained once on a sample;
+      * appends only assign): one map pass assigns each new vector to its
+      * nearest cell, then the batch lands as an immutable
+      * `seg=delta_NNNNN` partition dir next to `seg=base`. No existing
+      * file is touched — readers of the old snapshot are unaffected, and
+      * a crash mid-append leaves an uncommitted partition that [[load]]
+      * filters out. With nprobe = nlist a full-probe query over the
+      * re-opened index is EXACT over base ∪ deltas (the q75 gate row
+      * holds it to the brute-force oracle).
+      *
+      * Fold-in: when deltas accumulate, `load(...).save(freshPath)`
+      * rewrites base + deltas as one compact base (the store-compaction
+      * analogue; appends never change results, so the fold is free to run
+      * any time).
+      */
+    def append(
+        spark: SparkSession,
+        path: String,
+        batch: DataFrame,
+        vecCol: String,
+        idCol: String): Unit = {
+      val centers = loadCenters(spark, path)
+      val nextIdx = deltaSegments(spark, path)
+        .map(_.stripPrefix("delta_").toInt)
+        .maxOption.map(_ + 1).getOrElse(0)
+      val raw = batch.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      spread(raw)
+        .withColumn("cell", element_at(nearestCells(col("cv"), centers, 1), 1))
+        .repartition(col("cell")) // same small-files guard as save()
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"$path/cells/seg=delta_$nextIdx%05d")
     }
   }
 

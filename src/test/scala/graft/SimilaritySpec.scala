@@ -93,6 +93,44 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.io.Sinks.truncatePath(spark, dir)
   }
 
+  test("ivf append: frozen-centroid deltas, exact at full probe, pruned, crash-safe") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = tmpDir("graft_ivf_append")
+    try {
+      val maxId = emb.agg(org.apache.spark.sql.functions.max($"vec_id")).first().getLong(0)
+      val t1 = maxId / 2
+      Similarity.buildIvfIndex(emb.filter($"vec_id" <= t1),
+        "embedding", "vec_id", nlist = 8).save(dir)
+      val centersBefore = Similarity.IvfIndex.loadCenters(spark, dir)
+      Similarity.IvfIndex.append(spark, dir,
+        emb.filter($"vec_id" > t1), "embedding", "vec_id")
+      // centroids frozen; delta committed; base untouched
+      assert(Similarity.IvfIndex.loadCenters(spark, dir) == centersBefore)
+      assert(Similarity.IvfIndex.deltaSegments(spark, dir).size == 1)
+      val loaded = Similarity.IvfIndex.load(spark, dir)
+      assert(loaded.cells.count() == emb.count())
+      // full probe over base ∪ delta = brute force over the WHOLE corpus
+      val q = emb.filter($"vec_id" < 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(rows(Similarity.ivfQuery(loaded, q, "embedding", "vec_id", k = 3, nprobe = 8))
+        == rows(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 3)))
+      // partition pruning still fires across the multi-root read
+      val probePlan = loaded.cells.filter($"cell" === 3)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("PartitionFilters") && probePlan.contains("cell"), probePlan)
+      // a crashed append (no _SUCCESS) is invisible and reclaimed in place
+      val partial = new java.io.File(s"$dir/cells/seg=delta_00001/cell=0")
+      assert(partial.mkdirs())
+      assert(Similarity.IvfIndex.deltaSegments(spark, dir).size == 1)
+      assert(Similarity.IvfIndex.load(spark, dir).cells.count() == emb.count())
+      Similarity.IvfIndex.append(spark, dir,
+        emb.filter($"vec_id" === 0L), "embedding", "vec_id")
+      assert(Similarity.IvfIndex.deltaSegments(spark, dir).size == 2)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
+
   test("approximate paths clear a measured recall bar on the real corpus") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 20)
