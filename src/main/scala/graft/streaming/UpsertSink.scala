@@ -6,6 +6,106 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.operators.Merge
 
+/** A concurrent writer's commit or live claim was detected — the merge
+  * in flight was built on a base snapshot that no longer is (or soon
+  * will not be) the table's newest committed state, and committing it
+  * would silently drop the other writer's changes. Retry the whole
+  * batch from a fresh snapshot (re-read base, re-merge, re-commit);
+  * the claim protocol guarantees at most one of any pair of
+  * overlapping writers passes its checks, so a retry loop converges.
+  */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+/** Optimistic-concurrency commit claims for the upsert tables — the
+  * put-if-absent protocol lakehouse logs use, adapted to the
+  * `_SUCCESS`-gated version-dir layout: before writing version `v`, a
+  * writer atomically creates `_claims/v` (content = its writerId;
+  * `FileSystem.create(overwrite = false)` is atomic on HDFS-semantics
+  * stores). The claim is held across the data write and released after
+  * the marker commit. A writer aborts with [[ConcurrentWriteException]]
+  * when it finds ANY live foreign claim (a racer is mid-commit on a
+  * base that cannot include this write) or when the table's commit
+  * token advanced past the base it read (its merge would drop that
+  * commit). Claim creation precedes checking, so two overlapping
+  * writers can both abort (rare; callers retry), but both PASSING is
+  * impossible — passing means seeing zero live foreign claims, and the
+  * other's claim was created before its check.
+  *
+  * Liveness: a claim at or below the current commit token is dead
+  * (its commit landed or was superseded) and is ignored + GC'd
+  * opportunistically. A crashed writer's claim ABOVE the token blocks
+  * conflicting writers until the SAME writerId retries (it reclaims
+  * its own claim in place — the streaming-replay path) or an operator
+  * releases it ([[outstanding]] / [[release]]).
+  */
+private[streaming] final class ClaimRegistry(
+    fsF: () => org.apache.hadoop.fs.FileSystem,
+    claimsDir: Path,
+    writerId: String) {
+  private def fs = fsF()
+
+  /** Live + dead claims currently on disk: (version, owner). */
+  def outstanding: Seq[(String, String)] =
+    if (!fs.exists(claimsDir)) Seq.empty
+    else fs.listStatus(claimsDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("v_\\d{20}"))
+      .map(st => st.getPath.getName -> owner(st.getPath.getName))
+      .sortBy(_._1)
+
+  private def owner(version: String): String = {
+    val in = fs.open(new Path(claimsDir, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  def release(version: String): Unit =
+    fs.delete(new Path(claimsDir, version), false): Unit
+
+  /** Acquire `version` or throw [[ConcurrentWriteException]].
+    * `baseToken` is the table's commit token (newest version /
+    * manifest name) AS READ when the merge base was resolved;
+    * `tokenNow` re-reads it. Dead claims are GC'd in passing.
+    */
+  def acquire(version: String, baseToken: Option[String],
+      tokenNow: () => Option[String]): Unit = {
+    fs.mkdirs(claimsDir)
+    val f = new Path(claimsDir, version)
+    val created =
+      try {
+        val out = fs.create(f, false) // atomic create-if-absent
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!created) {
+      val o = owner(version)
+      if (o != writerId)
+        throw new ConcurrentWriteException(
+          s"version $version is claimed by writer '$o' (this writer: " +
+            s"'$writerId') — retry from a fresh snapshot")
+      // else: our own claim from a crashed attempt — reclaim in place
+    }
+    val token = tokenNow()
+    val (dead, live) = outstanding.partition { case (v, _) =>
+      token.exists(v <= _)
+    }
+    dead.foreach { case (v, _) => release(v) }
+    live.find { case (v, o) => v != version && o != writerId } match {
+      case Some((v, o)) =>
+        release(version)
+        throw new ConcurrentWriteException(
+          s"live claim $v by writer '$o' overlaps $version — retry from " +
+            "a fresh snapshot")
+      case None =>
+    }
+    if (token != baseToken) {
+      release(version)
+      throw new ConcurrentWriteException(
+        s"table advanced from $baseToken to $token while preparing " +
+          s"$version — retry from a fresh snapshot")
+    }
+  }
+}
+
 /** Streaming CDC apply — the missing half of [[graft.operators.Merge]]:
   * a stream of change rows applied, one micro-batch at a time, to a
   * keyed parquet table (copy-on-write, like a lakehouse MERGE without
@@ -34,7 +134,8 @@ class ParquetUpsertTable(
     keyCols: Seq[String],
     versionCol: String,
     keepVersions: Int = 2,
-    allowSchemaEvolution: Boolean = false) {
+    allowSchemaEvolution: Boolean = false,
+    writerId: String = "writer") {
   // >= 2: a concurrent reader that resolved the previous version must
   // still find its files after the next commit's GC (the handoff
   // guarantee in applyBatch's doc); 1 would delete the version a lazy
@@ -43,6 +144,19 @@ class ParquetUpsertTable(
 
   private val root = new Path(dir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Optimistic concurrency (see [[ClaimRegistry]]): commits claim
+    * their version first and abort with [[ConcurrentWriteException]]
+    * on a racing writer, instead of silently dropping its changes.
+    * Same-writerId retries (the streaming replay path) reclaim a
+    * crashed attempt's claim in place.
+    */
+  private val claims = new ClaimRegistry(() => fs, new Path(root, "_claims"), writerId)
+
+  /** Operator surface for stuck claims (a crashed FOREIGN writer's
+    * claim blocks conflicting commits until released). */
+  def outstandingClaims: Seq[(String, String)] = claims.outstanding
+  def releaseClaim(version: String): Unit = claims.release(version)
 
   /** Committed version names (dirs whose `_SUCCESS` exists), oldest first. */
   def committedVersions: Seq[String] =
@@ -111,12 +225,16 @@ class ParquetUpsertTable(
     // this id means the batch's changes are already folded into the
     // table — skip (at-least-once replay after a checkpoint/table race)
     if (latestVersion.exists(_ >= version)) return
+    val baseToken = latestVersion
     val base = snapshotFull().getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         updates.schema))
-    commitVersion(Merge.applyChanges(base, updates, deletes, keyCols,
-      versionCol, keepTombstones = true,
-      allowSchemaEvolution = allowSchemaEvolution), version)
+    claims.acquire(version, baseToken, () => latestVersion)
+    try
+      commitVersion(Merge.applyChanges(base, updates, deletes, keyCols,
+        versionCol, keepTombstones = true,
+        allowSchemaEvolution = allowSchemaEvolution), version)
+    finally claims.release(version)
   }
 
   /** Drop tombstones whose version sorts below `horizon`, as a new
@@ -132,14 +250,18 @@ class ParquetUpsertTable(
   def purgeTombstones(horizon: org.apache.spark.sql.Column, batchId: Long): Unit = {
     val version = f"v_$batchId%020d"
     if (latestVersion.exists(_ >= version)) return
+    val baseToken = latestVersion
     snapshotFull().foreach { cur =>
       // pre-tombstone-layout table: nothing to purge, and filtering on
       // the absent column would be an AnalysisException — no-op, like
       // snapshot()'s guard
-      if (cur.columns.contains(Merge.TombstoneCol))
-        commitVersion(
+      if (cur.columns.contains(Merge.TombstoneCol)) {
+        claims.acquire(version, baseToken, () => latestVersion)
+        try commitVersion(
           cur.filter(!(col(Merge.TombstoneCol) && col(versionCol) < horizon)),
           version)
+        finally claims.release(version)
+      }
     }
   }
 
@@ -206,7 +328,8 @@ class PartitionedUpsertTable(
     keepVersions: Int = 2,
     filesPerRewrite: Int = 1,
     maxConcurrentRewrites: Int = 4,
-    allowSchemaEvolution: Boolean = false) {
+    allowSchemaEvolution: Boolean = false,
+    writerId: String = "writer") {
   require(keepVersions >= 2, "keepVersions must be >= 2")
   require(!keyCols.contains(versionCol) && partCol != versionCol,
     "versionCol must be distinct from keys and partition column")
@@ -270,6 +393,18 @@ class PartitionedUpsertTable(
   // batch's committed halves to skip them deterministically.
 
   private val manifestsDir = new Path(root, "_manifests")
+
+  /** Optimistic concurrency at the TABLE level (see [[ClaimRegistry]]):
+    * a batch claims its version before rewriting any partition; the
+    * commit token is the newest manifest name, so a racer that landed
+    * a manifest between this batch's base resolution and its claim is
+    * detected before any partition dir is touched. Pre-manifest legacy
+    * tables have no token — claims still mutually exclude overlapping
+    * writers there, which is the guarantee that matters.
+    */
+  private val claims = new ClaimRegistry(() => fs, new Path(root, "_claims"), writerId)
+  def outstandingClaims: Seq[(String, String)] = claims.outstanding
+  def releaseClaim(version: String): Unit = claims.release(version)
 
   private def manifestNames: Seq[String] =
     if (!fs.exists(manifestsDir)) Seq.empty
@@ -436,6 +571,15 @@ class PartitionedUpsertTable(
     require(updates.columns.contains(partCol) && deletes.columns.contains(partCol),
       s"updates and deletes must carry the partition column '$partCol'")
     val version = f"v_$batchId%020d"
+    // a manifest at or past this id means the whole batch already
+    // committed — skip (the flat table's replay contract); a crashed
+    // batch left NO manifest, so its replay proceeds to the
+    // per-partition skips below
+    if (manifestNames.lastOption.exists(_ >= s"m_$version")) return
+    // commit token in VERSION form ("v_…", manifest prefix stripped) so
+    // the claim registry's dead/live comparison is name-compatible
+    val baseToken = manifestNames.lastOption.map(_.stripPrefix("m_"))
+    var claimed = false
     // the batch feeds one filtered merge per touched partition — cache
     // it so the stream's source isn't recomputed per partition
     val ups = updates.cache()
@@ -449,6 +593,11 @@ class PartitionedUpsertTable(
         .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__" else r.getString(0))
         .sorted
       touched.foreach(requirePathSafe) // before ANY partition commits
+      // table-level claim before ANY partition dir is touched: a racing
+      // writer either aborts here or we do — no interleaved rewrites
+      claims.acquire(version, baseToken,
+        () => manifestNames.lastOption.map(_.stripPrefix("m_")))
+      claimed = true
       def rewrite(pv: String): Unit = {
         val partDir = s"$partCol=$pv"
         // per-partition replay skip: a crash mid-batch commits a prefix
@@ -502,6 +651,9 @@ class PartitionedUpsertTable(
       // manifest (a replayed batch whose manifest exists is a no-op)
       commitManifest(touched.map(pv => s"$partCol=$pv").toSeq, version)
     } finally {
+      // only a claim WE hold: releasing unconditionally would delete a
+      // foreign writer's claim file when acquire() threw on conflict
+      if (claimed) claims.release(version)
       ups.unpersist()
       dels.unpersist(): Unit
     }

@@ -597,4 +597,80 @@ class UpsertSinkSpec extends SparkSpec {
     t.applyBatch(Seq((1L, 1L, "a", "2024-01-01")).toDF("k", "v", "p", "day"), 1)
     assert(t.partitionDirs == Seq("day=2024-01-01"))
   }
+
+  private def plantClaim(dir: String, batchId: Long, owner: String): Unit = {
+    val d = java.nio.file.Paths.get(dir, "_claims")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.write(d.resolve(f"v_$batchId%020d"),
+      owner.getBytes("UTF-8")): Unit
+  }
+
+  test("optimistic concurrency: a live foreign claim aborts the commit, table untouched") {
+    import graft.streaming.ConcurrentWriteException
+    val dir = tmpDir("graft_upsert_occ")
+    val t = new ParquetUpsertTable(spark, dir, Seq("k"), "v")
+    t.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "v", "p"), batchId = 0)
+    val committed = state(t)
+    // a racing writer is mid-commit on version 1 (its claim is live)
+    plantClaim(dir, 1L, "other-writer")
+    intercept[ConcurrentWriteException] {
+      t.applyBatch(Seq((2L, 1L, "b1")).toDF("k", "v", "p"), batchId = 1)
+    }
+    // nothing moved, and the FOREIGN claim was not deleted by our abort
+    assert(state(t) == committed)
+    assert(t.latestVersion.get.endsWith("0"))
+    assert(t.outstandingClaims == Seq((f"v_${1L}%020d", "other-writer")))
+    // a DIFFERENT version id aborts too: the racer's base cannot
+    // include a commit that hasn't happened yet
+    intercept[ConcurrentWriteException] {
+      t.applyBatch(Seq((2L, 1L, "b1")).toDF("k", "v", "p"), batchId = 2)
+    }
+    // operator releases the stuck claim (crashed foreign writer) → flows
+    t.releaseClaim(f"v_${1L}%020d")
+    t.applyBatch(Seq((2L, 1L, "b1")).toDF("k", "v", "p"), batchId = 1)
+    assert(state(t) == committed + (2L -> ((1L, "b1"))))
+    // after the commit, no claim residue
+    assert(t.outstandingClaims.isEmpty)
+  }
+
+  test("optimistic concurrency: same-writer claim (crash replay) reclaims in place; dead claims GC") {
+    val dir = tmpDir("graft_upsert_occ_self")
+    val t = new ParquetUpsertTable(spark, dir, Seq("k"), "v")
+    t.applyBatch(Seq((1L, 1L, "a1")).toDF("k", "v", "p"), batchId = 0)
+    // our own claim from a crashed prior attempt at batch 1 (default
+    // writerId): the retry must proceed, not deadlock on itself
+    plantClaim(dir, 1L, "writer")
+    t.applyBatch(Seq((1L, 2L, "a2")).toDF("k", "v", "p"), batchId = 1)
+    assert(state(t)(1L) == ((2L, "a2")))
+    assert(t.outstandingClaims.isEmpty)
+    // a DEAD foreign claim (at or below the committed frontier) never
+    // blocks and is GC'd by the next commit
+    plantClaim(dir, 1L, "other-writer")
+    t.applyBatch(Seq((3L, 1L, "c1")).toDF("k", "v", "p"), batchId = 2)
+    assert(state(t)(3L) == ((1L, "c1")))
+    assert(t.outstandingClaims.isEmpty)
+  }
+
+  test("optimistic concurrency: partitioned table claims before touching any partition") {
+    import graft.streaming.ConcurrentWriteException
+    val dir = tmpDir("graft_part_occ")
+    val t = new PartitionedUpsertTable(spark, dir, Seq("k"), "v", "day")
+    t.applyBatch(Seq((1L, 1L, "a1", "2024-01-01")).toDF("k", "v", "p", "day"), 0)
+    val before = t.snapshot().get.collect().toSet
+    plantClaim(dir, 1L, "other-writer")
+    intercept[ConcurrentWriteException] {
+      t.applyBatch(Seq((2L, 1L, "b1", "2024-01-02")).toDF("k", "v", "p", "day"), 1)
+    }
+    // aborted BEFORE any partition dir was created for the new day
+    assert(t.partitionDirs == Seq("day=2024-01-01"))
+    assert(t.snapshot().get.collect().toSet == before)
+    t.releaseClaim(f"v_${1L}%020d")
+    t.applyBatch(Seq((2L, 1L, "b1", "2024-01-02")).toDF("k", "v", "p", "day"), 1)
+    assert(t.partitionDirs == Seq("day=2024-01-01", "day=2024-01-02"))
+    assert(t.outstandingClaims.isEmpty)
+    // fully-committed replay early-skips without consulting claims
+    plantClaim(dir, 1L, "other-writer")
+    t.applyBatch(Seq((2L, 9L, "stale", "2024-01-02")).toDF("k", "v", "p", "day"), 1)
+    assert(t.snapshot().get.filter($"k" === 2L).collect().head.getAs[String]("p") == "b1")
+  }
 }
