@@ -1363,5 +1363,10 @@ object Oracles {
     "q74_bloom_dedup" -> incrementalDedup,
     // q75 shares the brute-force ANN oracle (as q38/q47): a full-probe
     // query over the appended index must be exact over base ∪ deltas.
-    "q75_ann_ivf_append" -> annBruteForce)
+    "q75_ann_ivf_append" -> annBruteForce,
+    // q76 = q67's oracle (bloom prefilter bit-invisible, as q74 vs q64);
+    // q77 = q53's oracle (incremental suite registration must equal one
+    // global decontamination against the suites' union).
+    "q76_bloom_near_dedup" -> incrementalNearDedup,
+    "q77_incr_decontaminate" -> decontaminate)
 }

@@ -1662,4 +1662,64 @@ object Queries {
       graft.io.Sinks.truncatePath(s, storeDir)
     }
   }
+
+  /** q76: q67's three-batch NEAR-dup ingest driven through the
+    * BLOOM-prefiltered band-store probe
+    * ([[graft.operators.Dedup.dedupeNearIncrementalBloomStaged]]) —
+    * same planted corpus, same mid-sequence compaction, same oracle as
+    * q67 (the sketch must be bit-invisible; q74's pairing applied to
+    * the near-dup store, where the probe is bands× wider and the
+    * prefilter correspondingly more valuable).
+    */
+  def bloomNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_bsig_gate").toString
+    val prefix = "graft_q76_store"
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val m1 = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val b1 = docs0
+      val b2 = docs0.select((col("doc_id") + lit(m1)).as("doc_id"), col("text"))
+      val b3 = docs0.select((col("doc_id") + lit(2 * m1)).as("doc_id"),
+        concat(col("text"), lit(" qz17 qz18")).as("text"))
+      val r1 = Dedup.dedupeNearIncrementalBloomStaged(b1, storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      val r2 = Dedup.dedupeNearIncrementalBloomStaged(b2, storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
+      val r3 = Dedup.dedupeNearIncrementalBloomStaged(b3, storeDir, "text", "doc_id")
+        .localCheckpoint(true)
+      r1.unionByName(r2).unionByName(r3).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
+
+  /** q77: INCREMENTAL train/eval decontamination — q53's eval split
+    * registered into the persisted
+    * [[graft.operators.Dedup.EvalGramStore]] as TWO suites (benchmarks
+    * arrive over time), then the train side decontaminated against the
+    * accumulated store in one broadcast probe. Sequential registration
+    * must equal one global decontamination against the suites' union →
+    * q53's oracle verbatim.
+    */
+  def incrementalDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_eval_gate").toString
+    try {
+      val docs = Tables.documents(s, dir)
+      val isEval = col("doc_id") % 97 === 0
+      val mid = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+      Dedup.EvalGramStore.registerEval(
+        docs.filter(isEval && col("doc_id") <= mid), storeDir, "text", n = 3)
+      Dedup.EvalGramStore.registerEval(
+        docs.filter(isEval && col("doc_id") > mid), storeDir, "text", n = 3)
+      Dedup.decontaminateIncrementalStaged(
+          docs.filter(!isEval), storeDir, "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, storeDir)
+  }
 }

@@ -97,7 +97,9 @@ object SparkEntry {
     "q72_streaming_near_dedup" -> (Queries.streamingNearDedup _),
     "q73_incremental_agg" -> (Queries.incrementalAgg _),
     "q74_bloom_dedup" -> (Queries.bloomDedup _),
-    "q75_ann_ivf_append" -> (Queries.annIvfAppend _))
+    "q75_ann_ivf_append" -> (Queries.annIvfAppend _),
+    "q76_bloom_near_dedup" -> (Queries.bloomNearDedup _),
+    "q77_incr_decontaminate" -> (Queries.incrementalDecontaminate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -485,20 +485,86 @@ object Dedup {
     batch.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupeNearIncrementalStaged]] with a bloom prefilter on BOTH
+    * store probes — [[dedupeIncrementalBloomStaged]]'s trick applied to
+    * the band-key store. Most of a fresh batch's band keys exist in no
+    * prior batch; a bloom over the store's keys proves that per key, so
+    * (a) the cross-batch owner join consumes only bloom-positive keys
+    * and (b) the register-write's novelty anti-join runs only over
+    * bloom-positive keys (negatives are new by proof). Output is
+    * bit-identical to the plain path — gate-checked against the same
+    * oracle (q76 vs q67). The `maybe_seen` flag is computed on the
+    * already-materialized key frame, so the probe costs one map pass.
+    */
+  def dedupeNearIncrementalBloomStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      ngram: Int = 2,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    val s = batch.sparkSession
+    val existing = FingerprintStore.segments(s, storeDir)
+    val store = FingerprintStore.load(s, storeDir)
+    val storeRows = store.count() // metadata-only
+    val keys = bandKeys(
+      minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
+      .localCheckpoint(true)
+    val (dropIds, newKeys) =
+      if (storeRows == 0L) (nearDropIds(keys, store, idCol),
+        nearNewKeys(keys, store, idCol))
+      else {
+        val bloom = BloomFunctions.bloomFor(store, "fp", storeRows, fpp)
+        val flagged = keys
+          .withColumn("maybe_seen", BloomFunctions.mightContain(bloom, col("fp")))
+        // only keys that MIGHT have a store owner enter the owner join;
+        // the within-batch self-join is store-independent and unchanged
+        val drops = nearDropIds(
+          flagged.filter(col("maybe_seen")).drop("maybe_seen"),
+          store, idCol, withinKeys = Some(keys))
+        // min owner per key once; novelty check only where the bloom
+        // cannot prove it (skinny aggregate, checkpointed for its two
+        // consumers below)
+        val agged = flagged
+          .groupBy(col("fp"))
+          .agg(min(col(idCol)).cast("long").as("doc_id"),
+            max(col("maybe_seen")).as("maybe_seen"))
+          .localCheckpoint(true)
+        val news = agged.filter(!col("maybe_seen")).drop("maybe_seen")
+          .unionByName(agged.filter(col("maybe_seen")).drop("maybe_seen")
+            .join(store.select(col("fp")), Seq("fp"), "left_anti"))
+        (drops, news)
+      }
+    val nextIdx = existing
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    val seg = f"$storeDir/seg_$nextIdx%05d"
+    newKeys.write.mode("overwrite").parquet(seg)
+    batch.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup drop set: batch docs with any band key owned by a
     * smaller-id doc — across batches (store owner) or within the batch
     * (banded self equi-join, the lshCandidates shape — bucket-keyed,
     * never all-pairs). Owner-aware (`owner < id`, not mere existence) so
     * a replayed batch's own registered keys don't kill it.
+    * `withinKeys` overrides the frame used for the self-join (the bloom
+    * path narrows `keys` to store-probable ones, which must not narrow
+    * the WITHIN-batch comparison).
     */
   private def nearDropIds(
-      keys: DataFrame, store: DataFrame, idCol: String): DataFrame = {
+      keys: DataFrame, store: DataFrame, idCol: String,
+      withinKeys: Option[DataFrame] = None): DataFrame = {
     val crossDrop = keys
       .join(store.select(col("fp"), col("doc_id").as("__owner")), Seq("fp"))
       .filter(col("__owner") < col(idCol))
       .select(col(idCol)).distinct()
-    val withinDrop = keys.as("a")
-      .join(keys.as("b"),
+    val wk = withinKeys.getOrElse(keys)
+    val withinDrop = wk.as("a")
+      .join(wk.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"b.$idCol").as(idCol)).distinct()
     crossDrop.unionByName(withinDrop).distinct()
@@ -859,6 +925,82 @@ object Dedup {
       .select(col(idCol))
       .distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Persisted eval-shingle store for INCREMENTAL decontamination — the
+    * third member of the store family (exact fingerprints:
+    * [[FingerprintStore]]; near-dup band keys: the q67 store; eval
+    * grams: this). Benchmark suites arrive over time; each
+    * [[registerEval]] appends the new suite's distinct word n-grams as
+    * an immutable `_SUCCESS`-gated segment, and every later training
+    * batch is decontaminated against the ACCUMULATED suite set in one
+    * probe — no re-reading old eval text, no rebuild per new benchmark.
+    * Segment protocol (crash reclaim, commit marker, schema pin) is
+    * FingerprintStore's; no compaction variant — the store is
+    * gram-distinct per segment and BROADCAST-sized by nature (eval
+    * suites are human-curated; the probe dedups residual overlap).
+    */
+  object EvalGramStore {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+    val schema: StructType = StructType(Seq(StructField("g", StringType)))
+
+    def segments(s: SparkSession, dir: String): Seq[String] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+        .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+        .sorted
+    }
+
+    /** Every registered suite's grams as one schema-pinned relation. */
+    def load(s: SparkSession, dir: String): DataFrame = {
+      val segs = segments(s, dir)
+      if (segs.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(segs: _*)
+    }
+
+    /** Append one eval suite's distinct `n`-grams as the next segment. */
+    def registerEval(
+        eval: DataFrame, dir: String, textCol: String, n: Int = 3): Unit = {
+      val s = eval.sparkSession
+      val nextIdx = segments(s, dir)
+        .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+        .maxOption.map(_ + 1).getOrElse(0)
+      eval
+        .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+        .distinct()
+        .write.mode("overwrite").parquet(f"$dir/seg_$nextIdx%05d")
+    }
+  }
+
+  /** [[decontaminate]] against the accumulated [[EvalGramStore]]: drop
+    * every `batch` doc sharing a word `n`-gram with ANY registered eval
+    * suite. Same plan shape as the one-shot form — the store broadcasts,
+    * the corpus never shuffles — so with suites registered over time the
+    * sequential loop equals one global decontamination against their
+    * union (the SQL-expressible oracle form; `n` must match
+    * registration).
+    */
+  def decontaminateIncrementalStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val store = EvalGramStore.load(batch.sparkSession, storeDir)
+    val contaminated = batch
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+      .join(broadcast(store.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    batch.join(contaminated, Seq(idCol), "left_anti")
   }
 
   // --------------------------------------------------------------------- //

@@ -625,4 +625,72 @@ class DedupSpec extends SparkSpec {
     assert(ids(Dedup.dedupeIncrementalBloomStaged(
       batches(2), bloomDir, "text", "doc_id")).isEmpty)
   }
+
+  test("bloom near-dup incremental: bit-identical to the plain band-store path") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = (0 until 8).map { i =>
+      (i.toLong + 1, (0 until 10).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val nearCopies = base.map { case (id, t) => (id + 100, t + " nu xi") }
+    val fresh = (0 until 4).map { i =>
+      (i.toLong + 200, (0 until 10).map(j => s"v${i}y$j").mkString(" "))
+    }
+    val plainDir = tmpDir("graft_sig_plain")
+    val bloomDir = tmpDir("graft_sig_bloom")
+    try {
+      for (b <- Seq(base, nearCopies ++ fresh)) {
+        val df = b.toDF("doc_id", "text")
+        val p = ids(Dedup.dedupeNearIncrementalStaged(df, plainDir, "text", "doc_id"))
+        val q = ids(Dedup.dedupeNearIncrementalBloomStaged(df, bloomDir, "text", "doc_id"))
+        assert(p == q, s"bloom near-dup diverged: plain=$p bloom=$q")
+      }
+      // stores end identical (same keys, same owners)
+      val sp = Dedup.FingerprintStore.load(spark, plainDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val sb = Dedup.FingerprintStore.load(spark, bloomDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(sp == sb)
+      // replay idempotence through the bloom path
+      val again = ids(Dedup.dedupeNearIncrementalBloomStaged(
+        (nearCopies ++ fresh).toDF("doc_id", "text"), bloomDir, "text", "doc_id"))
+      assert(again == ids(Dedup.dedupeNearIncrementalStaged(
+        (nearCopies ++ fresh).toDF("doc_id", "text"), plainDir, "text", "doc_id")))
+    } finally {
+      graft.io.Sinks.truncatePath(spark, plainDir)
+      graft.io.Sinks.truncatePath(spark, bloomDir): Unit
+    }
+  }
+
+  test("eval-gram store: suites accumulate; incremental = one-shot over their union") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val eval1 = Seq((1000L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val eval2 = Seq((1001L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma other words here"),   // hits suite 1
+      (2L, "epsilon zeta eta more padding text"),  // hits suite 2
+      (3L, "completely clean document body here")  // survives
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft_eval_store")
+    try {
+      Dedup.EvalGramStore.registerEval(eval1, dir, "text", n = 3)
+      assert(Dedup.EvalGramStore.segments(spark, dir).size == 1)
+      // after suite 1 only doc 1 is contaminated
+      assert(ids(Dedup.decontaminateIncrementalStaged(
+        train, dir, "text", "doc_id", n = 3)) == Set(2L, 3L))
+      Dedup.EvalGramStore.registerEval(eval2, dir, "text", n = 3)
+      // accumulated store now also kills doc 2 — equals the one-shot
+      // decontamination against the union of both suites
+      val incremental = ids(Dedup.decontaminateIncrementalStaged(
+        train, dir, "text", "doc_id", n = 3))
+      val oneShot = ids(Dedup.decontaminate(
+        train, eval1.unionByName(eval2), "text", "doc_id", n = 3))
+      assert(incremental == oneShot && incremental == Set(3L))
+      // a crashed (uncommitted) suite segment is invisible
+      val partial = java.nio.file.Paths.get(dir, "seg_00002")
+      java.nio.file.Files.createDirectories(partial)
+      assert(Dedup.EvalGramStore.segments(spark, dir).size == 2)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
 }
