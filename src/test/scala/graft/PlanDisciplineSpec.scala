@@ -36,7 +36,11 @@ class PlanDisciplineSpec extends SparkSpec {
   // same for q56: the audit is collected (rows = days) so the gate can
   // delete the rewritten temp table; the layout plan itself is exercised
   // in CurationSpec (pruning + sorted-roll assertions)
-  private val codegenExempt = Set("q47_ann_ivf_saved", "q56_compact_layout")
+  // q75 follows q47's contract exactly (bounded k×|queries| local
+  // relation so the temp appended-index dir can be deleted; the real
+  // serving plan is asserted in SimilaritySpec's append test)
+  private val codegenExempt =
+    Set("q47_ann_ivf_saved", "q56_compact_layout", "q75_ann_ivf_append")
 
   test("every batch query plans with whole-stage codegen somewhere") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
