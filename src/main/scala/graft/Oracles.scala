@@ -892,6 +892,62 @@ object Oracles {
     FROM asg
     ORDER BY doc_id"""
 
+  /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
+    * scan the inverted index exists to avoid — data-derived bigram
+    * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
+    * via the padded-contains form both sides share. The index path's
+    * candidate generation + verify must reproduce it exactly.
+    */
+  val phraseSearch: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    ph AS (
+      SELECT doc_id AS phrase_id, array_to_string(tk[2:3], ' ') AS phrase
+      FROM t WHERE doc_id IN (3, 7, 11)),
+    j AS (
+      SELECT doc_id, ' ' || array_to_string(tk, ' ') || ' ' AS joined
+      FROM t)
+    SELECT ph.phrase_id, j.doc_id
+    FROM ph JOIN j ON contains(j.joined, ' ' || ph.phrase || ' ')
+    ORDER BY 1, 2"""
+
+  /** = Queries.bm25TopK: Okapi BM25 (k1 = 1.2, b = 0.75) recomputed
+    * from first principles — tf/dl/df/N/avgdl over the same token
+    * stream, the same idf ln(1 + (N - df + 0.5)/(df + 0.5)), constant
+    * forms (`1.2 + 1`, `1 - 0.75`) written exactly as the Spark side
+    * folds them, score rounded 4 dp BEFORE ranking, ties by doc_id.
+    */
+  val bm25TopK: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    tfg AS (
+      SELECT tok, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tfg GROUP BY 1),
+    st AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+    dfreq AS (SELECT tok, count(*) AS df FROM tfg GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, tok
+      FROM (SELECT doc_id, unnest(tk[1:8]) AS tok FROM t WHERE doc_id < 5)
+      WHERE tok <> ''),
+    m AS (
+      SELECT qt.query_id, g.doc_id,
+             ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
+             (g.tf * (1.2 + 1)) /
+             (g.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / st.avgdl)) AS part
+      FROM qt
+      JOIN tfg g USING (tok)
+      JOIN dfreq d ON qt.tok = d.tok
+      JOIN dl l ON g.doc_id = l.doc_id, st),
+    agg AS (
+      SELECT query_id, doc_id, round(sum(part), 4) AS score
+      FROM m GROUP BY 1, 2)
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+          FROM agg)
+    WHERE rk <= 5
+    ORDER BY query_id, rk"""
+
   /** Word-trigram fragment (= TextFunctions.wordNgrams(text, 3)). */
   private val trigrams =
     s"list_transform(generate_series(1, len($toks) - 2)," +
@@ -1368,5 +1424,7 @@ object Oracles {
     // q77 = q53's oracle (incremental suite registration must equal one
     // global decontamination against the suites' union).
     "q76_bloom_near_dedup" -> incrementalNearDedup,
-    "q77_incr_decontaminate" -> decontaminate)
+    "q77_incr_decontaminate" -> decontaminate,
+    "q78_phrase_search" -> phraseSearch,
+    "q79_bm25_topk" -> bm25TopK)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.model.Vocab
-import graft.operators.{Cluster, Dedup, Layout, Merge, Multimodal, Profile, Similarity, Skew}
+import graft.operators.{Cluster, Dedup, Layout, Merge, Multimodal, Profile, Retrieval, Similarity, Skew}
 import graft.ops._
 import graft.pipeline.MoodPipeline
 
@@ -1721,5 +1721,54 @@ object Queries {
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally graft.io.Sinks.truncatePath(s, storeDir)
+  }
+
+  /** q78: inverted-index phrase search — three data-derived bigram
+    * phrases (tokens 2–3 of docs 3, 7, 11) probed against the postings
+    * index: candidates = docs holding ALL phrase tokens (index-only,
+    * the corpus is not scanned), then an exact token-boundary
+    * padded-substring verify on candidates alone. At sf0.01 the verify
+    * rejects ~90% of candidates (~315 token-cooccurrences vs ~30 true
+    * adjacent matches per phrase) — both stages carry real weight. The
+    * oracle is the full-corpus substring scan the index exists to
+    * avoid — results must match it exactly. See
+    * [[graft.operators.Retrieval]].
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val post = Retrieval.postings(docs, "text", "doc_id")
+    val phrases = docs.filter(col("doc_id").isin(3L, 7L, 11L))
+      .select(col("doc_id").as("phrase_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 2, 2), " ").as("phrase"))
+    Retrieval.phraseSearch(post, docs, "text", "doc_id", phrases)
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
+  /** q79: Okapi BM25 top-5 retrieval — five queries (first 8 tokens of
+    * docs 0–4) scored against the whole corpus through the denormalized
+    * postings index: the probe is a broadcast of (query tok, idf)
+    * against ONE postings scan, then a single matched-postings-sized
+    * shuffle for the per-(query, doc) sum and a WindowGroupLimit top-5.
+    * Scores rounded 4 dp before ranking (q66's transcendental-rounding
+    * argument); constant forms (`k1 + 1`, `1 - b`) are written
+    * identically on both engines so literal folding cannot diverge.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // postings feed the df table, the stats row, and the probe → one
+    // materialization (skinny: vocab × docs rows of 4 columns)
+    val post = Retrieval.postings(docs, "text", "doc_id").localCheckpoint(true)
+    val dls = post.select(col("doc_id"), col("dl")).distinct()
+    val stat = dls.agg(count(lit(1)).as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")).first()
+    val (n, avgdl) = (stat.getLong(0), stat.getDouble(1))
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ").as("qtext"))
+    Retrieval.bm25TopK(post, Retrieval.docFrequencies(post), queries,
+        n, avgdl, k = 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
   }
 }

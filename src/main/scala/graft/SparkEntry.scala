@@ -99,7 +99,9 @@ object SparkEntry {
     "q74_bloom_dedup" -> (Queries.bloomDedup _),
     "q75_ann_ivf_append" -> (Queries.annIvfAppend _),
     "q76_bloom_near_dedup" -> (Queries.bloomNearDedup _),
-    "q77_incr_decontaminate" -> (Queries.incrementalDecontaminate _))
+    "q77_incr_decontaminate" -> (Queries.incrementalDecontaminate _),
+    "q78_phrase_search" -> (Queries.phraseSearch _),
+    "q79_bm25_topk" -> (Queries.bm25TopK _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
