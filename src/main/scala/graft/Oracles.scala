@@ -948,6 +948,52 @@ object Oracles {
     WHERE rk <= 5
     ORDER BY query_id, rk"""
 
+  /** = Queries.cdcDiff: both table states recomputed from the change
+    * definitions — before = the initial load (event_id unique in
+    * events, q61/q62's standing assumption), after = q62's
+    * latest-wins-with-deletes window over initial + updates + deletes +
+    * fresh-key inserts — then a full-outer join classifies each changed
+    * key, with the unchanged-row filter the null-safe conjunction
+    * diffSnapshots codegens.
+    */
+  val cdcDiff: String = """
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value
+      FROM events),
+    u AS (
+      SELECT event_id, ts, user_id, event_type, value, 0 AS del FROM e
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type,
+             value * 2, 0
+      FROM e WHERE user_id % 10 = 0
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 2 HOUR, NULL, NULL, NULL, 1
+      FROM e WHERE user_id % 7 = 0
+      UNION ALL
+      SELECT event_id + (SELECT max(event_id) + 1 FROM e),
+             ts + INTERVAL 1 HOUR, user_id, event_type, value * 10, 0
+      FROM e WHERE user_id % 5 = 0),
+    fin AS (
+      SELECT event_id, ts, user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts DESC, del DESC) AS rn
+        FROM u)
+      WHERE rn = 1 AND del = 0)
+    SELECT coalesce(b.event_id, a.event_id) AS event_id,
+           CASE WHEN b.event_id IS NULL THEN 'insert'
+                WHEN a.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           b.ts AS ts_before, a.ts AS ts_after,
+           b.value AS value_before, a.value AS value_after
+    FROM e b FULL OUTER JOIN fin a ON b.event_id = a.event_id
+    WHERE b.event_id IS NULL OR a.event_id IS NULL
+       OR NOT (b.ts IS NOT DISTINCT FROM a.ts
+           AND b.user_id IS NOT DISTINCT FROM a.user_id
+           AND b.event_type IS NOT DISTINCT FROM a.event_type
+           AND b.value IS NOT DISTINCT FROM a.value)
+    ORDER BY event_id"""
+
   /** Word-trigram fragment (= TextFunctions.wordNgrams(text, 3)). */
   private val trigrams =
     s"list_transform(generate_series(1, len($toks) - 2)," +
@@ -1426,5 +1472,9 @@ object Oracles {
     "q76_bloom_near_dedup" -> incrementalNearDedup,
     "q77_incr_decontaminate" -> decontaminate,
     "q78_phrase_search" -> phraseSearch,
-    "q79_bm25_topk" -> bm25TopK)
+    "q79_bm25_topk" -> bm25TopK,
+    // q80 shares q79's oracle: disjoint postings segments are
+    // score-invisible (tf/dl per-doc intrinsic, df additive).
+    "q80_incr_bm25" -> bm25TopK,
+    "q81_cdc_diff" -> cdcDiff)
 }

@@ -1736,7 +1736,9 @@ object Queries {
     */
   def phraseSearch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val post = Retrieval.postings(docs, "text", "doc_id")
+    // tf frame only: phrase search never reads dl, so skip postings'
+    // doc-length window (one whole shuffle less in the build)
+    val post = Retrieval.termFrequencies(docs, "text", "doc_id")
     val phrases = docs.filter(col("doc_id").isin(3L, 7L, 11L))
       .select(col("doc_id").as("phrase_id"),
         array_join(slice(TextFunctions.tokens(col("text")), 2, 2), " ").as("phrase"))
@@ -1770,5 +1772,80 @@ object Queries {
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q80: q79's BM25 retrieval served from an INCREMENTALLY built
+    * postings index — the corpus ingested as two disjoint batches, each
+    * appending its postings as an immutable segment
+    * ([[graft.operators.Retrieval.appendPostings]]); tf/dl are per-doc
+    * intrinsic and df is additive across disjoint segments, so the
+    * loaded index must score identically to the one-shot build →
+    * q79's oracle verbatim. A new corpus batch costs one batch-sized
+    * postings build, never a re-index.
+    */
+  def incrementalBm25(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_post_gate").toString
+    try {
+      val docs = Tables.documents(s, dir)
+      val mid = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+      Retrieval.appendPostings(docs.filter(col("doc_id") <= mid), idxDir, "text", "doc_id")
+      Retrieval.appendPostings(docs.filter(col("doc_id") > mid), idxDir, "text", "doc_id")
+      val post = Retrieval.loadPostings(s, idxDir)
+      val dls = post.select(col("doc_id"), col("dl")).distinct()
+      val stat = dls.agg(count(lit(1)).as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl")).first()
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ").as("qtext"))
+      Retrieval.bm25TopK(post, Retrieval.docFrequencies(post), queries,
+          stat.getLong(0), stat.getDouble(1), k = 5)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, idxDir)
+  }
+
+  /** q81: change-data-feed between two table versions —
+    * [[graft.operators.Merge.diffSnapshots]] over `snapshotAt(0)` vs
+    * the final state of an upsert table that took q62's update/delete
+    * batch plus a fresh-key insert batch: one full-outer key join
+    * classifies every changed key insert/update/delete with
+    * before/after values, answering "what did those batches do"
+    * WITHOUT replaying them. The oracle recomputes both states from
+    * the change definitions (q62's window form) and joins them.
+    */
+  def cdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_diff").toString
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val maxId = ev.agg(max(col("event_id"))).first().getLong(0)
+      val table = new graft.streaming.ParquetUpsertTable(
+        s, tableDir, Seq("event_id"), "ts", keepVersions = 3)
+      table.applyBatch(ev, 0)
+      table.applyChanges(
+        ev.filter(col("user_id") % 10 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") * 2),
+        ev.filter(col("user_id") % 7 === 0)
+          .select(col("event_id"),
+            (col("ts") + expr("INTERVAL 2 HOUR")).as("ts")),
+        1)
+      table.applyBatch(
+        ev.filter(col("user_id") % 5 === 0)
+          .withColumn("event_id", col("event_id") + lit(maxId + 1))
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") * 10),
+        2)
+      Merge.diffSnapshots(
+          table.snapshotAt(0).get, table.snapshot().get, Seq("event_id"))
+        .select(col("event_id"), col("change_type"),
+          col("ts_before"), col("ts_after"),
+          col("value_before"), col("value_after"))
+        .orderBy(col("event_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, tableDir)
   }
 }

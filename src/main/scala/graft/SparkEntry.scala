@@ -101,7 +101,9 @@ object SparkEntry {
     "q76_bloom_near_dedup" -> (Queries.bloomNearDedup _),
     "q77_incr_decontaminate" -> (Queries.incrementalDecontaminate _),
     "q78_phrase_search" -> (Queries.phraseSearch _),
-    "q79_bm25_topk" -> (Queries.bm25TopK _))
+    "q79_bm25_topk" -> (Queries.bm25TopK _),
+    "q80_incr_bm25" -> (Queries.incrementalBm25 _),
+    "q81_cdc_diff" -> (Queries.cdcDiff _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

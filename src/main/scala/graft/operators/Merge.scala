@@ -280,4 +280,47 @@ object Merge {
     if (keepTombstones) merged
     else merged.filter(!col(TombstoneCol)).drop(TombstoneCol)
   }
+
+  /** Change-data-feed between two snapshots of a keyed table (the
+    * lakehouse `table_changes` read): full-outer join on the keys, one
+    * row per changed key with `change_type` ∈ insert/update/delete and
+    * every non-key column twice (`<c>_before`, `<c>_after`). Unchanged
+    * keys (all non-key columns null-safely equal) are dropped.
+    * Schemas must agree on the non-key columns.
+    *
+    * Scale: ONE key shuffle per side (none at all when both snapshots
+    * are read from a key-bucketed layout — the upsertLatestKeyed
+    * argument); change detection is a codegen'd null-safe conjunction,
+    * no per-column joins. Feed it `snapshotAt(v1)` / `snapshotAt(v2)`
+    * of a [[graft.streaming.ParquetUpsertTable]] to answer "what did
+    * batches v1+1..v2 do to the table" without replaying them.
+    */
+  def diffSnapshots(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val valCols = after.columns.filterNot(keyCols.contains).toSeq
+    require(before.columns.filterNot(keyCols.contains).toSeq == valCols,
+      "diffSnapshots: before/after non-key columns must match " +
+        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")})")
+    // presence markers survive the outer join where data columns can be
+    // legitimately null
+    val b = before.select(
+      keyCols.map(col) ++ valCols.map(c => col(c).as(s"${c}_before")) :+
+        lit(true).as("__b"): _*)
+    val a = after.select(
+      keyCols.map(col) ++ valCols.map(c => col(c).as(s"${c}_after")) :+
+        lit(true).as("__a"): _*)
+    val changed = valCols
+      .map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__b").isNull, lit("insert"))
+          .when(col("__a").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("__b", "__a")
+  }
 }

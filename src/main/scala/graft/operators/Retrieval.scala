@@ -134,6 +134,58 @@ object Retrieval {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Incremental postings: each DISJOINT document batch (the ingest
+    * contract — a doc's postings live in exactly one segment) appends
+    * its postings as an immutable `_SUCCESS`-gated `seg_NNNNN` dir, the
+    * store-family protocol. Because doc sets are disjoint, tf/dl are
+    * per-doc intrinsic and df is additive across segments — so
+    * [[docFrequencies]]/BM25 over [[loadPostings]] equal the one-shot
+    * build over the union (the q80 gate row), with no segment-merge
+    * step: a new corpus batch costs ONE postings build over the batch,
+    * never a re-index of the corpus.
+    */
+  def appendPostings(
+      batch: DataFrame, dir: String, textCol: String, idCol: String): Unit = {
+    val s = batch.sparkSession
+    val nextIdx = postingsSegments(s, dir)
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    postings(batch, textCol, idCol)
+      .select(col("tok"), col("doc_id").cast("long").as("doc_id"),
+        col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(f"$dir/seg_$nextIdx%05d")
+  }
+
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tok",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType)))
+
+  def postingsSegments(s: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** All committed segments as one schema-pinned relation. */
+  def loadPostings(s: SparkSession, dir: String): DataFrame = {
+    val segs = postingsSegments(s, dir)
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        postingsSchema)
+    else s.read.schema(postingsSchema).parquet(segs: _*)
+  }
+
   /** Persist the index as a tok-bucketed catalog table (+ df side
     * table): probes with `tok = …` / `tok IN (…)` predicates read only
     * the matching buckets and join broadcast frames with no exchange on

@@ -347,4 +347,36 @@ class CurationSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("diffSnapshots classifies insert/update/delete; unchanged and null-equal rows drop") {
+    val before = Seq(
+      (1L, 10L, "a"),                         // unchanged
+      (2L, 20L, "b"),                         // value change -> update
+      (3L, 30L, null.asInstanceOf[String]),   // null -> null unchanged
+      (4L, 40L, "d")                          // deleted
+    ).toDF("k", "v", "p")
+    val after = Seq(
+      (1L, 10L, "a"),
+      (2L, 21L, "b"),
+      (3L, 30L, null.asInstanceOf[String]),
+      (5L, 50L, "e")                          // inserted
+    ).toDF("k", "v", "p")
+    val got = Merge.diffSnapshots(before, after, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type"))
+      .toMap
+    assert(got == Map(2L -> "update", 4L -> "delete", 5L -> "insert"))
+    val upd = Merge.diffSnapshots(before, after, Seq("k"))
+      .filter($"k" === 2L).collect().head
+    assert(upd.getAs[Long]("v_before") == 20L && upd.getAs[Long]("v_after") == 21L)
+    // null -> value IS a change (null-safe comparison, not SQL-null dodge)
+    val nullFlip = Merge.diffSnapshots(
+      Seq((3L, 30L, null.asInstanceOf[String])).toDF("k", "v", "p"),
+      Seq((3L, 30L, "now-set")).toDF("k", "v", "p"), Seq("k"))
+      .collect().map(_.getAs[String]("change_type")).toSeq
+    assert(nullFlip == Seq("update"))
+    // schema-mismatch fails fast, not silently
+    intercept[IllegalArgumentException] {
+      Merge.diffSnapshots(before, after.drop("p"), Seq("k"))
+    }
+  }
 }

@@ -62,6 +62,29 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.forall(s => (s * 10000).round / 10000.0 == s), "not 4dp-rounded")
   }
 
+  test("incremental postings: disjoint segments equal the one-shot build; crash-safe") {
+    val dir = tmpDir("graft_postings_inc")
+    Retrieval.appendPostings(docs.filter($"doc_id" <= 2), dir, "text", "doc_id")
+    Retrieval.appendPostings(docs.filter($"doc_id" > 2), dir, "text", "doc_id")
+    assert(Retrieval.postingsSegments(spark, dir).size == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("tok", "doc_id", "tf", "dl")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(Retrieval.loadPostings(spark, dir)) ==
+      rows(Retrieval.postings(docs, "text", "doc_id")))
+    // df is additive across disjoint segments
+    val dfInc = Retrieval.docFrequencies(Retrieval.loadPostings(spark, dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfOne = Retrieval.docFrequencies(Retrieval.postings(docs, "text", "doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfInc == dfOne)
+    // a crashed (uncommitted) segment is invisible
+    val partial = java.nio.file.Paths.get(dir, "seg_00002")
+    java.nio.file.Files.createDirectories(partial)
+    assert(Retrieval.postingsSegments(spark, dir).size == 2)
+  }
+
   test("saved index: tok-bucketed probes are bucket-pruned, no index-side exchange") {
     val (pt, dt) = Retrieval.saveIndex(spark,
       Retrieval.postings(docs, "text", "doc_id"), buckets = 4, "graft_rspec")
