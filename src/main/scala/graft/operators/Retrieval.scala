@@ -143,6 +143,14 @@ object Retrieval {
     * build over the union (the q80 gate row), with no segment-merge
     * step: a new corpus batch costs ONE postings build over the batch,
     * never a re-index of the corpus.
+    *
+    * Fold-in: when segments accumulate,
+    * `saveIndex(spark, loadPostings(spark, dir), buckets, prefix)` IS
+    * the compaction — it rewrites the accumulated segments as the
+    * tok-bucketed serving table (bucket-pruned probes, no index-side
+    * exchange), after which the segment dir can be truncated and
+    * re-seeded for the next accumulation window. Appends never change
+    * scores, so the fold can run at any batch boundary.
     */
   def appendPostings(
       batch: DataFrame, dir: String, textCol: String, idCol: String): Unit = {
