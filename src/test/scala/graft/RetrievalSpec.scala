@@ -83,6 +83,18 @@ class RetrievalSpec extends SparkSpec {
     val partial = java.nio.file.Paths.get(dir, "seg_00002")
     java.nio.file.Files.createDirectories(partial)
     assert(Retrieval.postingsSegments(spark, dir).size == 2)
+    // the documented fold-in: saveIndex over the loaded segments IS the
+    // compaction — the bucketed serving table carries identical content
+    val (pt, dt) = Retrieval.saveIndex(spark,
+      Retrieval.loadPostings(spark, dir), buckets = 4, "graft_rfold")
+    try {
+      assert(rows(spark.table(pt)) == rows(Retrieval.postings(docs, "text", "doc_id")))
+      assert(spark.table(dt).count() ==
+        Retrieval.docFrequencies(Retrieval.postings(docs, "text", "doc_id")).count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $pt")
+      spark.sql(s"DROP TABLE IF EXISTS $dt"): Unit
+    }
   }
 
   test("saved index: tok-bucketed probes are bucket-pruned, no index-side exchange") {
