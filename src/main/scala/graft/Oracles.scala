@@ -948,6 +948,39 @@ object Oracles {
     WHERE rk <= 5
     ORDER BY query_id, rk"""
 
+  /** = Queries.incrementalProfile: q58's one-shot recipe minus the
+    * distinct count — the three-batch fold must be invisible (counts
+    * are sums, bounds are min/max; associative by construction), so
+    * the oracle profiles the WHOLE table in one pass.
+    */
+  val incrementalProfile: String = {
+    val cols = Seq(
+      "o_orderkey" -> false, "o_custkey" -> false, "o_orderstatus" -> true,
+      "o_totalprice" -> false, "o_orderpriority" -> true)
+    val perCol = cols.map { case (c, isStr) =>
+      val (minC, maxC, minS, maxS) =
+        if (isStr)
+          ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+            s"min($c)", s"max($c)")
+        else
+          (s"CAST(min($c) * 100 AS BIGINT)", s"CAST(max($c) * 100 AS BIGINT)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""
+    SELECT '$c' AS col_name, count($c) AS n,
+           sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           $minC AS min_c100, $maxC AS max_c100,
+           $minS AS min_str, $maxS AS max_str
+    FROM t""" }
+    s"""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             o_orderpriority
+      FROM orders)
+    ${perCol.mkString(" UNION ALL ")}
+    ORDER BY col_name"""
+  }
+
   /** = Queries.cdcDiff: both table states recomputed from the change
     * definitions — before = the initial load (event_id unique in
     * events, q61/q62's standing assumption), after = q62's
@@ -1476,5 +1509,6 @@ object Oracles {
     // q80 shares q79's oracle: disjoint postings segments are
     // score-invisible (tf/dl per-doc intrinsic, df additive).
     "q80_incr_bm25" -> bm25TopK,
-    "q81_cdc_diff" -> cdcDiff)
+    "q81_cdc_diff" -> cdcDiff,
+    "q82_incr_profile" -> incrementalProfile)
 }

@@ -1848,4 +1848,29 @@ object Queries {
         .localCheckpoint(true)
     } finally graft.io.Sinks.truncatePath(s, tableDir)
   }
+
+  /** q82: incremental statistics maintenance — q58's profile surface
+    * (minus the one non-mergeable stat, the distinct count) maintained
+    * by profiling the orders table as THREE key-ranged ingest batches
+    * and folding the per-batch partials
+    * ([[graft.operators.Profile.mergeProfiles]]): counts sum, bounds
+    * min/max, the fold is a |cols|-row aggregation. The folded state
+    * must equal the one-shot profile of the whole table — the
+    * incremental-ANALYZE contract a 100 TB table needs (per-ingest
+    * batch-sized scans, never a table re-profile).
+    */
+  def incrementalProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val o = Tables.orders(s, dir)
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+    val maxKey = o.agg(max(col("o_orderkey"))).first().getLong(0)
+    val (t1, t2) = (maxKey / 3, 2 * maxKey / 3)
+    val parts = Seq(
+      o.filter(col("o_orderkey") <= t1),
+      o.filter(col("o_orderkey") > t1 && col("o_orderkey") <= t2),
+      o.filter(col("o_orderkey") > t2)
+    ).map(b => Profile.partialProfile(b, cols))
+    Profile.mergeProfiles(parts).orderBy(col("col_name"))
+  }
 }

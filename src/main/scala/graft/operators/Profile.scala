@@ -98,6 +98,68 @@ object Profile {
         "(col_name, n, n_nulls, n_distinct, min_c100, max_c100, min_str, max_str)")
   }
 
+  /** MERGEABLE per-batch profile — [[profile]] minus the distinct
+    * count, which is the one non-additive stat (serve distincts from a
+    * mergeable HLL sketch at scale — the q39 path — or from [[profile]]
+    * on the folded table). Everything else folds exactly: counts and
+    * null counts are sums, min/max are min/max, in both the centi-unit
+    * and the string pair. This is the incremental-ANALYZE shape: a
+    * 100 TB table's stats are maintained by profiling each INGESTED
+    * BATCH (batch-sized scan) and folding via [[mergeProfiles]], never
+    * by re-profiling the table; the folded state is exactly the
+    * one-shot profile of the union (the q82 gate row).
+    */
+  def partialProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val types: Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val nullLong = min(lit(null).cast("long"))
+    val nullStr = min(lit(null).cast("string"))
+    val aggs = cols.flatMap { c =>
+      val (minN, maxN, minS, maxS) = types(c) match {
+        case _: NumericType =>
+          ((min(col(c)) * lit(100)).cast("long"),
+            (max(col(c)) * lit(100)).cast("long"), nullStr, nullStr)
+        case StringType =>
+          (nullLong, nullLong, min(col(c)), max(col(c)))
+        case _ =>
+          (nullLong, nullLong,
+            min(col(c).cast("string")), max(col(c).cast("string")))
+      }
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        minN.as(s"${c}__minc"), maxN.as(s"${c}__maxc"),
+        minS.as(s"${c}__mins"), maxS.as(s"${c}__maxs"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, " +
+        s"`${c}__minc`, `${c}__maxc`, `${c}__mins`, `${c}__maxs`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n, n_nulls, min_c100, max_c100, min_str, max_str)")
+  }
+
+  /** Fold any number of [[partialProfile]] frames into one: per column,
+    * counts sum and bounds min/max — a |cols|-row aggregation, so the
+    * fold costs nothing at any corpus size. Min/max ignore nulls, so an
+    * all-null batch contributes bounds-neutrally, exactly as it would
+    * inside a one-shot aggregate.
+    */
+  def mergeProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "mergeProfiles needs at least one profile")
+    profiles.reduce(_.unionByName(_))
+      .groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_c100")).as("min_c100"),
+        max(col("max_c100")).as("max_c100"),
+        min(col("min_str")).as("min_str"),
+        max(col("max_str")).as("max_str"))
+  }
+
   /** Human-facing profile: (col_name, n, n_nulls, n_distinct,
     * min_value, max_value) with every min/max rendered as a string so
     * columns of different types share one output pair — callers should

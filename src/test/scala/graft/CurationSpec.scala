@@ -226,6 +226,27 @@ class CurationSpec extends SparkSpec {
     assert(r.isNullAt(6) && r.isNullAt(7))
   }
 
+  test("partialProfile fold equals the one-shot profile; all-null batches bounds-neutral") {
+    val b1 = Seq((Some(1L), Some("x")), (Some(5L), None)).toDF("num", "s")
+    val b2 = Seq((Some(3L), Some("a")), (None, Some("z"))).toDF("num", "s")
+    val b3 = Seq[(Option[Long], Option[String])]((None, None), (None, None))
+      .toDF("num", "s") // all-null batch
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("col_name", "n", "n_nulls", "min_c100", "max_c100", "min_str", "max_str")
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    val folded = Profile.mergeProfiles(
+      Seq(b1, b2, b3).map(b => Profile.partialProfile(b, Seq("num", "s"))))
+    val oneShot = Profile
+      .profile(b1.unionByName(b2).unionByName(b3), Seq("num", "s"))
+      .drop("n_distinct")
+    assert(rows(folded) == rows(oneShot))
+    // the fold is associative: ((p1+p2)+p3) == (p1+(p2+p3))
+    val ps = Seq(b1, b2, b3).map(b => Profile.partialProfile(b, Seq("num", "s")))
+    assert(rows(Profile.mergeProfiles(
+        Seq(Profile.mergeProfiles(ps.take(2)), ps(2)))) ==
+      rows(Profile.mergeProfiles(Seq(ps(0), Profile.mergeProfiles(ps.drop(1))))))
+  }
+
   test("profileRendered: string surface with canonical decimal rendering (off the gate)") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
