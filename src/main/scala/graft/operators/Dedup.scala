@@ -77,6 +77,20 @@ object Dedup {
     * in-memory [[dedupeIncremental]] tuple API leaves to the caller (and
     * that, forgotten, degrades an ingest loop to O(n²): each returned
     * store stacks another union over every prior batch's plan).
+    *
+    * CONCURRENCY CONTRACT — one writer per store, by design: segment
+    * indices are claimed by listing, so two concurrent ingests could
+    * compute the same next index and one would silently overwrite the
+    * other's fingerprints (lost history ⇒ duplicates pass forever
+    * after). Ingest loops are sequential by nature (each batch's
+    * survivors depend on ALL prior batches'), so this is the honest
+    * contract, not a gap; a deployment that genuinely needs racing
+    * writers should front the store with the put-if-absent claim
+    * protocol the upsert tables use
+    * ([[graft.streaming.ClaimRegistry]]-style: atomically create a
+    * claim for the segment index before writing, abort-and-retry on
+    * conflict). The same contract covers [[EvalGramStore]] and
+    * [[graft.operators.Retrieval.appendPostings]].
     */
   object FingerprintStore {
     import org.apache.hadoop.fs.Path
