@@ -399,5 +399,13 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Merge.diffSnapshots(before, after.drop("p"), Seq("k"))
     }
+    // keys-only tables: no value columns to compare, so the feed is
+    // purely membership (insert/delete), never a spurious update
+    val ko = Merge.diffSnapshots(
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("k"),
+      Seq(Tuple1(2L), Tuple1(3L)).toDF("k"), Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type"))
+      .toMap
+    assert(ko == Map(1L -> "delete", 3L -> "insert"))
   }
 }

@@ -62,6 +62,25 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.forall(s => (s * 10000).round / 10000.0 == s), "not 4dp-rounded")
   }
 
+  test("edges: single-token and empty phrases; query with no indexed tokens") {
+    val p = Retrieval.postings(docs, "text", "doc_id")
+    // single-token phrase = plain posting lookup, verify trivially true
+    val single = Retrieval.phraseSearch(p, docs, "text", "doc_id",
+      Seq((1L, "fox")).toDF("phrase_id", "phrase"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(single == Set(1L))
+    // an empty phrase matches nothing (no tokens -> no candidates)
+    assert(Retrieval.phraseSearch(p, docs, "text", "doc_id",
+      Seq((2L, "")).toDF("phrase_id", "phrase")).count() == 0)
+    // a query whose tokens are all out-of-vocabulary scores nothing
+    val pc = p.localCheckpoint(true)
+    val dls = pc.select("doc_id", "dl").distinct()
+    val stat = dls.agg(count(lit(1)), sum($"dl") / count(lit(1))).first()
+    assert(Retrieval.bm25TopK(pc, Retrieval.docFrequencies(pc),
+      Seq((9L, "zzz qqq")).toDF("query_id", "qtext"),
+      stat.getLong(0), stat.getDouble(1), k = 3).count() == 0)
+  }
+
   test("incremental postings: disjoint segments equal the one-shot build; crash-safe") {
     val dir = tmpDir("graft_postings_inc")
     Retrieval.appendPostings(docs.filter($"doc_id" <= 2), dir, "text", "doc_id")
