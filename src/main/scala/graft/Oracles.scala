@@ -981,6 +981,44 @@ object Oracles {
     ORDER BY col_name"""
   }
 
+  /** = Queries.curationFunnel: same quality gate as q41 (unrounded
+    * comparisons), duplicate rule = rank-among-PASSERS per md5
+    * fingerprint (already-rejected docs never enter the dedup stage),
+    * rolled up per (source, fate) with doc and token counts.
+    */
+  val curationFunnel: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), source, text
+      FROM documents),
+    f AS (
+      SELECT doc_id, source,
+             CAST(len($toks) AS BIGINT) AS n_tokens,
+             (len($toks) >= 20
+              AND CAST(len(replace($norm, ' ', '')) AS DOUBLE) / len($toks)
+                  BETWEEN 3.0 AND 6.0
+              AND CAST(len($norm) - len(regexp_replace($norm, '[^a-z0-9 ]', '', 'g'))
+                       AS DOUBLE) / greatest(len($norm), 1) <= 0.03
+              AND CAST(len(list_filter($toks, x -> x IN $stopEn)) AS DOUBLE)
+                  / len($toks) >= 0.05) AS passes,
+             md5($norm) AS fp
+      FROM corpus),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM f WHERE passes),
+    fate AS (
+      SELECT f.source,
+             CASE WHEN NOT f.passes THEN 'low_quality'
+                  WHEN r.rn > 1 THEN 'duplicate'
+                  ELSE 'kept' END AS fate,
+             f.n_tokens
+      FROM f LEFT JOIN ranked r ON f.doc_id = r.doc_id)
+    SELECT source, fate, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+    FROM fate
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   /** = Queries.cdcDiff: both table states recomputed from the change
     * definitions — before = the initial load (event_id unique in
     * events, q61/q62's standing assumption), after = q62's
@@ -1510,5 +1548,6 @@ object Oracles {
     // score-invisible (tf/dl per-doc intrinsic, df additive).
     "q80_incr_bm25" -> bm25TopK,
     "q81_cdc_diff" -> cdcDiff,
-    "q82_incr_profile" -> incrementalProfile)
+    "q82_incr_profile" -> incrementalProfile,
+    "q83_curation_funnel" -> curationFunnel)
 }

@@ -1873,4 +1873,54 @@ object Queries {
     ).map(b => Profile.partialProfile(b, cols))
     Profile.mergeProfiles(parts).orderBy(col("col_name"))
   }
+
+  /** q83: curation funnel — the observability view a corpus build runs
+    * after every curation pass: each document attributed to the stage
+    * that dropped it (`low_quality` by q41's gate, `duplicate` by the
+    * min-id-per-fingerprint rule among quality passers, else `kept`),
+    * rolled up per source with document AND token counts — "how many
+    * tokens did each stage cost, from which sources". One corpus scan
+    * for the signals, one fingerprint-keyed window over PASSERS only
+    * (the dedup stage never sees already-rejected docs), one
+    * rollup-sized aggregation.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = TextFunctions.normalized(col("text"))
+    val nTokens = TextFunctions.tokenCount(col("text"))
+    val meanTokLen = length(translate(norm, " ", "")).cast("double") / nTokens
+    val symbolRatio =
+      (length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("double") /
+        greatest(length(norm), lit(1))
+    val stopRatio = TextFunctions.tokenRatio(col("text"),
+      Seq("the", "a", "of", "and", "to", "in", "is"))
+    // the synthetic corpus carries no exact duplicates — plant a full
+    // id-shifted copy (q64's plant-and-remove discipline) so the
+    // funnel's dedup stage genuinely attributes docs, instead of
+    // passing vacuously on a dup-free corpus
+    val docs0 = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs0.agg(max(col("doc_id"))).first().getLong(0)
+    val planted = docs0.unionByName(docs0.select(
+      (col("doc_id") + lit(maxId + 1)).as("doc_id"), col("source"), col("text")))
+    val flagged = planted
+      .select(col("doc_id"), col("source"),
+        nTokens.cast("long").as("n_tokens"),
+        (nTokens >= 20 && meanTokLen.between(3.0, 6.0) &&
+          symbolRatio <= 0.03 && stopRatio >= 0.05).as("passes"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    val ranked = flagged.filter(col("passes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+    val dups = ranked.filter(col("rn") > 1).select(col("doc_id"))
+    flagged
+      .join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(!col("passes"), lit("low_quality"))
+          .when(col("__dup"), lit("duplicate"))
+          .otherwise(lit("kept")))
+      .groupBy(col("source"), col("fate"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("fate"))
+  }
 }
