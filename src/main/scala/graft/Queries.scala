@@ -1903,12 +1903,17 @@ object Queries {
     val maxId = docs0.agg(max(col("doc_id"))).first().getLong(0)
     val planted = docs0.unionByName(docs0.select(
       (col("doc_id") + lit(maxId + 1)).as("doc_id"), col("source"), col("text")))
+    // materialize the signal scan ONCE: it feeds both the passer
+    // window and the final attribution join, and the quality signals
+    // (regex + list-lambda per row) are the dominant per-row cost —
+    // the frame itself is skinny (5 scalar columns)
     val flagged = planted
       .select(col("doc_id"), col("source"),
         nTokens.cast("long").as("n_tokens"),
         (nTokens >= 20 && meanTokLen.between(3.0, 6.0) &&
           symbolRatio <= 0.03 && stopRatio >= 0.05).as("passes"),
         TextFunctions.fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
     val ranked = flagged.filter(col("passes"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
