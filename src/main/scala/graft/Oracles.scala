@@ -1438,6 +1438,58 @@ object Oracles {
     FROM starts
     ORDER BY doc_id, chunk_idx"""
 
+  /** Mirrors Queries.dupSpans / Dedup.dupSpanProfile: 8-token grams with
+    * 1-based positions (DuckDB list slices are inclusive, so
+    * toks[pos:pos+7] = the 8-gram at pos), a count window over the gram
+    * hash marks second occurrences, then per-doc gaps-and-islands (every
+    * interval is exactly 8 tokens → new island when pos > prev_end + 1).
+    */
+  val dupSpans: String = s"""
+    WITH base AS (
+      SELECT doc_id, $toks AS toks FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS pos
+      FROM base),
+    occ AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos + 7], ' ')) AS g
+      FROM p),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM occ)
+      WHERE cnt >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS isl
+      FROM (SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(
+                          max(pos + 7) OVER (PARTITION BY doc_id
+                            ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+                          -4611686018427387904) + 1
+                        THEN 1 ELSE 0 END AS ni
+            FROM dup)),
+    spans AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, count(*) AS dup_spans, sum(e - s + 1) AS dup_tokens
+      FROM spans GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(b.toks), 6)
+             AS dup_ratio
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1549,5 +1601,6 @@ object Oracles {
     "q80_incr_bm25" -> bm25TopK,
     "q81_cdc_diff" -> cdcDiff,
     "q82_incr_profile" -> incrementalProfile,
-    "q83_curation_funnel" -> curationFunnel)
+    "q83_curation_funnel" -> curationFunnel,
+    "q84_dup_spans" -> dupSpans)
 }

@@ -1928,4 +1928,17 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("source"), col("fate"))
   }
+
+  /** q84: ExactSubstr duplicated-span profile — every 8-token span that
+    * occurs more than once anywhere in the corpus, merged per doc into
+    * maximal islands (see [[graft.operators.Dedup.dupSpanProfile]] for
+    * the dataflow and the 100 TB skew note). Non-vacuous on the synthetic
+    * corpus: its planted near-duplicate documents share long token runs,
+    * so ~9% of docs carry genuine duplicated spans (most near-fully
+    * covered — exactly the boilerplate shape ExactSubstr exists to catch).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .dupSpanProfile(Tables.documents(s, dir), "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
 }

@@ -105,7 +105,8 @@ object SparkEntry {
     "q80_incr_bm25" -> (Queries.incrementalBm25 _),
     "q81_cdc_diff" -> (Queries.cdcDiff _),
     "q82_incr_profile" -> (Queries.incrementalProfile _),
-    "q83_curation_funnel" -> (Queries.curationFunnel _))
+    "q83_curation_funnel" -> (Queries.curationFunnel _),
+    "q84_dup_spans" -> (Queries.dupSpans _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1096,6 +1096,75 @@ object Dedup {
     * role) — the fixed 4-plane gate instantiation is sized for the test
     * corpus, not a scaling policy.
     */
+  /** ExactSubstr-style duplicated-SPAN profile (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): find every token span of length `k` that occurs
+    * MORE THAN ONCE anywhere in the corpus (cross-doc or self-repeat),
+    * merge each document's duplicated positions into maximal islands, and
+    * report per-doc span/coverage counts — the span-level complement of
+    * doc-level exact/near dedup (a doc can be 40% boilerplate yet unique
+    * as a whole; doc-level dedup keeps all of it, span-level flags the
+    * 40%).
+    *
+    * Dataflow (two shuffles, both on compact keys):
+    *  1. explode each doc into (pos, md5(k-gram)) occurrences — the gram
+    *     arrays are built once from a bound token attribute (the
+    *     collapsed Catalyst form re-runs the tokenizer per element);
+    *  2. `count() OVER (PARTITION BY gram)` marks grams with a second
+    *     occurrence anywhere — ONE gram-keyed shuffle, no self-join (the
+    *     agg+join-back alternative shuffles the occurrence stream twice);
+    *  3. per-doc gaps-and-islands over the surviving positions (every
+    *     interval is exactly k tokens, so "new island when
+    *     pos > prev_max_end + 1") — one doc-keyed shuffle, then the
+    *     island fold.
+    *
+    * At 100 TB the gram-window partition for a viral span (a license
+    * header in millions of docs) is the skew risk: cap it by pre-counting
+    * hot grams with a sketch and short-circuiting `cnt >= 2` for them
+    * (they are dup by definition — only the LONG TAIL needs the exact
+    * window), the same maxDf escape hatch the n-gram Jaccard path uses.
+    *
+    * Output: (idCol, n_tokens, dup_spans, dup_tokens, dup_ratio) for
+    * EVERY input doc (zero-coverage docs included).
+    */
+  def dupSpanProfile(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        ngramsOfTokens(col("toks"), k).as("grams"))
+    val occ = base
+      .select(col(idCol), posexplode(col("grams")).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), md5(col("gram")).as("g"))
+    val dup = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("cnt") >= 2)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("ni",
+        when(col("pos") > coalesce(prevEnd, lit(Long.MinValue / 2)) + 1, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(byPos))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
   def semanticDedup(
       vecs: DataFrame,
       vecCol: String,

@@ -693,4 +693,55 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.EvalGramStore.segments(spark, dir).size == 2)
     } finally graft.io.Sinks.truncatePath(spark, dir)
   }
+
+  test("dupSpanProfile: shared spans island-merge, self-repeats count, unique docs zero") {
+    // w1..w12 unique filler words; docs 1 and 2 share tokens 1..10 (a
+    // 10-token run = three overlapping 8-grams -> ONE island of 10),
+    // doc 3 repeats its own 8-token phrase twice back to back (self-dup,
+    // adjacent islands merge), doc 4 is fully unique, doc 5 is too short
+    // to produce any 8-gram.
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$shared iota kappa lambda mu nu xi omicron pi"),
+      (3L, s"$phrase $phrase"),
+      (4L, "entirely novel words never repeated anywhere in this corpus at all"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanProfile(corpus, "text", "doc_id", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_spans"),
+          r.getAs[Long]("dup_tokens"))))
+      .toMap
+    assert(got(1L) == ((18L, 1L, 10L))) // one merged island over tokens 1..10
+    assert(got(2L) == ((18L, 1L, 10L)))
+    // doc 3: only the grams at pos 1 and pos 9 recur (both = the phrase
+    // itself); their intervals [1,8] and [9,16] touch -> ONE island of 16
+    assert(got(3L) == ((16L, 1L, 16L)))
+    assert(got(4L) == ((11L, 0L, 0L)))
+    assert(got(5L) == ((2L, 0L, 0L)))
+  }
+
+  test("dupSpanProfile: disjoint duplicated regions stay separate islands") {
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    // doc 1 carries runA, a 9-token unique gap, then runB; docs 2 and 3
+    // donate the second occurrences. Gap > 1 -> two islands of 8 each.
+    val corpus = Seq(
+      (1L, s"$runA g1 g2 g3 g4 g5 g6 g7 g8 g9 $runB"),
+      (2L, s"$runA x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+      (3L, s"y1 y2 y3 y4 y5 y6 y7 y8 y9 $runB")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanProfile(corpus, "text", "doc_id", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_ratio"))))
+      .toMap
+    assert(got(1L) == ((2L, 16L, 0.64)))   // 16 of 25 tokens covered
+    assert(got(2L)._1 == 1L && got(2L)._2 == 8L)
+    assert(got(3L)._1 == 1L && got(3L)._2 == 8L)
+  }
 }
