@@ -1490,6 +1490,29 @@ object Oracles {
     FROM base b LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.bpeMergeStats: word-frequency vocabulary, adjacent
+    * char pairs per word (DuckDB's generate_series(1, 0) is empty, so
+    * 1-char words drop out naturally — Spark needs the explicit length
+    * guard), freq-weighted pair counts, top 20. sum() over BIGINT is
+    * HUGEINT in DuckDB → cast back.
+    */
+  val bpeMergeStats: String = s"""
+    WITH wv AS (
+      SELECT tok AS w, count(*) AS freq
+      FROM (SELECT unnest($toks) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY 1),
+    p AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM (SELECT w, freq,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM wv))
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p
+    GROUP BY 1
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 20"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1602,5 +1625,6 @@ object Oracles {
     "q81_cdc_diff" -> cdcDiff,
     "q82_incr_profile" -> incrementalProfile,
     "q83_curation_funnel" -> curationFunnel,
-    "q84_dup_spans" -> dupSpans)
+    "q84_dup_spans" -> dupSpans,
+    "q85_bpe_merge_stats" -> bpeMergeStats)
 }

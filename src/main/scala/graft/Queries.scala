@@ -1941,4 +1941,32 @@ object Queries {
     graft.operators.Dedup
       .dupSpanProfile(Tables.documents(s, dir), "text", "doc_id", k = 8)
       .orderBy(col("doc_id"))
+
+  /** q85: BPE merge-candidate statistics — the inner loop of tokenizer
+    * TRAINING (Sennrich et al. 2016): count adjacent character pairs,
+    * weighted by word frequency, and rank the top merge candidates.
+    * The scale trick is the same one every BPE trainer uses: aggregate
+    * the corpus to its VOCABULARY first (the only corpus-sized shuffle,
+    * with map-side partial agg), then explode character pairs over the
+    * vocab — pair counting costs O(|vocab| × word_len), independent of
+    * corpus size, so 100 TB of text prices the same as its ~10M-word
+    * vocabulary. Top-20 via TakeOrderedAndProject (q55 discipline — no
+    * global sort of the pair space).
+    */
+  def bpeMergeStats(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      // guard length >= 2: Spark's sequence(1, 0) is DESCENDING [1, 0],
+      // not empty, so 1-char words must not reach the explode
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(20)
+  }
 }
