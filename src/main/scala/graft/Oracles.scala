@@ -1513,6 +1513,41 @@ object Oracles {
     ORDER BY pair_count DESC, pair ASC
     LIMIT 20"""
 
+  /** Mirrors Queries.kmeansStep / Similarity.lloydStep: cosine to the 8
+    * axis-unit seeds e_{8j+1} (list_cosine_similarity is driver-proven
+    * to match Spark's fold at 6 dp — q23/q70), argmax with ties to the
+    * smaller cell, then per-(cell, dim) means through exact
+    * DECIMAL(38,12) sums with ONE double division at the end.
+    */
+  val kmeansStep: String = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (
+      SELECT vec_id, v, j,
+             round(list_cosine_similarity(v,
+               list_transform(generate_series(1, 64),
+                 i -> CASE WHEN i = j * 8 + 1 THEN 1.0 ELSE 0.0 END)), 6)
+               AS cos
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+    asg AS (
+      SELECT vec_id, v, j AS cell
+      FROM (SELECT vec_id, v, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, j ASC) AS rk
+            FROM cand)
+      WHERE rk = 1),
+    n AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1),
+    x AS (
+      SELECT cell, d AS dim, CAST(v[d] AS DECIMAL(38,12)) AS xd
+      FROM asg, (SELECT unnest(generate_series(1, 64)) AS d) ds),
+    sums AS (
+      SELECT cell, dim, sum(xd) AS sx FROM x GROUP BY 1, 2)
+    SELECT CAST(s.cell AS BIGINT) AS cell, CAST(s.dim AS BIGINT) AS dim,
+           n.n_vecs,
+           round(CAST(s.sx AS DOUBLE) / n.n_vecs, 6) AS c
+    FROM sums s JOIN n USING (cell)
+    ORDER BY cell, dim"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1626,5 +1661,6 @@ object Oracles {
     "q82_incr_profile" -> incrementalProfile,
     "q83_curation_funnel" -> curationFunnel,
     "q84_dup_spans" -> dupSpans,
-    "q85_bpe_merge_stats" -> bpeMergeStats)
+    "q85_bpe_merge_stats" -> bpeMergeStats,
+    "q86_kmeans_step" -> kmeansStep)
 }

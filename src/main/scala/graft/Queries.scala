@@ -1969,4 +1969,19 @@ object Queries {
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(20)
   }
+
+  /** q86: one distributed Lloyd iteration of spherical k-means over the
+    * embedding corpus — 8 axis-unit seed centroids (e_1, e_9, …, e_57:
+    * data-independent geometry, the q70 oracle discipline), cosine
+    * argmax assignment, then exact per-(cell, dim) mean update. See
+    * [[graft.operators.Similarity.lloydStep]] for the 100 TB shape
+    * (map-side assignment; the update shuffle is ≤ cells × dim rows).
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val seeds = (0 until 8).map(j =>
+      Seq.tabulate(64)(i => if (i == j * 8) 1.0 else 0.0))
+    graft.operators.Similarity
+      .lloydStep(Tables.embeddings(s, dir), "embedding", "vec_id", seeds)
+      .orderBy(col("cell"), col("dim"))
+  }
 }

@@ -299,6 +299,59 @@ object Similarity {
     centers.map(_.toSeq).toSeq
   }
 
+  /** One DISTRIBUTED Lloyd iteration of spherical k-means — the
+    * corpus-scale twin of [[localKMeans]] (which trains on a bounded
+    * driver-side sample for the index BUILD). When the corpus itself is
+    * what you're clustering — topic bucketing, SemDeDup cell refinement,
+    * mixture analysis — each iteration must be a Spark job, not a driver
+    * loop:
+    *
+    *  1. assignment: argmax of cosine(v, seed_j) over the broadcast seed
+    *     centroids, ties to the smaller index — pure map-side work
+    *     (literal-data seeds keep the expression tree small, q27
+    *     discipline); cosines are rounded to 6 dp BEFORE the argmax so
+    *     cell membership at a boundary is ulp-stable across engines;
+    *  2. update: per-(cell, dimension) mean via posexplode + one
+    *     aggregation — map-side partial agg collapses every partition to
+    *     ≤ cells × dim rows before the shuffle, so the exchange moves
+    *     KB regardless of corpus size; component sums go through
+    *     DECIMAL(38,12) (summation-order-independent, so re-runs and
+    *     engines agree bit-for-bit — the exactAvg discipline), and the
+    *     final mean is one double division + round(6).
+    *
+    * Output: (cell, dim, n_vecs, c) — long format, one row per non-empty
+    * cell × dimension (empty cells vanish; the caller keeps its previous
+    * centroid for those, as localKMeans does). To iterate, collect the
+    * ≤ nlist × dim result (bounded, independent of corpus size) and feed
+    * it back as the next round's seeds.
+    */
+  def lloydStep(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      seeds: Seq[Seq[Double]]): DataFrame = {
+    val v = spread(corpus.select(col(idCol), asDouble(col(vecCol)).as("v")))
+    val cosines = transform(typedLit(seeds),
+      ctr => round(cosine(col("v"), ctr), 6))
+    val cell = element_at(
+      transform(
+        array_sort(zip_with(cosines, sequence(lit(0), lit(seeds.length - 1)),
+          (c, j) => struct((-c).as("negc"), j.as("cell")))),
+        s => s.getField("cell")),
+      1)
+    val assigned = v.select(cell.as("cell"), col("v"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy(col("cell"), col("d0"))
+      .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
+      .join(broadcast(counts), Seq("cell"))
+      .select(col("cell").cast("long").as("cell"),
+        (col("d0") + 1).cast("long").as("dim"),
+        col("n_vecs"),
+        round(col("sx").cast("double") / col("n_vecs"), 6).as("c"))
+  }
+
   /** Build the IVF index once: train centroids on a bounded sample, then
     * ONE distributed map pass assigns every corpus vector to its nearest
     * cell. Amortize by persisting `cells` (or writing it as a

@@ -162,4 +162,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got.subsetOf(Set(1L, 2L, 3L, 4L)))
     assert(got.contains(1L)) // the true nearest neighbor shares all sign buckets
   }
+
+  test("lloydStep: fixed-point on seed vectors, cosine tie breaks to smaller cell") {
+    import org.apache.spark.sql.functions.col
+    val seeds = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    // two copies of each seed (scaled — cosine ignores magnitude), plus a
+    // vector equidistant (45°) from both seeds -> tie -> cell 0
+    val vecs = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)), (2L, Array(0.5f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 3.0f, 0.0f)), (4L, Array(0.0f, 0.25f, 0.0f)),
+      (5L, Array(1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lloydStep(vecs, "embedding", "vec_id", seeds)
+      .collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("dim")) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("c"))))
+      .toMap
+    assert(got((0L, 1L)) == ((3L, 1.166667))) // (2 + 0.5 + 1) / 3
+    assert(got((0L, 2L)) == ((3L, 0.333333))) // (0 + 0 + 1) / 3
+    assert(got((1L, 1L)) == ((2L, 0.0)))
+    assert(got((1L, 2L)) == ((2L, 1.625)))    // (3 + 0.25) / 2
+    assert(got.keySet.map(_._1) == Set(0L, 1L))
+  }
+
+  test("lloydStep: assignment is map-only and the update exchange is cell x dim sized") {
+    val seeds = (0 until 4).map(j => Seq.tabulate(8)(i => if (i == j) 1.0 else 0.0))
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lloydStep(vecs, "embedding", "vec_id", seeds)
+    // one aggregation pair (partial + final) for the sums, one for the
+    // counts, nothing quadratic: no joins beyond the broadcast of counts
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin")) // counts side is broadcast
+    assert(out.count() <= 4L * 8L)
+  }
 }
