@@ -352,6 +352,42 @@ object Similarity {
         round(col("sx").cast("double") / col("n_vecs"), 6).as("c"))
   }
 
+  /** Full distributed spherical k-means: iterate [[lloydStep]], feeding
+    * each round's (bounded, ≤ k × dim) collected centroids back as the
+    * next round's seeds — the driver holds centroids only, never data, so
+    * the loop is corpus-size-independent: `iters` Spark jobs of one
+    * map-side assignment + one KB-sized exchange each. Cells that empty
+    * out keep their previous centroid (the [[localKMeans]] rule), so k is
+    * stable across rounds. Returns the final centroids — feed them to
+    * [[lloydStep]] once more for assignments, or into an [[IvfIndex]] as
+    * trained-on-everything cell geometry.
+    */
+  def kmeansTrain(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      seeds: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    require(iters >= 1, "kmeansTrain: iters must be >= 1")
+    var centers = seeds
+    for (_ <- 1 to iters) {
+      val step = lloydStep(corpus, vecCol, idCol, centers)
+        .collect() // bounded: <= k x dim rows by construction
+        .map(r => (r.getAs[Long]("cell").toInt, r.getAs[Long]("dim").toInt,
+          r.getAs[Double]("c")))
+      val byCell = step.groupBy(_._1)
+      centers = centers.zipWithIndex.map { case (prev, j) =>
+        byCell.get(j) match {
+          case Some(rows) =>
+            val dims = rows.map(t => t._2 -> t._3).toMap
+            prev.indices.map(i => dims(i + 1))
+          case None => prev // empty cell: keep previous centroid
+        }
+      }
+    }
+    centers
+  }
+
   /** Build the IVF index once: train centroids on a bounded sample, then
     * ONE distributed map pass assigns every corpus vector to its nearest
     * cell. Amortize by persisting `cells` (or writing it as a

@@ -185,6 +185,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.keySet.map(_._1) == Set(0L, 1L))
   }
 
+  test("kmeansTrain: converges onto two well-separated clusters; empty cell keeps its seed") {
+    import org.apache.spark.sql.functions.col
+    // cluster A hugs e1, cluster B hugs e2; seed 2 points at e3 where no
+    // data lives, so its cell empties immediately and must stay put
+    val pts = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f)), (2L, Array(1.0f, -0.1f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.1f)), (4L, Array(0.1f, 1.0f, 0.0f)),
+      (5L, Array(-0.1f, 1.0f, 0.0f)), (6L, Array(0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val got = Similarity.kmeansTrain(pts, "embedding", "vec_id", seeds, iters = 3)
+    assert(got.length == 3)
+    // centroid 0 ~ mean of cluster A, centroid 1 ~ mean of cluster B
+    assert(math.abs(got(0)(0) - 29.0 / 30) < 1e-6) // (1 + 1 + 0.9) / 3
+    assert(math.abs(got(1)(1) - 29.0 / 30) < 1e-6)
+    assert(got(2) == Seq(0.0, 0.0, 1.0)) // starved cell kept its seed
+    // a second round from the converged centers is a fixed point (6 dp)
+    val again = Similarity.kmeansTrain(pts, "embedding", "vec_id", got, iters = 1)
+    assert(again == got)
+  }
+
   test("lloydStep: assignment is map-only and the update exchange is cell x dim sized") {
     val seeds = (0 until 4).map(j => Seq.tabulate(8)(i => if (i == j) 1.0 else 0.0))
     val vecs = (0 until 64).map(i =>
