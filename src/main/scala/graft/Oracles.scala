@@ -1548,6 +1548,37 @@ object Oracles {
     FROM sums s JOIN n USING (cell)
     ORDER BY cell, dim"""
 
+  /** Mirrors Queries.qualityModel: md5-stable token→bucket hashing, the
+    * ×10 integer weight formula, exact integer logit sums, and the
+    * z ≥ 0 keep-gate computed pre-sigmoid (identical double from one
+    * division + one subtraction — the only libm call, exp, is inside
+    * the 4 dp-rounded score, q66's transcendental discipline).
+    */
+  val qualityModel: String = s"""
+    WITH t AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+      WHERE tok <> ''),
+    b AS (
+      SELECT doc_id,
+             mod(mod(${hash60("tok")}, 32) * 37, 21) - 10 AS w10
+      FROM t),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(w10) AS zn
+      FROM b GROUP BY 1),
+    z AS (
+      SELECT d.doc_id,
+             coalesce(a.n_tokens, 0) AS n_tokens,
+             CASE WHEN coalesce(a.n_tokens, 0) > 0
+                  THEN CAST(a.zn AS DOUBLE) / (10.0 * a.n_tokens) - 0.2
+             END AS z
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-z)), 4) AS score,
+           coalesce(z >= 0.0, FALSE) AS keep
+    FROM z
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1662,5 +1693,6 @@ object Oracles {
     "q83_curation_funnel" -> curationFunnel,
     "q84_dup_spans" -> dupSpans,
     "q85_bpe_merge_stats" -> bpeMergeStats,
-    "q86_kmeans_step" -> kmeansStep)
+    "q86_kmeans_step" -> kmeansStep,
+    "q87_quality_model" -> qualityModel)
 }

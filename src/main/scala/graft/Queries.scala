@@ -1984,4 +1984,43 @@ object Queries {
       .lloydStep(Tables.embeddings(s, dir), "embedding", "vec_id", seeds)
       .orderBy(col("cell"), col("dim"))
   }
+
+  /** q87: MODEL-based quality filtering — the CCNet/fastText-shaped
+    * linear classifier over hashed bag-of-words features that sits next
+    * to heuristic filters (q41) in every corpus pipeline. The weights
+    * here are a deterministic stand-in (bucket b → ((b·37) mod 21 − 10)
+    * / 10, a fixed formula both engines evaluate identically) — the
+    * POINT is the serving plumbing, which is exactly what a learned
+    * model needs: the feature-hashing trick (md5-stable token → one of
+    * 32 buckets, so the feature space is fixed-width no matter the
+    * vocabulary), an EXACT integer logit numerator (each token
+    * contributes its bucket's ×10 integer weight; summing longs is
+    * order-independent, so the score is bit-stable across engines and
+    * re-runs — no decimal machinery needed), and one double division +
+    * sigmoid at the end. `keep` thresholds on the PRE-sigmoid logit
+    * (z ≥ 0 ⇔ score ≥ 0.5) so the gate never depends on libm's exp.
+    * Map-side partial agg collapses the token explode per partition;
+    * one doc-keyed shuffle total.
+    */
+  def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w10 = pmod(pmod(TextFunctions.stableHash60(col("tok")), lit(32)) * 37,
+      lit(21)) - 10
+    val agg = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), w10.as("w10"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w10")).as("zn"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("zn"))
+      .withColumn("z", when(col("n_tokens") > 0,
+        col("zn").cast("double") / (lit(10.0) * col("n_tokens")) - 0.2))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
+        coalesce(col("z") >= 0.0, lit(false)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -108,7 +108,8 @@ object SparkEntry {
     "q83_curation_funnel" -> (Queries.curationFunnel _),
     "q84_dup_spans" -> (Queries.dupSpans _),
     "q85_bpe_merge_stats" -> (Queries.bpeMergeStats _),
-    "q86_kmeans_step" -> (Queries.kmeansStep _))
+    "q86_kmeans_step" -> (Queries.kmeansStep _),
+    "q87_quality_model" -> (Queries.qualityModel _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
