@@ -1133,29 +1133,58 @@ object Dedup {
       idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs
+    // spread: on a single-file test corpus the tokenizer + gram build +
+    // md5 would otherwise run on ONE task (map-only cost — no-op on a
+    // well-partitioned real corpus; q48 discipline)
+    val base = Similarity.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
+      // gram build via slice-under-transform, NOT ngramsOfTokens' zip_with
+      // fold: at k = 8 the fold nests 7 zip_withs whose generated code
+      // Janino pays ~4 s to compile; `toks` is a bound ATTRIBUTE here, so
+      // the lambda's slice/concat_ws re-evaluates only a column reference
+      // per element (the documented HOF trap needs a non-attribute
+      // subexpression to bite). sequence(1, n-k+1) is guarded: Spark's
+      // sequence(1, 0) counts DOWN, it is not empty.
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        ngramsOfTokens(col("toks"), k).as("grams"))
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
     val occ = base
       .select(col(idCol), posexplode(col("grams")).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).as("pos"), md5(col("gram")).as("g"))
     val dup = occ
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("cnt") >= 2)
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + lit(k - 1))
-      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    // island merge as ONE doc-keyed aggregation + a linear fold over the
+    // sorted duplicated positions (every interval is exactly k tokens, so
+    // "pos > end + 1 opens a new island; otherwise extend"). The
+    // window-chain alternative (running-max prev_end → island ids →
+    // re-aggregate) costs two extra sorts and its codegen dominated the
+    // whole query's fixed cost. collect_list is bounded by positions per
+    // DOC (≤ tokens/doc), never by corpus size.
+    val none = lit(Long.MinValue / 2)
     val spans = dup
-      .withColumn("ni",
-        when(col("pos") > coalesce(prevEnd, lit(Long.MinValue / 2)) + 1, 1)
-          .otherwise(0))
-      .withColumn("isl", sum(col("ni")).over(byPos))
-      .groupBy(col(idCol), col("isl"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("dup_spans"),
-        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col(idCol),
+        aggregate(col("ps"),
+          struct(lit(0L).as("spans"), lit(0L).as("covered"), none.as("e")),
+          (acc, p) => {
+            val e = acc.getField("e")
+            val newEnd = (p + lit(k - 1)).as("e")
+            struct(
+              when(p > e + 1, acc.getField("spans") + 1L)
+                .otherwise(acc.getField("spans")).as("spans"),
+              when(p > e + 1, acc.getField("covered") + k.toLong)
+                .otherwise(acc.getField("covered") + (p + lit(k - 1) - e))
+                .as("covered"),
+              newEnd)
+          },
+          acc => struct(acc.getField("spans").as("dup_spans"),
+            acc.getField("covered").as("dup_tokens"))).as("r"))
+      .select(col(idCol), col("r.dup_spans").as("dup_spans"),
+        col("r.dup_tokens").as("dup_tokens"))
     base.select(col(idCol), col("n_tokens"))
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
