@@ -1544,7 +1544,7 @@ object Oracles {
       SELECT cell, dim, sum(xd) AS sx FROM x GROUP BY 1, 2)
     SELECT CAST(s.cell AS BIGINT) AS cell, CAST(s.dim AS BIGINT) AS dim,
            n.n_vecs,
-           round(CAST(s.sx AS DOUBLE) / n.n_vecs, 6) AS c
+           round(CAST(s.sx AS DOUBLE) / n.n_vecs, 6) + 0.0 AS c
     FROM sums s JOIN n USING (cell)
     ORDER BY cell, dim"""
 

@@ -349,7 +349,10 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"),
         (col("d0") + 1).cast("long").as("dim"),
         col("n_vecs"),
-        round(col("sx").cast("double") / col("n_vecs"), 6).as("c"))
+        // + 0.0 normalizes IEEE negative zero: a tiny negative mean rounds
+        // to -0.0 in C-libm engines but +0.0 through Spark's BigDecimal
+        // round, and a value hasher renders them differently
+        (round(col("sx").cast("double") / col("n_vecs"), 6) + 0.0).as("c"))
   }
 
   /** Full distributed spherical k-means: iterate [[lloydStep]], feeding
