@@ -1138,18 +1138,14 @@ object Dedup {
     // well-partitioned real corpus; q48 discipline)
     val base = Similarity.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      // gram build via slice-under-transform, NOT ngramsOfTokens' zip_with
-      // fold: at k = 8 the fold nests 7 zip_withs whose generated code
-      // Janino pays ~4 s to compile; `toks` is a bound ATTRIBUTE here, so
-      // the lambda's slice/concat_ws re-evaluates only a column reference
-      // per element (the documented HOF trap needs a non-attribute
-      // subexpression to bite). sequence(1, n-k+1) is guarded: Spark's
-      // sequence(1, 0) counts DOWN, it is not empty.
+      // gram build stays on ngramsOfTokens' zip_with fold: the measured
+      // alternative (slice-under-transform over a position sequence) is
+      // 3.3x slower at sf0.1 — per-element slice materializes a fresh
+      // k-array per position, and nothing stops Catalyst from inlining
+      // work into the lambda. The fold builds each gram incrementally
+      // with zero per-element allocation beyond the string itself.
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
-          .otherwise(array().cast("array<string>")).as("grams"))
+        ngramsOfTokens(col("toks"), k).as("grams"))
     val occ = base
       .select(col(idCol), posexplode(col("grams")).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).as("pos"), md5(col("gram")).as("g"))
