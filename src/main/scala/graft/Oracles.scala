@@ -1579,6 +1579,53 @@ object Oracles {
     FROM z
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.stripSpans / Dedup.stripDupSpans: the q84 dup
+    * positions, exploded to covered token indices, anti-joined against
+    * the positioned tokens, re-joined in order (string_agg ORDER BY =
+    * Spark's sort_array-of-structs rebuild).
+    */
+  val stripSpans: String = s"""
+    WITH base AS (
+      SELECT doc_id, $toks AS toks FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS pos
+      FROM base),
+    occ AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos + 7], ' ')) AS g
+      FROM p),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM occ)
+      WHERE cnt >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + 7)) AS tpos
+      FROM dup),
+    tok AS (
+      SELECT doc_id, i AS tpos, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM base)),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.tpos IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      FROM kept GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1694,5 +1741,6 @@ object Oracles {
     "q84_dup_spans" -> dupSpans,
     "q85_bpe_merge_stats" -> bpeMergeStats,
     "q86_kmeans_step" -> kmeansStep,
-    "q87_quality_model" -> qualityModel)
+    "q87_quality_model" -> qualityModel,
+    "q88_strip_spans" -> stripSpans)
 }

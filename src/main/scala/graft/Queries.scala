@@ -2023,4 +2023,15 @@ object Queries {
         coalesce(col("z") >= 0.0, lit(false)).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** q88: ExactSubstr removal — q84's profile actually APPLIED: every
+    * token covered by a duplicated 8-span stripped, survivors re-joined
+    * into the cleaned corpus (see
+    * [[graft.operators.Dedup.stripDupSpans]]; both occurrences go —
+    * the deterministic, coordination-free distributed policy).
+    */
+  def stripSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .stripDupSpans(Tables.documents(s, dir), "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
 }

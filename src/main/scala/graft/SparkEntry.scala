@@ -109,7 +109,8 @@ object SparkEntry {
     "q84_dup_spans" -> (Queries.dupSpans _),
     "q85_bpe_merge_stats" -> (Queries.bpeMergeStats _),
     "q86_kmeans_step" -> (Queries.kmeansStep _),
-    "q87_quality_model" -> (Queries.qualityModel _))
+    "q87_quality_model" -> (Queries.qualityModel _),
+    "q88_strip_spans" -> (Queries.stripSpans _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1127,11 +1127,16 @@ object Dedup {
     * Output: (idCol, n_tokens, dup_spans, dup_tokens, dup_ratio) for
     * EVERY input doc (zero-coverage docs included).
     */
-  def dupSpanProfile(
+  /** Shared front end of the ExactSubstr pair ([[dupSpanProfile]] /
+    * [[stripDupSpans]]): `(base, dup)` where `base` carries the bound
+    * token array per doc and `dup` is the (idCol, pos) stream of k-gram
+    * start positions whose gram occurs ≥ 2 times anywhere in the corpus.
+    */
+  private def dupSpanPositions(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int): DataFrame = {
+      k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // spread: on a single-file test corpus the tokenizer + gram build +
     // md5 would otherwise run on ONE task (map-only cost — no-op on a
@@ -1144,7 +1149,7 @@ object Dedup {
       // k-array per position, and nothing stops Catalyst from inlining
       // work into the lambda. The fold builds each gram incrementally
       // with zero per-element allocation beyond the string itself.
-      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+      .select(col(idCol), col("toks"),
         ngramsOfTokens(col("toks"), k).as("grams"))
     val occ = base
       .select(col(idCol), posexplode(col("grams")).as(Seq("p0", "gram")))
@@ -1152,6 +1157,17 @@ object Dedup {
     val dup = occ
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("cnt") >= 2)
+    (base, dup)
+  }
+
+  def dupSpanProfile(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val (base0, dup) = dupSpanPositions(docs, textCol, idCol, k)
+    val base = base0
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
     // island merge as ONE doc-keyed aggregation + a linear fold over the
     // sorted duplicated positions (every interval is exactly k tokens, so
     // "pos > end + 1 opens a new island; otherwise extend"). The
@@ -1188,6 +1204,50 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("dup_ratio"))
+  }
+
+  /** ExactSubstr REMOVAL — the rewrite half of the pair: strip every
+    * token covered by a duplicated k-span and re-join the survivors into
+    * the cleaned text (Lee et al. 2021's dedup actually applied, not just
+    * profiled). Note this removes BOTH occurrences of a duplicated span
+    * (the paper's simplest policy — deterministic, order-free, and the
+    * one a distributed rewrite wants: no "keeper" coordination between
+    * executors).
+    *
+    * Dataflow beyond [[dupSpanPositions]]' two shuffles: covered token
+    * indices explode from the dup positions (≤ k rows per dup gram),
+    * survivors are a (doc, token-index) anti-join, and the rebuild is one
+    * doc-keyed aggregation whose `sort_array(collect_list(struct(pos,
+    * tok)))` is bounded by tokens per DOC — never corpus-sized.
+    *
+    * Output: (idCol, n_tokens, kept_tokens, clean_text) for every input
+    * doc; a fully-duplicated doc keeps zero tokens and an empty string.
+    */
+  def stripDupSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val (base, dup) = dupSpanPositions(docs, textCol, idCol, k)
+    val covered = dup
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val toksPos = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("t0", "tok")))
+      .select(col(idCol), (col("t0") + 1).as("tpos"), col("tok"))
+    val kept = toksPos.join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(struct(col("tpos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   def semanticDedup(

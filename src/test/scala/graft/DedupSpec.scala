@@ -724,6 +724,44 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) == ((2L, 0L, 0L)))
   }
 
+  test("stripDupSpans: both occurrences removed, survivors re-join in order") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota $shared kappa"),   // dup run sits mid-document
+      (3L, "entirely novel words never repeated anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(corpus, "text", "doc_id", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[String]("clean_text"))))
+      .toMap
+    // doc 1: tokens 1..10 stripped, the 8-token unique tail survives
+    assert(got(1L) ==
+      ((18L, 8L, "alpha beta gamma delta epsilon zeta eta theta")))
+    // doc 2: the SECOND occurrence goes too; flanks survive in order
+    assert(got(2L) == ((12L, 2L, "iota kappa")))
+    // doc 3: untouched
+    assert(got(3L) ==
+      ((8L, 8L, "entirely novel words never repeated anywhere at all")))
+  }
+
+  test("stripDupSpans: fully-duplicated doc empties; short docs untouched") {
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, phrase), (2L, phrase),  // exact 8-token twins -> both emptied
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(corpus, "text", "doc_id", k = 8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((0L, "")) && got(2L) == ((0L, "")))
+    assert(got(3L) == ((2L, "too short")))
+  }
+
   test("dupSpanProfile: disjoint duplicated regions stay separate islands") {
     val runA = (1 to 8).map(i => s"a$i").mkString(" ")
     val runB = (1 to 8).map(i => s"b$i").mkString(" ")
