@@ -1626,6 +1626,68 @@ object Oracles {
     FROM base b LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.incrementalDupSpans: the three-batch sequential
+    * gram-store loop collapses to one windowed pass — an occurrence is
+    * duplicated iff its gram was seen in an EARLIER batch
+    * (min(b) OVER gram < b) or twice within its own (count over
+    * (gram, b) ≥ 2); islands/profile then exactly as q84.
+    */
+  val incrementalDupSpans: String = s"""
+    WITH corpus AS (
+      SELECT 0 AS b, doc_id, text FROM documents
+      UNION ALL
+      SELECT 1, doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+      FROM documents
+      UNION ALL
+      SELECT 2, doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+             text || ' qz17 qz18' AS text
+      FROM documents),
+    base AS (
+      SELECT b, doc_id, $toks AS toks FROM corpus),
+    p AS (
+      SELECT b, doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS pos
+      FROM base),
+    occ AS (
+      SELECT b, doc_id, pos,
+             md5(array_to_string(toks[pos:pos + 7], ' ')) AS g
+      FROM p),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT b, doc_id, pos,
+                   min(b) OVER (PARTITION BY g) AS minb,
+                   count(*) OVER (PARTITION BY g, b) AS cnt
+            FROM occ)
+      WHERE minb < b OR cnt >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS isl
+      FROM (SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(
+                          max(pos + 7) OVER (PARTITION BY doc_id
+                            ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+                          -4611686018427387904) + 1
+                        THEN 1 ELSE 0 END AS ni
+            FROM dup)),
+    spans AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, count(*) AS dup_spans, sum(e - s + 1) AS dup_tokens
+      FROM spans GROUP BY 1)
+    SELECT bb.doc_id,
+           CAST(len(bb.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(bb.toks), 6)
+             AS dup_ratio
+    FROM base bb LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1742,5 +1804,6 @@ object Oracles {
     "q85_bpe_merge_stats" -> bpeMergeStats,
     "q86_kmeans_step" -> kmeansStep,
     "q87_quality_model" -> qualityModel,
-    "q88_strip_spans" -> stripSpans)
+    "q88_strip_spans" -> stripSpans,
+    "q89_incr_dup_spans" -> incrementalDupSpans)
 }

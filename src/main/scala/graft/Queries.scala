@@ -2034,4 +2034,41 @@ object Queries {
     graft.operators.Dedup
       .stripDupSpans(Tables.documents(s, dir), "text", "doc_id", k = 8)
       .orderBy(col("doc_id"))
+
+  /** q89: incremental ExactSubstr through the persisted gram store —
+    * three ingest batches (the corpus, an exact re-ingest, a
+    * suffix-mutated re-ingest) profiled sequentially with a
+    * mid-sequence bucketed compaction; a span is duplicated when it
+    * occurred in ANY prior batch or twice in its own. The oracle
+    * replays the sequence as one windowed pass (`min(batch) OVER gram
+    * < batch OR within-batch count ≥ 2`) — segments, the compaction,
+    * and owner bookkeeping must be invisible. See
+    * [[graft.operators.Dedup.dupSpansIncrementalStaged]].
+    */
+  def incrementalDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_gram_gate").toString
+    val prefix = "graft_q89_store"
+    try {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val shift = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val b0 = docs
+      val b1 = docs.select((col("doc_id") + shift).as("doc_id"), col("text"))
+      val b2 = docs.select((col("doc_id") + 2 * shift).as("doc_id"),
+        concat(col("text"), lit(" qz17 qz18")).as("text"))
+      val p0 = Dedup.dupSpansIncrementalStaged(
+        b0, storeDir, "text", "doc_id", k = 8).localCheckpoint(true)
+      val p1 = Dedup.dupSpansIncrementalStaged(
+        b1, storeDir, "text", "doc_id", k = 8).localCheckpoint(true)
+      Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
+      val p2 = Dedup.dupSpansIncrementalStaged(
+        b2, storeDir, "text", "doc_id", k = 8).localCheckpoint(true)
+      p0.unionByName(p1).unionByName(p2).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      Dedup.FingerprintStore.currentGenTable(s, storeDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
 }

@@ -1154,10 +1154,8 @@ object Dedup {
     val occ = base
       .select(col(idCol), posexplode(col("grams")).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).as("pos"), md5(col("gram")).as("g"))
-    val dup = occ
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("cnt") >= 2)
-    (base, dup)
+    (base, occ)
   }
 
   def dupSpanProfile(
@@ -1165,7 +1163,18 @@ object Dedup {
       textCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    val (base0, dup) = dupSpanPositions(docs, textCol, idCol, k)
+    val (base0, occ) = dupSpanPositions(docs, textCol, idCol, k)
+    spanProfileOf(base0, occ.filter(col("cnt") >= 2), idCol, k)
+  }
+
+  /** Island fold + per-doc profile over an already-decided duplicated
+    * (idCol, pos) stream — shared by the one-shot and incremental paths.
+    */
+  private def spanProfileOf(
+      base0: DataFrame,
+      dup: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
     val base = base0
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
     // island merge as ONE doc-keyed aggregation + a linear fold over the
@@ -1228,7 +1237,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    val (base, dup) = dupSpanPositions(docs, textCol, idCol, k)
+    val (base, occ) = dupSpanPositions(docs, textCol, idCol, k)
+    val dup = occ.filter(col("cnt") >= 2)
     val covered = dup
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
@@ -1248,6 +1258,53 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** INCREMENTAL ExactSubstr through the persisted gram store — the
+    * at-scale ingest loop the one-shot [[dupSpanProfile]] cannot run: a
+    * new batch's spans are checked against EVERY prior batch's grams
+    * (via a [[FingerprintStore]] whose `fp` column holds k-gram hashes)
+    * plus the batch's own second occurrences, then the batch's distinct
+    * grams land as the next immutable `_SUCCESS`-gated segment. Sequential
+    * semantics, deliberately: a span first seen in batch 1 and repeated
+    * in batch 3 is flagged in batch 3 ONLY (batch 1 already shipped —
+    * re-profiling history would mean re-reading the corpus, which is
+    * exactly what the store exists to avoid). Store scale: distinct
+    * grams, 16 bytes each — ~n_tokens per doc, compactable into the
+    * bucketed generation so the probe join reads exchange-free
+    * ([[FingerprintStore.compact]]). Single-writer contract as every
+    * store in this family.
+    *
+    * Output: the batch's (idCol, n_tokens, dup_spans, dup_tokens,
+    * dup_ratio) — same schema as [[dupSpanProfile]]; the first batch
+    * against an empty store degenerates to exactly the one-shot profile.
+    */
+  def dupSpansIncrementalStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val s = batch.sparkSession
+    val existing = FingerprintStore.segments(s, storeDir)
+    val store = FingerprintStore.load(s, storeDir)
+    val (base, occ) = dupSpanPositions(batch, textCol, idCol, k)
+    val seen = store.select(col("fp").as("g")).distinct()
+      .withColumn("__seen", lit(true))
+    val dup = occ.join(seen, Seq("g"), "left")
+      .filter(col("cnt") >= 2 || col("__seen"))
+    val profile = spanProfileOf(base, dup, idCol, k)
+    // append the batch's distinct grams (min owner id = deterministic
+    // doc_id for the pinned store schema) as the next segment; overwrite
+    // reclaims a crashed attempt's partial dir at the same index
+    val nextIdx = existing
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    occ.groupBy(col("g"))
+      .agg(min(col(idCol).cast("long")).as("doc_id"))
+      .select(col("g").as("fp"), col("doc_id"))
+      .write.mode("overwrite").parquet(f"$storeDir/seg_$nextIdx%05d")
+    profile
   }
 
   def semanticDedup(

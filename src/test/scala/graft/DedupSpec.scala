@@ -762,6 +762,39 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((2L, "too short")))
   }
 
+  test("dupSpansIncrementalStaged: history flags later batches only; batch 1 = one-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gram_spec").toString
+    try {
+      val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+      val b1 = Seq(
+        (1L, s"$phrase alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "wholly original first batch content with nothing repeated here")
+      ).toDF("doc_id", "text")
+      val b2 = Seq(
+        (11L, s"$phrase iota kappa lambda mu nu xi omicron pi"), // phrase seen in b1
+        (12L, s"$phrase $phrase"),                               // also self-repeats
+        (13L, "novel second batch words that match no prior gram stream")
+      ).toDF("doc_id", "text")
+      def prof(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_tokens")))).toMap
+      val p1 = prof(Dedup.dupSpansIncrementalStaged(b1, dir, "text", "doc_id", 8)
+        .localCheckpoint(true))
+      // batch 1 against an empty store = the one-shot profile: no
+      // within-batch repeats, so all zeros — history can't flag backwards
+      assert(p1(1L) == ((0L, 0L)) && p1(2L) == ((0L, 0L)))
+      val oneShot = prof(Dedup.dupSpanProfile(b1, "text", "doc_id", 8))
+      assert(p1 == oneShot)
+      val p2 = prof(Dedup.dupSpansIncrementalStaged(b2, dir, "text", "doc_id", 8)
+        .localCheckpoint(true))
+      assert(p2(11L) == ((1L, 8L)))   // store hit: b1's phrase gram
+      assert(p2(12L) == ((1L, 16L)))  // store hit + self-repeat, one island
+      assert(p2(13L) == ((0L, 0L)))
+      // two committed segments, schema-pinned
+      assert(Dedup.FingerprintStore.segments(spark, dir).size == 2)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
+
   test("dupSpanProfile: disjoint duplicated regions stay separate islands") {
     val runA = (1 to 8).map(i => s"a$i").mkString(" ")
     val runB = (1 to 8).map(i => s"b$i").mkString(" ")
