@@ -967,7 +967,7 @@ object Oracles {
             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
       s"""
     SELECT '$c' AS col_name, count($c) AS n,
-           sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            $minC AS min_c100, $maxC AS max_c100,
            $minS AS min_str, $maxS AS max_str
     FROM t""" }
@@ -1014,7 +1014,8 @@ object Oracles {
                   ELSE 'kept' END AS fate,
              f.n_tokens
       FROM f LEFT JOIN ranked r ON f.doc_id = r.doc_id)
-    SELECT source, fate, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+    SELECT source, fate, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
     FROM fate
     GROUP BY 1, 2
     ORDER BY 1, 2"""
@@ -1175,7 +1176,7 @@ object Oracles {
             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
       s"""
     SELECT '$c' AS col_name, count($c) AS n,
-           sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT $c) AS n_distinct,
            $minC AS min_c100, $maxC AS max_c100,
            $minS AS min_str, $maxS AS max_str

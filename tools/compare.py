@@ -1,16 +1,32 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tmp/compare.py <sfDir> <dumpDir>
+Usage: python3 tmp/compare.py <sfDir> <dumpDir> [--pandas]
 
 For each <name>.parquet dump in dumpDir, looks up oracle SQL in
 dumpDir/oracle_sql.json (accepts the key with OR without the .parquet
 suffix — mirroring the driver, which keys by dump file name), runs it in
 DuckDB over the sfDir parquet tables, and compares rows / schema / a
 value hash with columns sorted by name.
+
+--pandas routes both result sets through DuckDB's pandas/arrow bridge
+(rel.df()) instead of fetchall(). fetchall() returns DuckDB HUGEINT as a
+plain Python int, hiding type divergences the driver's pandas-based
+hasher DOES see (an uncast integer sum() is HUGEINT, which pandas
+renders as object/float — the exact q58/q82/q83 three-round red).
+Run BOTH modes before calling a query green.
 """
 import sys, os, json, glob, hashlib
 import duckdb
+
+USE_PANDAS = "--pandas" in sys.argv
+
+def fetch(rel):
+    """(cols, rows) — optionally via the pandas path the driver uses."""
+    if not USE_PANDAS:
+        return [c[0] for c in rel.description], rel.fetchall()
+    df = rel.df()
+    return list(df.columns), [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -26,8 +42,15 @@ def canon(v):
         return "true" if v else "false"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    # numpy scalars/arrays from the --pandas path: arrays render like
+    # lists; scalars via .item() so np.float64 NaN/format match floats
+    t = type(v).__module__
+    if t == "numpy":
+        if hasattr(v, "__len__"):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        return canon(v.item())
     return str(v)
 
 def table_hash(cols, rows):
