@@ -1022,8 +1022,7 @@ object Queries {
     val src =
       if (evFs.getFileStatus(evPath).isDirectory) reader.parquet(evPath.toString)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    val q = src
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.normalizeTs(src)
       .withColumn("minute", TimeOps.truncMinute(col("ts")))
       .withWatermark("minute", "1 minute")
       .groupBy(col("minute"), col("event_type"))

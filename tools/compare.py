@@ -44,11 +44,14 @@ def canon(v):
         return v.hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    # numpy scalars/arrays from the --pandas path: arrays render like
-    # lists; scalars via .item() so np.float64 NaN/format match floats
+    # numpy scalars/arrays from the --pandas path: true ndarrays render
+    # like lists; every other numpy value (np.str_, np.float64, …) goes
+    # through .item() so its canon form matches the fetchall path (a
+    # bare hasattr(__len__) check would shred np.str_ into chars)
     t = type(v).__module__
     if t == "numpy":
-        if hasattr(v, "__len__"):
+        import numpy as np
+        if isinstance(v, np.ndarray):
             return "[" + ",".join(canon(x) for x in v) + "]"
         return canon(v.item())
     return str(v)
@@ -63,7 +66,8 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 def main():
-    sf_dir, dump_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, dump_dir = args[0], args[1]
     oracles = json.load(open(os.path.join(dump_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -77,16 +81,14 @@ def main():
         sql = oracles.get(name) or oracles.get(bare)
         spark_rel = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        s_cols = [c[0] for c in spark_rel.description]
-        s_rows = spark_rel.fetchall()
+        s_cols, s_rows = fetch(spark_rel)
         if sql is None:
             print(f"{bare:32s} rows-only  spark_rows={len(s_rows)}")
             n_rows_only += 1
             continue
         try:
             o_rel = con.execute(sql)
-            o_cols = [c[0] for c in o_rel.description]
-            o_rows = o_rel.fetchall()
+            o_cols, o_rows = fetch(o_rel)
         except Exception as e:
             print(f"{bare:32s} FAIL oracle sql error: {e}")
             n_bad += 1
