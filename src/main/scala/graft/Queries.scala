@@ -2056,13 +2056,23 @@ object Queries {
       val b2 = docs.select((col("doc_id") + 2 * shift).as("doc_id"),
         concat(col("text"), lit(" qz17 qz18")).as("text"))
       val p0 = Dedup.dupSpansIncrementalStaged(
-        b0, storeDir, "text", "doc_id", k = 8).localCheckpoint(true)
+        b0, storeDir, "text", "doc_id", k = 8)
       val p1 = Dedup.dupSpansIncrementalStaged(
-        b1, storeDir, "text", "doc_id", k = 8).localCheckpoint(true)
+        b1, storeDir, "text", "doc_id", k = 8)
+      // ONE eager checkpoint for both pre-compaction profiles: their
+      // store scans pin the raw segment paths, which compact() deletes
+      // after folding — they must materialize before it runs. Each
+      // profile is a skinny plan over its batch's already-checkpointed
+      // occurrence frame, so fusing them halves the job count (job
+      // count, not data, is this pipeline's cost at gate scale).
+      val p01 = p0.unionByName(p1).localCheckpoint(true)
       Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
+      // p2's scan pins post-compaction state and nothing mutates the
+      // store after it — it stays lazy until the final checkpoint, which
+      // must still run BEFORE the finally-block truncates the store
       val p2 = Dedup.dupSpansIncrementalStaged(
-        b2, storeDir, "text", "doc_id", k = 8).localCheckpoint(true)
-      p0.unionByName(p1).unionByName(p2).orderBy(col("doc_id"))
+        b2, storeDir, "text", "doc_id", k = 8)
+      p01.unionByName(p2).orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally {
       Dedup.FingerprintStore.currentGenTable(s, storeDir)

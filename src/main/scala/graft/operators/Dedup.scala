@@ -1139,7 +1139,7 @@ object Dedup {
       k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // spread: on a single-file test corpus the tokenizer + gram build +
-    // md5 would otherwise run on ONE task (map-only cost — no-op on a
+    // hash would otherwise run on ONE task (map-only cost — no-op on a
     // well-partitioned real corpus; q48 discipline)
     val base = Similarity.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
@@ -1151,32 +1151,59 @@ object Dedup {
       // with zero per-element allocation beyond the string itself.
       .select(col(idCol), col("toks"),
         ngramsOfTokens(col("toks"), k).as("grams"))
+    // posexplode_OUTER + per-row n_tokens: a doc with fewer than k tokens
+    // still emits one (pos=null, g=null) sentinel row, so the occurrence
+    // frame alone carries every doc's token count — the profile needs no
+    // second tokenize pass over the corpus. Gram identity is xxhash64 (an
+    // 8-byte long), not md5 (a 32-char string): every downstream shuffle
+    // — the count window here, the store probe, the segment fold — keys
+    // on it, and the narrow key measured ~30% faster end-to-end at
+    // sf0.1. Only hash EQUALITY is ever used (the hash never reaches an
+    // output surface), so a 64-bit space is enough: P(any collision) at
+    // a billion distinct grams is ~3e-2 per Birthday, and a collision
+    // only ever over-flags one span as duplicated. Null grams keep a
+    // null g explicitly — xxhash64(NULL) would return the seed, lumping
+    // every short doc into one fake "gram".
     val occ = base
-      .select(col(idCol), posexplode(col("grams")).as(Seq("p0", "gram")))
-      .select(col(idCol), (col("p0") + 1).as("pos"), md5(col("gram")).as("g"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode_outer(col("grams")).as(Seq("p0", "gram")))
+      .select(col(idCol), col("n_tokens"), (col("p0") + 1).as("pos"),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g"))
+      .withColumn("cnt",
+        count(col("g")).over(Window.partitionBy(col("g"))))
     (base, occ)
   }
+
+  /** The duplicated-position stream of an occurrence frame: real gram
+    * rows (sentinels out) whose gram occurs at least twice.
+    */
+  private def dupOf(occ: DataFrame): DataFrame =
+    occ.filter(col("g").isNotNull && col("cnt") >= 2)
+
+  /** Per-doc (idCol, n_tokens) recovered from an occurrence frame — the
+    * sentinel rows make it total over the input docs.
+    */
+  private def nTokensFromOcc(occ: DataFrame, idCol: String): DataFrame =
+    occ.groupBy(col(idCol)).agg(first(col("n_tokens")).as("n_tokens"))
 
   def dupSpanProfile(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    val (base0, occ) = dupSpanPositions(docs, textCol, idCol, k)
-    spanProfileOf(base0, occ.filter(col("cnt") >= 2), idCol, k)
+    val (_, occ) = dupSpanPositions(docs, textCol, idCol, k)
+    spanProfileOf(nTokensFromOcc(occ, idCol), dupOf(occ), idCol, k)
   }
 
   /** Island fold + per-doc profile over an already-decided duplicated
-    * (idCol, pos) stream — shared by the one-shot and incremental paths.
+    * (idCol, pos) stream, joined against the skinny `(idCol, n_tokens)`
+    * frame — shared by the one-shot and incremental paths.
     */
   private def spanProfileOf(
-      base0: DataFrame,
+      nTokens: DataFrame,
       dup: DataFrame,
       idCol: String,
       k: Int): DataFrame = {
-    val base = base0
-      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
     // island merge as ONE doc-keyed aggregation + a linear fold over the
     // sorted duplicated positions (every interval is exactly k tokens, so
     // "pos > end + 1 opens a new island; otherwise extend"). The
@@ -1206,7 +1233,7 @@ object Dedup {
             acc.getField("covered").as("dup_tokens"))).as("r"))
       .select(col(idCol), col("r.dup_spans").as("dup_spans"),
         col("r.dup_tokens").as("dup_tokens"))
-    base.select(col(idCol), col("n_tokens"))
+    nTokens
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
@@ -1238,7 +1265,7 @@ object Dedup {
       idCol: String,
       k: Int): DataFrame = {
     val (base, occ) = dupSpanPositions(docs, textCol, idCol, k)
-    val dup = occ.filter(col("cnt") >= 2)
+    val dup = dupOf(occ)
     val covered = dup
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
@@ -1265,12 +1292,15 @@ object Dedup {
     * new batch's spans are checked against EVERY prior batch's grams
     * (via a [[FingerprintStore]] whose `fp` column holds k-gram hashes)
     * plus the batch's own second occurrences, then the batch's distinct
-    * grams land as the next immutable `_SUCCESS`-gated segment. Sequential
+    * store-NOVEL grams land as the next immutable `_SUCCESS`-gated
+    * segment (already-stored grams are anti-joined away — the store is a
+    * set, and re-appending members would only grow later probes). Sequential
     * semantics, deliberately: a span first seen in batch 1 and repeated
     * in batch 3 is flagged in batch 3 ONLY (batch 1 already shipped —
     * re-profiling history would mean re-reading the corpus, which is
-    * exactly what the store exists to avoid). Store scale: distinct
-    * grams, 16 bytes each — ~n_tokens per doc, compactable into the
+    * exactly what the store exists to avoid). Store scale: one row per
+    * distinct gram (a 64-bit xxhash64 in string form, the store's
+    * schema-pinned key type) — ~n_tokens per doc, compactable into the
     * bucketed generation so the probe join reads exchange-free
     * ([[FingerprintStore.compact]]). Single-writer contract as every
     * store in this family.
@@ -1288,21 +1318,44 @@ object Dedup {
     val s = batch.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
     val store = FingerprintStore.load(s, storeDir)
-    val (base, occ) = dupSpanPositions(batch, textCol, idCol, k)
-    val seen = store.select(col("fp").as("g")).distinct()
+    val (_, occ0) = dupSpanPositions(batch, textCol, idCol, k)
+    // materialize the occurrence frame ONCE: it feeds the store probe →
+    // profile, the per-doc token counts, AND the segment write, and its
+    // lineage is the full tokenize + gram-build + hash + gram-window
+    // pipeline — left lazy that pipeline re-runs per consumer (the
+    // q67/q72 band-key lesson). The frame is batch-bounded: ~one row per
+    // token, three longs + a long hash; at 100 TB stage it under
+    // storeDir instead of executor storage. Everything downstream is a
+    // skinny plan over this one checkpoint — at test scale the query's
+    // cost is JOB COUNT, not data volume, so the batch runs exactly two
+    // eager jobs (this checkpoint and the segment write; the profile
+    // itself stays lazy for the caller to evaluate, its store scan
+    // pinned to the pre-write segment list).
+    val occ = occ0.localCheckpoint(eager = true)
+    // store probe on the STRING form of the gram hash: the store's fp
+    // column is the bucketed/sorted key after a compaction, so keeping
+    // the join key = fp lets the history side read exchange-free; only
+    // the (batch-sized) occurrence side converts and shuffles.
+    val seen = store.select(col("fp")).distinct()
       .withColumn("__seen", lit(true))
-    val dup = occ.join(seen, Seq("g"), "left")
-      .filter(col("cnt") >= 2 || col("__seen"))
-    val profile = spanProfileOf(base, dup, idCol, k)
-    // append the batch's distinct grams (min owner id = deterministic
-    // doc_id for the pinned store schema) as the next segment; overwrite
-    // reclaims a crashed attempt's partial dir at the same index
+    val dup = occ.withColumn("fp", col("g").cast("string"))
+      .join(seen, Seq("fp"), "left")
+      .filter(col("g").isNotNull && (col("cnt") >= 2 || col("__seen")))
+    val profile = spanProfileOf(nTokensFromOcc(occ, idCol), dup, idCol, k)
+    // append the batch's distinct NEW grams (min owner id = deterministic
+    // doc_id for the pinned store schema) as the next segment; grams the
+    // store already holds are anti-joined away — re-appending them would
+    // grow every later probe's build side for zero information (a
+    // replayed batch appends an empty segment). Overwrite reclaims a
+    // crashed attempt's partial dir at the same index.
     val nextIdx = existing
       .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
       .maxOption.map(_ + 1).getOrElse(0)
-    occ.groupBy(col("g"))
+    occ.filter(col("g").isNotNull)
+      .groupBy(col("g"))
       .agg(min(col(idCol).cast("long")).as("doc_id"))
-      .select(col("g").as("fp"), col("doc_id"))
+      .select(col("g").cast("string").as("fp"), col("doc_id"))
+      .join(seen.select(col("fp")), Seq("fp"), "left_anti")
       .write.mode("overwrite").parquet(f"$storeDir/seg_$nextIdx%05d")
     profile
   }
