@@ -31,12 +31,25 @@ object VectorFunctions {
   /** L2 norm (codegen'd via ArrayDot; same accumulation order as a fold). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays (0 when either norm is 0). */
+  /** Cosine similarity of two double arrays (0 when either norm is 0).
+    * A NaN or infinite COMPONENT still propagates (dot/norm are NaN) —
+    * and Spark orders NaN above every double, so `cosine >= t` is TRUE
+    * for NaN; consumers that threshold or argmax over cosines must
+    * exclude non-finite vectors first ([[isFiniteVec]]).
+    */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }
+
+  /** True iff every component is finite. `abs(x) <= MaxValue` is false
+    * for ±Infinity by arithmetic and for NaN by Spark's comparison
+    * semantics on the NaN side of its total order — one predicate
+    * covers both poisons, and it stays codegen-friendly (no UDF).
+    */
+  def isFiniteVec(v: Column): Column =
+    forall(v, x => abs(x) <= lit(Double.MaxValue))
 
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =

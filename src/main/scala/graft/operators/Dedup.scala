@@ -1374,15 +1374,22 @@ object Dedup {
       typedLit(planes), lit(0L),
       (acc, plane) => acc * 2 +
         when(VectorFunctions.dot(col("v"), plane) >= 0, 1L).otherwise(0L))
+    // non-finite vectors (NaN/Inf components) never form a near-dup
+    // edge: their cosine is NaN, and Spark orders NaN above every
+    // double, so an unguarded `>= threshold` would let one poisoned
+    // vector dominate (drop) every larger-id cell-mate. The flag is
+    // computed once per row, not per pair.
     val cells = v.withColumn("cell", cellExpr)
+      .withColumn("__finite", VectorFunctions.isFiniteVec(col("v")))
     val a = cells.as("a")
     val b = cells.as("b")
     val dominated = a.join(b,
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol") &&
+          col("a.__finite") && col("b.__finite") &&
           round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6) >= threshold)
       .select(col(s"a.$idCol").as(idCol))
       .distinct()
-    cells.drop("v").join(dominated, Seq(idCol), "left_anti")
+    cells.drop("v", "__finite").join(dominated, Seq(idCol), "left_anti")
   }
 }

@@ -154,7 +154,9 @@ object Merge {
     *
     * `base` and `deltaAgg` share the schema `keyCols ++ additive
     * columns`; the fold is a null-safe full-outer join on the keys with
-    * column-wise addition (typed zero for the side missing a key), cast
+    * column-wise addition (typed zero for the side missing a key; a
+    * group whose partials are NULL on BOTH sides stays NULL, matching
+    * SQL's sum over an all-null group), cast
     * back to the base column's type so the state schema is FIXED across
     * folds (size the decimal for the lifetime total, not the delta).
     * avg/stddev derive from (sum, count) states; min/max fold the same
@@ -200,8 +202,16 @@ object Merge {
         addCols.map { c =>
           val t = base.schema(c).dataType
           val zero = lit(0).cast(t)
-          (coalesce(col(s"b.$c"), zero) + coalesce(col(s"__d_$c"), zero))
-            .cast(t).as(c)
+          // both-NULL stays NULL: SQL sum over an all-null group is NULL,
+          // and the fold must equal the one-shot aggregate — substituting
+          // the typed zero is only correct when at least one side carries
+          // a real partial (a NULL partial folded with a real one drops
+          // out, exactly like sum ignoring nulls)
+          when(col(s"b.$c").isNull && col(s"__d_$c").isNull,
+            lit(null).cast(t))
+            .otherwise(
+              (coalesce(col(s"b.$c"), zero) + coalesce(col(s"__d_$c"), zero))
+                .cast(t)).as(c)
         }: _*)
   }
 

@@ -330,7 +330,14 @@ object Similarity {
       vecCol: String,
       idCol: String,
       seeds: Seq[Seq[Double]]): DataFrame = {
+    // non-finite vectors are unassignable (every cosine is NaN, and
+    // Spark's NaN-above-everything ordering would park them all in one
+    // arbitrary cell, then their components would null out of the
+    // decimal sums while still inflating n_vecs — a silently skewed
+    // mean). Policy: they are excluded from the step entirely, counts
+    // and sums both.
     val v = spread(corpus.select(col(idCol), asDouble(col(vecCol)).as("v")))
+      .filter(isFiniteVec(col("v")))
     val cosines = transform(typedLit(seeds),
       ctr => round(cosine(col("v"), ctr), 6))
     val cell = element_at(

@@ -44,17 +44,27 @@ private[streaming] final class ClaimRegistry(
     writerId: String) {
   private def fs = fsF()
 
-  /** Live + dead claims currently on disk: (version, owner). */
+  /** Live + dead claims currently on disk: (version, owner). A claim
+    * deleted between the directory listing and its owner read was just
+    * released by its writer — it is simply no longer outstanding, so it
+    * drops out rather than failing the scan.
+    */
   def outstanding: Seq[(String, String)] =
     if (!fs.exists(claimsDir)) Seq.empty
     else fs.listStatus(claimsDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.matches("v_\\d{20}"))
-      .map(st => st.getPath.getName -> owner(st.getPath.getName))
+      .flatMap(st => owner(st.getPath.getName)
+        .map(st.getPath.getName -> _))
       .sortBy(_._1)
 
-  private def owner(version: String): String = {
-    val in = fs.open(new Path(claimsDir, version))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+  /** Claim owner, or None if the claim file vanished before the read —
+    * which only a concurrent release/GC can cause.
+    */
+  private def owner(version: String): Option[String] = {
+    val in =
+      try fs.open(new Path(claimsDir, version))
+      catch { case _: java.io.FileNotFoundException => return None }
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
     finally in.close()
   }
 
@@ -77,7 +87,13 @@ private[streaming] final class ClaimRegistry(
         true
       } catch { case _: java.io.IOException => false }
     if (!created) {
-      val o = owner(version)
+      // a vanished claim here (created before our attempt, gone before
+      // our read) is itself proof of a racing writer's release — the
+      // same retryable situation as an owned claim, NOT an I/O fault
+      val o = owner(version).getOrElse(
+        throw new ConcurrentWriteException(
+          s"claim for $version vanished mid-acquire — a concurrent " +
+            "writer raced this one; retry from a fresh snapshot"))
       if (o != writerId)
         throw new ConcurrentWriteException(
           s"version $version is claimed by writer '$o' (this writer: " +

@@ -197,6 +197,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("foldAdditive: an all-NULL additive group stays NULL, like the one-shot aggregate") {
+    // SQL sum over an all-null group is NULL; a fold that substitutes the
+    // typed zero for it would break the "state equals the one-shot
+    // aggregate" invariant the operator documents
+    val batch1 = Seq(("a", Option(1L)), ("b", Option.empty[Long])).toDF("k", "x")
+    val batch2 = Seq(("a", Option.empty[Long]), ("b", Option.empty[Long])).toDF("k", "x")
+    val raw = batch1.unionByName(batch2)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum(col("x")).as("sx"))
+    val state = Merge.foldAdditive(Merge.foldAdditive(agg(raw).limit(0),
+      agg(batch1), Seq("k")), agg(batch2), Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(rows(state) == rows(agg(raw)))
+    assert(rows(state) == Seq("a" -> Some(1L), "b" -> None))
+  }
+
   test("profile: one pass yields per-column null/distinct/min/max (typed surface)") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),

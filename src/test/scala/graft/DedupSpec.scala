@@ -134,6 +134,24 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("semanticDedup: NaN/Inf vectors form no near-dup edge in either direction") {
+    val planes = Seq(Seq(1.0, 0.0))
+    // Spark orders NaN above every double, so an unguarded
+    // `cosine >= threshold` is TRUE against a poisoned vector: the
+    // small-id Inf vector would drop every cell-mate, and the NaN
+    // vector would itself be dropped by any smaller id. Both must
+    // instead pass through untouched.
+    val vecs = Seq(
+      (0L, Seq(Float.PositiveInfinity, 0.0f)), // smallest id in cell 1
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.001f)),                 // true near-dup of 1 → dropped
+      (9L, Seq(Float.NaN, 0.0f))               // NaN, larger id than 0 and 1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id", planes, 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out == Set(0L, 1L, 9L))
+  }
+
   test("embedding near-dups default plan is an equi-join, never a cross product") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))

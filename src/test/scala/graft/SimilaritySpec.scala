@@ -220,4 +220,26 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin")) // counts side is broadcast
     assert(out.count() <= 4L * 8L)
   }
+
+  test("lloydStep: non-finite vectors are excluded from counts and sums") {
+    val seeds = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // one clean vector per cell, plus a NaN and an Inf vector — without
+    // the finite filter the poisoned rows would inflate one cell's
+    // n_vecs (NaN cosines argmax arbitrarily) while their components
+    // null out of the decimal sums, silently skewing that cell's mean
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(Float.NaN, 0.0f)),
+      (3L, Array(Float.PositiveInfinity, 1.0f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lloydStep(vecs, "embedding", "vec_id", seeds)
+      .collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("dim")) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("c"))))
+      .toMap
+    assert(got == Map(
+      (0L, 1L) -> ((1L, 1.0)), (0L, 2L) -> ((1L, 0.0)),
+      (1L, 1L) -> ((1L, 0.0)), (1L, 2L) -> ((1L, 1.0))))
+  }
 }
