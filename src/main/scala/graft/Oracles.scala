@@ -1514,6 +1514,56 @@ object Oracles {
     ORDER BY pair_count DESC, pair ASC
     LIMIT 20"""
 
+  /** Mirrors Queries.bpeTrain / Bpe.trainMerges: the SAME wrapped-symbol
+    * string encoding (every symbol wrapped in chr(31)), the same
+    * left-to-right non-overlapping `replace` as the merge rule, unrolled
+    * for eight rounds as a chained CTE — r{i} applies m{i}'s winning
+    * pair to r{i-1}; ties break (pair_count DESC, lhs, rhs) in both
+    * engines. sum() over BIGINT is HUGEINT in DuckDB → cast back.
+    */
+  val bpeTrain: String = {
+    val sep = "chr(31)"
+    def pairsCte(i: Int) = s"""
+    p$i AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT syms, freq,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (SELECT string_split(trim(seq, $sep), $sep || $sep) AS syms,
+                         freq
+                  FROM r${i - 1}))
+      GROUP BY 1, 2),
+    m$i AS (
+      SELECT lhs, rhs, pair_count FROM p$i
+      ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)"""
+    def mergeCte(i: Int) = s"""
+    r$i AS (
+      SELECT replace(seq, $sep || lhs || $sep || $sep || rhs || $sep,
+                     $sep || lhs || rhs || $sep) AS seq, freq
+      FROM r${i - 1}, m$i)"""
+    val rounds = 8
+    val ctes = (1 to rounds).map { i =>
+      pairsCte(i) + (if (i < rounds) "," + mergeCte(i) else "")
+    }.mkString(",")
+    val union = (1 to rounds)
+      .map(i => s"SELECT $i AS round, lhs, rhs, pair_count FROM m$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH wv AS (
+      SELECT tok AS w, count(*) AS freq
+      FROM (SELECT unnest($toks) AS tok FROM documents)
+      WHERE tok <> '' AND tok NOT LIKE '%' || $sep || '%'
+      GROUP BY 1),
+    r0 AS (
+      SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS seq,
+             freq
+      FROM wv),$ctes
+    SELECT CAST(round AS BIGINT) AS round, lhs, rhs,
+           lhs || rhs AS merged, pair_count
+    FROM ($union)
+    ORDER BY round"""
+  }
+
   /** Mirrors Queries.kmeansStep / Similarity.lloydStep: cosine to the 8
     * axis-unit seeds e_{8j+1} (list_cosine_similarity is driver-proven
     * to match Spark's fold at 6 dp — q23/q70), argmax with ties to the
@@ -1806,5 +1856,6 @@ object Oracles {
     "q86_kmeans_step" -> kmeansStep,
     "q87_quality_model" -> qualityModel,
     "q88_strip_spans" -> stripSpans,
-    "q89_incr_dup_spans" -> incrementalDupSpans)
+    "q89_incr_dup_spans" -> incrementalDupSpans,
+    "q90_bpe_train" -> bpeTrain)
 }

@@ -1969,6 +1969,24 @@ object Queries {
       .limit(20)
   }
 
+  /** q90: iterated BPE merge training — eight rounds of the q85 inner
+    * loop actually APPLIED: count pairs, fuse the winner everywhere,
+    * recount (Sennrich et al. 2016). Corpus → vocabulary is the only
+    * corpus-sized shuffle; every round after that is vocab-only (see
+    * [[graft.operators.Bpe.trainMerges]] for the wrapped-symbol string
+    * encoding that makes merge application one `replace` per round in
+    * both engines). The oracle replays the identical eight rounds as a
+    * chained-CTE unroll over the same word-frequency table.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.trainMerges(vocab, "w", "freq", rounds = 8)
+      .orderBy(col("round"))
+  }
+
   /** q86: one distributed Lloyd iteration of spherical k-means over the
     * embedding corpus — 8 axis-unit seed centroids (e_1, e_9, …, e_57:
     * data-independent geometry, the q70 oracle discipline), cosine

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterated BPE merge training (Sennrich et al. 2016, arXiv:1508.07909) —
+  * the loop around the single pair-count pass of `Queries.bpeMergeStats`:
+  * per round, count adjacent symbol pairs over the VOCABULARY (weighted
+  * by word frequency), take the most frequent pair, fuse it into one
+  * symbol everywhere, repeat. The learned merge table IS the tokenizer.
+  *
+  * Scale shape (the reason every BPE trainer aggregates to the
+  * vocabulary first): the corpus prices exactly ONE corpus-sized
+  * shuffle — the word-frequency aggregation the caller supplies — and
+  * the training loop touches only the vocab, whose size is bounded by
+  * the language, not the data; 100 TB of text trains against the same
+  * ~10M-row frame as 1 GB. The vocab is checkpointed once and each
+  * round is a single Spark job (pair explode → one partial-agged
+  * shuffle → TakeOrdered(1)); merges apply lazily as stacked
+  * `replace`s over the checkpoint, so round i re-runs i cheap string
+  * rewrites rather than materializing a new vocab per round — for
+  * round counts in the thousands, checkpoint every ~32 rounds to cap
+  * the restack (same driver-bounded-state discipline as
+  * [[Similarity.kmeansTrain]]: the driver holds the merge table, never
+  * data).
+  *
+  * Symbol sequences ride in ONE string column with every symbol
+  * individually wrapped in U+001F (unit separator): `"ab" + "c"` ⇢
+  * `␟ab␟␟c␟`. Two properties make this the right encoding:
+  * the wrapped search key `␟l␟␟r␟` can only match at symbol
+  * boundaries (no mid-symbol hit: `b␟␟c` inside `␟ab␟␟c␟` is not
+  * preceded by `␟b`), and `replace`'s left-to-right non-overlapping
+  * scan is EXACTLY the BPE merge rule (`aaaa` under merge (a,a) →
+  * `aa aa`; `aaa` → `aa a`) — each occurrence consumes its own
+  * wrapping, so adjacent matches don't steal each other's boundary.
+  * Words containing the separator are excluded up front (they cannot
+  * be represented; a production trainer would escape instead).
+  *
+  * No end-of-word marker: merges never cross words here (pair counting
+  * is per-word), which drops Sennrich's `</w>` distinction between
+  * word-final and word-internal symbols — a documented simplification,
+  * not an accident.
+  */
+object Bpe {
+
+  private[graft] val Sep = "\u001f"
+
+  private val outSchema = StructType(Seq(
+    StructField("round", LongType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false)))
+
+  /** Wrapped-symbol initial sequence of a word: every character becomes
+    * one wrapped symbol.
+    */
+  private def initialSeq(word: org.apache.spark.sql.Column) =
+    regexp_replace(word, "(.)", Sep + "$1" + Sep)
+
+  /** Symbol array of a wrapped sequence (strip the outer wraps, split on
+    * the doubled boundary).
+    */
+  private def symbolsOf(seq: org.apache.spark.sql.Column) =
+    split(trim(seq, Sep), java.util.regex.Pattern.quote(Sep + Sep))
+
+  /** Train `rounds` merges over a `(wordCol, freqCol)` vocabulary frame.
+    *
+    * Returns (round, lhs, rhs, merged, pair_count), one row per merge in
+    * training order — round is 1-based; `merged = lhs || rhs`. Ties on
+    * pair_count break lexicographically (lhs, then rhs), so training is
+    * deterministic across runs and engines. Stops early if the vocab
+    * runs out of adjacent pairs.
+    */
+  def trainMerges(
+      vocab: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "trainMerges: rounds must be >= 1")
+    val s = vocab.sparkSession
+    // the ONE vocab materialization; excludes unrepresentable words
+    var seqs = vocab
+      .filter(!col(wordCol).contains(Sep))
+      .select(initialSeq(col(wordCol)).as("seq"),
+        col(freqCol).cast("long").as("freq"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[Row]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val syms = symbolsOf(col("seq"))
+      // adjacent pairs via two shifted slices (slice of a 1-symbol word
+      // is empty, so short words drop out without a sequence(1,0) guard)
+      val top = seqs
+        .select(col("freq"),
+          explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()
+      top.headOption match {
+        case None => exhausted = true
+        case Some(r: Row) =>
+          val (l, rr, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += Row(round.toLong, l, rr, l + rr, n)
+          seqs = seqs.withColumn("seq",
+            replace(col("seq"),
+              lit(Sep + l + Sep + Sep + rr + Sep), lit(Sep + l + rr + Sep)))
+          round += 1
+      }
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(merges.result(), 1), outSchema)
+  }
+}

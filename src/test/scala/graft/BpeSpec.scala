@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainMerges: Sennrich walk-through — es, est, lo in order") {
+    // the classic worked example: low x5, lower x2, newest x6, widest x3
+    val vocab = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+    ).toDF("w", "freq")
+    val got = Bpe.trainMerges(vocab, "w", "freq", rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+    // round 1: es = 9 (newest 6 + widest 3); st also 9, (e,s) < (s,t)
+    // round 2: es+t = 9
+    // round 3: l+o = 7 (low 5 + lower 2); o-w also 7, (l,o) < (o,w)
+    assert(got == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L)))
+  }
+
+  test("trainMerges: merge application is greedy left-to-right, aaa -> [aa, a]") {
+    // one word 'aaaa' (freq 1) and one 'aaa' (freq 1): round 1 merges
+    // (a,a) count 5 (3 pairs in aaaa + 2 in aaa); round 2's counts then
+    // prove the rewrite was non-overlapping: aaaa -> aa|aa (one aa,aa
+    // pair), aaa -> aa|a (one aa,a pair)
+    val vocab = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("w", "freq")
+    val got = Bpe.trainMerges(vocab, "w", "freq", rounds = 2)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    assert(got.head == ((1L, "a", "a", 5L)))
+    // after the rewrite the only pairs are (aa,aa) x1 and (aa,a) x1 —
+    // tie breaks to lhs/rhs ascending: "aa" < "aa" equal, "a" < "aa"
+    assert(got(1) == ((2L, "aa", "a", 1L)))
+  }
+
+  test("trainMerges: stops early when no pairs remain; 1-char words never pair") {
+    val vocab = Seq(("ab", 3L), ("x", 9L)).toDF("w", "freq")
+    val got = Bpe.trainMerges(vocab, "w", "freq", rounds = 5)
+      .collect()
+    // round 1 fuses (a,b); afterwards every word is a single symbol
+    assert(got.map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq ==
+      Seq((1L, "ab", 3L)))
+  }
+
+  test("q90 gate query runs and is deterministic at sf0.001") {
+    val a = Queries.bpeTrain(spark, sf0001).collect().toSeq
+    val b = Queries.bpeTrain(spark, sf0001).collect().toSeq
+    assert(a == b)
+    assert(a.size == 8)
+    assert(a.map(_.getLong(0)) == (1L to 8L))
+  }
+}
