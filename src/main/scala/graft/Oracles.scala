@@ -1599,6 +1599,76 @@ object Oracles {
     FROM sums s JOIN n USING (cell)
     ORDER BY cell, dim"""
 
+  /** Mirrors Queries.kmeansTrainGate / Similarity.kmeansTrain: three
+    * chained Lloyd iterations — each round rebuilds centroid LISTS from
+    * the previous round's (cell, dim, c) table, assigns by rounded
+    * cosine argmax (ties to the smaller cell), updates means through
+    * exact DECIMAL(38,12) sums, and carries starved cells' centroids
+    * forward unchanged — then one final assignment pass for cluster
+    * sizes. Every mean gets the q86 round(·,6) + 0.0 treatment so both
+    * engines hand bit-identical centroid doubles to the next round's
+    * cosines.
+    */
+  val kmeansTrainGate: String = {
+    def iteration(i: Int) = s"""
+    cl${i - 1} AS (
+      SELECT cell, list(c ORDER BY dim) AS ctr
+      FROM cent${i - 1} GROUP BY cell),
+    cand$i AS (
+      SELECT vec_id, v, cell,
+             round(list_cosine_similarity(v, ctr), 6) AS cos
+      FROM v CROSS JOIN cl${i - 1}),
+    asg$i AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell ASC) AS rk
+            FROM cand$i)
+      WHERE rk = 1),
+    n$i AS (SELECT cell, count(*) AS n_vecs FROM asg$i GROUP BY 1),
+    sums$i AS (
+      SELECT cell, d AS dim, sum(CAST(v[d] AS DECIMAL(38,12))) AS sx
+      FROM asg$i, (SELECT unnest(generate_series(1, 64)) AS d) ds
+      GROUP BY 1, 2),
+    newc$i AS (
+      SELECT s.cell, s.dim,
+             round(CAST(s.sx AS DOUBLE) / n.n_vecs, 6) + 0.0 AS c
+      FROM sums$i s JOIN n$i n USING (cell)),
+    cent$i AS (
+      SELECT cell, dim, c FROM newc$i
+      UNION ALL
+      SELECT cell, dim, c FROM cent${i - 1}
+      WHERE cell NOT IN (SELECT DISTINCT cell FROM newc$i))"""
+    s"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (
+      SELECT j AS cell, d AS dim,
+             CASE WHEN d = j * 8 + 1 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS c
+      FROM (SELECT unnest(generate_series(0, 7)) AS j) js,
+           (SELECT unnest(generate_series(1, 64)) AS d) ds),
+    ${(1 to 3).map(iteration).mkString(",")},
+    cl3 AS (
+      SELECT cell, list(c ORDER BY dim) AS ctr FROM cent3 GROUP BY cell),
+    cand4 AS (
+      SELECT vec_id, cell,
+             round(list_cosine_similarity(v, ctr), 6) AS cos
+      FROM v CROSS JOIN cl3),
+    asg4 AS (
+      SELECT vec_id, cell
+      FROM (SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell ASC) AS rk
+            FROM cand4)
+      WHERE rk = 1),
+    n4 AS (SELECT cell, count(*) AS n_vecs FROM asg4 GROUP BY 1)
+    SELECT CAST(c.cell AS BIGINT) AS cell, CAST(c.dim AS BIGINT) AS dim,
+           CAST(coalesce(n4.n_vecs, 0) AS BIGINT) AS n_vecs, c.c AS c
+    FROM cent3 c LEFT JOIN n4 USING (cell)
+    ORDER BY cell, dim"""
+  }
+
   /** Mirrors Queries.qualityModel: md5-stable token→bucket hashing, the
     * ×10 integer weight formula, exact integer logit sums, and the
     * z ≥ 0 keep-gate computed pre-sigmoid (identical double from one
@@ -1857,5 +1927,6 @@ object Oracles {
     "q87_quality_model" -> qualityModel,
     "q88_strip_spans" -> stripSpans,
     "q89_incr_dup_spans" -> incrementalDupSpans,
-    "q90_bpe_train" -> bpeTrain)
+    "q90_bpe_train" -> bpeTrain,
+    "q91_kmeans_train" -> kmeansTrainGate)
 }

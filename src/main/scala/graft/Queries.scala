@@ -1987,6 +1987,38 @@ object Queries {
       .orderBy(col("round"))
   }
 
+  /** q91: CONVERGED spherical k-means on the gate — three full Lloyd
+    * iterations from the q86 literal seeds via
+    * [[graft.operators.Similarity.kmeansTrain]] (driver holds only the
+    * ≤ k × dim centroids between rounds), then one more assignment pass
+    * with the trained centers for the cluster sizes. Output pins the
+    * starved-cell policy explicitly: a cell that emptied keeps its seed
+    * centroid and reports n_vecs = 0. The oracle replays the identical
+    * three iterations as a chained-CTE unroll (centroid lists rebuilt
+    * from the previous round's table, carried forward for starved
+    * cells), so segment-free convergence is cross-engine-checked, not
+    * just self-consistent. Same −0.0 normalization as q86 on every
+    * mean.
+    */
+  def kmeansTrainGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val seeds = (0 until 8).map(j =>
+      Seq.tabulate(64)(i => if (i == j * 8) 1.0 else 0.0))
+    val emb = Tables.embeddings(s, dir)
+    val centers = Similarity.kmeansTrain(emb, "embedding", "vec_id", seeds,
+      iters = 3)
+    import s.implicits._
+    val centersDf = centers.zipWithIndex.flatMap { case (ctr, j) =>
+      ctr.zipWithIndex.map { case (x, d) => (j.toLong, (d + 1).toLong, x) }
+    }.toDF("cell", "dim", "c")
+    val counts = Similarity.lloydStep(emb, "embedding", "vec_id", centers)
+      .select(col("cell"), col("n_vecs")).distinct()
+    centersDf.join(counts, Seq("cell"), "left")
+      .select(col("cell"), col("dim"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"), col("c"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
   /** q86: one distributed Lloyd iteration of spherical k-means over the
     * embedding corpus — 8 axis-unit seed centroids (e_1, e_9, …, e_57:
     * data-independent geometry, the q70 oracle discipline), cosine
