@@ -1809,6 +1809,64 @@ object Oracles {
     FROM base bb LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.incrementalStripSpans: the q89 three-batch corpus
+    * and batch-aware dup rule (gram seen in an earlier batch, or twice
+    * within its own) feeding the q88 strip machinery — covered token
+    * indices, anti-join, in-order rebuild. Doc ids are disjoint across
+    * batches, so everything downstream of `dup` keys on doc_id alone.
+    */
+  val incrementalStripSpans: String = s"""
+    WITH corpus AS (
+      SELECT 0 AS b, doc_id, text FROM documents
+      UNION ALL
+      SELECT 1, doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+      FROM documents
+      UNION ALL
+      SELECT 2, doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+             text || ' qz17 qz18' AS text
+      FROM documents),
+    base AS (
+      SELECT b, doc_id, $toks AS toks FROM corpus),
+    p AS (
+      SELECT b, doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS pos
+      FROM base),
+    occ AS (
+      SELECT b, doc_id, pos,
+             md5(array_to_string(toks[pos:pos + 7], ' ')) AS g
+      FROM p),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT b, doc_id, pos,
+                   min(b) OVER (PARTITION BY g) AS minb,
+                   count(*) OVER (PARTITION BY g, b) AS cnt
+            FROM occ)
+      WHERE minb < b OR cnt >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + 7)) AS tpos
+      FROM dup),
+    tok AS (
+      SELECT doc_id, i AS tpos, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM base)),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.tpos IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      FROM kept GROUP BY 1)
+    SELECT bb.doc_id,
+           CAST(len(bb.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM base bb LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1928,5 +1986,6 @@ object Oracles {
     "q88_strip_spans" -> stripSpans,
     "q89_incr_dup_spans" -> incrementalDupSpans,
     "q90_bpe_train" -> bpeTrain,
-    "q91_kmeans_train" -> kmeansTrainGate)
+    "q91_kmeans_train" -> kmeansTrainGate,
+    "q92_incr_strip_spans" -> incrementalStripSpans)
 }

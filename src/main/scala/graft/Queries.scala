@@ -2094,10 +2094,38 @@ object Queries {
     * and owner bookkeeping must be invisible. See
     * [[graft.operators.Dedup.dupSpansIncrementalStaged]].
     */
-  def incrementalDupSpans(s: SparkSession, dir: String): DataFrame = {
+  def incrementalDupSpans(s: SparkSession, dir: String): DataFrame =
+    threeBatchGramStoreGate(s, dir, "graft_q89_store")(
+      Dedup.dupSpansIncrementalStaged(_, _, "text", "doc_id", k = 8))
+
+  /** q92: incremental ExactSubstr REMOVAL through the persisted gram
+    * store — the q88 rewrite driven by the q89 ingest loop, on the same
+    * three-batch sequence. Batch 0 against the empty store is EXACTLY
+    * the one-shot q88; the exact replay strips every token (all grams
+    * already stored); the suffix-mutated batch keeps only the tokens no
+    * stored or repeated gram covers. See
+    * [[graft.operators.Dedup.stripDupSpansIncrementalStaged]].
+    */
+  def incrementalStripSpans(s: SparkSession, dir: String): DataFrame =
+    threeBatchGramStoreGate(s, dir, "graft_q92_store")(
+      Dedup.stripDupSpansIncrementalStaged(_, _, "text", "doc_id", k = 8))
+
+  /** Shared q89/q92 gate harness: three ingest batches over the
+    * documents corpus — the corpus itself, an id-shifted exact
+    * re-ingest, and an id-shifted suffix-mutated re-ingest — run
+    * sequentially through a fresh gram store with a bucketed compaction
+    * between batches 2 and 3, unioned and ordered for the hash gate.
+    * Segments, the compaction, and owner bookkeeping must be invisible
+    * in the output (the oracle replays the sequence as one windowed
+    * pass).
+    */
+  private def threeBatchGramStoreGate(
+      s: SparkSession,
+      dir: String,
+      prefix: String)(
+      run: (DataFrame, String) => DataFrame): DataFrame = {
     val storeDir =
       java.nio.file.Files.createTempDirectory("graft_gram_gate").toString
-    val prefix = "graft_q89_store"
     try {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val shift = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
@@ -2105,23 +2133,21 @@ object Queries {
       val b1 = docs.select((col("doc_id") + shift).as("doc_id"), col("text"))
       val b2 = docs.select((col("doc_id") + 2 * shift).as("doc_id"),
         concat(col("text"), lit(" qz17 qz18")).as("text"))
-      val p0 = Dedup.dupSpansIncrementalStaged(
-        b0, storeDir, "text", "doc_id", k = 8)
-      val p1 = Dedup.dupSpansIncrementalStaged(
-        b1, storeDir, "text", "doc_id", k = 8)
-      // ONE eager checkpoint for both pre-compaction profiles: their
+      val p0 = run(b0, storeDir)
+      val p1 = run(b1, storeDir)
+      // ONE eager checkpoint for both pre-compaction results: their
       // store scans pin the raw segment paths, which compact() deletes
-      // after folding — they must materialize before it runs. Each
-      // profile is a skinny plan over its batch's already-checkpointed
-      // occurrence frame, so fusing them halves the job count (job
-      // count, not data, is this pipeline's cost at gate scale).
+      // after folding — they must materialize before it runs. Each is a
+      // skinny plan over its batch's already-checkpointed occurrence
+      // frame, so fusing them halves the job count (job count, not
+      // data, is this pipeline's cost at gate scale).
       val p01 = p0.unionByName(p1).localCheckpoint(true)
       Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
-      // p2's scan pins post-compaction state and nothing mutates the
-      // store after it — it stays lazy until the final checkpoint, which
-      // must still run BEFORE the finally-block truncates the store
-      val p2 = Dedup.dupSpansIncrementalStaged(
-        b2, storeDir, "text", "doc_id", k = 8)
+      // the third batch's scan pins post-compaction state and nothing
+      // mutates the store after it — it stays lazy until the final
+      // checkpoint, which must still run BEFORE the finally-block
+      // truncates the store
+      val p2 = run(b2, storeDir)
       p01.unionByName(p2).orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally {

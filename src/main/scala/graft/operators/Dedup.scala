@@ -1265,7 +1265,19 @@ object Dedup {
       idCol: String,
       k: Int): DataFrame = {
     val (base, occ) = dupSpanPositions(docs, textCol, idCol, k)
-    val dup = dupOf(occ)
+    stripByDup(base, nTokensFromOcc(occ, idCol), dupOf(occ), idCol, k)
+  }
+
+  /** The rewrite lower half shared by the one-shot and incremental strip
+    * paths: explode the duplicated positions to covered token indices,
+    * anti-join the positioned tokens, rebuild the survivors in order.
+    */
+  private def stripByDup(
+      base: DataFrame,
+      nTokens: DataFrame,
+      dup: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
     val covered = dup
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
@@ -1280,7 +1292,7 @@ object Dedup {
           transform(
             sort_array(collect_list(struct(col("tpos"), col("tok")))),
             s => s.getField("tok"))).as("clean_text"))
-    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+    nTokens
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
@@ -1315,10 +1327,49 @@ object Dedup {
       textCol: String,
       idCol: String,
       k: Int): DataFrame = {
+    val (_, occ, dup) = incrementalSpanCore(batch, storeDir, textCol, idCol, k)
+    spanProfileOf(nTokensFromOcc(occ, idCol), dup, idCol, k)
+  }
+
+  /** INCREMENTAL ExactSubstr REMOVAL — [[stripDupSpans]] run through the
+    * same persisted gram store as [[dupSpansIncrementalStaged]]: a span
+    * is stripped when its gram occurred in ANY prior batch or twice in
+    * its own; the batch's novel grams then land as the next segment.
+    * The first batch against an empty store is EXACTLY the one-shot
+    * [[stripDupSpans]]; an exact replay strips every token (all grams
+    * are in the store) — kept_tokens 0, clean_text empty — which is the
+    * remove-BOTH-occurrences policy extended across batches. Same
+    * store/segment protocol, same sequential semantics, same output
+    * schema as the one-shot rewrite.
+    */
+  def stripDupSpansIncrementalStaged(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val (base, occ, dup) = incrementalSpanCore(batch, storeDir, textCol, idCol, k)
+    stripByDup(base, nTokensFromOcc(occ, idCol), dup, idCol, k)
+  }
+
+  /** Shared store-probe front half of the incremental ExactSubstr pair:
+    * checkpoints the batch's occurrence frame, decides its duplicated
+    * positions against the store + the batch itself, and commits the
+    * batch's novel grams as the next segment. Returns (base, occ, dup);
+    * `base` stays lazy (only the strip path re-reads the batch text for
+    * the token rebuild), `dup`'s store scan is pinned to the pre-write
+    * segment list so callers may evaluate it after later batches write.
+    */
+  private def incrementalSpanCore(
+      batch: DataFrame,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
     val s = batch.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
     val store = FingerprintStore.load(s, storeDir)
-    val (_, occ0) = dupSpanPositions(batch, textCol, idCol, k)
+    val (base, occ0) = dupSpanPositions(batch, textCol, idCol, k)
     // materialize the occurrence frame ONCE: it feeds the store probe →
     // profile, the per-doc token counts, AND the segment write, and its
     // lineage is the full tokenize + gram-build + hash + gram-window
@@ -1328,9 +1379,9 @@ object Dedup {
     // storeDir instead of executor storage. Everything downstream is a
     // skinny plan over this one checkpoint — at test scale the query's
     // cost is JOB COUNT, not data volume, so the batch runs exactly two
-    // eager jobs (this checkpoint and the segment write; the profile
-    // itself stays lazy for the caller to evaluate, its store scan
-    // pinned to the pre-write segment list).
+    // eager jobs (this checkpoint and the segment write; the caller's
+    // profile/rewrite stays lazy, its store scan pinned to the
+    // pre-write segment list).
     val occ = occ0.localCheckpoint(eager = true)
     // store probe on the STRING form of the gram hash: the store's fp
     // column is the bucketed/sorted key after a compaction, so keeping
@@ -1341,7 +1392,6 @@ object Dedup {
     val dup = occ.withColumn("fp", col("g").cast("string"))
       .join(seen, Seq("fp"), "left")
       .filter(col("g").isNotNull && (col("cnt") >= 2 || col("__seen")))
-    val profile = spanProfileOf(nTokensFromOcc(occ, idCol), dup, idCol, k)
     // append the batch's distinct NEW grams (min owner id = deterministic
     // doc_id for the pinned store schema) as the next segment; grams the
     // store already holds are anti-joined away — re-appending them would
@@ -1357,7 +1407,7 @@ object Dedup {
       .select(col("g").cast("string").as("fp"), col("doc_id"))
       .join(seen.select(col("fp")), Seq("fp"), "left_anti")
       .write.mode("overwrite").parquet(f"$storeDir/seg_$nextIdx%05d")
-    profile
+    (base, occ, dup)
   }
 
   def semanticDedup(

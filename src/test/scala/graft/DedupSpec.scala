@@ -134,6 +134,34 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("stripDupSpansIncrementalStaged: batch 0 is the one-shot strip; a replay strips everything") {
+    val store = tmpDir("gram_strip_store")
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val oneShot = rows(Dedup.stripDupSpans(docs, "text", "doc_id", 8))
+    val b0 = rows(Dedup.stripDupSpansIncrementalStaged(
+      docs, store, "text", "doc_id", 8).localCheckpoint(true))
+    assert(b0 == oneShot)
+    // the shared 8-gram "a..h" covers tokens 1-8 of docs 1 and 2; doc 3
+    // is too short to gram and survives intact
+    assert(b0.find(_._1 == 1L).get._4 == "i j")
+    assert(b0.find(_._1 == 3L).get._4 == "p q r")
+    // exact replay: every gram is in the store now — all covered tokens
+    // strip; short docs still have nothing to strip
+    val b1 = rows(Dedup.stripDupSpansIncrementalStaged(
+      docs.select((col("doc_id") + 100).as("doc_id"), col("text")),
+      store, "text", "doc_id", 8).localCheckpoint(true))
+    assert(b1.map(_._1) == Seq(101L, 102L, 103L))
+    assert(b1.filter(_._1 != 103L).forall(r => r._3 == 0L && r._4 == ""))
+    assert(b1.find(_._1 == 103L).get._4 == "p q r")
+  }
+
   test("semanticDedup: NaN/Inf vectors form no near-dup edge in either direction") {
     val planes = Seq(Seq(1.0, 0.0))
     // Spark orders NaN above every double, so an unguarded
