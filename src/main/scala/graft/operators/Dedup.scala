@@ -1265,38 +1265,76 @@ object Dedup {
       idCol: String,
       k: Int): DataFrame = {
     val (base, occ) = dupSpanPositions(docs, textCol, idCol, k)
-    stripByDup(base, nTokensFromOcc(occ, idCol), dupOf(occ), idCol, k)
+    stripByDup(base, dupOf(occ), idCol, k)
   }
 
   /** The rewrite lower half shared by the one-shot and incremental strip
-    * paths: explode the duplicated positions to covered token indices,
-    * anti-join the positioned tokens, rebuild the survivors in order.
+    * paths: fold each doc's sorted duplicated positions into maximal
+    * covered ISLANDS (the spanProfileOf recurrence, keeping the
+    * intervals instead of counting them), then rebuild the survivors
+    * with array functions against the doc's own token array.
+    *
+    * Shuffle shape: ONE doc-keyed aggregation over the duplicated
+    * positions plus one id-equi-join back to the token-bearing base —
+    * versus the previous explode-covered-indices → (id, tpos)
+    * anti-join → regroup pipeline, which shuffled a corpus-TOKEN-sized
+    * frame three times. The per-token coverage test is
+    * `exists(islands, …)`, bounded by the doc's island count (a fully
+    * duplicated doc is ONE island), never by its token count.
     */
   private def stripByDup(
       base: DataFrame,
-      nTokens: DataFrame,
       dup: DataFrame,
       idCol: String,
       k: Int): DataFrame = {
-    val covered = dup
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
-      .distinct()
-    val toksPos = base
-      .select(col(idCol), posexplode(col("toks")).as(Seq("t0", "tok")))
-      .select(col(idCol), (col("t0") + 1).as("tpos"), col("tok"))
-    val kept = toksPos.join(covered, Seq(idCol, "tpos"), "left_anti")
+    val none = lit(Long.MinValue / 2)
+    val emptyIslands = array().cast("array<struct<s:bigint,e:bigint>>")
+    // fold state: (closed islands, open-island start, open-island end);
+    // ps is sorted, every interval is exactly k tokens, so "p > e + 1
+    // opens a new island; otherwise extend to p + k - 1"
+    val islandsOf = aggregate(
+      col("ps"),
+      struct(emptyIslands.as("done"), none.as("cs"), none.as("ce")),
+      (acc, p) => {
+        val done = acc.getField("done")
+        val cs = acc.getField("cs")
+        val ce = acc.getField("ce")
+        val open = struct(cs.as("s"), ce.as("e"))
+        when(p > ce + 1,
+          struct(
+            when(cs === none, done).otherwise(concat(done, array(open)))
+              .as("done"),
+            p.as("cs"), (p + lit(k - 1)).as("ce")))
+          .otherwise(struct(done.as("done"), cs.as("cs"),
+            (p + lit(k - 1)).as("ce")))
+      },
+      acc =>
+        when(acc.getField("cs") === none, acc.getField("done"))
+          .otherwise(concat(acc.getField("done"),
+            array(struct(acc.getField("cs").as("s"),
+              acc.getField("ce").as("e"))))))
+    val docIslands = dup
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("kept_tokens"),
-        concat_ws(" ",
-          transform(
-            sort_array(collect_list(struct(col("tpos"), col("tok")))),
-            s => s.getField("tok"))).as("clean_text"))
-    nTokens
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col(idCol), islandsOf.as("isl"))
+    val isl = coalesce(col("isl"), emptyIslands)
+    // indexed tokens (1-based); guard the empty array — Spark's
+    // sequence(1, 0) is DESCENDING [1, 0], not empty
+    val indexed = when(size(col("toks")) === 0,
+      array().cast("array<struct<i:bigint,t:string>>"))
+      .otherwise(transform(sequence(lit(1L), size(col("toks")).cast("long")),
+        i => struct(i.as("i"), element_at(col("toks"), i.cast("int")).as("t"))))
+    val kept = filter(indexed, pr =>
+      !exists(isl, island =>
+        pr.getField("i") >= island.getField("s") &&
+          pr.getField("i") <= island.getField("e")))
+    base.select(col(idCol), col("toks"))
+      .join(docIslands, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("kept_tokens"),
+        concat_ws(" ", transform(kept, pr => pr.getField("t")))
+          .as("clean_text"))
   }
 
   /** INCREMENTAL ExactSubstr through the persisted gram store — the
@@ -1349,7 +1387,7 @@ object Dedup {
       idCol: String,
       k: Int): DataFrame = {
     val (base, occ, dup) = incrementalSpanCore(batch, storeDir, textCol, idCol, k)
-    stripByDup(base, nTokensFromOcc(occ, idCol), dup, idCol, k)
+    stripByDup(base, dup, idCol, k)
   }
 
   /** Shared store-probe front half of the incremental ExactSubstr pair:
