@@ -22,8 +22,10 @@ import graft.Tables
   *    while cross-shard cosines decorrelate.
   *  - events: event/user ids offset per shard; timestamps untouched (10×
   *    the rows per minute — the realistic direction for a busier city).
-  *    `ts` stays a raw nano LONG so Tables.events' `div 1000` load path is
-  *    identical to the driver corpus.
+  *    `ts` passes through RAW in whatever physical type the source corpus
+  *    carries (nano LONG or TIMESTAMP_MICROS ntz across driver corpus
+  *    generations), so Tables.normalizeTs sees the same encoding as the
+  *    original at load time.
   *
   * Usage: runMain graft.tools.ScaleData <srcSfDir> <outDir> <factor>
   */
@@ -79,7 +81,7 @@ object ScaleData {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
-    // events — RAW load (ts stays long nanos)
+    // events — RAW load (ts keeps the source corpus's physical encoding)
     val ev = Tables.load(spark, src, "events")
     shards(ev) { (e, i) =>
       if (i == 0) e

@@ -72,8 +72,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleData sf1)
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_ok = n_bad = n_rows_only = 0
     for d in sorted(glob.glob(os.path.join(dump_dir, "*.parquet"))):
         name = os.path.basename(d)          # e.g. q01_pricing_summary.parquet
