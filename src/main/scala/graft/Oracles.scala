@@ -1521,8 +1521,16 @@ object Oracles {
     * pair to r{i-1}; ties break (pair_count DESC, lhs, rhs) in both
     * engines. sum() over BIGINT is HUGEINT in DuckDB → cast back.
     */
-  val bpeTrain: String = {
-    val sep = "chr(31)"
+  private val bpeSep = "chr(31)"
+  private val BpeRounds = 8
+
+  /** Shared WITH-body prefix of the BPE train/encode oracles: the
+    * word-frequency vocabulary, the wrapped-symbol round-0 sequences,
+    * and `rounds` chained (pair-count → argmax → replace) iterations
+    * producing merge CTEs m1..m{rounds}.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val sep = bpeSep
     def pairsCte(i: Int) = s"""
     p$i AS (
       SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
@@ -1541,15 +1549,10 @@ object Oracles {
       SELECT replace(seq, $sep || lhs || $sep || $sep || rhs || $sep,
                      $sep || lhs || rhs || $sep) AS seq, freq
       FROM r${i - 1}, m$i)"""
-    val rounds = 8
     val ctes = (1 to rounds).map { i =>
       pairsCte(i) + (if (i < rounds) "," + mergeCte(i) else "")
     }.mkString(",")
-    val union = (1 to rounds)
-      .map(i => s"SELECT $i AS round, lhs, rhs, pair_count FROM m$i")
-      .mkString("\n      UNION ALL ")
-    s"""
-    WITH wv AS (
+    s"""wv AS (
       SELECT tok AS w, count(*) AS freq
       FROM (SELECT unnest($toks) AS tok FROM documents)
       WHERE tok <> '' AND tok NOT LIKE '%' || $sep || '%'
@@ -1557,7 +1560,15 @@ object Oracles {
     r0 AS (
       SELECT regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS seq,
              freq
-      FROM wv),$ctes
+      FROM wv),$ctes"""
+  }
+
+  val bpeTrain: String = {
+    val union = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS round, lhs, rhs, pair_count FROM m$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH ${bpeTrainCtes(BpeRounds)}
     SELECT CAST(round AS BIGINT) AS round, lhs, rhs,
            lhs || rhs AS merged, pair_count
     FROM ($union)
@@ -1598,6 +1609,45 @@ object Oracles {
            round(CAST(s.sx AS DOUBLE) / n.n_vecs, 6) + 0.0 AS c
     FROM sums s JOIN n USING (cell)
     ORDER BY cell, dim"""
+
+  /** Mirrors Queries.bpeEncode / Bpe.encodeCounts: retrain the q90 merge
+    * table (shared CTE prefix), then ENCODE every document — each word's
+    * characters wrapped in chr(31), words joined on chr(30) so merges
+    * can never cross a word boundary, the eight merges applied in
+    * training order as chained replaces — and count the resulting
+    * symbols per doc ((wrap-char count)/2).
+    */
+  val bpeEncode: String = {
+    val sep = bpeSep
+    val encs = (1 to BpeRounds).map { i =>
+      s"""
+    enc$i AS (
+      SELECT doc_id,
+             replace(seq,
+               (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM m$i),
+               (SELECT $sep || lhs || rhs || $sep FROM m$i)) AS seq,
+             n_ws_tokens
+      FROM enc${i - 1})"""
+    }.mkString(",")
+    s"""
+    WITH ${bpeTrainCtes(BpeRounds)},
+    enc0 AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform($toks,
+                 w -> regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')),
+               chr(30)) AS seq,
+             len(list_filter($toks, t -> t <> '')) AS n_ws_tokens
+      FROM documents),$encs
+    SELECT doc_id,
+           CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+           CAST((len(seq) - len(replace(seq, $sep, ''))) // 2 AS BIGINT)
+             AS n_bpe_tokens,
+           round(CAST((len(seq) - len(replace(seq, $sep, ''))) // 2 AS DOUBLE)
+                 / nullif(n_ws_tokens, 0), 4) AS tokens_per_word
+    FROM enc$BpeRounds
+    ORDER BY doc_id"""
+  }
 
   /** Mirrors Queries.kmeansTrainGate / Similarity.kmeansTrain: three
     * chained Lloyd iterations — each round rebuilds centroid LISTS from
@@ -1987,5 +2037,6 @@ object Oracles {
     "q89_incr_dup_spans" -> incrementalDupSpans,
     "q90_bpe_train" -> bpeTrain,
     "q91_kmeans_train" -> kmeansTrainGate,
-    "q92_incr_strip_spans" -> incrementalStripSpans)
+    "q92_incr_strip_spans" -> incrementalStripSpans,
+    "q93_bpe_encode" -> bpeEncode)
 }

@@ -1987,6 +1987,28 @@ object Queries {
       .orderBy(col("round"))
   }
 
+  /** q93: BPE ENCODE — the q90 merge table actually applied: retrain
+    * the eight merges, then one map pass over the corpus rewrites every
+    * document's wrapped-symbol sequence through the merges in training
+    * order and reads the per-doc token count off the wrap characters.
+    * The whitespace count rides along, so the output is the
+    * compression-per-word profile a tokenizer change ships with. See
+    * [[graft.operators.Bpe.encodeCounts]].
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val merges = graft.operators.Bpe
+      .trainMerges(vocab, "w", "freq", rounds = 8)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe
+      .encodeCounts(Tables.documents(s, dir), "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** q91: CONVERGED spherical k-means on the gate — three full Lloyd
     * iterations from the q86 literal seeds via
     * [[graft.operators.Similarity.kmeansTrain]] (driver holds only the

@@ -114,7 +114,8 @@ object SparkEntry {
     "q89_incr_dup_spans" -> (Queries.incrementalDupSpans _),
     "q90_bpe_train" -> (Queries.bpeTrain _),
     "q91_kmeans_train" -> (Queries.kmeansTrainGate _),
-    "q92_incr_strip_spans" -> (Queries.incrementalStripSpans _))
+    "q92_incr_strip_spans" -> (Queries.incrementalStripSpans _),
+    "q93_bpe_encode" -> (Queries.bpeEncode _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -118,4 +118,49 @@ object Bpe {
     s.createDataFrame(
       s.sparkContext.parallelize(merges.result(), 1), outSchema)
   }
+
+  /** Word boundary for [[encodeCounts]]' document sequences: words join
+    * on U+001E (record separator), which contains no U+001F — so a
+    * merge's wrapped search key can never straddle two words.
+    */
+  private val WordSep = "\u001e"
+
+  /** ENCODE under a trained merge table — the serving half of
+    * [[trainMerges]]: every word's characters wrapped as symbols, the
+    * merges applied in training order (each one `replace` — the same
+    * left-to-right rule as training), and the per-doc symbol count read
+    * off the wrap characters. One map pass over the corpus, merge table
+    * as literals; at a production vocabulary (~30k merges) the stacked
+    * `replace` chain becomes a codegen'd expression pipeline of depth
+    * |merges| — split it across a few projections if Janino balks, the
+    * data never shuffles either way.
+    *
+    * Output: (idCol, n_ws_tokens, n_bpe_tokens, tokens_per_word) —
+    * whitespace-token count, trained-tokenizer symbol count, and their
+    * 4-dp ratio (NULL for empty docs). Corpus contract: text carries no
+    * U+001F/U+001E (the driver corpus is clean; escape at ingest
+    * otherwise).
+    */
+  def encodeCounts(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val wrapped = array_join(
+      transform(toks, w => regexp_replace(w, "(.)", Sep + "$1" + Sep)),
+      WordSep)
+    val seq0 = docs.select(col(idCol), wrapped.as("seq"),
+      size(filter(toks, t => t =!= "")).cast("long").as("n_ws_tokens"))
+    val seqN = merges.foldLeft(seq0) { case (df, (l, r)) =>
+      df.withColumn("seq",
+        replace(col("seq"),
+          lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)))
+    }
+    val nBpe = ((length(col("seq")) -
+      length(replace(col("seq"), lit(Sep), lit("")))) / 2).cast("long")
+    seqN.select(col(idCol), col("n_ws_tokens"), nBpe.as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        expr("round(n_bpe_tokens / nullif(n_ws_tokens, 0), 4)"))
+  }
 }

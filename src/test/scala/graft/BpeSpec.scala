@@ -51,6 +51,26 @@ class BpeSpec extends SparkSpec {
       Seq((1L, "ab", 3L)))
   }
 
+  test("encodeCounts: merges compress exactly the trained pairs, never across words") {
+    // merges learned elsewhere: (a,b) then (ab,c)
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc ab"),     // abc -> [abc] (both merges chain), ab -> [ab] : 2 bpe
+      (2L, "ba cab"),     // ba: no merge (order!) = 2; cab: c,ab = 2 : 4 bpe
+      (3L, "a b"),        // boundary: 'a' and 'b' in DIFFERENT words never merge
+      (4L, "")            // empty doc: 0/0, NULL ratio
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeCounts(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, Some(1.0)),
+      (2L, 2L, 4L, Some(2.0)),
+      (3L, 2L, 2L, Some(1.0)),
+      (4L, 0L, 0L, None)))
+  }
+
   test("q90 gate query runs and is deterministic at sf0.001") {
     val a = Queries.bpeTrain(spark, sf0001).collect().toSeq
     val b = Queries.bpeTrain(spark, sf0001).collect().toSeq
