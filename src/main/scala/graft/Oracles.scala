@@ -574,6 +574,52 @@ object Oracles {
     FROM embeddings WHERE vec_id < 10
     ORDER BY query_id"""
 
+  /** Mirrors Queries.annQuantizedRescore: q42's quantization formula
+    * (scale = maxAbs/127, codes = round(x/scale) as TINYINT), candidate
+    * top-32 by 6-dp cosine against the DEQUANTIZED codes, exact-cosine
+    * rescore of only those candidates, final top-8. Window tie-breaks
+    * (cosine DESC, neighbor ASC) written identically on both engines.
+    */
+  val annQuantizedRescore: String = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    cs AS (
+      SELECT vec_id AS neighbor_id, e AS cv,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings)),
+    c2 AS (
+      SELECT neighbor_id, cv,
+             CASE WHEN scale = 0
+                  THEN list_transform(cv, x -> 0.0)
+                  ELSE list_transform(cv,
+                    x -> CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE)
+                         * scale)
+             END AS dv
+      FROM cs),
+    approx AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             round(list_cosine_similarity(qv, dv), 6) AS approx_cosine
+      FROM q CROSS JOIN c2 WHERE query_id != neighbor_id),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, cv, approx_cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY approx_cosine DESC, neighbor_id ASC)
+                        AS crank
+            FROM approx)
+      WHERE crank <= 32),
+    rescored AS (
+      SELECT query_id, neighbor_id, approx_cosine,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM cand)
+    SELECT query_id, rank, neighbor_id, cosine, approx_cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM rescored)
+    WHERE rank <= 8
+    ORDER BY query_id, rank"""
+
   val embeddingNearDups: String = """
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -2038,5 +2084,6 @@ object Oracles {
     "q90_bpe_train" -> bpeTrain,
     "q91_kmeans_train" -> kmeansTrainGate,
     "q92_incr_strip_spans" -> incrementalStripSpans,
-    "q93_bpe_encode" -> bpeEncode)
+    "q93_bpe_encode" -> bpeEncode,
+    "q94_ann_quantized" -> annQuantizedRescore)
 }

@@ -505,6 +505,51 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q94: quantized-scan ANN with exact rescoring — the standard
+    * memory-bandwidth trade every production vector store makes: the
+    * corpus-wide candidate scan reads int8 codes (4× less IO than fp32;
+    * here quantized on the fly via q42's formula — production scans the
+    * persisted q42 table), takes the top-32 per query by APPROXIMATE
+    * cosine against the dequantized codes, then rescores only those 32
+    * with the exact fp32 cosine for the final top-8. Both cosines are
+    * 6-dp-rounded before their rank windows (ties to the smaller
+    * neighbor id), so candidate sets and final ranks are ulp-stable
+    * across engines; the oracle replays quantize → dequantize →
+    * candidate window → rescore window identically.
+    */
+  def annQuantizedRescore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val corpus = graft.operators.Similarity.spread(
+        emb.select(col("vec_id").as("neighbor_id"),
+          VectorFunctions.asDouble(col("embedding")).as("cv")))
+      .withColumn("qs", VectorFunctions.quantizeInt8(col("cv")))
+      .withColumn("dv",
+        transform(col("qs.q"), c => c.cast("double") * col("qs.scale")))
+    val approx = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        round(VectorFunctions.cosine(col("qv"), col("dv")), 6)
+          .as("approx_cosine"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    approx
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= 32)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cosine"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"), col("approx_cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by
     * label so the self-join is per-bucket, never global.
     */

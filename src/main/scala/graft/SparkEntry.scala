@@ -115,7 +115,8 @@ object SparkEntry {
     "q90_bpe_train" -> (Queries.bpeTrain _),
     "q91_kmeans_train" -> (Queries.kmeansTrainGate _),
     "q92_incr_strip_spans" -> (Queries.incrementalStripSpans _),
-    "q93_bpe_encode" -> (Queries.bpeEncode _))
+    "q93_bpe_encode" -> (Queries.bpeEncode _),
+    "q94_ann_quantized" -> (Queries.annQuantizedRescore _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

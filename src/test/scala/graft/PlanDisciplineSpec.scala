@@ -12,8 +12,11 @@ class PlanDisciplineSpec extends SparkSpec {
   // (small) query set against the corpus with a non-equi condition; q27's
   // certification attaches a ONE-ROW global recall bound to the per-query
   // frame via crossJoin(broadcast(_)) — a single-build-row broadcast NLJ,
-  // the same plan a scalar subquery gets.
-  private val nljAllowed = Set("q23_ann_brute_force", "q27_ann_lsh")
+  // the same plan a scalar subquery gets; q94's quantized candidate scan
+  // is q23's broadcast shape (the whole point: the corpus streams past
+  // the broadcast queries once, reading int8 codes).
+  private val nljAllowed =
+    Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.

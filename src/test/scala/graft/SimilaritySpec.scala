@@ -221,6 +221,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() <= 4L * 8L)
   }
 
+  test("q94 quantized rescore: int8 approximation stays tight and exact rank wins") {
+    val out = Queries.annQuantizedRescore(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // per query: ranks are 1..n and ordered by the EXACT cosine
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // int8 over 64 dims: the dequantized cosine tracks the exact one
+    // closely — a loose 0.05 bound catches a broken scale or sign, not
+    // legitimate quantization noise
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") -
+        r.getAs[Double]("approx_cosine")) < 0.05, r.toString)
+    }
+  }
+
   test("lloydStep: non-finite vectors are excluded from counts and sums") {
     val seeds = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     // one clean vector per cell, plus a NaN and an Inf vector — without
