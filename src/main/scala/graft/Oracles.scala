@@ -1771,6 +1771,65 @@ object Oracles {
     * division + one subtraction — the only libm call, exp, is inside
     * the 4 dp-rounded score, q66's transcendental discipline).
     */
+  /** Shared WITH-body of the q95/q96 gates: the q87 exact-integer logit
+    * carried per (doc, source), pre-sigmoid double quality (NULL for
+    * empty docs → ranks last under NULLS LAST, never kept).
+    */
+  private val qualitySignalCte: String = s"""
+    t AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+      WHERE tok <> ''),
+    b AS (
+      SELECT doc_id,
+             mod(mod(${hash60("tok")}, 32) * 37, 21) - 10 AS w10
+      FROM t),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(w10) AS zn
+      FROM b GROUP BY 1),
+    sig AS (
+      SELECT d.doc_id, d.source,
+             coalesce(a.n_tokens, 0) AS n_tokens,
+             CASE WHEN coalesce(a.n_tokens, 0) > 0
+                  THEN CAST(a.zn AS DOUBLE) / (10.0 * a.n_tokens) - 0.2
+             END AS quality
+      FROM documents d LEFT JOIN agg a USING (doc_id))"""
+
+  /** Mirrors Queries.qualityPercentileGate: per-source rank by the
+    * exact quality key, integer cut rank·10 ≤ n·6.
+    */
+  val qualityPercentileGate: String = s"""
+    WITH $qualitySignalCte
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(quality, 6) + 0.0 AS quality,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(src_n AS BIGINT) AS src_n,
+           src_rank * 10 <= src_n * 6 AS kept
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality DESC NULLS LAST, doc_id ASC) AS src_rank,
+                 count(*) OVER (PARTITION BY source) AS src_n
+          FROM sig)
+    ORDER BY doc_id"""
+
+  /** Mirrors Queries.tokenBudgetMixture: best-first running token total
+    * per source, integer cut cum·10 ≤ total·4.
+    */
+  val tokenBudgetMixture: String = s"""
+    WITH $qualitySignalCte
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(src_tokens AS BIGINT) AS src_tokens,
+           cum_tokens * 10 <= src_tokens * 4 AS kept
+    FROM (SELECT *,
+                 sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY quality DESC NULLS LAST, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source) AS src_tokens
+          FROM sig)
+    ORDER BY doc_id"""
+
   val qualityModel: String = s"""
     WITH t AS (
       SELECT doc_id, tok
@@ -2085,5 +2144,7 @@ object Oracles {
     "q91_kmeans_train" -> kmeansTrainGate,
     "q92_incr_strip_spans" -> incrementalStripSpans,
     "q93_bpe_encode" -> bpeEncode,
-    "q94_ann_quantized" -> annQuantizedRescore)
+    "q94_ann_quantized" -> annQuantizedRescore,
+    "q95_quality_percentile" -> qualityPercentileGate,
+    "q96_token_budget" -> tokenBudgetMixture)
 }

@@ -2118,6 +2118,78 @@ object Queries {
     * Map-side partial agg collapses the token explode per partition;
     * one doc-keyed shuffle total.
     */
+  /** Shared per-doc quality signal for the q95/q96 curation gates: the
+    * q87 hashed-feature logit as an EXACT integer (zn) plus its
+    * pre-sigmoid double `quality` — one division + one subtraction from
+    * exact integers, so both engines order docs identically; NULL for
+    * empty docs (they rank last and never survive a gate).
+    */
+  private def qualitySignal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w10 = pmod(pmod(TextFunctions.stableHash60(col("tok")), lit(32)) * 37,
+      lit(21)) - 10
+    val agg = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), w10.as("w10"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w10")).as("zn"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("zn"))
+      .withColumn("quality", when(col("n_tokens") > 0,
+        col("zn").cast("double") / (lit(10.0) * col("n_tokens")) - 0.2))
+  }
+
+  /** q95: per-source quality-percentile gate — "keep the best 60% of
+    * every source", the FineWeb/CCNet-style per-domain filter that a
+    * global threshold cannot express (a weak source would survive
+    * whole, a strong one be decimated). Docs rank within their source
+    * by the exact-integer quality logit (ties to the smaller doc_id);
+    * the cut is the INTEGER comparison rank·10 ≤ n·6 — no float
+    * epsilon can move it. One source-keyed shuffle; everything else is
+    * window math inside it.
+    */
+  def qualityPercentileGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = qualitySignal(s, dir)
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+    val wSrc = Window.partitionBy(col("source"))
+    sig
+      .withColumn("src_rank", row_number().over(wRank).cast("long"))
+      .withColumn("src_n", count(lit(1)).over(wSrc))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (round(col("quality"), 6) + 0.0).as("quality"),
+        col("src_rank"), col("src_n"),
+        (col("src_rank") * 10 <= col("src_n") * 6).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q96: token-budget mixture sampling — fill each source's share of a
+    * training mix best-first until 40% of its tokens are spent: docs
+    * ordered by the q95 quality key, running token total ≤ 40% of the
+    * source total (again an integer comparison, cum·10 ≤ total·4).
+    * This is the data-mixing primitive behind "N billion tokens from
+    * each domain, best first". Same one source-keyed shuffle as q95.
+    */
+  def tokenBudgetMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = qualitySignal(s, dir)
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy(col("source"))
+    sig
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("src_tokens", sum(col("n_tokens")).over(wSrc))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("src_tokens"),
+        (col("cum_tokens") * 10 <= col("src_tokens") * 4).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   def qualityModel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val w10 = pmod(pmod(TextFunctions.stableHash60(col("tok")), lit(32)) * 37,

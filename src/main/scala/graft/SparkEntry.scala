@@ -116,7 +116,9 @@ object SparkEntry {
     "q91_kmeans_train" -> (Queries.kmeansTrainGate _),
     "q92_incr_strip_spans" -> (Queries.incrementalStripSpans _),
     "q93_bpe_encode" -> (Queries.bpeEncode _),
-    "q94_ann_quantized" -> (Queries.annQuantizedRescore _))
+    "q94_ann_quantized" -> (Queries.annQuantizedRescore _),
+    "q95_quality_percentile" -> (Queries.qualityPercentileGate _),
+    "q96_token_budget" -> (Queries.tokenBudgetMixture _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

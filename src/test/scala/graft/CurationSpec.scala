@@ -197,6 +197,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q95/q96 gates: integer cuts, best-first order, empty docs never kept") {
+    val p95 = Queries.qualityPercentileGate(spark, sf0001).collect()
+    assert(p95.nonEmpty)
+    p95.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val n = rows.head.getAs[Long]("src_n")
+      assert(rows.length.toLong == n)
+      // the kept set is exactly ranks 1..floor(0.6 n) — integer cut
+      val keptRanks = rows.filter(_.getAs[Boolean]("kept"))
+        .map(_.getAs[Long]("src_rank")).sorted.toSeq
+      assert(keptRanks == (1L to (n * 6 / 10)))
+    }
+    val p96 = Queries.tokenBudgetMixture(spark, sf0001).collect()
+    p96.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val total = rows.head.getAs[Long]("src_tokens")
+      // every kept doc's running total is within budget; the budget is
+      // spent best-first so kept rows form a prefix of the cum ordering
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.forall(_.getAs[Long]("cum_tokens") * 10 <= total * 4))
+      val maxKeptCum = kept.map(_.getAs[Long]("cum_tokens")).maxOption
+      rows.filterNot(_.getAs[Boolean]("kept")).foreach { r =>
+        maxKeptCum.foreach(m => assert(r.getAs[Long]("cum_tokens") > m))
+      }
+    }
+  }
+
   test("foldAdditive: an all-NULL additive group stays NULL, like the one-shot aggregate") {
     // SQL sum over an all-null group is NULL; a fold that substitutes the
     // typed zero for it would break the "state equals the one-shot
