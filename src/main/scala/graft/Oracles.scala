@@ -910,8 +910,11 @@ object Oracles {
     * star-contraction instead; see graft.operators.Cluster). Candidate
     * edges are q20's, verbatim.
     */
-  val dupClusters: String = s"""
-    WITH RECURSIVE $minhashCte,
+  /** Shared WITH-body (recursive) of the q52/q97 cluster oracles: LSH
+    * candidate pairs → transitive closure → per-doc min-label cluster
+    * assignment in `asg`.
+    */
+  private lazy val dupClusterCtes: String = s"""$minhashCte,
     banded AS (
       SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
       UNION ALL
@@ -932,10 +935,36 @@ object Oracles {
     asg AS (
       SELECT d.doc_id,
              coalesce(least(l.doc_id, l.mn), d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)"""
+
+  val dupClusters: String = s"""
+    WITH RECURSIVE $dupClusterCtes
     SELECT doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM asg
+    ORDER BY doc_id"""
+
+  /** Mirrors Queries.canonicalDocs: q52's clusters, then canonical
+    * election per cluster — the member from the most-trusted source
+    * (lowest numeric suffix), doc_id as the tie-break.
+    */
+  val canonicalDocs: String = s"""
+    WITH RECURSIVE $dupClusterCtes,
+    mem AS (
+      SELECT a.doc_id, a.cluster_id, d.source,
+             CAST(substr(d.source, 4) AS BIGINT) AS priority
+      FROM asg a JOIN documents d ON a.doc_id = d.doc_id)
+    SELECT doc_id, cluster_id, source,
+           priority,
+           first_value(doc_id) OVER (PARTITION BY cluster_id
+             ORDER BY priority ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS canonical_id,
+           doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+             ORDER BY priority ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS is_canonical
+    FROM mem
     ORDER BY doc_id"""
 
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
@@ -2146,5 +2175,6 @@ object Oracles {
     "q93_bpe_encode" -> bpeEncode,
     "q94_ann_quantized" -> annQuantizedRescore,
     "q95_quality_percentile" -> qualityPercentileGate,
-    "q96_token_budget" -> tokenBudgetMixture)
+    "q96_token_budget" -> tokenBudgetMixture,
+    "q97_canonical_docs" -> canonicalDocs)
 }

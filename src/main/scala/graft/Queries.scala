@@ -1121,6 +1121,36 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q97: canonical-document election — the policy step after q52's
+    * clustering: inside every duplicate cluster, keep the copy from the
+    * most-trusted source (here: the lowest numeric source suffix,
+    * doc_id as the tie-break) and mark the rest as its duplicates.
+    * This is how a pipeline prefers the curated copy of a page over its
+    * crawl mirror instead of electing an arbitrary cluster minimum.
+    * One window over the cluster assignment; the clustering itself is
+    * q52's O(log² n)-round star contraction.
+    */
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+    val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val mem = docs.select(col("doc_id"), col("source"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        col("source"),
+        expr("CAST(substring(source, 4) AS BIGINT)").as("priority"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mem.withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q53: train/eval decontamination — the eval split (stand-in: every
     * 97th document) is a small benchmark suite whose distinct word
     * 3-grams broadcast to probe the train side in one scan-side

@@ -118,7 +118,8 @@ object SparkEntry {
     "q93_bpe_encode" -> (Queries.bpeEncode _),
     "q94_ann_quantized" -> (Queries.annQuantizedRescore _),
     "q95_quality_percentile" -> (Queries.qualityPercentileGate _),
-    "q96_token_budget" -> (Queries.tokenBudgetMixture _))
+    "q96_token_budget" -> (Queries.tokenBudgetMixture _),
+    "q97_canonical_docs" -> (Queries.canonicalDocs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
