@@ -1819,18 +1819,32 @@ object Oracles {
     sig AS (
       SELECT d.doc_id, d.source,
              coalesce(a.n_tokens, 0) AS n_tokens,
+             a.zn,
              CASE WHEN coalesce(a.n_tokens, 0) > 0
                   THEN CAST(a.zn AS DOUBLE) / (10.0 * a.n_tokens) - 0.2
              END AS quality
       FROM documents d LEFT JOIN agg a USING (doc_id))"""
 
   /** Mirrors Queries.qualityPercentileGate: per-source rank by the
-    * exact quality key, integer cut rank·10 ≤ n·6.
+    * exact quality key, integer cut rank·10 ≤ n·6. The emitted 6-dp
+    * quality rounds in exact INTEGER space (half away from zero on the
+    * rational (zn−2n)/(10n)) — round(double, 6) diverged across
+    * engines on an exact half-boundary value at sf1.
     */
   val qualityPercentileGate: String = s"""
-    WITH $qualitySignalCte
+    WITH $qualitySignalCte,
+    sigq AS (
+      SELECT *,
+             CASE WHEN n_tokens > 0 THEN
+               CASE WHEN zn - 2 * n_tokens >= 0
+                 THEN ((zn - 2 * n_tokens) * 200000 + n_tokens)
+                      // (2 * n_tokens)
+                 ELSE -(((2 * n_tokens - zn) * 200000 + n_tokens)
+                      // (2 * n_tokens))
+               END END AS qe6
+      FROM sig)
     SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(quality, 6) + 0.0 AS quality,
+           CAST(qe6 AS DOUBLE) / 1000000.0 AS quality,
            CAST(src_rank AS BIGINT) AS src_rank,
            CAST(src_n AS BIGINT) AS src_n,
            src_rank * 10 <= src_n * 6 AS kept
@@ -1838,7 +1852,7 @@ object Oracles {
                  row_number() OVER (PARTITION BY source
                    ORDER BY quality DESC NULLS LAST, doc_id ASC) AS src_rank,
                  count(*) OVER (PARTITION BY source) AS src_n
-          FROM sig)
+          FROM sigq)
     ORDER BY doc_id"""
 
   /** Mirrors Queries.tokenBudgetMixture: best-first running token total

@@ -2187,11 +2187,23 @@ object Queries {
     val wRank = Window.partitionBy(col("source"))
       .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
     val wSrc = Window.partitionBy(col("source"))
+    // the EMITTED 6-dp quality is rounded in exact integer space:
+    // quality = (zn − 2n)/(10n) is a ratio of exact integers, so its
+    // 6-dp form is one integer division with half-away-from-zero —
+    // `round(double, 6)` instead diverged across engines on a value
+    // that landed exactly on the half boundary (-0.5046875 at sf1:
+    // Spark's BigDecimal HALF_UP on the binary double said …88,
+    // DuckDB said …87). Integer arithmetic cannot disagree.
+    val qe6 = expr("""CASE WHEN n_tokens > 0 THEN
+        CASE WHEN zn - 2 * n_tokens >= 0
+          THEN ((zn - 2 * n_tokens) * 200000 + n_tokens) DIV (2 * n_tokens)
+          ELSE -(((2 * n_tokens - zn) * 200000 + n_tokens) DIV (2 * n_tokens))
+        END END""")
     sig
       .withColumn("src_rank", row_number().over(wRank).cast("long"))
       .withColumn("src_n", count(lit(1)).over(wSrc))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        (round(col("quality"), 6) + 0.0).as("quality"),
+        (qe6.cast("double") / 1000000.0).as("quality"),
         col("src_rank"), col("src_n"),
         (col("src_rank") * 10 <= col("src_n") * 6).as("kept"))
       .orderBy(col("doc_id"))
