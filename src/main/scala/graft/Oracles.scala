@@ -967,6 +967,25 @@ object Oracles {
     FROM mem
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.heavyHitters: the sketch-then-verify output is
+    * byte-identical to the plain full-vocabulary count + threshold, so
+    * the oracle IS that plain form — the sketch may only change the
+    * exchange size, never the answer.
+    */
+  val heavyHitters: String = s"""
+    WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+    tk AS (SELECT tok FROM t WHERE tok <> ''),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS tf,
+           (SELECT n FROM tot) AS n_tokens,
+           CAST((CAST(count(*) AS BIGINT) * 100000) // (SELECT n FROM tot)
+             AS BIGINT) AS per_100k
+    FROM tk
+    GROUP BY tok
+    HAVING CAST(count(*) AS BIGINT) * 30 > (SELECT n FROM tot)
+    ORDER BY tf DESC, tok"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2190,5 +2209,6 @@ object Oracles {
     "q94_ann_quantized" -> annQuantizedRescore,
     "q95_quality_percentile" -> qualityPercentileGate,
     "q96_token_budget" -> tokenBudgetMixture,
-    "q97_canonical_docs" -> canonicalDocs)
+    "q97_canonical_docs" -> canonicalDocs,
+    "q98_heavy_hitters" -> heavyHitters)
 }

@@ -2291,6 +2291,17 @@ object Queries {
     threeBatchGramStoreGate(s, dir, "graft_q92_store")(
       Dedup.stripDupSpansIncrementalStaged(_, _, "text", "doc_id", k = 8))
 
+  /** q98: sketch-then-verify heavy hitters — every token holding more
+    * than 1/30 of the corpus token mass, exact counts. A Misra–Gries
+    * sketch (native typed-imperative aggregate, 64 counters) nominates
+    * candidates without ever shuffling the vocabulary; an exact recount
+    * of the ≤ 64 candidates verifies, so sketch internals cannot reach
+    * the gate. See [[graft.operators.HeavyHitters]].
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters
+      .tokenHeavyHitters(Tables.documents(s, dir), "text", phi = 30, k = 64)
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

@@ -119,7 +119,8 @@ object SparkEntry {
     "q94_ann_quantized" -> (Queries.annQuantizedRescore _),
     "q95_quality_percentile" -> (Queries.qualityPercentileGate _),
     "q96_token_budget" -> (Queries.tokenBudgetMixture _),
-    "q97_canonical_docs" -> (Queries.canonicalDocs _))
+    "q97_canonical_docs" -> (Queries.canonicalDocs _),
+    "q98_heavy_hitters" -> (Queries.heavyHitters _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
