@@ -986,6 +986,31 @@ object Oracles {
     HAVING CAST(count(*) AS BIGINT) * 30 > (SELECT n FROM tot)
     ORDER BY tf DESC, tok"""
 
+  /** Mirrors Queries.lmCoverage: top-400 trusted-source bigram model,
+    * occurrence coverage per doc, >= 50% keep via `covered * 2 >=
+    * n_bigrams`. sum() is CAST to BIGINT (DuckDB sums to HUGEINT — the
+    * q58 divergence class).
+    */
+  val lmCoverage: String = s"""
+    WITH bg AS (
+      SELECT doc_id, source, unnest($bigrams) AS bg FROM documents),
+    lm AS (
+      SELECT bg FROM bg WHERE CAST(substr(source, 4) AS BIGINT) < 5
+      GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 400),
+    sc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN bg IN (SELECT bg FROM lm) THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+      FROM bg GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN sc.n > 0 THEN (sc.c * 1000) // sc.n END AS coverage_pm,
+           coalesce(sc.c * 2 >= sc.n, FALSE) AS keep,
+           coalesce(sc.n, 0) AS n_bigrams,
+           coalesce(sc.c, 0) AS covered
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2210,5 +2235,6 @@ object Oracles {
     "q95_quality_percentile" -> qualityPercentileGate,
     "q96_token_budget" -> tokenBudgetMixture,
     "q97_canonical_docs" -> canonicalDocs,
-    "q98_heavy_hitters" -> heavyHitters)
+    "q98_heavy_hitters" -> heavyHitters,
+    "q99_lm_coverage" -> lmCoverage)
 }

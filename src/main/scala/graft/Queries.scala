@@ -2302,6 +2302,43 @@ object Queries {
     graft.operators.HeavyHitters
       .tokenHeavyHitters(Tables.documents(s, dir), "text", phi = 30, k = 64)
 
+  /** q99: reference-LM bigram-coverage quality gate — the integerized
+    * CCNet/KenLM shape: a bounded reference model (top-400 bigrams by
+    * occurrence count over the TRUSTED sources, suffix < 5 as in q97's
+    * trust order) scores every doc by the fraction of its bigram
+    * occurrences the model covers; keep at >= 50% via the pure-integer
+    * comparison `covered * 2 >= n_bigrams` so no float epsilon moves
+    * the boundary. Scale shape: the model is a TakeOrderedAndProject
+    * over the (vocabulary²-bounded) trusted bigram counts, broadcast to
+    * a map-side probe of the corpus bigram stream; the only corpus-sized
+    * shuffle is the final doc-keyed count.
+    */
+  def lmCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"), col("source"),
+      explode(TextFunctions.wordNgrams(col("text"), 2)).as("bg"))
+    val lm = bg
+      .filter(substring(col("source"), 4, 10).cast("long") < 5)
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg")).limit(400)
+      .select(col("bg"), lit(1L).as("hit"))
+    val scored = bg
+      .join(broadcast(lm), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("covered"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_bigrams") > 0,
+          expr("(covered * 1000) div n_bigrams")).as("coverage_pm"),
+        coalesce(col("covered") * 2 >= col("n_bigrams"), lit(false))
+          .as("keep"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

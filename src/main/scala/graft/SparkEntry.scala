@@ -120,7 +120,8 @@ object SparkEntry {
     "q95_quality_percentile" -> (Queries.qualityPercentileGate _),
     "q96_token_budget" -> (Queries.tokenBudgetMixture _),
     "q97_canonical_docs" -> (Queries.canonicalDocs _),
-    "q98_heavy_hitters" -> (Queries.heavyHitters _))
+    "q98_heavy_hitters" -> (Queries.heavyHitters _),
+    "q99_lm_coverage" -> (Queries.lmCoverage _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -450,4 +450,29 @@ class CurationSpec extends SparkSpec {
       .toMap
     assert(ko == Map(1L -> "delete", 3L -> "insert"))
   }
+
+  test("lmCoverage: trusted-source bigram model scores occurrence coverage") {
+    // trusted (src0) text yields LM = {"a b", "b a"}; coverage is then
+    // hand-computable per doc, including the bigram-less single-token doc
+    val dir = tmpDir("graft_lmcov")
+    Seq(
+      (1L, "a b a b a", "en", "src0", 9L),
+      (2L, "a b c", "en", "src7", 5L),
+      (3L, "c d e", "en", "src9", 5L),
+      (4L, "x", "en", "src8", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.lmCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      // doc 1: 4/4 covered; doc 2: "a b" hit, "b c" miss -> 500 pm, keep
+      // at exactly 50%; doc 3: 0/2; doc 4: no bigrams -> NULL pm, drop
+      (1L, 1000L, true, 4L, 4L),
+      (2L, 500L, true, 2L, 1L),
+      (3L, 0L, false, 2L, 0L),
+      (4L, -1L, false, 0L, 0L)))
+  }
 }
