@@ -1011,6 +1011,28 @@ object Oracles {
     FROM documents d LEFT JOIN sc USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.semanticDecon: eval = vec_id % 19 == 3; per corpus
+    * vector the max 6-dp-rounded cosine against the whole eval set plus
+    * the count of eval vectors at or above tau = 0.35. The broadcast
+    * fold must equal this plain cross-join recomputation.
+    */
+  val semanticDecon: String = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT v FROM v WHERE vec_id % 19 = 3),
+    c AS (SELECT vec_id, v FROM v WHERE vec_id % 19 <> 3),
+    m AS (
+      SELECT c.vec_id,
+             max(round(list_cosine_similarity(c.v, e.v), 6)) AS mx,
+             CAST(sum(CASE WHEN round(list_cosine_similarity(c.v, e.v), 6)
+                             >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM c CROSS JOIN e GROUP BY c.vec_id)
+    SELECT c.vec_id, m.mx AS max_cos,
+           coalesce(m.hits, 0) AS n_hits,
+           coalesce(m.hits, 0) > 0 AS contaminated
+    FROM c LEFT JOIN m USING (vec_id)
+    ORDER BY vec_id"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2236,5 +2258,6 @@ object Oracles {
     "q96_token_budget" -> tokenBudgetMixture,
     "q97_canonical_docs" -> canonicalDocs,
     "q98_heavy_hitters" -> heavyHitters,
-    "q99_lm_coverage" -> lmCoverage)
+    "q99_lm_coverage" -> lmCoverage,
+    "q100_semantic_decon" -> semanticDecon)
 }

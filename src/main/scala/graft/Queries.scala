@@ -2339,6 +2339,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q100: semantic decontamination — the embedding-space sibling of
+    * q53: the eval suite (vec_id % 19 == 3, ~5% of the table) is
+    * collected into one broadcast array row and every corpus vector is
+    * scored map-only against it (max cosine + hit count at tau = 0.35,
+    * 6-dp-rounded pre-threshold). See
+    * [[graft.operators.Dedup.semanticDecontaminate]].
+    */
+  def semanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Dedup.semanticDecontaminate(
+      emb.filter(pmod(col("vec_id"), lit(19)) =!= 3),
+      emb.filter(pmod(col("vec_id"), lit(19)) === 3),
+      "vec_id", "embedding", tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

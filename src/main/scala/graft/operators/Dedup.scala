@@ -1480,4 +1480,56 @@ object Dedup {
       .distinct()
     cells.drop("v", "__finite").join(dominated, Seq(idCol), "left_anti")
   }
+
+  /** Semantic DECONTAMINATION — the embedding-space sibling of the n-gram
+    * [[decontaminate]]: flag every corpus vector whose cosine similarity
+    * to ANY eval-suite vector reaches `tau`. Eval suites are bounded
+    * (they are benchmarks, not corpora), so the whole eval set rides as
+    * ONE collected array row broadcast to every task, and the scan is
+    * MAP-ONLY: per corpus vector one `aggregate` fold over the eval
+    * array computes (max cosine, hit count) — no join, no shuffle, no
+    * per-pair row explosion. Per-element cosines are 6-dp-rounded BEFORE
+    * the max/threshold (the cross-engine ulp discipline every cosine
+    * gate in this family uses). Non-finite vectors on either side are
+    * barred the same way [[semanticDedup]] bars them: a NaN cosine
+    * orders above every double in Spark, so an unguarded fold would let
+    * one poisoned eval vector contaminate the entire corpus.
+    *
+    * Output: `(idCol, max_cos, n_hits, contaminated)` — one row per
+    * corpus vector; `max_cos` NULL when the eval set is empty (nothing
+    * to be similar to), `contaminated = n_hits > 0`.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double): DataFrame = {
+    val none = lit(-2.0) // below any true cosine; NULL-ed out at the end
+    val evRow = eval
+      .filter(VectorFunctions.isFiniteVec(
+        VectorFunctions.asDouble(col(vecCol))))
+      .agg(collect_list(VectorFunctions.asDouble(col(vecCol))).as("ev"))
+    val scanned = Similarity.spread(
+      corpus.withColumn("v", VectorFunctions.asDouble(col(vecCol))))
+      .withColumn("__finite", VectorFunctions.isFiniteVec(col("v")))
+      .crossJoin(broadcast(evRow))
+    val folded = aggregate(
+      col("ev"),
+      struct(none.as("mx"), lit(0L).as("hits")),
+      (acc, e) => {
+        val c = round(VectorFunctions.cosine(col("v"), e), 6)
+        val safe = when(col("__finite") && !isnan(c), c).otherwise(none)
+        struct(
+          greatest(acc.getField("mx"), safe).as("mx"),
+          (acc.getField("hits") +
+            when(safe >= tau, 1L).otherwise(0L)).as("hits"))
+      })
+    scanned
+      .select(col(idCol), folded.as("f"))
+      .select(col(idCol),
+        when(col("f.mx") > none, col("f.mx")).as("max_cos"),
+        col("f.hits").as("n_hits"),
+        (col("f.hits") > 0).as("contaminated"))
+  }
 }

@@ -180,6 +180,42 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(0L, 1L, 9L))
   }
 
+  test("semanticDecontaminate: max/hit fold, NaN guard, empty eval set") {
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0.0f)),       // cos 1.0 to eval 100, 0.0 to 101
+      (2L, Seq(1.0f, 1.0f)),       // cos ~0.707107 to both
+      (3L, Seq(-1.0f, 0.0f)),      // cos -1 and 0 → max 0.0, no hit
+      (4L, Seq(Float.NaN, 1.0f))   // poisoned → NULL max, no hit
+    ).toDF("vec_id", "embedding")
+    val got = Dedup
+      .semanticDecontaminate(corpus, eval, "vec_id", "embedding", 0.7)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1.0, 1L, true),
+      (2L, 0.707107, 2L, true),
+      (3L, 0.0, 0L, false),
+      (4L, null, 0L, false)))
+    // a poisoned EVAL vector must not contaminate anyone either
+    val evalNaN = Seq((200L, Seq(Float.NaN, 0.0f))).toDF("vec_id", "embedding")
+    val gotNaN = Dedup
+      .semanticDecontaminate(corpus.filter($"vec_id" === 1L), evalNaN,
+        "vec_id", "embedding", 0.7)
+      .collect().map(r => (r.isNullAt(1), r.getLong(2))).toSeq
+    assert(gotNaN == Seq((true, 0L)))
+    // empty eval: nothing to be similar to — NULL max, zero hits
+    val gotEmpty = Dedup
+      .semanticDecontaminate(corpus, eval.limit(0), "vec_id", "embedding", 0.7)
+      .collect().map(r => (r.isNullAt(1), r.getLong(2), r.getBoolean(3)))
+    assert(gotEmpty.forall(_ == ((true, 0L, false))))
+  }
+
   test("embedding near-dups default plan is an equi-join, never a cross product") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
