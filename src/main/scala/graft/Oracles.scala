@@ -1033,6 +1033,43 @@ object Oracles {
     FROM c LEFT JOIN m USING (vec_id)
     ORDER BY vec_id"""
 
+  /** Mirrors Queries.bm25WithDeletes: BM25 rebuilt one-shot over the
+    * SURVIVORS (doc_id % 7 <> 0) — the index-side CTEs carry the delete
+    * filter, the query set does not (a deleted doc's text still
+    * queries). Tombstone segments must be invisible.
+    */
+  val bm25WithDeletes: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    tfg AS (
+      SELECT tok, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t WHERE doc_id % 7 <> 0)
+      WHERE tok <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tfg GROUP BY 1),
+    st AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+    dfreq AS (SELECT tok, count(*) AS df FROM tfg GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, tok
+      FROM (SELECT doc_id, unnest(tk[1:8]) AS tok FROM t WHERE doc_id < 5)
+      WHERE tok <> ''),
+    m AS (
+      SELECT qt.query_id, g.doc_id,
+             ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
+             (g.tf * (1.2 + 1)) /
+             (g.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / st.avgdl)) AS part
+      FROM qt
+      JOIN tfg g USING (tok)
+      JOIN dfreq d ON qt.tok = d.tok
+      JOIN dl l ON g.doc_id = l.doc_id, st),
+    agg AS (
+      SELECT query_id, doc_id, round(sum(part), 4) AS score
+      FROM m GROUP BY 1, 2)
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+          FROM agg)
+    WHERE rk <= 5
+    ORDER BY query_id, rk"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2259,5 +2296,6 @@ object Oracles {
     "q97_canonical_docs" -> canonicalDocs,
     "q98_heavy_hitters" -> heavyHitters,
     "q99_lm_coverage" -> lmCoverage,
-    "q100_semantic_decon" -> semanticDecon)
+    "q100_semantic_decon" -> semanticDecon,
+    "q101_bm25_deletes" -> bm25WithDeletes)
 }

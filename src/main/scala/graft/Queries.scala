@@ -2355,6 +2355,41 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** q101: BM25 over an index with DELETES — q80's two appended segment
+    * batches, then every `doc_id % 7 == 0` tombstoned
+    * ([[graft.operators.Retrieval.appendTombstones]]); scoring runs over
+    * the live postings with N/avgdl/df recomputed from the live view.
+    * The oracle builds BM25 one-shot over the SURVIVING docs only —
+    * tombstone segments and the subtraction must be invisible. Queries
+    * still come from the full corpus (a deleted doc's text remains a
+    * perfectly good query; it just can no longer be a RESULT).
+    */
+  def bm25WithDeletes(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_post_del").toString
+    try {
+      val docs = Tables.documents(s, dir)
+      val mid = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+      Retrieval.appendPostings(docs.filter(col("doc_id") <= mid), idxDir, "text", "doc_id")
+      Retrieval.appendPostings(docs.filter(col("doc_id") > mid), idxDir, "text", "doc_id")
+      Retrieval.appendTombstones(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")),
+        "doc_id", idxDir)
+      val post = Retrieval.loadLivePostings(s, idxDir)
+      val dls = post.select(col("doc_id"), col("dl")).distinct()
+      val stat = dls.agg(count(lit(1)).as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl")).first()
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ").as("qtext"))
+      Retrieval.bm25TopK(post, Retrieval.docFrequencies(post), queries,
+          stat.getLong(0), stat.getDouble(1), k = 5)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, idxDir)
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

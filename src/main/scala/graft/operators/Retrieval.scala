@@ -164,6 +164,46 @@ object Retrieval {
       .write.mode("overwrite").parquet(f"$dir/seg_$nextIdx%05d")
   }
 
+  /** Delete support: document tombstones land as immutable
+    * `_SUCCESS`-gated `del_NNNNN` segments beside the postings segments
+    * — deleting from an immutable-segment index never rewrites a
+    * segment. Semantics are a SET SUBTRACTION: [[loadLivePostings]] is
+    * the postings union minus every tombstoned doc, so re-deleting is
+    * idempotent, deleting an absent id is a no-op, and because the
+    * ingest contract never reuses a doc id, "delete as of now" and
+    * "delete forever" coincide. df/N/avgdl need no delta bookkeeping:
+    * they are recomputed off the LIVE postings at query time, where the
+    * df aggregation is vocabulary-bounded and N/avgdl are one distinct
+    * doc-length scan — exactly the stats path the append-only q80 gate
+    * already pays. Tombstone sets are small relative to the corpus
+    * (deletes are takedowns/redactions, not churn), so the subtraction
+    * is a broadcast anti-join: map-only against the postings scan.
+    */
+  def appendTombstones(deletedIds: DataFrame, idCol: String, dir: String): Unit = {
+    val s = deletedIds.sparkSession
+    val nextIdx = segments(s, dir, "del_")
+      .map(p => p.substring(p.lastIndexOf("del_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    deletedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(f"$dir/del_$nextIdx%05d")
+  }
+
+  /** All tombstoned doc ids (distinct across delete segments). */
+  def loadTombstones(s: SparkSession, dir: String): DataFrame = {
+    val segs = segments(s, dir, "del_")
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+    else s.read.parquet(segs: _*).select(col("doc_id")).distinct()
+  }
+
+  /** The index with deletes applied: postings minus tombstoned docs. */
+  def loadLivePostings(s: SparkSession, dir: String): DataFrame =
+    loadPostings(s, dir)
+      .join(broadcast(loadTombstones(s, dir)), Seq("doc_id"), "left_anti")
+
   private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("tok",
       org.apache.spark.sql.types.StringType),
@@ -174,12 +214,15 @@ object Retrieval {
     org.apache.spark.sql.types.StructField("dl",
       org.apache.spark.sql.types.LongType)))
 
-  def postingsSegments(s: SparkSession, dir: String): Seq[String] = {
+  def postingsSegments(s: SparkSession, dir: String): Seq[String] =
+    segments(s, dir, "seg_")
+
+  private def segments(s: SparkSession, dir: String, prefix: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
       .sorted

@@ -116,6 +116,44 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tombstones: live postings equal a rebuild over survivors; idempotent") {
+    val dir = tmpDir("graft_postings_del")
+    Retrieval.appendPostings(docs.filter($"doc_id" <= 2), dir, "text", "doc_id")
+    Retrieval.appendPostings(docs.filter($"doc_id" > 2), dir, "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("tok", "doc_id", "tf", "dl")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // no tombstones yet: live == full
+    assert(rows(Retrieval.loadLivePostings(spark, dir)) ==
+      rows(Retrieval.loadPostings(spark, dir)))
+    // delete docs 2 and 4 (plus an id the index never held — no-op)
+    Retrieval.appendTombstones(
+      Seq(2L, 4L, 999L).toDF("doc_id"), "doc_id", dir)
+    val want = rows(Retrieval.postings(
+      docs.filter($"doc_id" =!= 2 && $"doc_id" =!= 4), "text", "doc_id"))
+    assert(rows(Retrieval.loadLivePostings(spark, dir)) == want)
+    // re-delete: a second tombstone segment for an already-dead doc
+    // changes nothing (set subtraction is idempotent)
+    Retrieval.appendTombstones(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    assert(rows(Retrieval.loadLivePostings(spark, dir)) == want)
+    // df over the live view equals the survivor rebuild's df
+    val dfLive = Retrieval.docFrequencies(Retrieval.loadLivePostings(spark, dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfWant = Retrieval.docFrequencies(Retrieval.postings(
+      docs.filter($"doc_id" =!= 2 && $"doc_id" =!= 4), "text", "doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfLive == dfWant)
+    // a crashed (uncommitted) delete segment is invisible
+    val partial = java.nio.file.Paths.get(dir, "del_00002")
+    java.nio.file.Files.createDirectories(partial)
+    assert(rows(Retrieval.loadLivePostings(spark, dir)) == want)
+    // the subtraction is a broadcast anti-join: no index-side exchange
+    val plan = Retrieval.loadLivePostings(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
   test("saved index: tok-bucketed probes are bucket-pruned, no index-side exchange") {
     val (pt, dt) = Retrieval.saveIndex(spark,
       Retrieval.postings(docs, "text", "doc_id"), buckets = 4, "graft_rspec")
