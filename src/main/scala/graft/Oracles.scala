@@ -1070,6 +1070,27 @@ object Oracles {
     WHERE rk <= 5
     ORDER BY query_id, rk"""
 
+  /** Mirrors Queries.streamingTokenBudget: one windowed pass in doc_id
+    * order per source (batch boundaries are id-ranges, so global doc_id
+    * order IS arrival order); the meter counts every arrived token and
+    * a doc is admitted iff the meter had room when it arrived.
+    */
+  val streamingTokenBudget: String = s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter($toks, x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM t)
+    SELECT doc_id, source, n_tokens, cum_before,
+           cum_before < 800 AS admitted
+    FROM c ORDER BY doc_id"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2297,5 +2318,6 @@ object Oracles {
     "q98_heavy_hitters" -> heavyHitters,
     "q99_lm_coverage" -> lmCoverage,
     "q100_semantic_decon" -> semanticDecon,
-    "q101_bm25_deletes" -> bm25WithDeletes)
+    "q101_bm25_deletes" -> bm25WithDeletes,
+    "q102_stream_token_budget" -> streamingTokenBudget)
 }

@@ -2390,6 +2390,36 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, idxDir)
   }
 
+  /** q102: streaming token-budget admission — three sequential ingest
+    * batches (doc_id thirds) through the persisted per-source meter
+    * ([[graft.streaming.BudgetStream.admitStaged]], budget 800 tokens
+    * per source), with batch 1 REPLAYED mid-sequence to prove the
+    * batch-id-keyed meter segments make recomputation idempotent. The
+    * oracle replays the whole sequence as one source-keyed window pass
+    * in (doc_id) order — segments, the replay, and the meter store must
+    * all be invisible.
+    */
+  def streamingTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_budget_gate").toString
+    try {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      def run(pred: Column, id: Long) = graft.streaming.BudgetStream
+        .admitStaged(docs.filter(pred), stateDir, "text", "doc_id", "source",
+          budget = 800L, batchId = id)
+      val r0 = run(col("doc_id") <= t1, 0L).localCheckpoint(true)
+      run(col("doc_id") > t1 && col("doc_id") <= t2, 1L).localCheckpoint(true)
+      val r1 = run(col("doc_id") > t1 && col("doc_id") <= t2, 1L)
+        .localCheckpoint(true)
+      val r2 = run(col("doc_id") > t2, 2L).localCheckpoint(true)
+      r0.unionByName(r1).unionByName(r2).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, stateDir)
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

@@ -123,7 +123,8 @@ object SparkEntry {
     "q98_heavy_hitters" -> (Queries.heavyHitters _),
     "q99_lm_coverage" -> (Queries.lmCoverage _),
     "q100_semantic_decon" -> (Queries.semanticDecon _),
-    "q101_bm25_deletes" -> (Queries.bm25WithDeletes _))
+    "q101_bm25_deletes" -> (Queries.bm25WithDeletes _),
+    "q102_stream_token_budget" -> (Queries.streamingTokenBudget _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions
+
+/** Streaming token-budget admission — q96's mixture quota run as an
+  * INGEST policy instead of a ranking pass: documents arrive in order,
+  * each source owns a token budget, and a doc is admitted iff its
+  * source's meter has not yet filled when it arrives (`cum_before <
+  * budget`; the meter counts every ARRIVED token, so the cutoff is a
+  * pure prefix of the stream and replay-stable — a best-first policy is
+  * the batch operator's job, not the stream's).
+  *
+  * Two implementations sharing the semantics:
+  *  - [[admitStaged]]: the foreachBatch/sequential-ingest core with a
+  *    PERSISTED per-source meter — state is (source, arrived_tokens)
+  *    per batch, landed as immutable batch-id-keyed segments (the
+  *    store-family protocol: `_SUCCESS`-gated, a replay overwrites its
+  *    OWN segment and reads only strictly-older ones, so recomputing a
+  *    batch is idempotent). The meter frame is |sources|-sized — it
+  *    broadcasts; the only batch-sized work is one source-keyed window.
+  *  - [[admissions]]: the live Structured-Streaming twin via
+  *    flatMapGroupsWithState (state per source = one Long), for
+  *    unbounded streams where micro-batch boundaries are not known in
+  *    advance. Within a micro-batch each group is folded in doc_id
+  *    order so both paths agree batch-for-batch.
+  *
+  * At 100 TB: state is bounded by |sources|, admission is map-side
+  * except the per-source ordered window within one batch, and the
+  * emitted decision stream is itself an auditable table (why was this
+  * doc dropped? — `cum_before` says).
+  */
+object BudgetStream {
+
+  final case class Arrival(doc_id: Long, source: String, n_tokens: Long)
+  final case class Admission(
+      doc_id: Long, source: String, n_tokens: Long,
+      cum_before: Long, admitted: Boolean)
+
+  /** Live stateful variant: one meter Long per source. */
+  def admissions(arrivals: Dataset[Arrival], budget: Long): Dataset[Admission] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[Arrival], state: GroupState[Long]) =>
+          var spent = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { a =>
+            val adm = Admission(a.doc_id, src, a.n_tokens, spent, spent < budget)
+            spent += a.n_tokens
+            adm
+          }
+          state.update(spent)
+          out.iterator
+      }
+  }
+
+  /** Sequential-ingest core: admit `batch` against the persisted meter,
+    * then land this batch's per-source arrivals as segment `batchId`.
+    * Reads only segments with id < `batchId`, so a replay of batch k
+    * (same data, same id) reproduces its decisions exactly.
+    */
+  def admitStaged(
+      batch: DataFrame,
+      stateDir: String,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      budget: Long,
+      batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    val nTok = size(filter(TextFunctions.tokens(col(textCol)),
+      t => t =!= "")).cast("long")
+    val arr = batch.select(col(idCol), col(srcCol),
+      nTok.as("n_tokens"))
+    val prior = loadSpent(s, stateDir, batchId, srcCol)
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val decided = arr
+      .join(broadcast(prior), Seq(srcCol), "left")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          coalesce(col("__spent"), lit(0L)))
+      .select(col(idCol), col(srcCol), col("n_tokens"),
+        col("cum_before"), (col("cum_before") < budget).as("admitted"))
+    // meter update: every arrived token counts, admitted or not
+    arr.groupBy(col(srcCol)).agg(sum(col("n_tokens")).as("__spent"))
+      .write.mode("overwrite").parquet(segPath(stateDir, batchId))
+    decided
+  }
+
+  /** foreachBatch adapter: decisions land in `outDir/batch=<id>/`,
+    * overwrite mode, so a replayed epoch rewrites only itself.
+    */
+  def sink(
+      stateDir: String, outDir: String,
+      textCol: String, idCol: String, srcCol: String,
+      budget: Long): (DataFrame, Long) => Unit = (batch, id) =>
+    admitStaged(batch, stateDir, textCol, idCol, srcCol, budget, id)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+
+  private def segPath(dir: String, id: Long) = f"$dir/m_$id%05d"
+
+  /** Per-source meter from every committed segment STRICTLY before
+    * `beforeId` (pass Long.MaxValue for "all of them").
+    */
+  def loadSpent(
+      s: SparkSession, dir: String, beforeId: Long,
+      srcCol: String = "source"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("m_"))
+        .filter(st => st.getPath.getName.stripPrefix("m_").toLong < beforeId)
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(srcCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__spent",
+            org.apache.spark.sql.types.LongType))))
+    else s.read.parquet(segs: _*)
+      .groupBy(col(srcCol)).agg(sum(col("__spent")).as("__spent"))
+  }
+}
