@@ -1091,6 +1091,50 @@ object Oracles {
            cum_before < 800 AS admitted
     FROM c ORDER BY doc_id"""
 
+  /** Mirrors Queries.stratifiedSample: per-source row_number over the
+    * salted stable hash (tie-break doc_id), keep rank <= 12.
+    */
+  val stratifiedSample: String = s"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY ${hash60("concat(CAST(doc_id AS VARCHAR), ':graft')")},
+                        doc_id) AS BIGINT) AS rk
+      FROM documents)
+    SELECT doc_id, source, rk FROM r
+    WHERE rk <= 12
+    ORDER BY source, rk"""
+
+  /** Mirrors Queries.curriculumOrder: per-source quality rank (q87's
+    * integer logit, ties by doc_id), then the closed-form interleave
+    * position recomputed via scalar subqueries over the per-source
+    * counts — the arithmetic the engine does in a broadcast fold.
+    */
+  val curriculumOrder: String = s"""
+    WITH t AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+      WHERE tok <> ''),
+    b AS (
+      SELECT doc_id,
+             mod(mod(${hash60("tok")}, 32) * 37, 21) - 10 AS w10
+      FROM t),
+    agg AS (SELECT doc_id, CAST(sum(w10) AS BIGINT) AS zn FROM b GROUP BY 1),
+    r AS (
+      SELECT d.doc_id, d.source,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY coalesce(a.zn, 0) DESC, d.doc_id) AS BIGINT) AS ord
+      FROM documents d LEFT JOIN agg a USING (doc_id)),
+    c AS (
+      SELECT source AS s, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1)
+    SELECT r.doc_id, r.source, r.ord,
+           CAST((SELECT sum(least(c.c, r.ord - 1)) FROM c) +
+                (SELECT count(*) FROM c WHERE c.s < r.source
+                   AND c.c >= r.ord) + 1 AS BIGINT) AS global_pos
+    FROM r
+    ORDER BY global_pos"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2319,5 +2363,7 @@ object Oracles {
     "q99_lm_coverage" -> lmCoverage,
     "q100_semantic_decon" -> semanticDecon,
     "q101_bm25_deletes" -> bm25WithDeletes,
-    "q102_stream_token_budget" -> streamingTokenBudget)
+    "q102_stream_token_budget" -> streamingTokenBudget,
+    "q103_stratified_sample" -> stratifiedSample,
+    "q104_curriculum_order" -> curriculumOrder)
 }

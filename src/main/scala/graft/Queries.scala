@@ -2420,6 +2420,63 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, stateDir)
   }
 
+  /** q103: exact-count stratified sample — the 12 smallest-hash docs of
+    * every source ([[graft.operators.Sampling.stratifiedTopK]]): the
+    * deterministic per-group reservoir. The `row_number <= k` window
+    * runs as a WindowGroupLimit (map-side per-group truncation before
+    * the exchange — spec-asserted), so the shuffle never carries a
+    * whole group.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedTopK(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), k = 12)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  /** q104: curriculum interleave — the global training order a
+    * quality-first, source-balanced curriculum reads the corpus in:
+    * round r takes each source's r-th best doc (q87's exact-integer
+    * logit, ties by doc_id), sources in name order; exhausted sources
+    * drop out. The novelty is HOW `global_pos` is produced: NOT a
+    * global sort — it is arithmetic. With per-source doc counts as one
+    * broadcast array row, a doc at (source s, in-source rank o) sits at
+    * `Σ_s' min(cnt_s', o-1)` (everything emitted in earlier rounds)
+    * `+ |{s' < s : cnt_s' >= o}|` (earlier sources in its own round)
+    * `+ 1` — a map-side fold over ≤ |sources| elements, so the engine
+    * computes a TOTAL order over the corpus with per-source windows as
+    * the only shuffle. (The gate's final ORDER BY is just the dump
+    * determinism every gate row carries.)
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w10 = pmod(pmod(TextFunctions.stableHash60(col("tok")), lit(32)) * 37,
+      lit(21)) - 10
+    val zn = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), w10.as("w10"))
+      .groupBy(col("doc_id")).agg(sum(col("w10")).as("zn"))
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .join(zn, Seq("doc_id"), "left")
+      .withColumn("zn", coalesce(col("zn"), lit(0L)))
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("zn").desc, col("doc_id"))).cast("long"))
+    val cntRow = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct(col("source").as("s"), col("c"))).as("cs"))
+    ranked.crossJoin(broadcast(cntRow))
+      .select(col("doc_id"), col("source"), col("ord"),
+        (aggregate(col("cs"), lit(0L), (a, e) =>
+          a + least(e.getField("c"), col("ord") - 1) +
+            when(e.getField("s") < col("source") &&
+              e.getField("c") >= col("ord"), 1L).otherwise(0L))
+          + 1L).as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

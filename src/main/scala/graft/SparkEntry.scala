@@ -124,7 +124,9 @@ object SparkEntry {
     "q99_lm_coverage" -> (Queries.lmCoverage _),
     "q100_semantic_decon" -> (Queries.semanticDecon _),
     "q101_bm25_deletes" -> (Queries.bm25WithDeletes _),
-    "q102_stream_token_budget" -> (Queries.streamingTokenBudget _))
+    "q102_stream_token_budget" -> (Queries.streamingTokenBudget _),
+    "q103_stratified_sample" -> (Queries.stratifiedSample _),
+    "q104_curriculum_order" -> (Queries.curriculumOrder _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

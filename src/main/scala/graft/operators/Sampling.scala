@@ -33,4 +33,31 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, perMillion: Column,
       salt: String = "graft"): DataFrame =
     df.filter(sampleBucket(key, salt) < perMillion)
+
+  /** EXACT-COUNT stratified sample: the k rows per group with the
+    * smallest stable key hashes (tie-broken by key) — the deterministic
+    * replacement for per-group reservoir sampling. Rate-based
+    * [[hashSample]] gives each group a binomial-sized cut; this gives
+    * exactly `min(k, |group|)` rows, reproducibly, which is what
+    * fixed-size per-source eval/holdout sets need.
+    *
+    * Scale shape: the `row_number <= k` window is rewritten by Spark
+    * into a WindowGroupLimit — every map partition pre-truncates each
+    * group to its top k BEFORE the exchange, so the shuffle carries at
+    * most k × parts rows per group, never the group. (Spec-asserted on
+    * the physical plan.)
+    */
+  def stratifiedTopK(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    val h = TextFunctions.stableHash60(
+      concat(key.cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(h.asc, key.asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -14,9 +14,15 @@ class PlanDisciplineSpec extends SparkSpec {
   // frame via crossJoin(broadcast(_)) — a single-build-row broadcast NLJ,
   // the same plan a scalar subquery gets; q94's quantized candidate scan
   // is q23's broadcast shape (the whole point: the corpus streams past
-  // the broadcast queries once, reading int8 codes).
+  // the broadcast queries once, reading int8 codes); q100 attaches the
+  // ONE-ROW collected eval-suite array to every corpus row via
+  // crossJoin(broadcast(_)) — the q27 single-build-row shape, scored by
+  // a map-side fold instead of a join condition; q104 attaches the
+  // ONE-ROW per-source-counts array the same way (its global positions
+  // are arithmetic over that row — the alternative is a global sort).
   private val nljAllowed =
-    Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized")
+    Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized",
+      "q100_semantic_decon", "q104_curriculum_order")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.

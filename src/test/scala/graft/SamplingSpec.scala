@@ -31,4 +31,51 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.subsetOf(a))
     assert(ids(Sampling.hashSample(ev, col("event_id"), lit(1000000L))).size == n.toLong)
   }
+
+  test("stratifiedTopK: exactly min(k, |group|) rows, stable under partitioning") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val got = Sampling.stratifiedTopK(df, col("id"), col("g"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.groupBy(_._2).forall(_._2.length == 5))
+    // a group smaller than k yields the whole group
+    val small = Sampling.stratifiedTopK(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "g"),
+      col("id"), col("g"), k = 5)
+    assert(small.count() == 3)
+    // membership is a function of (key, salt) alone — not of layout
+    val re = Sampling.stratifiedTopK(df.repartition(7), col("id"), col("g"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == re.toSet)
+    // the rank window runs as a WindowGroupLimit: map-side per-group
+    // truncation before the exchange
+    val plan = Sampling.stratifiedTopK(df, col("id"), col("g"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("curriculumOrder: global_pos is a bijection matching a driver replay") {
+    import spark.implicits._
+    val dir = tmpDir("graft_curr")
+    // uneven sources: a=4 docs, b=2, c=1 — rounds 3 and 4 lose sources
+    Seq(
+      (1L, "a b c", "en", "srcA", 5L), (2L, "d", "en", "srcA", 1L),
+      (3L, "e f", "en", "srcA", 3L), (4L, "g", "en", "srcA", 1L),
+      (5L, "h h h", "en", "srcB", 5L), (6L, "i", "en", "srcB", 1L),
+      (7L, "j j", "en", "srcC", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.curriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions are exactly 1..N
+    assert(got.map(_._4).sorted.toSeq == (1L to 7L).toSeq)
+    // driver replay: sort each source by (ord), emit round-robin in
+    // source order, skipping exhausted sources
+    val bySrc = got.groupBy(_._2).view
+      .mapValues(_.sortBy(_._3).map(_._1).toVector).toMap
+    val maxOrd = bySrc.values.map(_.length).max
+    val want = (1 to maxOrd).flatMap(o =>
+      bySrc.keys.toSeq.sorted.flatMap(s => bySrc(s).lift(o - 1)))
+    assert(got.sortBy(_._4).map(_._1).toSeq == want)
+  }
 }
