@@ -1135,6 +1135,27 @@ object Oracles {
     FROM r
     ORDER BY global_pos"""
 
+  /** Mirrors Queries.mixtureReweight: per-source ppm rates from the
+    * same integer formula, membership by the same salted stable-hash
+    * bucket. BIGINT casts keep DuckDB out of HUGEINT.
+    */
+  val mixtureReweight: String = s"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+    r AS (
+      SELECT source,
+             least(1000000,
+               (300000 * (SELECT t FROM tot) *
+                 (CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5
+                       THEN 3 ELSE 1 END)) // (30 * n)) AS rate_pm
+      FROM c)
+    SELECT d.doc_id, d.source, CAST(r.rate_pm AS BIGINT) AS rate_pm
+    FROM documents d JOIN r USING (source)
+    WHERE mod(${hash60("concat(CAST(doc_id AS VARCHAR), ':remix')")}, 1000000)
+            < r.rate_pm
+    ORDER BY doc_id"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2365,5 +2386,6 @@ object Oracles {
     "q101_bm25_deletes" -> bm25WithDeletes,
     "q102_stream_token_budget" -> streamingTokenBudget,
     "q103_stratified_sample" -> stratifiedSample,
-    "q104_curriculum_order" -> curriculumOrder)
+    "q104_curriculum_order" -> curriculumOrder,
+    "q105_mixture_reweight" -> mixtureReweight)
 }

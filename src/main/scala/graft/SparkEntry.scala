@@ -126,7 +126,8 @@ object SparkEntry {
     "q101_bm25_deletes" -> (Queries.bm25WithDeletes _),
     "q102_stream_token_budget" -> (Queries.streamingTokenBudget _),
     "q103_stratified_sample" -> (Queries.stratifiedSample _),
-    "q104_curriculum_order" -> (Queries.curriculumOrder _))
+    "q104_curriculum_order" -> (Queries.curriculumOrder _),
+    "q105_mixture_reweight" -> (Queries.mixtureReweight _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

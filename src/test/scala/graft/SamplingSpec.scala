@@ -54,6 +54,42 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("mixtureReweight: integer rates hit the weight formula; membership = hashSample") {
+    import spark.implicits._
+    val dir = tmpDir("graft_remix")
+    // src0 trusted (w=3, 10 docs), src9 untrusted (w=1, 30 docs); N=40
+    // rate(src0) = min(1e6, 300000*40*3 / (30*10)) = 120000 ppm... wait:
+    //   (300000*40*3) div (30*10) = 36e6 div 300 = 120000
+    // rate(src9) = (300000*40*1) div (30*30) = 12e6 div 900 = 13333
+    val rows =
+      (1L to 10L).map(i => (i, "t", "en", "src0", 1L)) ++
+        (11L to 40L).map(i => (i, "t", "en", "src9", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.mixtureReweight(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.forall(r => if (r._2 == "src0") r._3 == 120000L else r._3 == 13333L))
+    // membership is exactly the Sampling predicate at that rate
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val want0 = graft.operators.Sampling.hashSample(
+      docs.filter($"source" === "src0"), col("doc_id"), lit(120000L), "remix")
+      .select("doc_id").as[Long].collect().toSet
+    val want9 = graft.operators.Sampling.hashSample(
+      docs.filter($"source" === "src9"), col("doc_id"), lit(13333L), "remix")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == (want0 ++ want9))
+    // a tiny source whose target exceeds its size caps at keep-everything
+    val dir2 = tmpDir("graft_remix2")
+    ((1L to 1L).map(i => (i, "t", "en", "src0", 1L)) ++
+      (2L to 40L).map(i => (i, "t", "en", "src9", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val rates2 = Queries.mixtureReweight(spark, dir2).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // (300000*40*3) div (30*1) = 1.2e6 → capped at 1e6: src0 fully kept
+    assert(rates2.get("src0").forall(_ == 1000000L))
+  }
+
   test("curriculumOrder: global_pos is a bijection matching a driver replay") {
     import spark.implicits._
     val dir = tmpDir("graft_curr")
