@@ -1156,6 +1156,37 @@ object Oracles {
             < r.rate_pm
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.leakageAudit: df-capped cross-source candidates,
+    * exact distinct-bigram Jaccard, per-source-pair rollup.
+    */
+  val leakageAudit: String = s"""
+    WITH t AS (
+      SELECT doc_id, source, list_distinct($bigrams) AS grams FROM documents),
+    s AS (
+      SELECT doc_id, source, unnest(grams) AS g
+      FROM t WHERE len(grams) > 0),
+    rare AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 50),
+    c AS (SELECT s.doc_id, s.source, s.g FROM s JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM c a JOIN c b
+        ON a.g = b.g AND a.doc_id < b.doc_id AND a.source <> b.source),
+    j AS (
+      SELECT least(ta.source, tb.source) AS src_a,
+             greatest(ta.source, tb.source) AS src_b,
+             len(list_intersect(ta.grams, tb.grams)) * 1.0 /
+               (len(ta.grams) + len(tb.grams)
+                 - len(list_intersect(ta.grams, tb.grams))) AS jac
+      FROM cand
+      JOIN t ta ON cand.id_a = ta.doc_id
+      JOIN t tb ON cand.id_b = tb.doc_id)
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(jac), 6) AS max_jaccard
+    FROM j WHERE jac >= 0.5
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2387,5 +2418,6 @@ object Oracles {
     "q102_stream_token_budget" -> streamingTokenBudget,
     "q103_stratified_sample" -> stratifiedSample,
     "q104_curriculum_order" -> curriculumOrder,
-    "q105_mixture_reweight" -> mixtureReweight)
+    "q105_mixture_reweight" -> mixtureReweight,
+    "q106_leakage_audit" -> leakageAudit)
 }

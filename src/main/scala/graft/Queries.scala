@@ -2513,6 +2513,18 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q106: cross-source leakage audit — per source-pair counts of
+    * near-duplicate documents straddling the pair (exact bigram-set
+    * Jaccard >= 0.5 on df-capped candidates; see
+    * [[graft.operators.Dedup.crossSourceLeakage]]). The report a
+    * train/test split is checked against before anyone trusts the
+    * split.
+    */
+  def leakageAudit(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceLeakage(Tables.documents(s, dir), "text", "doc_id",
+        "source", n = 2, maxDf = 50, threshold = 0.5)
+      .orderBy(col("src_a"), col("src_b"))
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

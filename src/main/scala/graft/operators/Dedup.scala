@@ -906,6 +906,61 @@ object Dedup {
     }
   }
 
+  /** Cross-source LEAKAGE AUDIT — the train/test-split integrity report:
+    * for every pair of DISTINCT sources, how many near-duplicate document
+    * pairs straddle them (exact n-gram Jaccard ≥ threshold) and how bad
+    * the worst one is. Same df-capped candidate shape as
+    * [[ngramJaccardPairs]]' scale path — candidates only through grams
+    * with corpus df ≤ maxDf (near-dups always share rare grams), with the
+    * source-inequality pushed INTO the candidate join so same-source
+    * pairs never materialize — then exact full-gram-set verify on
+    * candidates alone. Output is |sources|²-bounded: (src_a, src_b,
+    * n_pairs, max_jaccard) with the pair normalized (src_a < src_b).
+    */
+  def crossSourceLeakage(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      n: Int,
+      maxDf: Int,
+      threshold: Double): DataFrame = {
+    val grams = docs.select(col(idCol), col(srcCol).as("__src"),
+      array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sized = grams.withColumn("n_grams", size(col("grams")))
+    val exploded = sized.select(col(idCol), col("__src"),
+      explode(col("grams")).as("g"))
+    val rare = exploded.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("g"))
+    val capped = exploded.join(rare, Seq("g"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val cand = a.join(b,
+        col("a.g") === col("b.g") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.__src") =!= col("b.__src"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    cand
+      .join(sized.select(col(idCol).as("id_a"), col("grams").as("ga"),
+        col("n_grams").as("na"), col("__src").as("sa")), "id_a")
+      .join(sized.select(col(idCol).as("id_b"), col("grams").as("gb"),
+        col("n_grams").as("nb"), col("__src").as("sb")), "id_b")
+      .select(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        (inter.cast("double") /
+          (col("na") + col("nb") - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
   // --------------------------------------------------------------------- //
   // Train/eval decontamination
   // --------------------------------------------------------------------- //

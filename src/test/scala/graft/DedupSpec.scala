@@ -216,6 +216,35 @@ class DedupSpec extends SparkSpec {
     assert(gotEmpty.forall(_ == ((true, 0L, false))))
   }
 
+  test("crossSourceLeakage: only straddling near-dups count; pair normalized") {
+    val docs = Seq(
+      // 1/2: near-identical ACROSS srcA/srcB → the leak
+      (1L, "p q r s t u v w", "srcB"),
+      (2L, "p q r s t u v x", "srcA"),
+      // 3/4: identical WITHIN srcC → must not appear
+      (3L, "k l m n o k l m", "srcC"),
+      (4L, "k l m n o k l m", "srcC"),
+      // 5: unrelated
+      (5L, "z1 z2 z3 z4 z5 z6", "srcD")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceLeakage(docs, "text", "doc_id", "source",
+        n = 2, maxDf = 50, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSeq
+    // docs 1/2: 7 distinct bigrams each, 6 shared → jaccard 6/8 = 0.75;
+    // source pair normalized to (srcA, srcB) though id 1 carries srcB
+    assert(got == Seq(("srcA", "srcB", 1L, 0.75)))
+    // threshold above the pair's jaccard empties the report
+    assert(Dedup.crossSourceLeakage(docs, "text", "doc_id", "source",
+      2, 50, 0.8).count() == 0)
+    // candidate generation stays an equi-join on the gram key
+    val plan = Dedup.crossSourceLeakage(docs, "text", "doc_id", "source",
+      2, 50, 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("embedding near-dups default plan is an equi-join, never a cross product") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 1.0f))
