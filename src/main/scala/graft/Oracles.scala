@@ -1187,6 +1187,29 @@ object Oracles {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  /** Mirrors Queries.annIvfDeletes: brute-force top-5 over the
+    * SURVIVING corpus (vec_id % 9 <> 4); queries keep the full id range
+    * (a deleted vector's embedding still queries; it can no longer be a
+    * RESULT). q75's exactness argument (nprobe = nlist) carries over.
+    */
+  val annIvfDeletes: String = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 9 <> 4),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2419,5 +2442,6 @@ object Oracles {
     "q103_stratified_sample" -> stratifiedSample,
     "q104_curriculum_order" -> curriculumOrder,
     "q105_mixture_reweight" -> mixtureReweight,
-    "q106_leakage_audit" -> leakageAudit)
+    "q106_leakage_audit" -> leakageAudit,
+    "q107_ann_ivf_deletes" -> annIvfDeletes)
 }

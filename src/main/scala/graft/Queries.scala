@@ -2525,6 +2525,41 @@ object Queries {
         "source", n = 2, maxDf = 50, threshold = 0.5)
       .orderBy(col("src_a"), col("src_b"))
 
+  /** q107: ANN over a saved IVF index with DELETES — q75's lifecycle
+    * (base build + frozen-centroid append) plus tombstones
+    * ([[graft.operators.Similarity.IvfIndex.delete]]: every
+    * `vec_id % 9 == 4` removed, spanning base AND delta segments); the
+    * full-probe query over [[graft.operators.Similarity.IvfIndex.loadLive]]
+    * must equal brute force over the SURVIVORS — cell partitions are
+    * never rewritten, the subtraction is a broadcast anti-join after
+    * partition pruning. Collected to a bounded local relation (k ×
+    * |queries| rows) so the temp index dir can be deleted, like q75.
+    */
+  def annIvfDeletes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    try {
+      val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+      val t1 = maxId * 3 / 5
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") <= t1),
+        "embedding", "vec_id", nlist = 16).save(path)
+      Similarity.IvfIndex.append(s, path,
+        emb.filter(col("vec_id") > t1), "embedding", "vec_id")
+      Similarity.IvfIndex.delete(s, path,
+        emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+        "vec_id")
+      val loaded = Similarity.IvfIndex.loadLive(s, path)
+      val result = Similarity.ivfQuery(loaded, queries, "embedding", "vec_id",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.collect().toSeq.asJava, result.schema)
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

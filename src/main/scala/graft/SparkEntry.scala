@@ -128,7 +128,8 @@ object SparkEntry {
     "q103_stratified_sample" -> (Queries.stratifiedSample _),
     "q104_curriculum_order" -> (Queries.curriculumOrder _),
     "q105_mixture_reweight" -> (Queries.mixtureReweight _),
-    "q106_leakage_audit" -> (Queries.leakageAudit _))
+    "q106_leakage_audit" -> (Queries.leakageAudit _),
+    "q107_ann_ivf_deletes" -> (Queries.annIvfDeletes _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

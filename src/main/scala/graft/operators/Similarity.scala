@@ -238,6 +238,61 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(f"$path/cells/seg=delta_$nextIdx%05d")
     }
+
+    /** DELETE vectors from a saved index — the q101-postings contract on
+      * the vector side: tombstoned ids land as immutable `_SUCCESS`-gated
+      * `tombs/del_NNNNN` dirs; no cell partition is rewritten, readers of
+      * old snapshots are unaffected, re-deleting is idempotent and
+      * deleting an absent id is a no-op (set subtraction). [[loadLive]]
+      * applies the subtraction as a broadcast anti-join on the pruned
+      * cell scan — map-only, and because it filters AFTER partition
+      * pruning, a probe still reads only its nprobe cells. Fold-in:
+      * `loadLive(...).save(freshPath)` rewrites a tombstone-free base.
+      */
+    def delete(
+        spark: SparkSession,
+        path: String,
+        ids: DataFrame,
+        idCol: String): Unit = {
+      val p = new Path(s"$path/tombs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nextIdx =
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("del_"))
+          .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.getName.stripPrefix("del_").toInt)
+          .maxOption.map(_ + 1).getOrElse(0)
+      ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+        .write.mode("overwrite").parquet(f"$path/tombs/del_$nextIdx%05d")
+    }
+
+    /** All tombstoned ids (distinct across committed delete segments). */
+    def tombstones(spark: SparkSession, path: String): DataFrame = {
+      val p = new Path(s"$path/tombs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val segs =
+        if (!fs.exists(p)) Seq.empty[String]
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("del_"))
+          .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.toString)
+      if (segs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(segs: _*)
+        .select(col("neighbor_id")).distinct()
+    }
+
+    /** The index with deletes applied. */
+    def loadLive(spark: SparkSession, path: String): IvfIndex = {
+      val ix = load(spark, path)
+      ix.copy(cells = ix.cells.join(
+        broadcast(tombstones(spark, path)), Seq("neighbor_id"), "left_anti"))
+    }
   }
 
   /** Nearest-`nprobe` cell ids for a vector column, via the literal-data

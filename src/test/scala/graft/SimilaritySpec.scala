@@ -131,6 +131,52 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.io.Sinks.truncatePath(spark, dir)
   }
 
+  test("ivf delete: tombstones subtract across base and deltas, idempotent, pruned") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = tmpDir("graft_ivf_del")
+    try {
+      val maxId = emb.agg(org.apache.spark.sql.functions.max($"vec_id")).first().getLong(0)
+      val t1 = maxId / 2
+      Similarity.buildIvfIndex(emb.filter($"vec_id" <= t1),
+        "embedding", "vec_id", nlist = 8).save(dir)
+      Similarity.IvfIndex.append(spark, dir,
+        emb.filter($"vec_id" > t1), "embedding", "vec_id")
+      // delete ids from BOTH the base range and the delta range, plus an
+      // id the index never held (no-op)
+      val dead = Seq(1L, t1 + 2, maxId + 999)
+      Similarity.IvfIndex.delete(spark, dir,
+        dead.toDF("vec_id"), "vec_id")
+      val live = Similarity.IvfIndex.loadLive(spark, dir)
+      assert(live.cells.count() == emb.count() - 2)
+      assert(live.cells.filter($"neighbor_id".isin(dead: _*)).count() == 0)
+      // re-delete: a second tombstone segment changes nothing
+      Similarity.IvfIndex.delete(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+      assert(Similarity.IvfIndex.loadLive(spark, dir).cells.count()
+        == emb.count() - 2)
+      // full probe over the live view = brute force over survivors
+      val surv = emb.filter(!$"vec_id".isin(dead: _*))
+      val q = emb.filter($"vec_id" < 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(rows(Similarity.ivfQuery(live, q, "embedding", "vec_id", k = 3, nprobe = 8))
+        == rows(Similarity.bruteForceTopK(surv, q, "embedding", "vec_id", k = 3)))
+      // the subtraction neither breaks partition pruning nor shuffles the
+      // index side: pruned scan + broadcast anti-join
+      val probePlan = live.cells.filter($"cell" === 3)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("PartitionFilters") && probePlan.contains("cell"),
+        probePlan)
+      assert(probePlan.contains("BroadcastHashJoin") && probePlan.contains("LeftAnti"),
+        probePlan)
+      // a crashed delete (no _SUCCESS) is invisible
+      val partial = new java.io.File(s"$dir/tombs/del_00002")
+      assert(partial.mkdirs())
+      assert(Similarity.IvfIndex.loadLive(spark, dir).cells.count()
+        == emb.count() - 2)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
+
   test("approximate paths clear a measured recall bar on the real corpus") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 20)
