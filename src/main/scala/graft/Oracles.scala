@@ -1210,6 +1210,132 @@ object Oracles {
     WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** Mirrors Queries.dataCard: per-source docs/tokens/langs, exact-dup
+    * docs via md5-of-normal-form, q87's integer quality bar, quality as
+    * a ratio of integer sums. BIGINT casts on every count/sum.
+    */
+  val dataCard: String = s"""
+    WITH t AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+      WHERE tok <> ''),
+    b AS (
+      SELECT doc_id,
+             mod(mod(${hash60("tok")}, 32) * 37, 21) - 10 AS w10
+      FROM t),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w10) AS BIGINT) AS zn
+      FROM b GROUP BY 1),
+    per AS (
+      SELECT d.source, d.lang, md5($norm) AS fp,
+             coalesce(a.n, 0) AS n, coalesce(a.zn, 0) AS zn
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+           CAST(sum(CASE WHEN zn >= n * 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS keep_docs,
+           round(CAST(sum(zn) AS DOUBLE) / (10.0 * sum(n)) - 0.2, 6)
+             AS quality
+    FROM per
+    GROUP BY source
+    ORDER BY source"""
+
+  /** Mirrors Queries.hybridSearch: q79's BM25 ranking (k = 20) and
+    * q23's cosine ranking (k = 20, self-excluded) recomputed from first
+    * principles, fused by reciprocal rank (1/(60+rank) per ranker,
+    * absent rank contributes 0), per-query top-5 on (rrf desc, doc_id).
+    */
+  val hybridSearch: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    tfg AS (
+      SELECT tok, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+      WHERE tok <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tfg GROUP BY 1),
+    st AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl),
+    dfreq AS (SELECT tok, count(*) AS df FROM tfg GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, tok
+      FROM (SELECT doc_id, unnest(tk[1:8]) AS tok FROM t WHERE doc_id < 5)
+      WHERE tok <> ''),
+    m AS (
+      SELECT qt.query_id, g.doc_id,
+             ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
+             (g.tf * (1.2 + 1)) /
+             (g.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / st.avgdl)) AS part
+      FROM qt
+      JOIN tfg g USING (tok)
+      JOIN dfreq d ON qt.tok = d.tok
+      JOIN dl l ON g.doc_id = l.doc_id, st),
+    aggb AS (
+      SELECT query_id, doc_id, round(sum(part), 4) AS score
+      FROM m GROUP BY 1, 2),
+    bmr AS (
+      SELECT query_id, doc_id, r_bm
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS r_bm
+            FROM aggb)
+      WHERE r_bm <= 20),
+    q2 AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+    c2 AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    s2 AS (
+      SELECT query_id, neighbor_id AS doc_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q2 CROSS JOIN c2 WHERE query_id != neighbor_id),
+    annr AS (
+      SELECT query_id, doc_id, r_ann
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r_ann
+            FROM s2)
+      WHERE r_ann <= 20),
+    f AS (
+      SELECT coalesce(b.query_id, a.query_id) AS query_id,
+             coalesce(b.doc_id, a.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + b.r_bm), 0) +
+               coalesce(1.0 / (60 + a.r_ann), 0) AS rrf
+      FROM bmr b FULL OUTER JOIN annr a
+        ON b.query_id = a.query_id AND b.doc_id = a.doc_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           round(rrf, 6) AS rrf
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+          FROM f)
+    WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
+  /** Mirrors Queries.simhashNearDupPairs: 60-bit bigram simhash
+    * recomputed per doc, then the ORACLE is the brute-force all-pairs
+    * Hamming scan the banding exists to avoid.
+    */
+  val simhashNearDupPairs: String = s"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct($bigrams)) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, ${hash60("tok")} AS hv FROM t),
+    v AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (hv >> b.bit) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN votes >= 0 THEN (CAST(1 AS BIGINT) << bit)
+                      ELSE 0 END) AS BIGINT) AS sh
+      FROM v GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2443,5 +2569,8 @@ object Oracles {
     "q104_curriculum_order" -> curriculumOrder,
     "q105_mixture_reweight" -> mixtureReweight,
     "q106_leakage_audit" -> leakageAudit,
-    "q107_ann_ivf_deletes" -> annIvfDeletes)
+    "q107_ann_ivf_deletes" -> annIvfDeletes,
+    "q108_data_card" -> dataCard,
+    "q109_hybrid_search" -> hybridSearch,
+    "q110_simhash_near_dups" -> simhashNearDupPairs)
 }

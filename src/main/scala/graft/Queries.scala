@@ -2560,6 +2560,101 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, path)
   }
 
+  /** q108: per-source DATA CARD — the summary table a curated corpus
+    * ships with: docs, tokens, language spread, within-source exact-dup
+    * docs (n_docs − distinct fingerprints, q18's md5-of-normal-form),
+    * docs clearing q87's quality bar (`zn >= 2·n`, pure integers), and
+    * the aggregate quality level as a RATIO OF INTEGER SUMS
+    * (`Σzn/(10·Σn) − 0.2`, rounded 6 dp) — integer sums are
+    * summation-order-independent, so the double division is
+    * bit-identical cross-engine. Two shuffles: the doc-keyed token fold
+    * and the |sources|-row rollup.
+    */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w10 = pmod(pmod(TextFunctions.stableHash60(col("tok")), lit(32)) * 37,
+      lit(21)) - 10
+    val tok = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), w10.as("w10"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("w10")).as("zn"))
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(TextFunctions.normalized(col("text"))).as("fp"))
+      .join(tok, Seq("doc_id"), "left")
+      .select(col("source"), col("lang"), col("fp"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("zn"), lit(0L)).as("zn"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+        sum(when(col("zn") >= col("n") * 2, 1L).otherwise(0L)).as("keep_docs"),
+        round(sum(col("zn")).cast("double") /
+          (lit(10.0) * sum(col("n"))) - 0.2, 6).as("quality"))
+      .orderBy(col("source"))
+  }
+
+  /** q109: HYBRID retrieval — reciprocal-rank fusion (k = 60) of the
+    * lexical and semantic rankers this engine already serves: BM25
+    * top-20 (q79's index path, ranks on 4-dp-rounded scores) fused with
+    * brute-force cosine top-20 over the document embeddings (q23's
+    * broadcast shape, ranks on 6-dp-rounded cosines, self-excluded by
+    * that operator's contract). RRF works on RANKS — integers — so the
+    * fused score `Σ 1/(60+rank)` is a two-term rational sum, identical
+    * cross-engine, rounded 6 dp before the final per-query top-5
+    * window. The fusion join is (query, doc)-keyed over two
+    * top-20-bounded frames — trivially small however large the corpus;
+    * all the scale weight stays inside the two proven rankers.
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val post = Retrieval.postings(docs, "text", "doc_id")
+    val dls = post.select(col("doc_id"), col("dl")).distinct()
+    val stat = dls.agg(count(lit(1)).as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")).first()
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ").as("qtext"))
+    val bm = Retrieval.bm25TopK(post, Retrieval.docFrequencies(post), queries,
+        stat.getLong(0), stat.getDouble(1), k = 20)
+      .select(col("query_id"), col("doc_id"), col("rk").as("r_bm"))
+    val ann = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_ann"))
+    val fused = bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_ann")), lit(0.0))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q110: simhash near-dups by Hamming radius — Manku-style pigeonhole
+    * banding over 60-bit bigram simhashes (4 bands × 15 bits; any pair
+    * within radius 3 must agree on a band), exact `bit_count(xor)`
+    * verify on candidates only. The radius-based sibling of the
+    * minhash/LSH family: one fingerprint long per doc, candidates from
+    * band equi-joins, never all-pairs. See
+    * [[graft.operators.Dedup.simhashNearDups]].
+    */
+  def simhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id",
+        bits = 60, bands = 4, maxHamming = 3, ngram = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

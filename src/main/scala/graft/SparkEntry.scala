@@ -129,7 +129,10 @@ object SparkEntry {
     "q104_curriculum_order" -> (Queries.curriculumOrder _),
     "q105_mixture_reweight" -> (Queries.mixtureReweight _),
     "q106_leakage_audit" -> (Queries.leakageAudit _),
-    "q107_ann_ivf_deletes" -> (Queries.annIvfDeletes _))
+    "q107_ann_ivf_deletes" -> (Queries.annIvfDeletes _),
+    "q108_data_card" -> (Queries.dataCard _),
+    "q109_hybrid_search" -> (Queries.hybridSearch _),
+    "q110_simhash_near_dups" -> (Queries.simhashNearDupPairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -216,6 +216,61 @@ class DedupSpec extends SparkSpec {
     assert(gotEmpty.forall(_ == ((true, 0L, false))))
   }
 
+  test("simhashNearDups equals brute-force Hamming scan; banding is an equi-join") {
+    // corpus with a planted near-dup pair (one bigram changed), an exact
+    // dup pair, and unrelated docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                            // exact dup
+      (3L, base.replace("delta epsilon", "delta QQQ")),      // near
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "red green blue cyan magenta yellow black white"),
+      (6L, "sun moon star comet nebula quasar pulsar nova")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDups(docs, "text", "doc_id",
+        bits = 60, bands = 4, maxHamming = 3, ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same fingerprints, recomputed independently
+    val sh = docs
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.TextFunctions.wordNgrams($"text", 2))).as("tok"))
+      .withColumn("h", graft.functions.TextFunctions.stableHash60($"tok"))
+      .select($"doc_id", $"h",
+        explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(h, cast(bit as int))") % 2 === 1, 1).otherwise(-1))
+      .groupBy($"doc_id", $"bit").agg(sum($"vote").as("votes"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"votes" >= 0,
+        expr("shiftleft(1L, cast(bit as int))")).otherwise(0L)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      hd = java.lang.Long.bitCount(sh(a) ^ sh(b)) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(got == want)
+    // identical feature sets → identical fingerprints → distance 0
+    // (doc 3's single changed token swaps 2 of only ~9 bigram features —
+    // enough to flip many of 60 vote sums, so it is NOT radius-3-near:
+    // simhash radius encodes feature-set cosine, and with few features
+    // one edit moves the cosine a lot; the brute-force equality above is
+    // the operator's actual contract)
+    assert(got.contains((1L, 2L, 0L)), s"exact dup pair missing: $got")
+    // candidate generation is a band equi-join, never all-pairs
+    val plan = Dedup.simhashNearDups(docs, "text", "doc_id", 60, 4, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // illegal radius/band combos are rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "text", "doc_id", 60, 4, 4, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "text", "doc_id", 60, 7, 3, 2)
+    }
+  }
+
   test("crossSourceLeakage: only straddling near-dups count; pair normalized") {
     val docs = Seq(
       // 1/2: near-identical ACROSS srcA/srcB → the leak

@@ -20,9 +20,11 @@ class PlanDisciplineSpec extends SparkSpec {
   // a map-side fold instead of a join condition; q104 attaches the
   // ONE-ROW per-source-counts array the same way (its global positions
   // are arithmetic over that row — the alternative is a global sort).
+  // q109's semantic side IS q23's brute-force ranker, so it inherits the
+  // same sanctioned broadcast shape.
   private val nljAllowed =
     Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized",
-      "q100_semantic_decon", "q104_curriculum_order")
+      "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.
@@ -47,9 +49,12 @@ class PlanDisciplineSpec extends SparkSpec {
   // in CurationSpec (pruning + sorted-roll assertions)
   // q75 follows q47's contract exactly (bounded k×|queries| local
   // relation so the temp appended-index dir can be deleted; the real
-  // serving plan is asserted in SimilaritySpec's append test)
+  // serving plan is asserted in SimilaritySpec's append test); q107
+  // likewise (its live-view pruning + anti-join plan is asserted in
+  // SimilaritySpec's delete test)
   private val codegenExempt =
-    Set("q47_ann_ivf_saved", "q56_compact_layout", "q75_ann_ivf_append")
+    Set("q47_ann_ivf_saved", "q56_compact_layout", "q75_ann_ivf_append",
+      "q107_ann_ivf_deletes")
 
   test("every batch query plans with whole-stage codegen somewhere") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
