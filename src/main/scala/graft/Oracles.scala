@@ -1336,6 +1336,40 @@ object Oracles {
     WHERE bit_count(xor(a.sh, b.sh)) <= 3
     ORDER BY id_a, id_b"""
 
+  /** Mirrors Queries.ragPipeline: same chunks, same stub-encoder
+    * vectors, brute-force cosine top-5 — the index path must reproduce
+    * it exactly at full probe.
+    */
+  val ragPipeline: String = s"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1,
+               greatest(coalesce(len(text), 0), 1), 80)) AS start
+      FROM documents),
+    ch AS (
+      SELECT CAST(doc_id * 1000 + (start - 1) // 80 AS BIGINT) AS chunk_id,
+             substr(text, start, 100) AS chunk
+      FROM starts),
+    e AS (
+      SELECT chunk_id,
+             list_transform(generate_series(0, 15), i ->
+               (mod(${hash60("concat(chunk, ':', CAST(i AS VARCHAR))")}, 2001)
+                 - 1000) / 1000.0) AS v
+      FROM ch),
+    q AS (
+      SELECT chunk_id AS query_id, v AS qv
+      FROM e WHERE chunk_id % 1000 = 0 AND chunk_id < 3000),
+    s AS (
+      SELECT query_id, chunk_id AS neighbor_id,
+             round(list_cosine_similarity(qv, v), 6) AS cosine
+      FROM q CROSS JOIN e WHERE query_id != chunk_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2572,5 +2606,6 @@ object Oracles {
     "q107_ann_ivf_deletes" -> annIvfDeletes,
     "q108_data_card" -> dataCard,
     "q109_hybrid_search" -> hybridSearch,
-    "q110_simhash_near_dups" -> simhashNearDupPairs)
+    "q110_simhash_near_dups" -> simhashNearDupPairs,
+    "q111_rag_pipeline" -> ragPipeline)
 }

@@ -2655,6 +2655,67 @@ object Queries {
         bits = 60, bands = 4, maxHamming = 3, ngram = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q111: RAG ingest pipeline end-to-end — chunk (q65's windows) →
+    * embed → IVF build → top-k retrieve, in one gate. The ENCODER IS A
+    * DETERMINISTIC STUB (dim-16, `(hash60(chunk:i) mod 2001 − 1000) /
+    * 1000` — this container has no embedding model, the multimodal
+    * q25/q28 precedent), which is exactly what makes the whole pipeline
+    * oracle-checkable: DuckDB recomputes the same vectors and brute-
+    * forces the cosine top-5 the index path must reproduce (nprobe =
+    * nlist ⇒ exact, q38's argument). Everything around the stub — chunk
+    * ids, the per-chunk map-side embedding, the index build, the pruned
+    * probe — is the real production plumbing.
+    */
+  def ragPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (chunkLen, overlap) = (100, 20)
+    val stride = chunkLen - overlap
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(TextFunctions.chunkStarts(col("text"), chunkLen, overlap))
+          .as("start"))
+      .select(
+        (col("doc_id") * 1000 +
+          expr(s"(start - 1) div $stride")).cast("long").as("chunk_id"),
+        substr(col("text"), col("start"), lit(chunkLen)).as("chunk"))
+    val embed = transform(sequence(lit(0), lit(15)), i =>
+      (pmod(TextFunctions.stableHash60(
+        concat(col("chunk"), lit(":"), i.cast("string"))), lit(2001L))
+        - 1000).cast("double") / lit(1000.0))
+    // the embedded corpus lands as a real table before indexing — the
+    // production shape (embeddings are computed once and persisted, the
+    // index reads the table), and it sidesteps a Spark sharp edge: an
+    // IVF probe whose corpus side is a HOF-BUILT array column (not a
+    // scan) fails codegen on the cosine projection and the interpreted
+    // fallback mis-binds the corpus attribute against the probe row
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Bounded output is collected
+    // (k × 3 rows) so the temp table can be deleted, like q47/q75.
+    val path = java.nio.file.Files.createTempDirectory("graft_rag").toString
+    try {
+      chunks.select(col("chunk_id"), embed.as("vec"))
+        .write.mode("overwrite").parquet(s"$path/chunk_vecs")
+      val vecs = s.read.parquet(s"$path/chunk_vecs")
+      // the index is SAVED and re-opened, the q47 serving shape — also
+      // the robust one: an in-session index carries `cell` as an ALIAS
+      // of the nearest-centroid expression, and constraint inference
+      // expands that alias through the probe join and pushes a filter
+      // referencing the CORPUS vec column onto the probe side
+      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at some scales); a loaded
+      // index reads `cell` as an opaque partition column
+      Similarity.buildIvfIndex(vecs, "vec", "chunk_id", nlist = 16)
+        .save(s"$path/index")
+      val index = Similarity.IvfIndex.load(s, s"$path/index")
+      val queries = vecs
+        .filter(pmod(col("chunk_id"), lit(1000)) === 0 && col("chunk_id") < 3000)
+      val result = Similarity.ivfQuery(index, queries, "vec", "chunk_id",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.collect().toSeq.asJava, result.schema)
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

@@ -54,7 +54,7 @@ class PlanDisciplineSpec extends SparkSpec {
   // SimilaritySpec's delete test)
   private val codegenExempt =
     Set("q47_ann_ivf_saved", "q56_compact_layout", "q75_ann_ivf_append",
-      "q107_ann_ivf_deletes")
+      "q107_ann_ivf_deletes", "q111_rag_pipeline")
 
   test("every batch query plans with whole-stage codegen somewhere") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
