@@ -457,6 +457,17 @@ object Similarity {
     * ONE distributed map pass assigns every corpus vector to its nearest
     * cell. Amortize by persisting `cells` (or writing it as a
     * cell-partitioned table) and serving many `ivfQuery` calls against it.
+    *
+    * Serving guidance: an index probed at scale should go through
+    * `save()` + `IvfIndex.load()` rather than being queried in-session.
+    * The in-session frame carries `cell` as an ALIAS of the
+    * nearest-centroid HOF expression, and Catalyst's constraint
+    * inference can expand that alias through the probe join and push a
+    * predicate referencing the corpus vector column onto the probe side
+    * — a scale-dependent `INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND` (hit by
+    * q111's first draft at sf1). A loaded index reads `cell` as an
+    * opaque partition column, which is immune — and is also the layout
+    * that buys partition-pruned probes.
     */
   def buildIvfIndex(
       corpus: DataFrame,
