@@ -1370,6 +1370,34 @@ object Oracles {
     WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** Mirrors Queries.funnel: min-after chain recomputed stage by stage;
+    * strict `>` between stages on both engines.
+    */
+  val funnel: String = """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM e WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN v.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    ORDER BY user_id"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2607,5 +2635,6 @@ object Oracles {
     "q108_data_card" -> dataCard,
     "q109_hybrid_search" -> hybridSearch,
     "q110_simhash_near_dups" -> simhashNearDupPairs,
-    "q111_rag_pipeline" -> ragPipeline)
+    "q111_rag_pipeline" -> ragPipeline,
+    "q112_funnel" -> funnel)
 }

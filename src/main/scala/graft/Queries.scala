@@ -2716,6 +2716,41 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, path)
   }
 
+  /** q112: conversion funnel — the ordered-sequence analytics staple:
+    * per user, the earliest view, the earliest click strictly AFTER
+    * that view, the earliest purchase strictly after that click, and
+    * the stage reached (0–3). Scale shape: each stage reads ONE
+    * event-type slice of the scan (the `event_type` predicate pushes to
+    * parquet) and aggregates it to a ≤|users|-row frame that BROADCASTS
+    * into the next stage's filter — three pushed-down scans and three
+    * broadcast joins, never a per-user event sort or a
+    * whole-table-keyed shuffle chain.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === evType)
+        .join(broadcast(prev.select(col("user_id"), col(prevTs))), Seq("user_id"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = stage("click", v, "t_view", "t_click")
+    val p = stage("purchase", c, "t_click", "t_purchase")
+    ev.select(col("user_id")).distinct()
+      .join(broadcast(v), Seq("user_id"), "left")
+      .join(broadcast(c), Seq("user_id"), "left")
+      .join(broadcast(p), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

@@ -133,7 +133,8 @@ object SparkEntry {
     "q108_data_card" -> (Queries.dataCard _),
     "q109_hybrid_search" -> (Queries.hybridSearch _),
     "q110_simhash_near_dups" -> (Queries.simhashNearDupPairs _),
-    "q111_rag_pipeline" -> (Queries.ragPipeline _))
+    "q111_rag_pipeline" -> (Queries.ragPipeline _),
+    "q112_funnel" -> (Queries.funnel _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -55,6 +55,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q112: funnel stages need STRICT in-order progression per user") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dir = tmpDir("graft_funnel")
+    Seq(
+      // user 1: full in-order funnel
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)),
+      (3L, 1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE click — stuck at stage 2
+      (4L, 2L, "view", ts(1)), (5L, 2L, "purchase", ts(2)),
+      (6L, 2L, "click", ts(3)),
+      // user 3: click at the SAME instant as view — strict > rejects it
+      (7L, 3L, "view", ts(5)), (8L, 3L, "click", ts(5)),
+      // user 4: never viewed — stage 0 despite click+purchase
+      (9L, 4L, "click", ts(1)), (10L, 4L, "purchase", ts(2)),
+      // user 5: second view chain converts even though the FIRST view's
+      // click never came (min view anchors; later clicks still count)
+      (11L, 5L, "view", ts(1)), (12L, 5L, "view", ts(4)),
+      (13L, 5L, "click", ts(6)), (14L, 5L, "purchase", ts(7))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L))
+  }
+
   test("q27: certification dump — one row per query, every bound TRUE") {
     val rows = Queries.annLshCertified(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
