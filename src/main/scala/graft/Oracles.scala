@@ -1398,6 +1398,40 @@ object Oracles {
     LEFT JOIN p USING (user_id)
     ORDER BY user_id"""
 
+  /** Mirrors Queries.retentionCohorts. */
+  val retentionCohorts: String = """
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(e.day - c.cohort_day AS BIGINT) AS offset_days,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  /** Mirrors Queries.abStats: integer-cent sums, DECIMAL(38,0) variance
+    * numerator (n·Σc² overflows int64), one double division at the end.
+    */
+  val abStats: String = """
+    WITH e AS (
+      SELECT user_id % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    a AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM e GROUP BY 1)
+    SELECT variant, n,
+           round(CAST(sc AS DOUBLE) / (n * 100.0), 6) AS mean,
+           round(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sc2 AS DECIMAL(38,0))
+                      - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
+                   AS DOUBLE)
+             / (CAST(n * (n - 1) AS DOUBLE) * 10000.0), 6) AS variance
+    FROM a
+    ORDER BY variant"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2636,5 +2670,7 @@ object Oracles {
     "q109_hybrid_search" -> hybridSearch,
     "q110_simhash_near_dups" -> simhashNearDupPairs,
     "q111_rag_pipeline" -> ragPipeline,
-    "q112_funnel" -> funnel)
+    "q112_funnel" -> funnel,
+    "q113_retention_cohorts" -> retentionCohorts,
+    "q114_ab_stats" -> abStats)
 }

@@ -2751,6 +2751,55 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** q113: retention cohorts — users grouped by first-seen day, counted
+    * on each later activity day as an offset from their cohort. Two
+    * shuffles: the per-user first-day aggregate (broadcast back — the
+    * user dimension is small next to the event stream) and the
+    * (cohort, offset) rollup, |days|²-bounded output.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("offset_days").cast("long").as("offset_days"), col("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  /** q114: A/B metric readout — mean and sample variance of the event
+    * value per experiment arm (user_id parity), computed ENTIRELY in
+    * exact integer-cent space: the 2-dp value becomes integer cents via
+    * a decimal cast (casting `value * 100` as a double would truncate
+    * 490.02 → 49001), Σc and Σc² are plain BIGINT sums (order-
+    * independent), and the two-pass variance `(n·Σc² − (Σc)²) /
+    * (n(n−1))` runs in DECIMAL(38,0) — n·Σc² overflows int64 at sf0.1
+    * scale — with ONE double division at the end. Map-side combine ends
+    * the shuffle at 2 rows.
+    */
+  def abStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(2)).as("variant"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    ev.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("variant"), col("n"),
+        round(col("sc").cast("double") / (col("n") * 100.0), 6).as("mean"),
+        round(
+          (col("n").cast("decimal(38,0)") * col("sc2").cast("decimal(38,0)")
+            - col("sc").cast("decimal(38,0)") * col("sc").cast("decimal(38,0)"))
+            .cast("double")
+            / ((col("n") * (col("n") - 1)).cast("double") * 10000.0), 6)
+          .as("variance"))
+      .orderBy(col("variant"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

@@ -134,7 +134,9 @@ object SparkEntry {
     "q109_hybrid_search" -> (Queries.hybridSearch _),
     "q110_simhash_near_dups" -> (Queries.simhashNearDupPairs _),
     "q111_rag_pipeline" -> (Queries.ragPipeline _),
-    "q112_funnel" -> (Queries.funnel _))
+    "q112_funnel" -> (Queries.funnel _),
+    "q113_retention_cohorts" -> (Queries.retentionCohorts _),
+    "q114_ab_stats" -> (Queries.abStats _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

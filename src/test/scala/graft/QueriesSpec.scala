@@ -84,6 +84,37 @@ class QueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L))
   }
 
+  test("q114: integer-cent variance matches the naive double computation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = tmpDir("graft_ab")
+    // variant 0: users 0/2; variant 1: user 1. Values exercise the
+    // 2-dp cast trap (490.02 * 100 = 49001.999… as a double)
+    val vals0 = Seq(490.02, 0.01, 10.50, 3.33)
+    val vals1 = Seq(1.00, 2.00)
+    val rows = vals0.zipWithIndex.map { case (v, i) =>
+      (i.toLong, (i % 2 * 2).toLong, "view", Timestamp.valueOf("2024-01-01 10:00:00"), v, "{}")
+    } ++ vals1.zipWithIndex.map { case (v, i) =>
+      ((10 + i).toLong, 1L, "view", Timestamp.valueOf("2024-01-01 10:00:00"), v, "{}")
+    }
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.abStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    def naive(xs: Seq[Double]) = {
+      val n = xs.size
+      val m = xs.sum / n
+      (n.toLong, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n0, m0, v0) = naive(vals0)
+    assert(got(0L)._1 == n0)
+    assert(math.abs(got(0L)._2 - m0) < 5e-7)
+    assert(math.abs(got(0L)._3 - v0) < 1e-4, s"${got(0L)._3} vs $v0")
+    val (n1, m1, v1) = naive(vals1)
+    assert(got(1L) == ((n1, m1, v1)))
+  }
+
   test("q27: certification dump — one row per query, every bound TRUE") {
     val rows = Queries.annLshCertified(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
