@@ -1432,6 +1432,30 @@ object Oracles {
     FROM a
     ORDER BY variant"""
 
+  /** Mirrors Queries.anomalyFlags: identical integer inequality over
+    * the identical trailing window.
+    */
+  val anomalyFlags: String = """
+    WITH m AS (
+      SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+             event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT minute, event_type, c,
+             CAST(count(*) OVER tw AS BIGINT) AS tw,
+             CAST(coalesce(sum(c) OVER tw, 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(c * c) OVER tw, 0) AS BIGINT) AS q
+      FROM m
+      WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+                    ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+    SELECT minute, event_type, c AS n_events,
+           tw AS trail_n,
+           coalesce(tw >= 30 AND
+             (tw * c - s) * (tw * c - s) * (tw - 1)
+               > 9 * tw * (tw * q - s * s), FALSE) AS anomaly
+    FROM t
+    ORDER BY minute, event_type"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2672,5 +2696,6 @@ object Oracles {
     "q111_rag_pipeline" -> ragPipeline,
     "q112_funnel" -> funnel,
     "q113_retention_cohorts" -> retentionCohorts,
-    "q114_ab_stats" -> abStats)
+    "q114_ab_stats" -> abStats,
+    "q115_anomaly_flags" -> anomalyFlags)
 }

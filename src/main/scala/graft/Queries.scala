@@ -2800,6 +2800,37 @@ object Queries {
       .orderBy(col("variant"))
   }
 
+  /** q115: trailing-window anomaly flags on the per-minute event
+    * stream — a minute's count is anomalous when it sits more than 3
+    * sample standard deviations from its own type's trailing-hour
+    * mean. The whole test is INTEGER algebra: with trailing sums
+    * S = Σc, Q = Σc² over w minutes, `(w·c − S)²·(w−1) > 9·w·(w·Q − S²)`
+    * is exactly `(c − S/w)² > 9·var` with no float ever computed — no
+    * epsilon can flip a flag on any engine. One shuffle to the minute
+    * grain; the trailing window rides the |types| partitions.
+    */
+  def anomalyFlags(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-60, -1)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tw", count(lit(1)).over(w))
+      .withColumn("ts_", sum(col("c")).over(w))
+      .withColumn("tq", sum(col("c") * col("c")).over(w))
+      .select(col("minute"), col("event_type"), col("c").as("n_events"),
+        coalesce(col("tw"), lit(0L)).as("trail_n"),
+        (col("tw") >= 30 &&
+          (col("tw") * col("c") - col("ts_")) *
+            (col("tw") * col("c") - col("ts_")) * (col("tw") - 1)
+            > lit(9L) * col("tw") *
+              (col("tw") * col("tq") - col("ts_") * col("ts_")))
+          .as("anomaly"))
+      .withColumn("anomaly", coalesce(col("anomaly"), lit(false)))
+      .orderBy(col("minute"), col("event_type"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run

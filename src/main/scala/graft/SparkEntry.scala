@@ -136,7 +136,8 @@ object SparkEntry {
     "q111_rag_pipeline" -> (Queries.ragPipeline _),
     "q112_funnel" -> (Queries.funnel _),
     "q113_retention_cohorts" -> (Queries.retentionCohorts _),
-    "q114_ab_stats" -> (Queries.abStats _))
+    "q114_ab_stats" -> (Queries.abStats _),
+    "q115_anomaly_flags" -> (Queries.anomalyFlags _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -115,6 +115,28 @@ class QueriesSpec extends SparkSpec {
     assert(got(1L) == ((n1, m1, v1)))
   }
 
+  test("q115: a spike after a constant trailing hour flags; steady state never does") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = tmpDir("graft_anom")
+    // 40 minutes at exactly 2 events/min, then minute 41 spikes to 50:
+    // zero trailing variance makes ANY deviation anomalous (strict >),
+    // while every steady minute compares 0 > 0 and stays quiet
+    val rows = (1 to 40).flatMap { m =>
+      Seq.tabulate(2)(i => ((m * 10 + i).toLong, 7L, "view",
+        Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), 1.0, "{}"))
+    } ++ Seq.tabulate(50)(i => ((900 + i).toLong, 7L, "view",
+      Timestamp.valueOf("2024-01-01 10:41:00"), 1.0, "{}"))
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.anomalyFlags(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getBoolean(4)))
+    val flagged = got.filter(_._3)
+    assert(flagged.map(_._2).toSeq == Seq(50L), s"flags: ${flagged.toSeq}")
+    // the first 30 minutes can't flag (trailing window below 30)
+    assert(got.count(_._3) == 1)
+  }
+
   test("q27: certification dump — one row per query, every bound TRUE") {
     val rows = Queries.annLshCertified(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
