@@ -1456,6 +1456,29 @@ object Oracles {
     FROM t
     ORDER BY minute, event_type"""
 
+  /** Mirrors Queries.collocations: same integer Dice ppm, same
+    * deterministic top-20.
+    */
+  val collocations: String = s"""
+    WITH u AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest($toks) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+    b AS (
+      SELECT string_split(bg, ' ')[1] AS tok_a,
+             string_split(bg, ' ')[2] AS tok_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM (SELECT unnest($bigrams) AS bg FROM documents)
+      GROUP BY 1, 2)
+    SELECT b.tok_a, b.tok_b, b.n_ab,
+           CAST((2 * b.n_ab * 1000000) // (ua.n + ub.n) AS BIGINT)
+             AS dice_ppm
+    FROM b
+    JOIN u ua ON b.tok_a = ua.tok
+    JOIN u ub ON b.tok_b = ub.tok
+    ORDER BY dice_ppm DESC, tok_a, tok_b
+    LIMIT 20"""
+
   /** = Queries.phraseSearch: the ORACLE is the full-corpus substring
     * scan the inverted index exists to avoid — data-derived bigram
     * phrases (tokens 2–3 of docs 3, 7, 11) matched at token boundaries
@@ -2697,5 +2720,6 @@ object Oracles {
     "q112_funnel" -> funnel,
     "q113_retention_cohorts" -> retentionCohorts,
     "q114_ab_stats" -> abStats,
-    "q115_anomaly_flags" -> anomalyFlags)
+    "q115_anomaly_flags" -> anomalyFlags,
+    "q116_collocations" -> collocations)
 }

@@ -2831,6 +2831,37 @@ object Queries {
       .orderBy(col("minute"), col("event_type"))
   }
 
+  /** q116: collocation mining — the 20 strongest adjacent token pairs
+    * by DICE coefficient, `2·n_ab/(n_a + n_b)`, scored in parts-per-
+    * million with integer division (`2·n_ab·10⁶ div (n_a+n_b)` — sums,
+    * not products, in the denominator keep the whole computation inside
+    * int64 far past corpus scale; PMI's n_a·n_b product would not). Two
+    * vocabulary-bounded aggregates, two broadcast joins, and a
+    * TakeOrderedAndProject top-20.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val bi = toks
+      .select(explode(TextFunctions.ngramsOfTokens(col("tk"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+      .select(split(col("bg"), " ").getItem(0).as("tok_a"),
+        split(col("bg"), " ").getItem(1).as("tok_b"), col("n_ab"))
+    bi
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("n").as("n_a"))),
+        Seq("tok_a"))
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("n").as("n_b"))),
+        Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        expr("(2 * n_ab * 1000000L) div (n_a + n_b)").as("dice_ppm"))
+      .orderBy(col("dice_ppm").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run
