@@ -944,6 +944,23 @@ object Oracles {
     FROM asg
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.dupClusterHistogram: q52's closure rolled up to
+    * cluster sizes, then to a size histogram with the integer doc-share.
+    */
+  val dupClusterHistogram: String = s"""
+    WITH RECURSIVE $dupClusterCtes,
+    sz AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM asg GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST((cluster_size * CAST(count(*) AS BIGINT) * 1000000)
+                // (SELECT n FROM tot) AS BIGINT) AS doc_share_ppm
+    FROM sz
+    GROUP BY cluster_size
+    ORDER BY cluster_size"""
+
   /** Mirrors Queries.canonicalDocs: q52's clusters, then canonical
     * election per cluster — the member from the most-trusted source
     * (lowest numeric suffix), doc_id as the tie-break.
@@ -2721,5 +2738,6 @@ object Oracles {
     "q113_retention_cohorts" -> retentionCohorts,
     "q114_ab_stats" -> abStats,
     "q115_anomaly_flags" -> anomalyFlags,
-    "q116_collocations" -> collocations)
+    "q116_collocations" -> collocations,
+    "q117_dup_histogram" -> dupClusterHistogram)
 }

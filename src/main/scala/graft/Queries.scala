@@ -2862,6 +2862,33 @@ object Queries {
       .limit(20)
   }
 
+  /** q117: duplicate-cluster size HISTOGRAM — the dedup health report:
+    * how many clusters exist at each size (1 = unique docs). q52's
+    * connected components rolled up twice — cluster → size, size →
+    * count — plus the integer share of DOCS living at that size
+    * (`size · n_clusters · 10⁶ div N`). Output is bounded by the
+    * largest cluster size; both rollups are cluster/size-keyed, never
+    * doc-keyed after the first.
+    */
+  def dupClusterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+    val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val sized = docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val total = docs.count()
+    sized.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        expr(s"(cluster_size * n_clusters * 1000000L) div ${total}L")
+          .as("doc_share_ppm"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Shared q89/q92 gate harness: three ingest batches over the
     * documents corpus — the corpus itself, an id-shifted exact
     * re-ingest, and an id-shifted suffix-mutated re-ingest — run
