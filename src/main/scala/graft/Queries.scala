@@ -2775,11 +2775,12 @@ object Queries {
     * value per experiment arm (user_id parity), computed ENTIRELY in
     * exact integer-cent space: the 2-dp value becomes integer cents via
     * a decimal cast (casting `value * 100` as a double would truncate
-    * 490.02 → 49001), Σc and Σc² are plain BIGINT sums (order-
-    * independent), and the two-pass variance `(n·Σc² − (Σc)²) /
-    * (n(n−1))` runs in DECIMAL(38,0) — n·Σc² overflows int64 at sf0.1
-    * scale — with ONE double division at the end. Map-side combine ends
-    * the shuffle at 2 rows.
+    * 490.02 → 49001), Σc and Σc² accumulate in DECIMAL(38,0) (order-
+    * independent, and — unlike BIGINT with ANSI off — cannot silently
+    * wrap at 100 TB row counts where cents² sums pass int64), and the
+    * two-pass variance `(n·Σc² − (Σc)²) / (n(n−1))` stays in
+    * DECIMAL(38,0) with ONE double division at the end. Map-side
+    * combine ends the shuffle at 2 rows.
     */
   def abStats(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -2787,13 +2788,17 @@ object Queries {
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
     ev.groupBy(col("variant"))
       .agg(count(lit(1)).as("n"),
-        sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("sc2"))
+        // both running sums live in DECIMAL(38,0), not BIGINT: with
+        // ANSI off a BIGINT sum WRAPS silently on int64 overflow
+        // (cents² terms reach ~1e13 each — 1e12 rows overflows Σc²),
+        // while the DuckDB oracle sums in HUGEINT and would diverge
+        sum(col("c").cast("decimal(38,0)")).as("sc"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
       .select(col("variant"), col("n"),
         round(col("sc").cast("double") / (col("n") * 100.0), 6).as("mean"),
         round(
-          (col("n").cast("decimal(38,0)") * col("sc2").cast("decimal(38,0)")
-            - col("sc").cast("decimal(38,0)") * col("sc").cast("decimal(38,0)"))
+          (col("n").cast("decimal(38,0)") * col("sc2")
+            - col("sc") * col("sc"))
             .cast("double")
             / ((col("n") * (col("n") - 1)).cast("double") * 10000.0), 6)
           .as("variance"))

@@ -972,11 +972,23 @@ object Dedup {
     * pairs straddle them (exact n-gram Jaccard ≥ threshold) and how bad
     * the worst one is. Same df-capped candidate shape as
     * [[ngramJaccardPairs]]' scale path — candidates only through grams
-    * with corpus df ≤ maxDf (near-dups always share rare grams), with the
-    * source-inequality pushed INTO the candidate join so same-source
-    * pairs never materialize — then exact full-gram-set verify on
-    * candidates alone. Output is |sources|²-bounded: (src_a, src_b,
-    * n_pairs, max_jaccard) with the pair normalized (src_a < src_b).
+    * with corpus df ≤ maxDf, with the source-inequality pushed INTO the
+    * candidate join so same-source pairs never materialize — then exact
+    * full-gram-set verify on candidates alone. Output is
+    * |sources|²-bounded: (src_a, src_b, n_pairs, max_jaccard) with the
+    * pair normalized (src_a < src_b).
+    *
+    * RECALL CAVEAT (inherent to the df cap, and invisible to the gate
+    * because the oracle applies the identical cap): a near-dup pair is
+    * surfaced only if it shares at least one gram with corpus df ≤
+    * maxDf. "Near-dups share rare grams" is a HEURISTIC that holds for
+    * verbatim/boilerplate leakage (long shared spans almost always
+    * contain a rare n-gram) but can miss pairs composed entirely of
+    * corpus-common grams — e.g. two short template documents built from
+    * stock phrases. Audit consumers should read the report as a
+    * candidate-capped lower bound on leakage, and lower `maxDf` only
+    * with that trade-off in mind (higher cap = more recall, more
+    * candidate volume).
     */
   def crossSourceLeakage(
       docs: DataFrame,

@@ -184,8 +184,14 @@ object Retrieval {
     val nextIdx = segments(s, dir, "del_")
       .map(p => p.substring(p.lastIndexOf("del_") + 4).toInt)
       .maxOption.map(_ + 1).getOrElse(0)
-    deletedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .write.mode("overwrite").parquet(f"$dir/del_$nextIdx%05d")
+    val cast = deletedIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct()
+    // fail fast on null/uncastable ids — a null tombstone row never
+    // matches the anti-join, silently no-op'ing the delete
+    require(cast.filter(col("doc_id").isNull).isEmpty,
+      s"appendTombstones: column `$idCol` contains null or non-numeric " +
+        "ids — they cannot match any indexed document")
+    cast.write.mode("overwrite").parquet(f"$dir/del_$nextIdx%05d")
   }
 
   /** All tombstoned doc ids (distinct across delete segments). */

@@ -41,6 +41,12 @@ object Sampling {
     * exactly `min(k, |group|)` rows, reproducibly, which is what
     * fixed-size per-source eval/holdout sets need.
     *
+    * Output contract: the input columns PLUS a `rk` LONG column — the
+    * row's 1-based rank within its group (callers like q103 consume
+    * it). Because `rk` is part of the output schema, an input frame
+    * that already carries a `rk` column is rejected up front
+    * (`require`) rather than silently overwritten.
+    *
     * Scale shape: the `row_number <= k` window is rewritten by Spark
     * into a WindowGroupLimit — every map partition pre-truncates each
     * group to its top k BEFORE the exchange, so the shuffle carries at
@@ -53,6 +59,9 @@ object Sampling {
       group: Column,
       k: Int,
       salt: String = "graft"): DataFrame = {
+    require(!df.columns.contains("rk"),
+      "stratifiedTopK emits a `rk` rank column (output contract); " +
+        "the input frame already has one — rename it before calling")
     val h = TextFunctions.stableHash60(
       concat(key.cast("string"), lit(":" + salt)))
     val w = org.apache.spark.sql.expressions.Window

@@ -263,8 +263,16 @@ object Similarity {
           .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
           .map(_.getPath.getName.stripPrefix("del_").toInt)
           .maxOption.map(_ + 1).getOrElse(0)
-      ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
-        .write.mode("overwrite").parquet(f"$path/tombs/del_$nextIdx%05d")
+      val cast = ids.select(col(idCol).cast("long").as("neighbor_id"))
+        .distinct()
+      // fail fast on null/uncastable ids: a null written into the
+      // tombstone segment never matches the anti-join, so the delete
+      // would silently no-op for that id (deletes are takedowns — a
+      // silent miss is a compliance bug, not a perf bug)
+      require(cast.filter(col("neighbor_id").isNull).isEmpty,
+        s"IvfIndex.delete: column `$idCol` contains null or " +
+          "non-numeric ids — they cannot match any indexed vector")
+      cast.write.mode("overwrite").parquet(f"$path/tombs/del_$nextIdx%05d")
     }
 
     /** All tombstoned ids (distinct across committed delete segments). */
@@ -476,9 +484,21 @@ object Similarity {
       nlist: Int = 16,
       seed: Long = 42L,
       fitSampleRows: Int = 8192): IvfIndex = {
-    // sample from the UN-spread scan: stable row order → deterministic index
     val raw = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val sample = raw.select(col("cv")).limit(fitSampleRows)
+    // Centroid fit sample: the `fitSampleRows` vectors with the SMALLEST
+    // stable id hash — a deterministic uniform draw over the whole
+    // corpus, independent of partitioning and ingest order. (A bare
+    // `limit(n)` reads the HEAD of the scan, which at scale with
+    // sorted/clustered ingest fits centroids to the first partition's
+    // distribution; hash order has no correlation with layout.) Runs as
+    // TakeOrderedAndProject: per-partition top-n, driver merge — no
+    // full sort, no shuffle of the corpus.
+    val hcol = graft.functions.TextFunctions.stableHash60(
+      concat(col("neighbor_id").cast("string"), lit(s":ivf:$seed")))
+    val sample = raw
+      .orderBy(hcol.asc, col("neighbor_id").asc)
+      .limit(fitSampleRows)
+      .select(col("cv"))
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = localKMeans(sample, nlist, seed)
     val cells = spread(raw)
