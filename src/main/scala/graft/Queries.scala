@@ -2052,13 +2052,20 @@ object Queries {
     * encoding that makes merge application one `replace` per round in
     * both engines). The oracle replays the identical eight rounds as a
     * chained-CTE unroll over the same word-frequency table.
+    *
+    * Training runs VOCABULARY-RESIDENT
+    * ([[graft.operators.Bpe.trainMergesLocal]], output-identical to the
+    * distributed loop — property-asserted): the corpus pays the one
+    * word-frequency shuffle, the merge loop is local heap work — the
+    * shape that survives a 32k-merge production vocabulary, where
+    * one-cluster-job-per-round would mean 32k sequential jobs.
     */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    graft.operators.Bpe.trainMerges(vocab, "w", "freq", rounds = 8)
+    graft.operators.Bpe.trainMergesLocal(vocab, "w", "freq", rounds = 8)
       .orderBy(col("round"))
   }
 
@@ -2076,7 +2083,7 @@ object Queries {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     val merges = graft.operators.Bpe
-      .trainMerges(vocab, "w", "freq", rounds = 8)
+      .trainMergesLocal(vocab, "w", "freq", rounds = 8)
       .orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.operators.Bpe

@@ -119,6 +119,160 @@ object Bpe {
       s.sparkContext.parallelize(merges.result(), 1), outSchema)
   }
 
+  /** VOCABULARY-RESIDENT merge training — the production path for real
+    * merge counts (a 32k-merge tokenizer), byte-identical in output to
+    * [[trainMerges]] (property-asserted in BpeSpec).
+    *
+    * [[trainMerges]] prices one Spark job PER ROUND (pair explode →
+    * shuffle → TakeOrdered(1) → driver round-trip) plus a lineage
+    * restack per merge: correct, but 32k merges means 32k sequential
+    * jobs — scheduler latency alone dominates. This is the shape every
+    * production BPE trainer (Sennrich's reference impl, HuggingFace
+    * tokenizers, SentencePiece) uses instead: the cluster does the ONE
+    * corpus-sized shuffle (word-frequency aggregation, supplied by the
+    * caller), then the vocabulary — bounded by the language (~1e6–1e7
+    * distinct words at ANY corpus size), not the data — collects to the
+    * driver and the whole merge loop runs locally with incremental
+    * pair-count maintenance:
+    *
+    *   - `counts` maps each adjacent symbol pair to its frequency-
+    *     weighted count; a lazy max-heap (count desc, lhs asc, rhs asc
+    *     — the same tie order as the distributed TakeOrdered) yields
+    *     each round's winner in O(log P); stale heap entries are
+    *     discarded on pop by revalidating against `counts`.
+    *   - an inverted index pair → word-ids bounds each round's rewrite
+    *     to the words that actually contain the winning pair; their
+    *     pair multisets are diffed (old vs merged) so `counts` updates
+    *     are exact and O(Σ affected word lengths), not a vocab scan.
+    *
+    * Total work is O(Σ|word| + rounds · avg-affected), seconds for 32k
+    * merges on a 1e6-word vocabulary — vs 32k cluster jobs. Merge
+    * application is the same left-to-right non-overlapping scan as
+    * `replace` on the wrapped encoding (`aaaa` under (a,a) → `aa aa`),
+    * and pair counting counts overlapping adjacencies (`aaa` → (a,a)
+    * twice), so every round picks exactly the pair the distributed
+    * loop would.
+    *
+    * `maxVocabRows` guards the collect: a vocabulary past the driver's
+    * budget fails fast with a pointer to [[trainMerges]] (which has no
+    * driver-memory bound, just per-round job latency).
+    */
+  def trainMergesLocal(
+      vocab: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      rounds: Int,
+      maxVocabRows: Int = 20000000): DataFrame = {
+    require(rounds >= 1, "trainMergesLocal: rounds must be >= 1")
+    val s = vocab.sparkSession
+    val rows = vocab
+      .filter(!col(wordCol).contains(Sep))
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .limit(maxVocabRows + 1)
+      .collect()
+    require(rows.length <= maxVocabRows,
+      s"trainMergesLocal: vocabulary exceeds maxVocabRows=$maxVocabRows " +
+        "— raise the bound or fall back to the distributed trainMerges")
+
+    // one entry per word: mutable symbol array (starts as code points)
+    val words = rows.map { r =>
+      (r.getString(0).codePoints().toArray.map(Character.toString),
+        r.getLong(1))
+    }
+
+    def pairBag(syms: Array[String]): collection.mutable.HashMap[(String, String), Long] = {
+      val m = collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+
+    val counts = collection.mutable.HashMap.empty[(String, String), Long]
+    val index =
+      collection.mutable.HashMap.empty[(String, String), collection.mutable.HashSet[Int]]
+    words.zipWithIndex.foreach { case ((syms, freq), wi) =>
+      pairBag(syms).foreach { case (k, n) =>
+        counts.update(k, counts.getOrElse(k, 0L) + n * freq)
+        index.getOrElseUpdate(k, collection.mutable.HashSet.empty) += wi
+      }
+    }
+
+    // max-heap: count desc, then lhs asc, rhs asc (ties resolve to the
+    // lexicographically smallest pair — identical to the distributed
+    // orderBy(count.desc, lhs.asc, rhs.asc).limit(1))
+    implicit val ord: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) =>
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val c = b._2.compareTo(a._2)
+          if (c != 0) c else b._3.compareTo(a._3)
+        }
+    val heap = collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    counts.foreach { case ((l, r), n) => heap.enqueue((n, l, r)) }
+
+    def applyMergeTo(syms: Array[String], l: String, r: String,
+        merged: String): Array[String] = {
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += merged; i += 2 // scan resumes AFTER the fused symbol,
+        } else { out += syms(i); i += 1 } // exactly like string replace
+      }
+      out.toArray
+    }
+
+    val merges = Seq.newBuilder[Row]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // lazy-deletion pop: discard entries whose count is stale (every
+      // count change pushed a fresh entry, so the live value is present)
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1 && e._1 > 0L)
+          best = Some(e)
+      }
+      best match {
+        case None => exhausted = true
+        case Some((n, l, r)) =>
+          val merged = l + r
+          merges += Row(round.toLong, l, r, merged, n)
+          val touched = index.getOrElse((l, r),
+            collection.mutable.HashSet.empty[Int]).toArray
+          touched.foreach { wi =>
+            val (syms, freq) = words(wi)
+            val before = pairBag(syms)
+            if (before.contains((l, r))) { // index entries can be stale
+              val after0 = applyMergeTo(syms, l, r, merged)
+              words(wi) = (after0, freq)
+              val after = pairBag(after0)
+              (before.keySet ++ after.keySet).foreach { k =>
+                val delta = after.getOrElse(k, 0L) - before.getOrElse(k, 0L)
+                if (delta != 0L) {
+                  val nv = counts.getOrElse(k, 0L) + delta * freq
+                  if (nv == 0L) counts.remove(k)
+                  else { counts.update(k, nv); heap.enqueue((nv, k._1, k._2)) }
+                }
+                if (after.contains(k))
+                  index.getOrElseUpdate(k,
+                    collection.mutable.HashSet.empty) += wi
+              }
+            }
+          }
+          index.remove((l, r))
+          round += 1
+      }
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(merges.result(), 1), outSchema)
+  }
+
   /** Word boundary for [[encodeCounts]]' document sequences: words join
     * on U+001E (record separator), which contains no U+001F — so a
     * merge's wrapped search key can never straddle two words.

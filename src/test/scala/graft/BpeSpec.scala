@@ -71,6 +71,49 @@ class BpeSpec extends SparkSpec {
       (4L, 0L, 0L, None)))
   }
 
+  test("trainMergesLocal == trainMerges on the Sennrich example and edge vocabs") {
+    val vocabs = Seq(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      Seq(("aaaa", 1L), ("aaa", 1L)),            // overlapping-pair rewrite
+      Seq(("ab", 3L), ("x", 9L)),                // early exhaustion
+      Seq(("abab", 2L), ("bab", 1L), ("aabb", 4L)) // self-referential fuse
+    )
+    for (v <- vocabs) {
+      val df = v.toDF("w", "freq")
+      val dist = Bpe.trainMerges(df, "w", "freq", rounds = 6)
+        .orderBy(col("round")).collect().toSeq
+      val loc = Bpe.trainMergesLocal(df, "w", "freq", rounds = 6)
+        .orderBy(col("round")).collect().toSeq
+      assert(loc == dist, s"divergence on vocab $v")
+    }
+  }
+
+  test("trainMergesLocal == trainMerges on random vocabularies (property)") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 60).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (w, 1L + rnd.nextInt(9).toLong)
+      }
+      // duplicate words collapse through the caller's groupBy contract
+      val df = vocab.toDF("w", "f").groupBy(col("w"))
+        .agg(sum(col("f")).as("freq"))
+      val dist = Bpe.trainMerges(df, "w", "freq", rounds = 10)
+        .orderBy(col("round")).collect().toSeq
+      val loc = Bpe.trainMergesLocal(df, "w", "freq", rounds = 10)
+        .orderBy(col("round")).collect().toSeq
+      assert(loc == dist, s"trial $trial diverged")
+    }
+  }
+
+  test("trainMergesLocal: maxVocabRows guard fails fast") {
+    val df = Seq(("low", 5L), ("newest", 6L)).toDF("w", "freq")
+    intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(df, "w", "freq", rounds = 2, maxVocabRows = 1)
+    }
+  }
+
   test("q90 gate query runs and is deterministic at sf0.001") {
     val a = Queries.bpeTrain(spark, sf0001).collect().toSeq
     val b = Queries.bpeTrain(spark, sf0001).collect().toSeq
