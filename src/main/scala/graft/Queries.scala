@@ -529,18 +529,31 @@ object Queries {
       .withColumn("qs", VectorFunctions.quantizeInt8(col("cv")))
       .withColumn("dv",
         transform(col("qs.q"), c => c.cast("double") * col("qs.scale")))
+    // the QUERY vector must not ride the candidate window: it is
+    // identical across every corpus row of its query, so carrying it
+    // would push |queries| copies of a 64-dim array through the
+    // window's sort/exchange per corpus row — it rejoins from the
+    // 10-row broadcast AFTER the top-32 cut instead. The corpus vector
+    // (one copy per row, needed for the exact rescore) stays on the
+    // row; at true scale with a persisted q42 code table, the rescore
+    // would instead point-look-up fp32 vectors for the ≤ 32·|queries|
+    // survivors.
     val approx = corpus
-      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"),
         round(VectorFunctions.cosine(col("qv"), col("dv")), 6)
           .as("approx_cosine"))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
-    val wFinal = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    approx
+    val cands = approx
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= 32)
+      .select(col("query_id"), col("neighbor_id"), col("cv"),
+        col("approx_cosine"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("approx_cosine"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wFinal))

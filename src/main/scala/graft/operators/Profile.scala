@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, NumericType, StringType}
 
-/** Single-pass table profiling — the data-QA sweep a corpus build runs
-  * before and after every curation stage: per-column non-null count,
-  * null count, distinct count, min/max. One aggregate job over one
-  * scan; the per-column stats ride the same pass (Catalyst plans the
-  * multi-distinct via Expand — one shuffle, rows × |cols| expansion,
-  * map-side partials first).
+/** Table profiling — the data-QA sweep a corpus build runs before and
+  * after every curation stage: per-column non-null count, null count,
+  * distinct count, min/max. With exact distincts the profile runs as
+  * one column-pruned single-distinct aggregate PER COLUMN (no Expand —
+  * see [[profile]]); with approx distincts everything rides a single
+  * scan and one aggregate row.
   *
   * Two output surfaces:
   *   - [[profile]] (the default, and the one on the oracle gate):
@@ -67,35 +67,67 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val types: Map[String, DataType] =
       df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val nullLong = min(lit(null).cast("long"))
-    val nullStr = min(lit(null).cast("string"))
-    val aggs = cols.flatMap { c =>
-      val (minN, maxN, minS, maxS) = types(c) match {
-        case _: NumericType =>
-          ((min(col(c)) * lit(100)).cast("long"),
-            (max(col(c)) * lit(100)).cast("long"), nullStr, nullStr)
-        case StringType =>
-          (nullLong, nullLong, min(col(c)), max(col(c)))
-        case _ =>
-          (nullLong, nullLong,
-            min(col(c).cast("string")), max(col(c).cast("string")))
-      }
-      Seq(
-        count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"${c}__nd"),
-        minN.as(s"${c}__minc"), maxN.as(s"${c}__maxc"),
-        minS.as(s"${c}__mins"), maxS.as(s"${c}__maxs"))
+    def bounds(c: String) = types(c) match {
+      case _: NumericType =>
+        ((min(col(c)) * lit(100)).cast("long").as("min_c100"),
+          (max(col(c)) * lit(100)).cast("long").as("max_c100"),
+          min(lit(null).cast("string")).as("min_str"),
+          min(lit(null).cast("string")).as("max_str"))
+      case StringType =>
+        (min(lit(null).cast("long")).as("min_c100"),
+          min(lit(null).cast("long")).as("max_c100"),
+          min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+      case _ =>
+        (min(lit(null).cast("long")).as("min_c100"),
+          min(lit(null).cast("long")).as("max_c100"),
+          min(col(c).cast("string")).as("min_str"),
+          max(col(c).cast("string")).as("max_str"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__nd`, " +
-        s"`${c}__minc`, `${c}__maxc`, `${c}__mins`, `${c}__maxs`"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n, n_nulls, n_distinct, min_c100, max_c100, min_str, max_str)")
+    if (exact) {
+      // EXACT distincts: one single-distinct aggregate PER COLUMN,
+      // unioned. Several countDistinct's in one aggregate plan through
+      // Expand — every input row is replicated once per distinct column
+      // (|cols|+1 projections through the partial agg and the
+      // exchange), which at table scale is the dominant cost of the
+      // whole profile. A single-distinct aggregate needs no Expand
+      // (two-phase partial-distinct plan), and each branch's scan is
+      // column-pruned to just its own column — on columnar storage the
+      // |cols| branch scans together read the same bytes as the one
+      // wide scan, with the ×(|cols|+1) row replication gone entirely.
+      val rows = cols.map { c =>
+        val (minN, maxN, minS, maxS) = bounds(c)
+        df.agg(
+            count(col(c)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            minN, maxN, minS, maxS)
+          .select(lit(c).as("col_name"), col("n"), col("n_nulls"),
+            col("n_distinct"), col("min_c100"), col("max_c100"),
+            col("min_str"), col("max_str"))
+      }
+      rows.reduce(_.unionByName(_))
+    } else {
+      // approx distincts are ordinary (mergeable) aggregates — no
+      // Expand to dodge, so the whole profile rides ONE scan and one
+      // |cols|-wide aggregate row
+      val aggs = cols.flatMap { c =>
+        val (minN, maxN, minS, maxS) = bounds(c)
+        Seq(
+          count(col(c)).as(s"${c}__n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          approx_count_distinct(col(c)).as(s"${c}__nd"),
+          minN.as(s"${c}__minc"), maxN.as(s"${c}__maxc"),
+          minS.as(s"${c}__mins"), maxS.as(s"${c}__maxs"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map { c =>
+        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__nd`, " +
+          s"`${c}__minc`, `${c}__maxc`, `${c}__mins`, `${c}__maxs`"
+      }.mkString(", ")
+      one.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n, n_nulls, n_distinct, min_c100, max_c100, min_str, max_str)")
+    }
   }
 
   /** MERGEABLE per-batch profile — [[profile]] minus the distinct
