@@ -2083,12 +2083,17 @@ object Queries {
   }
 
   /** q93: BPE ENCODE — the q90 merge table actually applied: retrain
-    * the eight merges, then one map pass over the corpus rewrites every
-    * document's wrapped-symbol sequence through the merges in training
-    * order and reads the per-doc token count off the wrap characters.
-    * The whitespace count rides along, so the output is the
-    * compression-per-word profile a tokenizer change ships with. See
-    * [[graft.operators.Bpe.encodeCounts]].
+    * the eight merges, then one map pass over the corpus encodes every
+    * document's words and counts the resulting symbols. The whitespace
+    * count rides along, so the output is the compression-per-word
+    * profile a tokenizer change ships with.
+    *
+    * Encoding runs through the PRODUCTION-scale path
+    * ([[graft.operators.Bpe.encodeCountsScalable]]: broadcast rank
+    * table + per-word linked-list encoder, per-row cost independent of
+    * merge-table size) — output-identical to the replace-chain
+    * [[graft.operators.Bpe.encodeCounts]] on trained tables
+    * (spec-asserted), which is what the oracle replays in SQL.
     */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(s, dir)
@@ -2100,7 +2105,7 @@ object Queries {
       .orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.operators.Bpe
-      .encodeCounts(Tables.documents(s, dir), "text", "doc_id", merges)
+      .encodeCountsScalable(Tables.documents(s, dir), "text", "doc_id", merges)
       .orderBy(col("doc_id"))
   }
 

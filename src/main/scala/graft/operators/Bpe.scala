@@ -317,4 +317,120 @@ object Bpe {
       .withColumn("tokens_per_word",
         expr("round(n_bpe_tokens / nullif(n_ws_tokens, 0), 4)"))
   }
+
+  /** Encoded symbol count of ONE word under a rank table — the
+    * standard linked-list BPE encoder (the algorithm inside every
+    * production tokenizer runtime): symbols as a doubly-linked list,
+    * a min-heap of (rank, position) merge candidates with lazy
+    * invalidation, each pop fuses the lowest-rank leftmost applicable
+    * pair and offers the two newly-adjacent pairs. O(|word| log |word|)
+    * regardless of merge-table size — only pairs PRESENT in the word
+    * ever enter the heap.
+    *
+    * For merge tables produced by training (each merge's operands are
+    * single characters or outputs of STRICTLY EARLIER merges — true of
+    * [[trainMerges]]/[[trainMergesLocal]] by construction), min-rank
+    * order is provably identical to applying the merges in training
+    * order with one left-to-right pass each, i.e. to [[encodeCounts]]'
+    * replace chain (spec-asserted on trained tables): an adjacency for
+    * merge i can only be created by a merge j < i (the producer of its
+    * operand), and a merge can never produce its own operand
+    * (`l + r != l`), so the heap exhausts every rank before the next
+    * one starts, left-to-right within a rank via the position key.
+    */
+  private[graft] def encodedLen(
+      word: String,
+      rank: collection.Map[(String, String), Int]): Int = {
+    val chars = word.codePoints().toArray.map(Character.toString)
+    val n = chars.length
+    if (n <= 1) return n
+    val cap = 2 * n // each fusion adds 1 node, kills 2 → ≤ 2n-1 total
+    val sym = new Array[String](cap)
+    val prev = new Array[Int](cap)
+    val next = new Array[Int](cap)
+    val alive = new Array[Boolean](cap)
+    val posKey = new Array[Int](cap)
+    var i = 0
+    while (i < n) {
+      sym(i) = chars(i); prev(i) = i - 1
+      next(i) = if (i == n - 1) -1 else i + 1
+      alive(i) = true; posKey(i) = i
+      i += 1
+    }
+    var free = n
+    var live = n
+    // min-heap on (rank, posKey): lowest rank first, leftmost within it
+    val heap = collection.mutable.PriorityQueue.empty[(Int, Int, Int)](
+      Ordering.by((t: (Int, Int, Int)) => (t._1, t._2)).reverse)
+    def offer(u: Int): Unit = {
+      val v = next(u)
+      if (v != -1) rank.get((sym(u), sym(v)))
+        .foreach(r => heap.enqueue((r, posKey(u), u)))
+    }
+    i = 0
+    while (i < n - 1) { offer(i); i += 1 }
+    while (heap.nonEmpty) {
+      val (rk, _, u) = heap.dequeue()
+      if (alive(u)) {
+        val v = next(u)
+        // lazy invalidation: the pair at u may have changed since this
+        // entry was pushed — act only if it still has exactly this rank
+        // (any other live pair here pushed its own entry on formation)
+        if (v != -1 && rank.get((sym(u), sym(v))).contains(rk)) {
+          val w = free; free += 1
+          sym(w) = sym(u) + sym(v); posKey(w) = posKey(u)
+          prev(w) = prev(u); next(w) = next(v)
+          if (prev(w) != -1) next(prev(w)) = w
+          if (next(w) != -1) prev(next(w)) = w
+          alive(u) = false; alive(v) = false; alive(w) = true
+          live -= 1
+          if (prev(w) != -1) offer(prev(w))
+          offer(w)
+        }
+      }
+    }
+    live
+  }
+
+  /** [[encodeCounts]] at PRODUCTION merge-table scale: same output
+    * frame, but the merge table ships to executors ONCE as a broadcast
+    * rank map and each word is encoded by the [[encodedLen]] linked-
+    * list encoder. The replace-chain variant compiles one codegen'd
+    * `replace` per merge — the right shape at the gate's 8 merges, a
+    * |merges|-deep expression pipeline at a 32k-merge vocabulary
+    * (codegen size grows with the TABLE, and every row pays a scan per
+    * merge whether or not it applies). Here per-row work is
+    * O(len · log len) independent of merge-table size, and only the
+    * rank lookup touches the table. Still one map pass, no shuffle; the
+    * UDF boundary costs codegen fusion on this projection — the right
+    * trade once the table outgrows an expression chain. Unlike the
+    * chain, text containing U+001F/U+001E needs no escape contract
+    * (there is no in-band string encoding at all).
+    */
+  def encodeCountsScalable(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    // first occurrence of a duplicated pair wins (a later re-merge of
+    // the same pair is a no-op in the chain semantics)
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.reverse.map { case (p, i) => p -> i }.toMap
+    val s = docs.sparkSession
+    val bc = s.sparkContext.broadcast(rank)
+    val enc = udf((words: Seq[String]) => {
+      val mr = bc.value
+      var total = 0L
+      if (words != null) words.foreach { w =>
+        if (w != null && w.nonEmpty) total += encodedLen(w, mr)
+      }
+      total
+    })
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol),
+        size(filter(toks, t => t =!= "")).cast("long").as("n_ws_tokens"),
+        enc(toks).as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        expr("round(n_bpe_tokens / nullif(n_ws_tokens, 0), 4)"))
+  }
 }

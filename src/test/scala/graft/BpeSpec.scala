@@ -107,6 +107,51 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeCountsScalable == encodeCounts under the trained-table invariant") {
+    // fixed worked-example table plus trained tables over random corpora
+    val fixedMerges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc ab"), (2L, "ba cab"), (3L, "a b"), (4L, ""),
+      (5L, "abcabc aaa cba")
+    ).toDF("doc_id", "text")
+    val chain = Bpe.encodeCounts(docs, "text", "doc_id", fixedMerges)
+      .orderBy(col("doc_id")).collect().toSeq
+    val scal = Bpe.encodeCountsScalable(docs, "text", "doc_id", fixedMerges)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(scal == chain)
+
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 40L).map { id =>
+        val nw = 1 + rnd.nextInt(8)
+        (id, (1 to nw).map(_ =>
+          (1 to (1 + rnd.nextInt(6)))
+            .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString).mkString(" "))
+      }.toDF("doc_id", "text")
+      val vocab = corpus
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val merges = Bpe.trainMergesLocal(vocab, "w", "freq", rounds = 12)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val a = Bpe.encodeCounts(corpus, "text", "doc_id", merges)
+        .orderBy(col("doc_id")).collect().toSeq
+      val b = Bpe.encodeCountsScalable(corpus, "text", "doc_id", merges)
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(a == b, s"trial $trial diverged on trained table $merges")
+    }
+  }
+
+  test("encodedLen: heap encoder handles overlap and chained fusions") {
+    val rank = Map(("a", "a") -> 0, ("aa", "a") -> 1)
+    assert(Bpe.encodedLen("aaaa", rank) == 2)   // aa|aa
+    assert(Bpe.encodedLen("aaa", rank) == 1)    // aa + a -> aaa
+    assert(Bpe.encodedLen("a", rank) == 1)
+    assert(Bpe.encodedLen("baab", rank) == 3)   // b|aa|b
+    assert(Bpe.encodedLen("", rank) == 0)
+  }
+
   test("trainMergesLocal: maxVocabRows guard fails fast") {
     val df = Seq(("low", 5L), ("newest", 6L)).toDF("w", "freq")
     intercept[IllegalArgumentException] {
