@@ -2739,5 +2739,59 @@ object Oracles {
     "q114_ab_stats" -> abStats,
     "q115_anomaly_flags" -> anomalyFlags,
     "q116_collocations" -> collocations,
-    "q117_dup_histogram" -> dupClusterHistogram)
+    "q117_dup_histogram" -> dupClusterHistogram,
+    "q118_pq_adc" -> PqOracle.pqAdc)
+}
+
+/** Holder split out so the oracle text initializes before
+  * [[Oracles.all]] captures it (object init is lazy per-object;
+  * appending the val after the map inside Oracles would capture null).
+  */
+private object PqOracle {
+  /** Mirrors Queries.pqAdc: PQ encode (axis-unit codebooks e_{2j} per
+    * 16-dim subspace, so `‖c‖² = 1` and `⟨x,c⟩ = x[2j+1]` exactly) and
+    * the ADC scan. Subspace distances use the identical
+    * `‖x‖² − 2⟨x,c⟩ + ‖c‖²` decomposition and 6-dp rounds as the Spark
+    * operator; the final total adds the four already-rounded table
+    * entries left-to-right (`+` chain, the same IEEE order as the
+    * operator's fold) with `+ 0.0` normalizing a −0.0 total.
+    */
+  val pqAdc: String = """
+    WITH sub AS (
+      SELECT vec_id, m,
+             list_sum(list_transform(embedding[m*16+1 : m*16+16],
+                                     x -> x*x)) AS ss,
+             embedding AS v
+      FROM embeddings, range(4) t(m)),
+    d2 AS (
+      SELECT vec_id, m, j,
+             round(ss - 2*v[m*16 + 2*j + 1] + 1.0, 6) AS d
+      FROM sub, range(8) t2(j)),
+    codes AS (
+      SELECT vec_id, m, j AS code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d, j) AS rn
+            FROM d2)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id, qd.m, qd.d
+      FROM codes c
+      JOIN d2 qd ON qd.m = c.m AND qd.j = c.code
+      WHERE qd.vec_id < 10 AND qd.vec_id <> c.vec_id),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             round(max(CASE WHEN m=0 THEN d END)
+                 + max(CASE WHEN m=1 THEN d END)
+                 + max(CASE WHEN m=2 THEN d END)
+                 + max(CASE WHEN m=3 THEN d END), 6) + 0.0 AS approx_dist2
+      FROM pairs GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist2 ASC,
+                                         neighbor_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_dist2
+    FROM ranked WHERE rank <= 8
+    ORDER BY query_id, rank"""
 }

@@ -2965,4 +2965,32 @@ object Queries {
       graft.io.Sinks.truncatePath(s, storeDir)
     }
   }
+
+  /** q118: product-quantization ADC top-k — the serving tier q94's
+    * scalar quantization graduates into at billion-vector scale
+    * ([[graft.operators.Similarity.pqEncode]]/`pqAdcTopK`, Jégou
+    * et al. 2011): the 64-dim corpus collapses to 4 codes/vector
+    * (M = 4 subspaces × K = 8 codewords), each query precomputes its
+    * 4 × 8 table of exact subvector→codeword distances, and the
+    * corpus-wide pass is 4 table lookups per row over the CODES column
+    * alone — no vector arithmetic, no decode, 128× less scan IO than
+    * fp64. Gate codebooks are the q86 axis-unit seed discipline
+    * (codeword j = e_{2j} per subspace) so the oracle replays them as
+    * literals via the shared `‖x‖² − 2⟨x,c⟩ + ‖c‖²` decomposition with
+    * 6-dp rounds; TRAINED codebooks come from per-subspace
+    * [[graft.operators.Similarity.kmeansTrain]] (spec-asserted path).
+    */
+  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codebooks = Seq.tabulate(4)(_ =>
+      Seq.tabulate(8)(j => Seq.tabulate(16)(i => if (i == 2 * j) 1.0 else 0.0)))
+    val encoded = graft.operators.Similarity
+      .pqEncode(emb, "embedding", "vec_id", codebooks)
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.operators.Similarity
+      .pqAdcTopK(encoded, queries, "embedding", "vec_id", codebooks, k = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("approx_dist2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -545,4 +545,113 @@ object Similarity {
       fitSampleRows: Int = 8192): DataFrame =
     ivfQuery(buildIvfIndex(corpus, vecCol, idCol, nlist, seed, fitSampleRows),
       queries, vecCol, idCol, k, nprobe)
+
+  // ---------------------------------------------------------------- //
+  // Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") — the memory layout behind every
+  // billion-vector serving tier: split the D-dim vector into M
+  // subvectors, quantize each against its own K-codeword codebook, and
+  // store M small codes per vector (here 4 bytes instead of 64
+  // doubles: 128× less scan IO). Queries never decode: ADC
+  // (asymmetric distance computation) precomputes, per query, the
+  // K × M table of exact query-subvector→codeword distances, and each
+  // corpus vector's approximate distance is M table lookups — the
+  // corpus-wide pass reads ONLY the code column. Codebooks are
+  // per-subspace k-means ([[kmeansTrain]] on the subvector slice is
+  // the trainer); the gate uses the q86 axis-unit seed discipline so
+  // the DuckDB oracle can replay codebooks as literals.
+  // ---------------------------------------------------------------- //
+
+  /** Rounded squared-L2 distances of a subvector to each codeword of
+    * one codebook, as an array column (index j). Decomposed as
+    * `‖x‖² − 2·⟨x,c⟩ + ‖c‖²` with ‖c‖² folded in Scala — the exact
+    * decomposition the SQL oracle writes, so both engines add the same
+    * three doubles in the same order before the 6-dp round that makes
+    * code assignment ulp-stable.
+    */
+  private def subDist2(sub: org.apache.spark.sql.Column,
+      book: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val ss = dot(sub, sub)
+    array(book.map { c =>
+      val ssc = c.foldLeft(0.0)((a, x) => a + x * x)
+      round(ss - lit(2.0) * dot(sub, typedLit(c)) + lit(ssc), 6)
+    }: _*)
+  }
+
+  /** The argmin codeword index (ties → smaller j) per subspace, for
+    * vector column `v` under `codebooks(m)(j)(dim)`.
+    */
+  private def pqCodes(v: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val subDim = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (book, m) =>
+      val d2 = subDist2(slice(v, m * subDim + 1, subDim), book)
+      element_at(
+        transform(
+          array_sort(zip_with(d2,
+            sequence(lit(0), lit(book.length - 1)),
+            (d, j) => struct(d.as("d"), j.as("j")))),
+          s => s.getField("j")),
+        1).cast("int")
+    }: _*)
+  }
+
+  /** ENCODE the corpus: one map pass assigns every vector's M
+    * subvectors to their nearest codewords. Output (`neighbor_id`,
+    * `codes` int array) — persist it as the serving table; at scale the
+    * codes column is the only thing an ADC scan reads.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqEncode: need at least one codebook with at least one codeword")
+    val subDim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subDim)),
+      "pqEncode: all codewords must share one subvector width")
+    spread(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv")))
+      .select(col("neighbor_id"), pqCodes(col("cv"), codebooks).as("codes"))
+  }
+
+  /** ADC top-k: per query, the M per-subspace distance TABLES ride the
+    * broadcast (M × K rounded doubles — KBs); the encoded corpus
+    * streams past once and each row's approximate distance is M
+    * `element_at` lookups summed left-to-right (both engines add the
+    * already-rounded table entries in subspace order — deterministic
+    * IEEE addition, then one final 6-dp round; `+ 0.0` normalizes a
+    * −0.0 total). Ranking ties break on neighbor id. The corpus side
+    * never shuffles; the rank window is the only exchange, carrying
+    * (query_id, neighbor_id, approx_dist2) slim rows.
+    */
+  def pqAdcTopK(
+      encoded: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val dtabs = array(codebooks.zipWithIndex.map { case (book, m) =>
+      subDist2(slice(col("qv"), m * subDim + 1, subDim), book)
+    }: _*)
+    val probes = q.select(col("query_id"), dtabs.as("dtab"))
+    val terms = codebooks.indices.map { m =>
+      element_at(element_at(col("dtab"), m + 1),
+        element_at(col("codes"), m + 1) + 1)
+    }
+    val approx = round(terms.reduceLeft(_ + _), 6) + lit(0.0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist2").asc, col("neighbor_id").asc)
+    encoded
+      .join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        approx.as("approx_dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

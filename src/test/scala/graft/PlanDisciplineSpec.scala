@@ -22,9 +22,12 @@ class PlanDisciplineSpec extends SparkSpec {
   // are arithmetic over that row — the alternative is a global sort).
   // q109's semantic side IS q23's brute-force ranker, so it inherits the
   // same sanctioned broadcast shape.
+  // q118's ADC scan is the same sanctioned shape: the encoded corpus
+  // streams once past the broadcast per-query distance tables.
   private val nljAllowed =
     Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized",
-      "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search")
+      "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search",
+      "q118_pq_adc")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.

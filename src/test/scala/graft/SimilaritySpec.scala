@@ -308,4 +308,88 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1L) -> ((1L, 1.0)), (0L, 2L) -> ((1L, 0.0)),
       (1L, 1L) -> ((1L, 0.0)), (1L, 2L) -> ((1L, 1.0))))
   }
+
+  test("pq: encode + ADC match a local reference on arbitrary codebooks") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val dim = 8; val m = 2; val subDim = 4; val k = 3
+    val data = (0L until 30L).map(i =>
+      (i, Seq.fill(dim)(math.rint(rnd.nextDouble() * 1000) / 1000)))
+    val df = data.toDF("vec_id", "embedding")
+    val books = Seq.fill(m)(Seq.fill(k)(
+      Seq.fill(subDim)(math.rint(rnd.nextDouble() * 1000) / 1000)))
+
+    def refD2(sub: Seq[Double], c: Seq[Double]): Double = {
+      val ss = sub.foldLeft(0.0)((a, x) => a + x * x)
+      val ssc = c.foldLeft(0.0)((a, x) => a + x * x)
+      val ip = sub.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      BigDecimal(ss - 2.0 * ip + ssc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def refCodes(v: Seq[Double]): Seq[Int] =
+      (0 until m).map { mi =>
+        val sub = v.slice(mi * subDim, (mi + 1) * subDim)
+        books(mi).zipWithIndex
+          .map { case (c, j) => (refD2(sub, c), j) }.min._2
+      }
+
+    val enc = Similarity.pqEncode(df, "embedding", "vec_id", books)
+      .collect().map(r => r.getAs[Long]("neighbor_id") ->
+        r.getSeq[Int](1)).toMap
+    data.foreach { case (id, v) =>
+      assert(enc(id) == refCodes(v), s"codes diverge for vec $id")
+    }
+
+    val queries = df.filter(col("vec_id") < 3)
+    val got = Similarity
+      .pqAdcTopK(Similarity.pqEncode(df, "embedding", "vec_id", books),
+        queries, "embedding", "vec_id", books, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist2")))
+      .toMap
+    val byId = data.toMap
+    for (q <- 0L until 3L) {
+      val qv = byId(q)
+      val dt = (0 until m).map(mi => books(mi).map(c =>
+        refD2(qv.slice(mi * subDim, (mi + 1) * subDim), c)))
+      val expect = data.filter(_._1 != q).map { case (id, v) =>
+        val codes = refCodes(v)
+        val tot = (0 until m).map(mi => dt(mi)(codes(mi))).reduceLeft(_ + _)
+        (id, BigDecimal(tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }.sortBy(p => (p._2, p._1)).take(5)
+      expect.zipWithIndex.foreach { case ((id, d), i) =>
+        assert(got((q, i + 1)) == ((id, d)),
+          s"query $q rank ${i + 1}: got ${got((q, i + 1))}, want ($id, $d)")
+      }
+    }
+  }
+
+  test("pq: trained per-subspace codebooks plug straight into encode/ADC") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val subDim = 16
+    val seeds = (0 until 4).map(j =>
+      Seq.tabulate(subDim)(i => if (i == j * 4) 1.0 else 0.0))
+    val books = (0 until 4).map { m =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"),
+          m * subDim + 1, subDim).as("sv"))
+      Similarity.kmeansTrain(sub, "sv", "vec_id", seeds, iters = 2)
+    }
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", books)
+    val codes = enc.select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).first()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) <= 3)
+    val out = Similarity.pqAdcTopK(enc,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", books, k = 5)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(out.length == 15)
+    // deterministic under re-run (trained books are collected doubles)
+    val out2 = Similarity.pqAdcTopK(enc,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", books, k = 5)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(out.toSeq == out2.toSeq)
+  }
 }
