@@ -2740,7 +2740,11 @@ object Oracles {
     "q115_anomaly_flags" -> anomalyFlags,
     "q116_collocations" -> collocations,
     "q117_dup_histogram" -> dupClusterHistogram,
-    "q118_pq_adc" -> PqOracle.pqAdc)
+    "q118_pq_adc" -> PqOracle.pqAdc,
+    // full-probe IVF-PQ is exactly plain ADC — cell machinery must be
+    // invisible in the result, so the oracle is q118's verbatim (the
+    // q38/q47 reuse discipline)
+    "q119_ivf_pq" -> PqOracle.pqAdc)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -2993,4 +2993,42 @@ object Queries {
         col("neighbor_id"), col("approx_dist2"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q119: IVF-PQ serving — q118's ADC arithmetic behind q38's coarse
+    * cell pruning, the faiss architecture
+    * ([[graft.operators.Similarity.buildIvfPq]]/`ivfPqQuery`): the
+    * codes table lands CELL-PARTITIONED on disk, probes equi-join on
+    * cell so partition pruning applies before a single code is read,
+    * and inside a pruned cell only the M-byte code column is scanned —
+    * partition pruning × column pruning multiplied. Full probe
+    * (nprobe = nlist = 8) keeps it exact vs plain ADC, so the gate
+    * reuses q118's oracle verbatim; partial-probe subset + pruned-scan
+    * plan are spec-asserted. Saved-table serving (q47 discipline — the
+    * in-session `cell` alias sharp edge) with the bounded k × |queries|
+    * result collected so the temp index dir can be deleted.
+    */
+  def ivfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codebooks = Seq.tabulate(4)(_ =>
+      Seq.tabulate(8)(j => Seq.tabulate(16)(i => if (i == 2 * j) 1.0 else 0.0)))
+    val centers = (0 until 8).map(j =>
+      Seq.tabulate(64)(i => if (i == j * 8) 1.0 else 0.0))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      graft.operators.Similarity
+        .buildIvfPq(emb, "embedding", "vec_id", centers, codebooks)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      val cells = s.read.parquet(s"$path/cells")
+      val queries = emb.filter(col("vec_id") < 10)
+      val result = graft.operators.Similarity
+        .ivfPqQuery(cells, queries, "embedding", "vec_id",
+          centers, codebooks, k = 8, nprobe = 8)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("approx_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.collect().toSeq.asJava, result.schema)
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
 }

@@ -140,7 +140,8 @@ object SparkEntry {
     "q115_anomaly_flags" -> (Queries.anomalyFlags _),
     "q116_collocations" -> (Queries.collocations _),
     "q117_dup_histogram" -> (Queries.dupClusterHistogram _),
-    "q118_pq_adc" -> (Queries.pqAdc _))
+    "q118_pq_adc" -> (Queries.pqAdc _),
+    "q119_ivf_pq" -> (Queries.ivfPqAdc _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

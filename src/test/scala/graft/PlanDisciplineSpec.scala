@@ -55,9 +55,12 @@ class PlanDisciplineSpec extends SparkSpec {
   // serving plan is asserted in SimilaritySpec's append test); q107
   // likewise (its live-view pruning + anti-join plan is asserted in
   // SimilaritySpec's delete test)
+  // q119 follows q47's contract (bounded k×|queries| local relation so
+  // the temp cell-partitioned index can be deleted; the pruned serving
+  // plan is asserted in SimilaritySpec's ivf-pq test)
   private val codegenExempt =
     Set("q47_ann_ivf_saved", "q56_compact_layout", "q75_ann_ivf_append",
-      "q107_ann_ivf_deletes", "q111_rag_pipeline")
+      "q107_ann_ivf_deletes", "q111_rag_pipeline", "q119_ivf_pq")
 
   test("every batch query plans with whole-stage codegen somewhere") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

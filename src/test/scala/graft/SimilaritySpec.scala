@@ -366,6 +366,61 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: full probe == plain ADC; partial probe pruned subset") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val codebooks = Seq.tabulate(4)(_ =>
+      Seq.tabulate(8)(j => Seq.tabulate(16)(i => if (i == 2 * j) 1.0 else 0.0)))
+    val centers = (0 until 8).map(j =>
+      Seq.tabulate(64)(i => if (i == j * 8) 1.0 else 0.0))
+    val dir = tmpDir("graft_ivfpq")
+    try {
+      Similarity.buildIvfPq(emb, "embedding", "vec_id", centers, codebooks)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      val cells = spark.read.parquet(s"$dir/cells")
+      // the codes scan is partition-pruned on cell
+      val probePlan = cells.filter(col("cell") === 3)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("PartitionFilters") &&
+        probePlan.contains("cell"), probePlan)
+      val q = emb.filter(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id", "approx_dist2")
+        .orderBy("query_id", "rank").collect().toSeq
+      val full = rows(Similarity.ivfPqQuery(cells, q, "embedding", "vec_id",
+        centers, codebooks, k = 5, nprobe = 8))
+      val plain = rows(Similarity.pqAdcTopK(
+        Similarity.pqEncode(emb, "embedding", "vec_id", codebooks),
+        q, "embedding", "vec_id", codebooks, k = 5))
+      assert(full == plain)
+      // partial probe: every hit also appears in the full-probe ranking
+      // (a subset, possibly re-ranked), and dynamic pruning fires
+      val partial = Similarity.ivfPqQuery(cells, q, "embedding", "vec_id",
+        centers, codebooks, k = 5, nprobe = 2)
+      val partialRows = partial.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      val fullPairs = full.map(r => (r.getAs[Long](0), r.getAs[Long](2))).toSet
+      // partial-probe candidates come from fewer cells — each returned
+      // neighbor must at least be a real corpus id scored identically;
+      // spot-check distances agree with the plain ADC for shared pairs
+      val plainAll = Similarity.pqAdcTopK(
+          Similarity.pqEncode(emb, "embedding", "vec_id", codebooks),
+          q, "embedding", "vec_id", codebooks, k = Int.MaxValue)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+          -> r.getAs[Double]("approx_dist2")).toMap
+      partial.collect().foreach { r =>
+        val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(plainAll(key) == r.getAs[Double]("approx_dist2"),
+          s"ADC distance diverges under pruning for $key")
+      }
+      val plan = partial.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+      assert(partialRows.nonEmpty && fullPairs.nonEmpty)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
+
   test("pq: trained per-subspace codebooks plug straight into encode/ADC") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
