@@ -1122,6 +1122,28 @@ object Oracles {
     WHERE rk <= 12
     ORDER BY source, rk"""
 
+  /** Mirrors Queries.weightedSample: integer priority = salted stable
+    * hash `//` (token count + 1); per-source row_number over
+    * (priority, doc_id), keep rank <= 12. Both engines' `div`/`//` are
+    * exact 64-bit floor division on positives — no float in the draw.
+    */
+  val weightedSample: String = s"""
+    WITH w AS (
+      SELECT doc_id, source, CAST(len($toks) + 1 AS BIGINT) AS w
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, w,
+             ${hash60("concat(CAST(doc_id AS VARCHAR), ':wps')")} // w
+               AS priority
+      FROM w),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY priority, doc_id) AS rk
+      FROM p)
+    SELECT doc_id, source, w, priority, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 12
+    ORDER BY source, rk"""
+
   /** Mirrors Queries.curriculumOrder: per-source quality rank (q87's
     * integer logit, ties by doc_id), then the closed-form interleave
     * position recomputed via scalar subqueries over the per-source
@@ -2744,7 +2766,8 @@ object Oracles {
     // full-probe IVF-PQ is exactly plain ADC — cell machinery must be
     // invisible in the result, so the oracle is q118's verbatim (the
     // q38/q47 reuse discipline)
-    "q119_ivf_pq" -> PqOracle.pqAdc)
+    "q119_ivf_pq" -> PqOracle.pqAdc,
+    "q120_weighted_sample" -> weightedSample)
 }
 
 /** Holder split out so the oracle text initializes before

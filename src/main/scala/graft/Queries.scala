@@ -3031,4 +3031,23 @@ object Queries {
       s.createDataFrame(result.collect().toSeq.asJava, result.schema)
     } finally graft.io.Sinks.truncatePath(s, path)
   }
+
+  /** q120: token-weighted sample — the 12 docs per source with the
+    * smallest `hash div weight` under weight = token count + 1
+    * ([[graft.operators.Sampling.weightedPriorityTopK]]): longer docs
+    * proportionally likelier, the shape a token-budgeted eval draw
+    * wants (sampling DOCS uniformly under-represents the tokens of
+    * long docs). All-integer priorities — no exponential keys, no
+    * libm — so the draw is bit-reproducible across engines and the
+    * oracle replays it with one `//`.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .weightedPriorityTopK(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          (TextFunctions.tokenCount(col("text")) + 1).cast("long").as("w")),
+        col("doc_id"), col("w"), col("source"), k = 12, salt = "wps")
+      .select(col("doc_id"), col("source"), col("w"), col("priority"),
+        col("rk"))
+      .orderBy(col("source"), col("rk"))
 }

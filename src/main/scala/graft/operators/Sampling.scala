@@ -69,4 +69,48 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Deterministic WEIGHTED sample: the k rows per group with the
+    * smallest `hash div weight` — integer-arithmetic priority sampling
+    * (the Duffield–Lund–Thorup priority-sample shape with the stable
+    * 60-bit key hash standing in for the uniform draw). A row with
+    * twice the weight halves its priority, so inclusion probability
+    * grows ∝ weight while staying a PURE FUNCTION of (key, weight,
+    * salt): reproducible across runs, partitionings, and engines, like
+    * [[hashSample]]/[[stratifiedTopK]]. No floats anywhere — `div` is
+    * exact 64-bit floor division on both engines, so no libm pow/log
+    * (the classic exponential-key scheme) can diverge a gate hash.
+    *
+    * Output contract: the input columns PLUS `priority` (LONG,
+    * hash div weight) and `rk` (LONG, 1-based rank within the group);
+    * colliding input columns are rejected up front. Weights are
+    * clamped to ≥ 1 (a zero/negative weight would divide-by-zero or
+    * invert the ordering, not exclude the row — exclude explicitly
+    * upstream instead). Scale shape: same map-side WindowGroupLimit
+    * pre-truncation as [[stratifiedTopK]] — the shuffle never carries
+    * a whole group.
+    */
+  def weightedPriorityTopK(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      group: Column,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    Seq("rk", "priority").foreach { c =>
+      require(!df.columns.contains(c),
+        s"weightedPriorityTopK emits a `$c` column (output contract); " +
+          "the input frame already has one — rename it before calling")
+    }
+    val h = TextFunctions.stableHash60(
+      concat(key.cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(col("priority").asc, key.asc)
+    df.withColumn("__wps_h", h)
+      .withColumn("__wps_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("priority", expr("__wps_h div __wps_w"))
+      .drop("__wps_h", "__wps_w")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

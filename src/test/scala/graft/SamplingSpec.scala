@@ -114,4 +114,40 @@ class SamplingSpec extends SparkSpec {
       bySrc.keys.toSeq.sorted.flatMap(s => bySrc(s).lift(o - 1)))
     assert(got.sortBy(_._4).map(_._1).toSeq == want)
   }
+
+  test("weightedPriorityTopK: exact counts, layout-stable, weight-biased, guarded") {
+    import spark.implicits._
+    val df = (1L to 300L)
+      .map(i => (i, s"g${i % 2}", if (i % 3 == 0) 50L else 1L))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedPriorityTopK(
+        df, col("id"), col("w"), col("g"), k = 20, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.groupBy(_._2).forall(_._2.length == 20))
+    // priority == hash div weight, exactly (recompute via the same op)
+    val re = Sampling.weightedPriorityTopK(
+        df.repartition(7), col("id"), col("w"), col("g"), 20, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSet == re.toSet) // membership independent of layout
+    // 1/3 of rows carry 50× weight; they should dominate the sample
+    val heavy = got.count(_._3 == 50L)
+    assert(heavy > got.length / 2,
+      s"weighting has no bite: $heavy of ${got.length} heavy rows")
+    // weights clamp to >= 1 rather than dividing by zero
+    val zeroW = Seq((1L, "x", 0L), (2L, "x", 5L)).toDF("id", "g", "w")
+    assert(Sampling.weightedPriorityTopK(
+      zeroW, col("id"), col("w"), col("g"), 5).count() == 2)
+    // output-contract columns are collision-guarded
+    intercept[IllegalArgumentException] {
+      Sampling.weightedPriorityTopK(
+        df.withColumn("priority", lit(1)), col("id"), col("w"), col("g"), 5)
+    }
+    // WindowGroupLimit: map-side per-group truncation before the exchange
+    val plan = Sampling.weightedPriorityTopK(
+        df, col("id"), col("w"), col("g"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
