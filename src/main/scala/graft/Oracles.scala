@@ -914,7 +914,10 @@ object Oracles {
     * candidate pairs → transitive closure → per-doc min-label cluster
     * assignment in `asg`.
     */
-  private lazy val dupClusterCtes: String = s"""$minhashCte,
+  /** Shared candidate-graph CTEs (minhash → LSH bands → pairs → both-
+    * direction edges) — the front half of q52/q117/q121.
+    */
+  private lazy val dupEdgesCtes: String = s"""$minhashCte,
     banded AS (
       SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
       UNION ALL
@@ -926,7 +929,9 @@ object Oracles {
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
-      SELECT id_b AS u, id_a AS v FROM pairs),
+      SELECT id_b AS u, id_a AS v FROM pairs)"""
+
+  private lazy val dupClusterCtes: String = s"""$dupEdgesCtes,
     reach(u, v) AS (
       SELECT u, v FROM edges
       UNION
@@ -960,6 +965,33 @@ object Oracles {
     FROM sz
     GROUP BY cluster_size
     ORDER BY cluster_size"""
+
+  /** Mirrors Queries.dupPagerank: three unrolled iterations of the
+    * all-integer damping recurrence over the LSH candidate edges —
+    * identical truncation points (`//` after the 150/850 scaling, and
+    * inside each contribution pr // deg), BIGINT-cast sums (DuckDB
+    * sums BIGINT into HUGEINT — the historic q58/q82/q83 divergence
+    * class).
+    */
+  val dupPagerank: String = {
+    def iter(prev: String, cur: String, c: String) = s"""
+    $c AS (
+      SELECT e.v AS doc_id, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+      FROM edges e JOIN $prev p ON e.u = p.doc_id GROUP BY e.v),
+    $cur AS (
+      SELECT d.u AS doc_id, d.deg,
+             (150 * (1000000000000 // (SELECT n FROM nn))) // 1000
+             + (850 * c.s) // 1000 AS pr
+      FROM deg d JOIN $c c ON d.u = c.doc_id)"""
+    s"""
+    WITH $dupEdgesCtes,
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    p0 AS (SELECT u AS doc_id, deg,
+                  1000000000000 // (SELECT n FROM nn) AS pr
+           FROM deg),${iter("p0", "p1", "c1")},${iter("p1", "p2", "c2")},${iter("p2", "p3", "c3")}
+    SELECT doc_id, deg, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"""
+  }
 
   /** Mirrors Queries.canonicalDocs: q52's clusters, then canonical
     * election per cluster — the member from the most-trusted source
@@ -2767,7 +2799,8 @@ object Oracles {
     // invisible in the result, so the oracle is q118's verbatim (the
     // q38/q47 reuse discipline)
     "q119_ivf_pq" -> PqOracle.pqAdc,
-    "q120_weighted_sample" -> weightedSample)
+    "q120_weighted_sample" -> weightedSample,
+    "q121_dup_pagerank" -> dupPagerank)
 }
 
 /** Holder split out so the oracle text initializes before

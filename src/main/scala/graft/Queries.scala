@@ -3050,4 +3050,26 @@ object Queries {
       .select(col("doc_id"), col("source"), col("w"), col("priority"),
         col("rk"))
       .orderBy(col("source"), col("rk"))
+
+  /** q121: PageRank over the duplicate-candidate graph — q52's LSH
+    * pairs as an undirected edge list, three iterations of
+    * [[graft.operators.Cluster.pagerankInt]]'s all-integer damping
+    * recurrence. Centrality ranks cluster members by how CONNECTED
+    * they are inside their dup neighborhood (the hub of a template
+    * family scores highest — a canonical-election signal orthogonal
+    * to q97's source-priority election). Integer truncation points are
+    * the contract; the oracle unrolls the identical three iterations
+    * as chained CTEs over the same edges. Docs with no candidate pair
+    * don't participate (documented domain restriction).
+    */
+  def dupPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    graft.operators.Cluster.pagerankInt(edges, "u", "v", iters = 3)
+      .select(col("doc_id"), col("deg"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
 }

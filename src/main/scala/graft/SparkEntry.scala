@@ -142,7 +142,8 @@ object SparkEntry {
     "q117_dup_histogram" -> (Queries.dupClusterHistogram _),
     "q118_pq_adc" -> (Queries.pqAdc _),
     "q119_ivf_pq" -> (Queries.ivfPqAdc _),
-    "q120_weighted_sample" -> (Queries.weightedSample _))
+    "q120_weighted_sample" -> (Queries.weightedSample _),
+    "q121_dup_pagerank" -> (Queries.dupPagerank _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

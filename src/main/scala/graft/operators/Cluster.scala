@@ -132,4 +132,54 @@ object Cluster {
       .unionByName(selfLoopSingletons)
       .distinct()
   }
+
+  /** ALL-INTEGER PageRank over a directed edge list — centrality for
+    * the duplicate graph (a canonical-election signal: the most-linked
+    * member of a near-dup cluster is usually the original) and any
+    * other doc/entity graph the curation pipeline builds.
+    *
+    * Every arithmetic step is 64-bit integer: ranks carry `scale`
+    * total mass (default 1e12), the damping split is
+    * `pr' = (150·(scale div N)) div 1000 + (850·Σ contrib) div 1000`
+    * with `contrib(v) = pr(v) div deg(v)` — the truncation POINTS are
+    * part of the contract, so any engine replays the exact bit pattern
+    * (the q86/q91 discipline: no float ever computed, no summation-
+    * order sensitivity since integer addition commutes exactly).
+    *
+    * Scale shape: each iteration is one join of the edge list with the
+    * |nodes|-sized rank frame plus one destination-keyed sum — two
+    * shuffles on node keys, both with map-side partial aggregation; at
+    * cluster scale pre-partition edges by `u` (bucketed table) and the
+    * join side reuses that partitioning every round. The driver holds
+    * nothing but the loop counter. Nodes are the DOMAIN OF THE EDGE
+    * LIST (every u of an edge); with an undirected graph materialized
+    * as both directions, every node has in- and out-degree ≥ 1, so no
+    * dangling-mass redistribution is needed — isolated docs simply
+    * don't participate (document the restriction, don't hide it).
+    */
+  def pagerankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "pagerankInt: iters must be >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true) // reused every round; freeze it once
+    val n = deg.count()
+    require(n > 0, "pagerankInt: empty edge list")
+    val base = (150L * (scale / n)) / 1000L
+    var pr = deg.select(col("u").as("doc_id"), col("deg"),
+      lit(scale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(pr, col("u") === col("doc_id"))
+        .select(col("v"), expr("pr div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      pr = deg.join(sums, col("u") === col("v"))
+        .select(col("u").as("doc_id"), col("deg"),
+          (lit(base) + expr("(850 * s) div 1000")).as("pr"))
+    }
+    pr
+  }
 }

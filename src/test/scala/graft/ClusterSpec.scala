@@ -84,4 +84,31 @@ class ClusterSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toMap ==
       Map(3L -> 3L, 5L -> 3L))
   }
+
+  test("pagerankInt: matches a hand-computed 2-node replay; hub dominates a star") {
+    // undirected pair {1,2}: N=2, every iteration is a fixed point of
+    // base + (850 * (pr div 1)) div 1000 starting from scale/2
+    val S = 1000000000000L
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val got = Cluster.pagerankInt(pair, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var p = S / 2
+    val base = (150L * (S / 2)) / 1000L
+    for (_ <- 1 to 3) p = base + (850L * p) / 1000L
+    assert(got == Map(1L -> ((1L, p)), 2L -> ((1L, p))))
+
+    // star 0–{1..6}: the hub must outrank every leaf, and total mass
+    // stays within truncation loss of the scale
+    val star = (1L to 6L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("s", "d")
+    val pr = Cluster.pagerankInt(star, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 6L).forall(i => pr(0L) > pr(i)))
+    val total = pr.values.sum
+    assert(total <= S && total > S - 10000L, s"mass drifted: $total")
+
+    // layout-independent: identical bit pattern after repartition
+    val re = Cluster.pagerankInt(star.repartition(5), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == pr)
+  }
 }
