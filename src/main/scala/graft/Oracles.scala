@@ -993,6 +993,82 @@ object Oracles {
     SELECT doc_id, deg, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"""
   }
 
+  /** Mirrors Queries.mmrRerankGate: q23's candidate SQL capped at 20,
+    * then five unrolled greedy MMR steps in INTEGER MICRO-UNITS — each
+    * step joins the remaining candidates against the selected-so-far
+    * union, takes the max pairwise cosine as an exact int64
+    * (`round(round(cos,6)·1e6)`), scores
+    * `(70·rel_u − 30·ms_u) // 100` (both engines truncate toward
+    * zero), and picks the (score DESC, id ASC) argmax; step 1 uses
+    * ms = 0 through the identical formula. The emitted score is
+    * `score_u / 1000000.0` — the same integer over the same literal.
+    * (A double-space `round((70·rel−30·ms)/100, 6)` systematically
+    * lands on exact 7th-digit halves — 6-dp inputs × 70/100 — where
+    * Spark's shortest-repr round and DuckDB's binary-exact round
+    * disagree; integers have no half.)
+    */
+  val mmrRerank: String = {
+    def step(i: Int) = {
+      val prevSel = (1 until i)
+        .map(j => s"SELECT query_id, neighbor_id, cv FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""
+    selu$i AS ($prevSel),
+    ms$i AS (
+      SELECT r.query_id, r.neighbor_id,
+             max(CAST(round(round(list_cosine_similarity(r.cv, s.cv), 6)
+                            * 1000000) AS BIGINT)) AS ms_u
+      FROM cand r JOIN selu$i s ON r.query_id = s.query_id
+      WHERE r.neighbor_id NOT IN (SELECT neighbor_id FROM selu$i x
+                                  WHERE x.query_id = r.query_id)
+      GROUP BY r.query_id, r.neighbor_id),
+    sc$i AS (
+      SELECT c.query_id, c.neighbor_id, c.rel, c.cv,
+             (70 * c.rel_u - 30 * m.ms_u) // 100 AS score_u
+      FROM cand c JOIN ms$i m
+        ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id),
+    sel$i AS (
+      SELECT query_id, neighbor_id, rel, cv, score_u, $i AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_u DESC, neighbor_id ASC) AS rn
+            FROM sc$i)
+      WHERE rn = 1)"""
+    }
+    val steps = (2 to 5).map(i => "," + step(i)).mkString
+    val unions = (1 to 5)
+      .map(i =>
+        s"SELECT query_id, rank, neighbor_id, rel, score_u FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id, cosine AS rel,
+             CAST(round(cosine * 1000000) AS BIGINT) AS rel_u, cv
+      FROM (SELECT query_id, neighbor_id, cv,
+                   round(list_cosine_similarity(qv, cv), 6) AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                              neighbor_id ASC) AS rank
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+      WHERE rank <= 20),
+    sel1 AS (
+      SELECT query_id, neighbor_id, rel, cv,
+             (70 * rel_u - 30 * 0) // 100 AS score_u, 1 AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY (70 * rel_u - 30 * 0) // 100 DESC,
+                                 neighbor_id ASC) AS rn FROM cand)
+      WHERE rn = 1)$steps
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, rel,
+           CAST(score_u AS BIGINT) / 1000000.0 AS score
+    FROM ($unions)
+    ORDER BY query_id, rank"""
+  }
+
   /** Mirrors Queries.canonicalDocs: q52's clusters, then canonical
     * election per cluster — the member from the most-trusted source
     * (lowest numeric suffix), doc_id as the tie-break.
@@ -2800,7 +2876,8 @@ object Oracles {
     // q38/q47 reuse discipline)
     "q119_ivf_pq" -> PqOracle.pqAdc,
     "q120_weighted_sample" -> weightedSample,
-    "q121_dup_pagerank" -> dupPagerank)
+    "q121_dup_pagerank" -> dupPagerank,
+    "q122_mmr_rerank" -> mmrRerank)
 }
 
 /** Holder split out so the oracle text initializes before

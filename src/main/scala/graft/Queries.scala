@@ -3072,4 +3072,26 @@ object Queries {
       .select(col("doc_id"), col("deg"), col("pr"))
       .orderBy(col("doc_id"))
   }
+
+  /** q122: MMR diversity rerank — q23's brute-force top-20 per query,
+    * then [[graft.operators.Similarity.mmrRerank]]'s greedy
+    * `(70·rel − 30·maxSimToSelected)/100` selection down to 5. The
+    * gate shows diversity actually biting: selected ranks are NOT the
+    * relevance order (a near-dup of the first pick drops behind less
+    * relevant but fresher candidates). The oracle unrolls the same
+    * five selection steps as chained CTEs over the same candidate SQL.
+    */
+  def mmrRerankGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val cand = graft.operators.Similarity
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+    val withVec = cand.join(
+      emb.select(col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv")),
+      Seq("neighbor_id"))
+    graft.operators.Similarity.mmrRerank(withVec, k = 5, lambdaPct = 70)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -143,7 +143,8 @@ object SparkEntry {
     "q118_pq_adc" -> (Queries.pqAdc _),
     "q119_ivf_pq" -> (Queries.ivfPqAdc _),
     "q120_weighted_sample" -> (Queries.weightedSample _),
-    "q121_dup_pagerank" -> (Queries.dupPagerank _))
+    "q121_dup_pagerank" -> (Queries.dupPagerank _),
+    "q122_mmr_rerank" -> (Queries.mmrRerankGate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

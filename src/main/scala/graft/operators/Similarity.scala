@@ -727,4 +727,100 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** MMR diversity rerank (Carbonell & Goldstein 1998) over a BOUNDED
+    * per-query candidate set — the standard post-ANN stage that stops
+    * a RAG context window from being five copies of the same passage:
+    * greedily select k candidates maximizing
+    * `(λ·relevance − (100−λ)·max-similarity-to-already-selected)/100`.
+    *
+    * `candidates` carries (query_id, neighbor_id, rel, cv) where `rel`
+    * is the retrieval score (6-dp-rounded cosine from
+    * [[bruteForceTopK]]/[[ivfQuery]]) and `cv` the candidate vector.
+    * The selection runs per query over the collected candidate list —
+    * the production shape: rerankers operate in-process on the top-N
+    * window (N ≤ 100s), never on the corpus, so the per-group state is
+    * bounded and the corpus-side cost stays in the ANN stage. Ranking
+    * is deterministic and layout-independent because the score is
+    * INTEGER MICRO-UNITS, not a rounded double: rel and each pairwise
+    * cosine are 6-dp values, so `·1e6` recovers exact int64s, and
+    * `score_µ = (λ·rel_µ − (100−λ)·ms_µ) / 100` (truncating int
+    * division, = DuckDB `//`) pins every truncation point — ties break to the smaller neighbor id over a
+    * pure (score_µ, id) total order, and the oracle unrolls the
+    * identical k steps as chained SQL CTEs. (A double-space
+    * `round((λ·rel−(100−λ)·ms)/100, 6)` is NOT cross-engine-stable
+    * here: multiplying a 6-dp value by λ/100 systematically creates
+    * exact 7th-digit halves, where Spark's round — BigDecimal.valueOf,
+    * shortest decimal repr — and DuckDB's round — binary-exact value —
+    * disagree. Found the hard way; integers have no half to argue
+    * about.) The emitted `score` is `score_µ / 1e6` — the same integer
+    * divided by the same literal on both engines.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      k: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, "mmrRerank: k must be >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      "mmrRerank: lambdaPct must be in [0, 100]")
+    val l = lambdaPct
+    val sel = udf((cands: Seq[org.apache.spark.sql.Row]) => {
+      val arr = cands.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray)).toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        val nn = math.sqrt(na) * math.sqrt(nb)
+        if (nn == 0.0) 0.0 else d / nn
+      }
+      // 6-dp-rounded cosine → exact micro-units. The round must match
+      // Spark's own `round` (BigDecimal.valueOf shortest-repr), which
+      // is what produced the 6-dp `rel` values in the first place.
+      def microCos(a: Array[Double], b: Array[Double]): Long = {
+        val c = cos(a, b)
+        if (c.isNaN || c.isInfinite) Long.MinValue // finite-vec contract
+        else BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.movePointRight(6).longValueExact()
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Double)]
+      val n = arr.length
+      val relMicro = arr.map(c => Math.round(c._2 * 1e6))
+      var step = 1
+      while (step <= math.min(k, n)) {
+        var bi = -1; var bs = 0L; var bid = 0L
+        var ci = 0
+        while (ci < n) {
+          if (!selected.contains(ci)) {
+            val (id, _, v) = arr(ci)
+            val msMicro =
+              if (selected.isEmpty) 0L
+              else selected.map(si => microCos(v, arr(si)._3)).max
+            // truncating division — DuckDB's `//` and Java's `/` both
+            // truncate toward zero on negatives (NOT floor)
+            val scoreMicro = (l * relMicro(ci) - (100L - l) * msMicro) / 100L
+            if (bi < 0 || scoreMicro > bs || (scoreMicro == bs && id < bid)) {
+              bi = ci; bs = scoreMicro; bid = id
+            }
+          }
+          ci += 1
+        }
+        selected += bi
+        out += ((bid, step, arr(bi)._2, bs / 1000000.0))
+        step += 1
+      }
+      out.toSeq
+    })
+    candidates
+      .groupBy(col("query_id"))
+      .agg(collect_list(
+        struct(col("neighbor_id"), col("rel"), col("cv"))).as("cs"))
+      .select(col("query_id"), explode(sel(col("cs"))).as("m"))
+      .select(col("query_id"), col("m._2").cast("long").as("rank"),
+        col("m._1").as("neighbor_id"), col("m._3").as("rel"),
+        col("m._4").as("score"))
+  }
 }

@@ -24,10 +24,11 @@ class PlanDisciplineSpec extends SparkSpec {
   // same sanctioned broadcast shape.
   // q118's ADC scan is the same sanctioned shape: the encoded corpus
   // streams once past the broadcast per-query distance tables.
+  // q122's candidate stage IS q23's brute-force ranker (same shape).
   private val nljAllowed =
     Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized",
       "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search",
-      "q118_pq_adc")
+      "q118_pq_adc", "q122_mmr_rerank")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.

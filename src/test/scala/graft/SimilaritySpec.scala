@@ -421,6 +421,37 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.io.Sinks.truncatePath(spark, dir)
   }
 
+  test("mmrRerank: near-dup of the top pick is demoted; deterministic; bounded") {
+    import org.apache.spark.sql.functions._
+    // query q; candidates: a (rel .9), a' (rel .89, ~= a), b (rel .5,
+    // orthogonal), c (rel .4, orthogonal). Pure relevance order would be
+    // a, a', b, c; MMR must pick a then skip the clone for b.
+    val cands = Seq(
+      (7L, 1L, 0.9, Seq(1.0, 0.0, 0.0, 0.0)),
+      (7L, 2L, 0.89, Seq(0.999, 0.001, 0.0, 0.0)),
+      (7L, 3L, 0.5, Seq(0.0, 1.0, 0.0, 0.0)),
+      (7L, 4L, 0.4, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("query_id", "neighbor_id", "rel", "cv")
+    val got = Similarity.mmrRerank(cands, k = 4, lambdaPct = 70)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    // hand replay: step2 a'=(70·.89−30·~1)/100≈.323 < b=.35 → b; step3
+    // a' .323 > c .28 → a'; the clone is demoted from rank 2 to rank 3
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L, 4L),
+      s"diversity not biting: ${got.toSeq}")
+    // layout-independent (collect_list order must not matter)
+    val re = Similarity.mmrRerank(cands.repartition(3), 4, 70)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(re.toSeq == got.toSeq)
+    // k beyond the candidate count returns every candidate once
+    assert(Similarity.mmrRerank(cands, k = 99, lambdaPct = 70).count() == 4)
+    // lambda=100 is pure relevance order
+    val pure = Similarity.mmrRerank(cands, 4, lambdaPct = 100)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
+    assert(pure.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("pq: trained per-subspace codebooks plug straight into encode/ADC") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
