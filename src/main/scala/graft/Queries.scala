@@ -1328,19 +1328,24 @@ object Queries {
     Profile.profile(o, cols).orderBy(col("col_name"))
   }
 
-  /** q59: skew-salted join — lineitem sprayed across 8 salts, orders
-    * salt-replicated, joined on (key, salt) and aggregated per
-    * priority. The oracle is the UNSALTED join: salting must be
-    * invisible in the result. See [[graft.operators.Skew]] for when
-    * salting beats AQE's skew-join (shuffled-hash joins, groupBy skew,
-    * streaming micro-batches).
+  /** q59: skew-GATED salted join — [[graft.operators.Skew.adaptiveSaltedJoin]]
+    * estimates the key histogram first and salts ONLY when a key is heavy
+    * (>8× the mean per-key count). TPC-H lineitem caps at 7 lines per
+    * order, so the gate input takes the passthrough (plain-join) plan —
+    * paying the 8× replication tax on an unskewed join is exactly the
+    * anti-pattern the gate used to hard-code. The oracle is the unsalted
+    * join: gated or not, salting must be invisible in the result. The
+    * salted path's mechanics (hot-key spray, replica join) are pinned by
+    * SkewSpec on a constructed skewed frame. See [[graft.operators.Skew]]
+    * for when salting beats AQE's skew-join (shuffled-hash joins, groupBy
+    * skew, streaming micro-batches).
     */
   def saltedJoinQty(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-    Skew.saltedJoin(li, o, "k", salt = 8)
+    Skew.adaptiveSaltedJoin(li, o, "k", salt = 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))

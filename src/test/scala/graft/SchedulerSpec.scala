@@ -1,0 +1,107 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.PipelineRunner._
+import graft.pipeline.Scheduler
+import graft.pipeline.Scheduler.{Entry, Loop}
+
+/** Schedule evaluation against an injected clock — the reference's Airflow
+  * scheduler seam: `0 1 * * *` (daily_summary_report.py:57), `@daily`
+  * (mongo_to_storage.py:118), TriggerDagRunOperator chaining
+  * (mood_quality_check.py:68-73). No wall time anywhere: every test hands
+  * the loop explicit `(from, to]` windows.
+  */
+class SchedulerSpec extends AnyFunSuite {
+
+  private def at(s: String) = LocalDateTime.parse(s)
+
+  test("cron parse + nextFire: the reference's '0 1 * * *' fires daily at 01:00") {
+    val c = Scheduler.parse("0 1 * * *")
+    assert(c.nextFire(at("2026-08-14T00:30:00")) == at("2026-08-14T01:00:00"))
+    // exactly on the boundary → strictly-after semantics: next day
+    assert(c.nextFire(at("2026-08-14T01:00:00")) == at("2026-08-15T01:00:00"))
+    assert(c.matches(at("2026-08-14T01:00:00")))
+    assert(!c.matches(at("2026-08-14T01:01:00")))
+  }
+
+  test("aliases, lists, ranges, steps, dow") {
+    assert(Scheduler.parse("@daily").nextFire(at("2026-08-14T23:59:00")) ==
+      at("2026-08-15T00:00:00"))
+    assert(Scheduler.parse("@hourly").nextFire(at("2026-08-14T10:05:00")) ==
+      at("2026-08-14T11:00:00"))
+    val every15 = Scheduler.parse("*/15 * * * *")
+    assert(every15.nextFire(at("2026-08-14T10:16:00")) == at("2026-08-14T10:30:00"))
+    val workdays9 = Scheduler.parse("0 9 * * 1-5")
+    // 2026-08-14 is a Friday; next weekday 09:00 after Fri 10:00 is Monday
+    assert(workdays9.nextFire(at("2026-08-14T10:00:00")) == at("2026-08-17T09:00:00"))
+    // Sunday as 7 and as 0 are the same day
+    val sun7 = Scheduler.parse("0 0 * * 7")
+    val sun0 = Scheduler.parse("0 0 * * 0")
+    assert(sun7.nextFire(at("2026-08-14T00:00:00")) ==
+      sun0.nextFire(at("2026-08-14T00:00:00")))
+    val listed = Scheduler.parse("5,35 8-10 * * *")
+    assert(listed.nextFire(at("2026-08-14T08:36:00")) == at("2026-08-14T09:05:00"))
+    // month jump: only January → skips to next year from February
+    val jan = Scheduler.parse("0 0 1 1 *")
+    assert(jan.nextFire(at("2026-02-01T00:00:00")) == at("2027-01-01T00:00:00"))
+    // unsatisfiable date fails fast instead of spinning forever
+    intercept[IllegalArgumentException] {
+      Scheduler.parse("0 0 31 2 *").nextFire(at("2026-01-01T00:00:00"))
+    }
+    intercept[IllegalArgumentException] { Scheduler.parse("0 1 * *") }
+  }
+
+  test("standard cron dom/dow OR: both restricted → either may match") {
+    val c = Scheduler.parse("0 0 13 * 5") // 13th OR Friday
+    assert(c.matches(at("2026-08-13T00:00:00"))) // a Thursday, but the 13th
+    assert(c.matches(at("2026-08-14T00:00:00"))) // a Friday, not the 13th
+    assert(!c.matches(at("2026-08-15T00:00:00"))) // Saturday the 15th
+  }
+
+  test("loop fires once per boundary; no boundary, no fire; catch-up fires all missed") {
+    var runs = 0
+    val daily = Pipeline("daily_summary", Seq(Task("report")(() => runs += 1)))
+    val loop = new Loop(Seq(Entry(daily, Scheduler.parse("0 1 * * *"))))
+    // window crossing exactly one 01:00 boundary → one run
+    val f1 = loop.advance(at("2026-08-14T00:00:00"), at("2026-08-14T02:00:00"))
+    assert(runs == 1 && f1.map(_.pipeline) == Seq("daily_summary"))
+    assert(f1.head.at.contains(at("2026-08-14T01:00:00")))
+    // later window inside the same day → nothing fires
+    assert(loop.advance(at("2026-08-14T02:00:00"), at("2026-08-14T23:00:00")).isEmpty)
+    assert(runs == 1)
+    // a 3-day outage → catch-up: all three missed boundaries fire
+    val f3 = loop.advance(at("2026-08-14T02:00:00"), at("2026-08-17T02:00:00"))
+    assert(runs == 4 && f3.size == 3)
+    assert(f3.map(_.at.get) == Seq(
+      at("2026-08-15T01:00:00"), at("2026-08-16T01:00:00"), at("2026-08-17T01:00:00")))
+  }
+
+  test("TriggerDagRun edge: quality gate success fires export; failure does not") {
+    var qualityOk = false
+    var exports = 0
+    var failures = 0
+    val export = Pipeline("mongo_to_storage", Seq(Task("export")(() => exports += 1)))
+    val quality = Pipeline("mood_quality_check",
+      Seq(Task("check")(() => if (!qualityOk) sys.error("quality gate failed"))),
+      onFailure = _ => failures += 1)
+    val loop = new Loop(Seq(
+      Entry(quality, Scheduler.parse("@daily"), triggersOnSuccess = Seq("mongo_to_storage")),
+      Entry(export, Scheduler.parse("0 12 31 12 *")))) // effectively never in-window
+    // failing gate: scheduled run fires, callback fires, NO export trigger
+    val f1 = loop.advance(at("2026-08-14T12:00:00"), at("2026-08-15T12:00:00"))
+    assert(f1.size == 1 && !f1.head.report.succeeded && failures == 1 && exports == 0)
+    // passing gate: trigger fires the export DAG immediately, marked as triggered
+    qualityOk = true
+    val f2 = loop.advance(at("2026-08-15T12:00:00"), at("2026-08-16T12:00:00"))
+    assert(f2.map(_.pipeline) == Seq("mood_quality_check", "mongo_to_storage"))
+    assert(f2(1).at.isEmpty && exports == 1) // triggered run carries no boundary
+    // unknown trigger target rejected at construction
+    intercept[IllegalArgumentException] {
+      new Loop(Seq(Entry(quality, Scheduler.parse("@daily"),
+        triggersOnSuccess = Seq("nope"))))
+    }
+  }
+}

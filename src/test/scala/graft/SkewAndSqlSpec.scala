@@ -30,6 +30,59 @@ class SkewAndSqlSpec extends SparkSpec {
     }
   }
 
+  test("detectHeavyKeys: flags only the hot key, empty report when unskewed") {
+    val skewed = (Seq.fill(500)(("hot", 1)) ++
+      (1 to 20).flatMap(i => Seq.fill(4)((s"k$i", i)))).toDF("k", "v")
+    val rpt = Skew.detectHeavyKeys(skewed, "k")
+    assert(rpt.isSkewed && rpt.keys == Seq("hot"))
+    assert(rpt.maxCount == 500L)
+    // flat distribution → no heavy keys even though counts differ slightly
+    val flat = (1 to 20).flatMap(i => Seq.fill(30 + i % 3)((s"k$i", i))).toDF("k", "v")
+    assert(!Skew.detectHeavyKeys(flat, "k").isSkewed)
+    // tiny frame: max count under the absolute floor → never skewed
+    val tiny = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    assert(!Skew.detectHeavyKeys(tiny, "k").isSkewed)
+    // empty frame → clean empty report
+    assert(!Skew.detectHeavyKeys(tiny.filter(lit(false)), "k").isSkewed)
+  }
+
+  test("adaptiveSaltedJoin: unskewed input takes the passthrough (no-salt) plan") {
+    val left = (1 to 40).flatMap(i => Seq.fill(3)((s"k$i", i))).toDF("k", "lv")
+    val right = (1 to 40).map(i => (s"k$i", i * 10)).toDF("k", "rv")
+    val joined = Skew.adaptiveSaltedJoin(left, right, "k", salt = 8)
+    // passthrough = plain join: no __salt column anywhere in the plan
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__salt"))
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val got = joined.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == plain)
+  }
+
+  test("adaptiveSaltedJoin: skewed input salts ONLY the hot key and matches plain join") {
+    val left = (Seq.fill(600)(("hot", 1)) ++
+      (1 to 30).flatMap(i => Seq.fill(2)((s"k$i", i)))).toDF("k", "lv")
+    val right = (Seq(("hot", 99)) ++ (1 to 30).map(i => (s"k$i", i * 10)) ++
+      Seq(("unmatched", 0))).toDF("k", "rv")
+    val joined = Skew.adaptiveSaltedJoin(left, right, "k", salt = 8)
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__salt"))
+    val plain = left.join(right, Seq("k"))
+    assert(joined.count() == plain.count())
+    val got = joined.groupBy($"k").agg(count(lit(1)).as("n"), sum($"rv").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = plain.groupBy($"k").agg(count(lit(1)).as("n"), sum($"rv").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // left join: unmatched left rows survive exactly once; cold rows unreplicated
+    val lj = Skew.adaptiveSaltedJoin(
+      left.union(Seq(("lonely", 7)).toDF("k", "lv")), right, "k",
+      salt = 8, joinType = "left")
+    assert(lj.filter($"k" === "lonely").count() == 1)
+    intercept[IllegalArgumentException] {
+      Skew.adaptiveSaltedJoin(left, right, "k", salt = 8, joinType = "full_outer")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "true")
