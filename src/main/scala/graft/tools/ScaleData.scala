@@ -92,8 +92,23 @@ object ScaleData {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
+    // orders/lineitem — the TPC-H facts scale too (round-11: the full-
+    // surface sf1 lock must exercise the relational half at 10× as well).
+    // Shard i offsets the ORDER key space only; customer/part/supplier
+    // keys stay unchanged, so every dimension join stays valid and each
+    // dimension row simply fans out to factor× the fact rows — the
+    // busier-city direction, same as events. Orderkeys are cast to LONG in
+    // every shard (shard 0 included) so the union schema is stable.
+    val ordOff = 100000000L // > any sf0.1 orderkey (max ~6e6)
+    shards(Tables.load(spark, src, "orders")) { (o, i) =>
+      o.withColumn("o_orderkey", (col("o_orderkey") + lit(i * ordOff)).cast("long"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    shards(Tables.load(spark, src, "lineitem")) { (l, i) =>
+      l.withColumn("l_orderkey", (col("l_orderkey") + lit(i * ordOff)).cast("long"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     // small dims pass through unchanged (not scale targets)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         Tables.load(spark, src, t).write.mode("overwrite")
           .parquet(s"$out/$t.parquet")
