@@ -2952,9 +2952,10 @@ object Queries {
       // ONE eager checkpoint for both pre-compaction results: their
       // store scans pin the raw segment paths, which compact() deletes
       // after folding — they must materialize before it runs. Each is a
-      // skinny plan over its batch's already-checkpointed occurrence
-      // frame, so fusing them halves the job count (job count, not
-      // data, is this pipeline's cost at gate scale).
+      // skinny plan over its batch's cached occurrence frame (persisted
+      // by incrementalSpanCore, materialized by its segment write), so
+      // fusing them halves the job count (job count, not data, is this
+      // pipeline's cost at gate scale).
       val p01 = p0.unionByName(p1).localCheckpoint(true)
       Dedup.FingerprintStore.compact(s, storeDir, buckets = 8, tablePrefix = prefix)
       // the third batch's scan pins post-compaction state and nothing

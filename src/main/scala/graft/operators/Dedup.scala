@@ -1264,13 +1264,30 @@ object Dedup {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int): (DataFrame, DataFrame) =
+    spanPositionsFrom(tokenizedBase(docs, textCol, idCol), idCol, k)
+
+  /** The tokenize-only front of the span pipeline, split out so the
+    * incremental path can persist it ONCE per batch and share it between
+    * the occurrence build and the strip-path token rebuild (which
+    * otherwise re-tokenizes the batch at gate time).
+    */
+  private def tokenizedBase(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame =
     // spread: on a single-file test corpus the tokenizer + gram build +
     // hash would otherwise run on ONE task (map-only cost — no-op on a
     // well-partitioned real corpus; q48 discipline)
-    val base = Similarity.spread(docs.select(col(idCol), col(textCol)))
+    Similarity.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
+
+  private def spanPositionsFrom(
+      base0: DataFrame,
+      idCol: String,
+      k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = base0
       // gram build stays on ngramsOfTokens' zip_with fold: the measured
       // alternative (slice-under-transform over a position sequence) is
       // 3.3x slower at sf0.1 — per-element slice materializes a fresh
@@ -1535,20 +1552,21 @@ object Dedup {
     val s = batch.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
     val store = FingerprintStore.load(s, storeDir)
-    val (base, occ0) = dupSpanPositions(batch, textCol, idCol, k)
-    // materialize the occurrence frame ONCE: it feeds the store probe →
-    // profile, the per-doc token counts, AND the segment write, and its
-    // lineage is the full tokenize + gram-build + hash + gram-window
-    // pipeline — left lazy that pipeline re-runs per consumer (the
-    // q67/q72 band-key lesson). The frame is batch-bounded: ~one row per
-    // token, three longs + a long hash; at 100 TB stage it under
-    // storeDir instead of executor storage. Everything downstream is a
-    // skinny plan over this one checkpoint — at test scale the query's
-    // cost is JOB COUNT, not data volume, so the batch runs exactly two
-    // eager jobs (this checkpoint and the segment write; the caller's
-    // profile/rewrite stays lazy, its store scan pinned to the
-    // pre-write segment list).
-    val occ = occ0.localCheckpoint(eager = true)
+    // persist (not eager-checkpoint) both the tokenized base and the
+    // occurrence frame: the segment write below is then the batch's ONE
+    // eager action, and materializing it populates both caches as a side
+    // effect — the store probe → profile, the per-doc token counts, and
+    // the strip path's token rebuild all read the caches instead of
+    // re-running the tokenize + gram-build + hash + gram-window pipeline
+    // per consumer (the q67/q72 band-key lesson). At gate scale this
+    // pipeline's cost is JOB COUNT, not data volume (~236k occurrence
+    // rows at sf0.1), so halving the eager actions per batch is the
+    // whole optimization; recompute-on-eviction is deterministic, and
+    // both frames are batch-bounded (~one row per token) — at 100 TB
+    // stage them under storeDir instead of executor storage.
+    val base0 = tokenizedBase(batch, textCol, idCol).persist()
+    val (base, occ0) = spanPositionsFrom(base0, idCol, k)
+    val occ = occ0.persist()
     // store probe on the STRING form of the gram hash: the store's fp
     // column is the bucketed/sorted key after a compaction, so keeping
     // the join key = fp lets the history side read exchange-free; only

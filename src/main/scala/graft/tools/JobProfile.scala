@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: runs one named SparkEntry query and prints every Spark
+  * job it launches (description + wall duration) — the tool that turns a
+  * "job-count-bound" hypothesis into a number. Not part of the gate.
+  *
+  * Usage: runMain graft.tools.JobProfile <queryName> [sfDir]
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        starts.put(js.jobId, (js.time, desc))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.get(je.jobId)).foreach { case (t0, desc) =>
+          lines.add(f"job ${je.jobId}%3d  ${(je.time - t0) / 1000.0}%7.2fs  ${desc.take(110)}")
+        }
+      }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    // warm run then measured run, mirroring Bench's steady-state intent
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val warm = (System.nanoTime() - t0) / 1e9
+    lines.clear()
+    val t1 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val hot = (System.nanoTime() - t1) / 1e9
+    spark.stop()
+    lines.forEach(l => println(l))
+    println(f"$name: cold $warm%.2fs, hot $hot%.2fs, jobs ${lines.size}")
+  }
+}
