@@ -155,15 +155,35 @@ object Cluster {
     * LIST (every u of an edge); with an undirected graph materialized
     * as both directions, every node has in- and out-degree ≥ 1, so no
     * dangling-mass redistribution is needed — isolated docs simply
-    * don't participate (document the restriction, don't hide it).
+    * don't participate, and a node appearing ONLY as a destination (a
+    * sink in a genuinely directed graph) is absent from `deg`, receives
+    * no row in the output, and its would-be mass is truncated away
+    * (document the restriction, don't hide it; feed both edge
+    * directions if every member must be ranked).
+    *
+    * Materialization: each iteration's rank frame is localCheckpoint'ed
+    * (eager) — exactly [[connectedComponents]]' discipline, because the
+    * alternative re-plans iteration i's whole join chain inside
+    * iteration i+1's plan: harmless at 3 iterations, quadratic analysis
+    * cost and a codegen blowup at PageRank's real 20–50. For a
+    * long-running cluster job pass `stagingDir` to stage rounds as
+    * parquet instead (durable across executor loss).
     */
   def pagerankInt(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      stagingDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "pagerankInt: iters must be >= 1")
+    val s = edges.sparkSession
+    def materialize(df: DataFrame, iter: Int): DataFrame = stagingDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(f"$dir/pr_iter_$iter%03d")
+        s.read.parquet(f"$dir/pr_iter_$iter%03d")
+      case None => df.localCheckpoint(true)
+    }
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true) // reused every round; freeze it once
@@ -172,13 +192,17 @@ object Cluster {
     val base = (150L * (scale / n)) / 1000L
     var pr = deg.select(col("u").as("doc_id"), col("deg"),
       lit(scale / n).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val sums = e.join(pr, col("u") === col("doc_id"))
         .select(col("v"), expr("pr div deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      pr = deg.join(sums, col("u") === col("v"))
+      val next = deg.join(sums, col("u") === col("v"))
         .select(col("u").as("doc_id"), col("deg"),
           (lit(base) + expr("(850 * s) div 1000")).as("pr"))
+      // the LAST iteration stays lazy: the caller's one action runs the
+      // final join over the frozen previous round, so the gate pays no
+      // extra materialization job for it
+      pr = if (i == iters) next else materialize(next, i)
     }
     pr
   }

@@ -111,4 +111,35 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(re == pr)
   }
+
+  test("pagerankInt: plan size flat in iteration count; 20-iter replay exact; staged seam identical") {
+    val S = 1000000000000L
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var c = 0
+      df.queryExecution.analyzed.foreach(_ => c += 1)
+      c
+    }
+    // per-round materialization means iteration i+1 plans over a frozen
+    // scan of round i, never over round i's whole join chain — the final
+    // plan must not grow with the iteration count
+    val p2 = Cluster.pagerankInt(pair, "s", "d", iters = 2)
+    val p20 = Cluster.pagerankInt(pair, "s", "d", iters = 20)
+    assert(planNodes(p20) == planNodes(p2),
+      s"plan grew with iters: ${planNodes(p2)} -> ${planNodes(p20)}")
+    // and the deep run still replays the scalar recurrence bit-exactly
+    var p = S / 2
+    val base = (150L * (S / 2)) / 1000L
+    for (_ <- 1 to 20) p = base + (850L * p) / 1000L
+    val got = p20.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> p, 2L -> p))
+    // the durable stagingDir seam is the same computation, same bits
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_stage").toString
+    try {
+      val staged = Cluster
+        .pagerankInt(pair, "s", "d", iters = 20, stagingDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(staged == got)
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
 }
