@@ -2875,6 +2875,7 @@ object Oracles {
     // invisible in the result, so the oracle is q118's verbatim (the
     // q38/q47 reuse discipline)
     "q119_ivf_pq" -> PqOracle.pqAdc,
+    "q123_pq_trained" -> PqOracle.pqAdcTrained,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)
@@ -2931,4 +2932,103 @@ private object PqOracle {
     SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_dist2
     FROM ranked WHERE rank <= 8
     ORDER BY query_id, rank"""
+
+  /** Mirrors Queries.pqAdcTrained / Similarity.pqTrain: two chained L2
+    * Lloyd iterations per subspace from the q118 axis-unit seeds —
+    * each round rebuilds codeword LISTS from the previous round's
+    * (m, j, d, c) table, assigns every subvector by the 6-dp-rounded
+    * `‖x‖² − 2⟨x,c⟩ + ‖c‖²` argmin (ties to the smaller j — the
+    * encoder's own rule), updates means through exact DECIMAL(38,12)
+    * sums with one double division and the `round(·,6) + 0.0`
+    * normalization, and carries starved codewords forward — then the
+    * q118 encode + ADC serving replay against the TRAINED books.
+    * `list_dot_product` / `list_sum` accumulate left-to-right, the
+    * same IEEE order as the Spark operator's ArrayDot fold.
+    */
+  val pqAdcTrained: String = {
+    def iteration(i: Int) = s"""
+    cl${i - 1} AS (
+      SELECT m, j, list(c ORDER BY d) AS ctr FROM cb${i - 1} GROUP BY m, j),
+    cls${i - 1} AS (
+      SELECT m, j, ctr, list_sum(list_transform(ctr, e -> e*e)) AS ssc
+      FROM cl${i - 1}),
+    cand$i AS (
+      SELECT s.vec_id, s.m, c.j,
+             round(s.ss - 2*list_dot_product(s.x, c.ctr) + c.ssc, 6) AS dd
+      FROM sub s JOIN cls${i - 1} c USING (m)),
+    asg$i AS (
+      SELECT vec_id, m, j
+      FROM (SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, j) AS rk
+            FROM cand$i)
+      WHERE rk = 1),
+    n$i AS (SELECT m, j, count(*) AS n_vecs FROM asg$i GROUP BY 1, 2),
+    sums$i AS (
+      SELECT a.m, a.j, d, sum(CAST(s.x[d] AS DECIMAL(38,12))) AS sx
+      FROM asg$i a JOIN sub s USING (vec_id, m),
+           (SELECT unnest(generate_series(1, 16)) AS d) ds
+      GROUP BY 1, 2, 3),
+    newc$i AS (
+      SELECT su.m, su.j, su.d,
+             round(CAST(su.sx AS DOUBLE) / n.n_vecs, 6) + 0.0 AS c
+      FROM sums$i su JOIN n$i n USING (m, j)),
+    cb$i AS (
+      SELECT m, j, d, c FROM newc$i
+      UNION ALL
+      SELECT p.m, p.j, p.d, p.c FROM cb${i - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM newc$i x
+                        WHERE x.m = p.m AND x.j = p.j))"""
+    s"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, v[m*16+1 : m*16+16] AS x,
+             list_sum(list_transform(v[m*16+1 : m*16+16], e -> e*e)) AS ss
+      FROM v, range(4) t(m)),
+    cb0 AS (
+      SELECT m, j, d,
+             CASE WHEN d = 2*j + 1 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS c
+      FROM range(4) t(m), range(8) t2(j),
+           (SELECT unnest(generate_series(1, 16)) AS d) ds),
+    ${(1 to 2).map(iteration).mkString(",")},
+    cl2 AS (
+      SELECT m, j, list(c ORDER BY d) AS ctr FROM cb2 GROUP BY m, j),
+    cls2 AS (
+      SELECT m, j, ctr, list_sum(list_transform(ctr, e -> e*e)) AS ssc
+      FROM cl2),
+    d2 AS (
+      SELECT s.vec_id, s.m, c.j,
+             round(s.ss - 2*list_dot_product(s.x, c.ctr) + c.ssc, 6) AS d
+      FROM sub s JOIN cls2 c USING (m)),
+    codes AS (
+      SELECT vec_id, m, j AS code
+      FROM (SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, j) AS rn
+            FROM d2)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id, qd.m, qd.d
+      FROM codes c
+      JOIN d2 qd ON qd.m = c.m AND qd.j = c.code
+      WHERE qd.vec_id < 10 AND qd.vec_id <> c.vec_id),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             round(max(CASE WHEN m=0 THEN d END)
+                 + max(CASE WHEN m=1 THEN d END)
+                 + max(CASE WHEN m=2 THEN d END)
+                 + max(CASE WHEN m=3 THEN d END), 6) + 0.0 AS approx_dist2
+      FROM pairs GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist2 ASC,
+                                         neighbor_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_dist2
+    FROM ranked WHERE rank <= 8
+    ORDER BY query_id, rank"""
+  }
 }

@@ -3100,4 +3100,31 @@ object Queries {
     graft.operators.Similarity.mmrRerank(withVec, k = 5, lambdaPct = 70)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q123: PQ-ADC with TRAINED codebooks — q118's serving arithmetic
+    * fed by [[graft.operators.Similarity.pqTrain]]: two L2 Lloyd
+    * iterations per subspace (all four subspaces in ONE corpus pass
+    * per round) from the q118 axis-unit seeds, then encode + ADC with
+    * the trained books. The oracle replays the identical two training
+    * iterations as chained CTEs (codeword lists rebuilt from the
+    * previous round's table, starved codewords carried forward — the
+    * q91 discipline, with `‖x‖² − 2⟨x,c⟩ + ‖c‖²` L2 argmin in place of
+    * cosine argmax), so the TRAINED path is cross-engine-checked, not
+    * just spec-asserted against itself.
+    */
+  def pqAdcTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val seeds = Seq.tabulate(4)(_ =>
+      Seq.tabulate(8)(j => Seq.tabulate(16)(i => if (i == 2 * j) 1.0 else 0.0)))
+    val books = graft.operators.Similarity
+      .pqTrain(emb, "embedding", "vec_id", seeds, iters = 2)
+    val encoded = graft.operators.Similarity
+      .pqEncode(emb, "embedding", "vec_id", books)
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.operators.Similarity
+      .pqAdcTopK(encoded, queries, "embedding", "vec_id", books, k = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("approx_dist2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -144,7 +144,8 @@ object SparkEntry {
     "q119_ivf_pq" -> (Queries.ivfPqAdc _),
     "q120_weighted_sample" -> (Queries.weightedSample _),
     "q121_dup_pagerank" -> (Queries.dupPagerank _),
-    "q122_mmr_rerank" -> (Queries.mmrRerankGate _))
+    "q122_mmr_rerank" -> (Queries.mmrRerankGate _),
+    "q123_pq_trained" -> (Queries.pqAdcTrained _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -557,9 +557,11 @@ object Similarity {
   // K × M table of exact query-subvector→codeword distances, and each
   // corpus vector's approximate distance is M table lookups — the
   // corpus-wide pass reads ONLY the code column. Codebooks are
-  // per-subspace k-means ([[kmeansTrain]] on the subvector slice is
-  // the trainer); the gate uses the q86 axis-unit seed discipline so
-  // the DuckDB oracle can replay codebooks as literals.
+  // per-subspace k-means ([[pqTrain]] — one corpus pass per round
+  // covering all M subspaces); the q118 gate uses the q86 axis-unit
+  // seed discipline so the oracle replays codebooks as literals, and
+  // the q123 gate drives the TRAINED path against a chained-CTE
+  // replay of the identical iterations.
   // ---------------------------------------------------------------- //
 
   /** Rounded squared-L2 distances of a subvector to each codeword of
@@ -655,6 +657,87 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** One L2 Lloyd iteration over EVERY PQ subspace in a single corpus
+    * pass — the PQ codebook trainer's inner step. Each vector's M
+    * subvectors are assigned to their nearest codeword under the
+    * current `codebooks` (the [[pqCodes]] argmin: 6-dp-rounded
+    * `‖x‖² − 2⟨x,c⟩ + ‖c‖²`, ties to the smaller j — the SAME
+    * assignment the encoder uses, so training optimizes exactly the
+    * quantizer that will serve), then per-(subspace, codeword, dim)
+    * means update through exact DECIMAL(38,12) sums with one double
+    * division and the q86 `round(·,6) + 0.0` normalization.
+    *
+    * Scale shape: assignment is map-only (codebooks ride the plan as
+    * literals — M × K × subDim doubles, KBs); the only shuffle is the
+    * (m, code, dim)-keyed mean update, ≤ M × K × subDim rows after
+    * map-side partial aggregation — identical to [[lloydStep]]'s
+    * economics, ONE pass for all M subspaces rather than M.
+    *
+    * Output: (m, code, dim, n_vecs, c) — starved (m, code) cells emit
+    * no rows; [[pqTrain]] carries their previous codeword forward.
+    */
+  def pqLloydStep(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val v = spread(corpus.select(col(idCol), asDouble(col(vecCol)).as("cv")))
+      .filter(isFiniteVec(col("cv")))
+    v.select(col("cv"),
+        posexplode(pqCodes(col("cv"), codebooks)).as(Seq("m", "code")))
+      .select(col("m"), col("code"),
+        posexplode(slice(col("cv"), col("m") * subDim + lit(1), lit(subDim)))
+          .as(Seq("d0", "x")))
+      .groupBy(col("m"), col("code"), col("d0"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("x").cast("decimal(38,12)")).as("sx"))
+      .select(col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"),
+        (col("d0") + 1).cast("long").as("dim"),
+        col("n_vecs"),
+        (round(col("sx").cast("double") / col("n_vecs"), 6) + 0.0).as("c"))
+  }
+
+  /** Full PQ codebook training: iterate [[pqLloydStep]], feeding each
+    * round's collected (bounded, ≤ M × K × subDim) means back as the
+    * next round's codebooks — the [[kmeansTrain]] loop shape, driver
+    * holds codebooks only, never data. Starved codewords keep their
+    * previous value so K is stable across rounds. Every mean is
+    * 6-dp-rounded before it re-enters the distance arithmetic, so the
+    * trained books are deterministic, layout-independent doubles a SQL
+    * oracle replays bit-for-bit (the q91 chained-CTE discipline — the
+    * q123 gate holds this path to a DuckDB replay of the identical
+    * iterations).
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      seeds: Seq[Seq[Seq[Double]]],
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 1, "pqTrain: iters must be >= 1")
+    var books = seeds
+    for (_ <- 1 to iters) {
+      val step = pqLloydStep(corpus, vecCol, idCol, books)
+        .collect() // bounded: <= M x K x subDim rows by construction
+        .map(r => (r.getAs[Long]("m").toInt, r.getAs[Long]("code").toInt,
+          r.getAs[Long]("dim").toInt, r.getAs[Double]("c")))
+      val byCell = step.groupBy(t => (t._1, t._2))
+      books = books.zipWithIndex.map { case (book, m) =>
+        book.zipWithIndex.map { case (prev, j) =>
+          byCell.get((m, j)) match {
+            case Some(rows) =>
+              val dims = rows.map(t => t._3 -> t._4).toMap
+              prev.indices.map(i => dims(i + 1))
+            case None => prev // starved codeword: keep previous value
+          }
+        }
+      }
+    }
+    books
+  }
+
   /** IVF-PQ index build — the faiss serving architecture: coarse IVF
     * cell assignment ([[buildIvfIndex]]'s geometry) over PQ codes
     * ([[pqEncode]]'s payload). Output (`cell`, `neighbor_id`, `codes`):
@@ -664,7 +747,7 @@ object Similarity {
     * billion vectors with nlist=4096, nprobe=64: 1.5% of partitions ×
     * 1/128 of the bytes. Centers come from [[kmeansTrain]]/
     * [[localKMeans]] (persist them like [[IvfIndex.save]] does);
-    * codebooks from per-subspace [[kmeansTrain]].
+    * codebooks from [[pqTrain]].
     */
   def buildIvfPq(
       corpus: DataFrame,
