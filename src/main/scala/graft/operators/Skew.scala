@@ -100,6 +100,13 @@ object Skew {
     * Salting is result-invisible: both paths produce exactly the rows of the
     * plain join (the q59 oracle certifies this). Join-type restrictions as
     * in [[saltedJoin]].
+    *
+    * Detection defaults to a 10% row sample (seeded, deterministic): the
+    * gate's cost must stay SUBLINEAR in the left table — a full
+    * groupBy-count pre-scan before every join would double the left-side
+    * read at 100 TB, and a key hot enough to matter (> skewFactor × mean)
+    * is present in any non-trivial sample by construction. `minCount`
+    * inside [[detectHeavyKeys]] applies to SAMPLED counts.
     */
   def adaptiveSaltedJoin(
       left: DataFrame,
@@ -108,7 +115,7 @@ object Skew {
       salt: Int = 8,
       joinType: String = "inner",
       skewFactor: Double = 8.0,
-      sampleFraction: Double = 1.0,
+      sampleFraction: Double = 0.1,
       seed: Long = 42L): DataFrame = {
     require(salt > 1, "salt must be > 1")
     val jt = joinType.toLowerCase.replace("_", "")

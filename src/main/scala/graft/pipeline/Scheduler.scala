@@ -33,16 +33,9 @@ object Scheduler {
       minutes: Set[Int], hours: Set[Int], dom: Set[Int], months: Set[Int],
       dow: Set[Int], domStar: Boolean, dowStar: Boolean) {
 
-    def matches(t: LocalDateTime): Boolean = {
-      val dayOk =
-        if (domStar && dowStar) true
-        else if (domStar) dow.contains(t.getDayOfWeek.getValue % 7)
-        else if (dowStar) dom.contains(t.getDayOfMonth)
-        else dom.contains(t.getDayOfMonth) ||
-          dow.contains(t.getDayOfWeek.getValue % 7)
+    def matches(t: LocalDateTime): Boolean =
       minutes.contains(t.getMinute) && hours.contains(t.getHour) &&
-        months.contains(t.getMonthValue) && dayOk
-    }
+        months.contains(t.getMonthValue) && dayMatches(t)
 
     /** First matching minute STRICTLY after `after`. Skips field-by-field
       * (wrong month → jump to next month, wrong day → next day, wrong
@@ -68,12 +61,16 @@ object Scheduler {
         s"cron expression never fires within 5 years after $after")
     }
 
-    private def dayMatches(t: LocalDateTime): Boolean =
-      if (domStar && dowStar) true
-      else if (domStar) dow.contains(t.getDayOfWeek.getValue % 7)
-      else if (dowStar) dom.contains(t.getDayOfMonth)
-      else dom.contains(t.getDayOfMonth) ||
-        dow.contains(t.getDayOfWeek.getValue % 7)
+    // Vixie day rule: the two day fields OR only when BOTH were
+    // restricted (neither began with '*'); otherwise they AND — and each
+    // field's SET always filters (a star-step field carries the star
+    // FLAG but a restricted set; a literal '*' set is full, so the AND
+    // is a no-op for it).
+    private def dayMatches(t: LocalDateTime): Boolean = {
+      val domOk = dom.contains(t.getDayOfMonth)
+      val dowOk = dow.contains(t.getDayOfWeek.getValue % 7)
+      if (domStar || dowStar) domOk && dowOk else domOk || dowOk
+    }
   }
 
   /** Parse a cron schedule: the 5-field form (`min hour dom month dow`,
@@ -97,8 +94,13 @@ object Scheduler {
       val mon = parseField(fields(3), 1, 12)
       // map 7→0 so both spellings of Sunday compare equal
       val dow = parseField(fields(4), 0, 7).map(_ % 7)
+      // vixie cron sets the day-field star flags for any field BEGINNING
+      // with '*' (so `*/2` counts as star and the dom/dow OR rule stays
+      // off): `0 0 15 * */2` fires only on 15ths that are also
+      // even-numbered weekdays, not on every 15th
       Cron(mins, hrs, dom, mon, dow,
-        domStar = fields(2) == "*", dowStar = fields(4) == "*")
+        domStar = fields(2).startsWith("*"),
+        dowStar = fields(4).startsWith("*"))
   }
 
   private def parseField(f: String, lo: Int, hi: Int): Set[Int] = {
@@ -150,11 +152,29 @@ object Scheduler {
     entries.foreach(e => e.triggersOnSuccess.foreach(t =>
       require(byName.contains(t),
         s"${e.pipeline.name} triggers unknown pipeline '$t'")))
+    // fail at BUILD time on a parseable-but-unsatisfiable cron (e.g.
+    // `0 0 31 2 *`): advance() evaluates every entry's nextFire each
+    // tick, so one such entry would otherwise poison every tick for
+    // every pipeline in the loop. One probe from a fixed leap-cycle
+    // start exercises the same 5-year search bound nextFire enforces.
+    entries.foreach { e =>
+      try e.cron.nextFire(LocalDateTime.of(2024, 1, 1, 0, 0))
+      catch {
+        case ex: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"${e.pipeline.name}: unsatisfiable cron schedule — ${ex.getMessage}")
+      }
+    }
 
     /** Fire every pipeline once per cron boundary in `(from, to]`, in
       * boundary order (ties broken by entry declaration order), running
       * cross-DAG triggers immediately after each successful scheduled
-      * run. Returns every run that fired, in execution order.
+      * run. Triggers CASCADE: a triggered pipeline that succeeds fires
+      * its own `triggersOnSuccess` in turn (Airflow's
+      * TriggerDagRunOperator runs the triggered DAG's full graph,
+      * further triggers included); a name already fired on the current
+      * chain is skipped, so trigger cycles terminate. Returns every run
+      * that fired, in execution order.
       */
     def advance(from: LocalDateTime, to: LocalDateTime): Seq[Fired] = {
       require(!to.isBefore(from), s"advance: to=$to precedes from=$from")
@@ -166,12 +186,26 @@ object Scheduler {
       boundaries.sortBy { case (t, i, _) => (t, i) }.flatMap { case (t, _, e) =>
         val report = e.pipeline.run()
         val triggered =
-          if (report.succeeded)
-            e.triggersOnSuccess.map(n =>
-              Fired(n, None, byName(n).pipeline.run()))
+          if (report.succeeded) fireTriggers(e, Set(e.pipeline.name))
           else Nil
         Fired(e.pipeline.name, Some(t), report) +: triggered
       }
     }
+
+    /** Depth-first cascade of `e.triggersOnSuccess`: run each triggered
+      * pipeline, then (on success) its own triggers, guarding against
+      * cycles with the per-chain `visited` set. A diamond (A triggers B
+      * and C, both trigger D) runs D once per incoming edge — the same
+      * behavior two TriggerDagRunOperators produce in Airflow.
+      */
+    private def fireTriggers(e: Entry, visited: Set[String]): Seq[Fired] =
+      e.triggersOnSuccess.filterNot(visited).flatMap { n =>
+        val ent = byName(n)
+        val report = ent.pipeline.run()
+        val chained =
+          if (report.succeeded) fireTriggers(ent, visited + n)
+          else Nil
+        Fired(n, None, report) +: chained
+      }
   }
 }

@@ -104,4 +104,55 @@ class SchedulerSpec extends AnyFunSuite {
         triggersOnSuccess = Seq("nope"))))
     }
   }
+
+  test("vixie star semantics: a step day-field keeps the dom/dow AND rule") {
+    // `0 0 15 * */2`: dow begins with '*' → star flag set, so the rule is
+    // dom AND dow-set, not OR — fires only on 15ths that are also
+    // Sun/Tue/Thu/Sat
+    val c = Scheduler.parse("0 0 15 * */2")
+    assert(c.matches(at("2026-08-15T00:00:00")))   // Saturday the 15th (6 ∈ {0,2,4,6})
+    assert(!c.matches(at("2026-06-15T00:00:00")))  // Monday the 15th (1 ∉ set): OR rule would fire
+    assert(!c.matches(at("2026-08-16T00:00:00")))  // Sunday the 16th: right dow, wrong dom
+    // and a genuinely unrestricted '*' day still matches everything
+    assert(Scheduler.parse("0 0 15 * *").matches(at("2026-06-15T00:00:00")))
+  }
+
+  test("unsatisfiable cron poisons nothing: Loop construction fails fast") {
+    var runs = 0
+    val ok = Pipeline("ok", Seq(Task("t")(() => runs += 1)))
+    val bad = Pipeline("bad", Seq(Task("t")(() => ())))
+    val ex = intercept[IllegalArgumentException] {
+      new Loop(Seq(
+        Entry(ok, Scheduler.parse("0 1 * * *")),
+        Entry(bad, Scheduler.parse("0 0 31 2 *"))))
+    }
+    assert(ex.getMessage.contains("bad"))
+    assert(runs == 0)
+  }
+
+  test("cross-DAG triggers cascade with cycle guard") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    def p(name: String, ok: Boolean = true) = Pipeline(name,
+      Seq(Task("t")(() => { order += name; if (!ok) sys.error(s"$name failed") })))
+    // chain a → b → c, with c pointing back at a (cycle)
+    val loop = new Loop(Seq(
+      Entry(p("a"), Scheduler.parse("@daily"), triggersOnSuccess = Seq("b")),
+      Entry(p("b"), Scheduler.parse("0 12 31 12 *"), triggersOnSuccess = Seq("c")),
+      Entry(p("c"), Scheduler.parse("0 12 31 12 *"), triggersOnSuccess = Seq("a"))))
+    val fired = loop.advance(at("2026-08-14T12:00:00"), at("2026-08-15T12:00:00"))
+    // a (scheduled) → b → c; c's back-edge to a is suppressed by the guard
+    assert(fired.map(_.pipeline) == Seq("a", "b", "c"))
+    assert(order.toSeq == Seq("a", "b", "c"))
+    assert(fired.head.at.nonEmpty && fired.tail.forall(_.at.isEmpty))
+    // a failing mid-chain pipeline stops the cascade below it
+    order.clear()
+    val loop2 = new Loop(Seq(
+      Entry(p("a"), Scheduler.parse("@daily"), triggersOnSuccess = Seq("b2")),
+      Entry(p("b2", ok = false), Scheduler.parse("0 12 31 12 *"),
+        triggersOnSuccess = Seq("c2")),
+      Entry(p("c2"), Scheduler.parse("0 12 31 12 *"))))
+    val fired2 = loop2.advance(at("2026-08-14T12:00:00"), at("2026-08-15T12:00:00"))
+    assert(fired2.map(_.pipeline) == Seq("a", "b2"))
+    assert(!fired2(1).report.succeeded && order.toSeq == Seq("a", "b2"))
+  }
 }

@@ -64,7 +64,12 @@ class SkewAndSqlSpec extends SparkSpec {
       (1 to 30).flatMap(i => Seq.fill(2)((s"k$i", i)))).toDF("k", "lv")
     val right = (Seq(("hot", 99)) ++ (1 to 30).map(i => (s"k$i", i * 10)) ++
       Seq(("unmatched", 0))).toDF("k", "rv")
-    val joined = Skew.adaptiveSaltedJoin(left, right, "k", salt = 8)
+    // sampleFraction = 1.0: this spec pins the salting MECHANICS on a
+    // 30-key frame, where the default 10% detection sample would distort
+    // the per-key mean (hot dominates a 7-key sample); the sampled-gate
+    // default is for corpus-scale inputs
+    val joined = Skew.adaptiveSaltedJoin(left, right, "k", salt = 8,
+      sampleFraction = 1.0)
     assert(joined.queryExecution.optimizedPlan.toString.contains("__salt"))
     val plain = left.join(right, Seq("k"))
     assert(joined.count() == plain.count())
@@ -76,7 +81,7 @@ class SkewAndSqlSpec extends SparkSpec {
     // left join: unmatched left rows survive exactly once; cold rows unreplicated
     val lj = Skew.adaptiveSaltedJoin(
       left.union(Seq(("lonely", 7)).toDF("k", "lv")), right, "k",
-      salt = 8, joinType = "left")
+      salt = 8, joinType = "left", sampleFraction = 1.0)
     assert(lj.filter($"k" === "lonely").count() == 1)
     intercept[IllegalArgumentException] {
       Skew.adaptiveSaltedJoin(left, right, "k", salt = 8, joinType = "full_outer")
