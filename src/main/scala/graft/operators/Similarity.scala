@@ -838,16 +838,32 @@ object Similarity {
     * disagree. Found the hard way; integers have no half to argue
     * about.) The emitted `score` is `score_µ / 1e6` — the same integer
     * divided by the same literal on both engines.
+    *
+    * `maxCandidates` bounds the per-query group the greedy loop will
+    * accept (default 1024): a corpus-sized group means the caller fed
+    * the rerank raw ANN input instead of a top-N window, and the task
+    * fails with a pointed message instead of grinding quadratically.
     */
   def mmrRerank(
       candidates: DataFrame,
       k: Int,
-      lambdaPct: Int = 70): DataFrame = {
+      lambdaPct: Int = 70,
+      maxCandidates: Int = 1024): DataFrame = {
     require(k >= 1, "mmrRerank: k must be >= 1")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       "mmrRerank: lambdaPct must be in [0, 100]")
+    require(maxCandidates >= k,
+      s"mmrRerank: maxCandidates ($maxCandidates) must be >= k ($k)")
     val l = lambdaPct
+    val maxC = maxCandidates
     val sel = udf((cands: Seq[org.apache.spark.sql.Row]) => {
+      // reranking is an in-process greedy loop over ONE query's top-N
+      // window — a corpus-sized group here means the caller skipped the
+      // ANN stage; fail loudly instead of quadratically grinding one task
+      require(cands.length <= maxC,
+        s"mmrRerank: candidate group of ${cands.length} exceeds " +
+          s"maxCandidates=$maxC — rerank a bounded per-query top-N " +
+          "(run an ANN/top-k stage first), or raise maxCandidates")
       val arr = cands.map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Double](2).toArray)).toArray
       def cos(a: Array[Double], b: Array[Double]): Double = {

@@ -450,6 +450,20 @@ class SimilaritySpec extends SparkSpec {
     val pure = Similarity.mmrRerank(cands, 4, lambdaPct = 100)
       .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
     assert(pure.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a corpus-sized candidate group fails loudly, not quadratically:
+    // the in-process greedy loop is for bounded top-N windows only
+    val big = (1 to 40).map(i => (7L, i.toLong, 0.5, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("query_id", "neighbor_id", "rel", "cv")
+    val ex = intercept[Exception] {
+      Similarity.mmrRerank(big, k = 4, lambdaPct = 70, maxCandidates = 32)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxCandidates") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxCandidates")))
+    // and an incoherent bound is rejected at call time
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(cands, k = 8, maxCandidates = 4)
+    }
   }
 
   test("pq: trained per-subspace codebooks plug straight into encode/ADC") {

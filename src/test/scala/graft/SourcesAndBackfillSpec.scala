@@ -86,6 +86,33 @@ class SourcesAndBackfillSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/export").exists())
   }
 
+  test("K5 s3a:// dispatch reaches the Hadoop FS registry (jar-drop away, no network)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    // file:// resolves to the local implementation — the driven scheme
+    assert(new Path(s"file://${tmpDir("graft_fs")}").getFileSystem(conf)
+      .isInstanceOf[org.apache.hadoop.fs.LocalFileSystem])
+    // s3a:// reaches the same registry lookup; with hadoop-aws absent it
+    // fails AT THE SCHEME TABLE (`No FileSystem for scheme "s3a"`), not
+    // in our code — the path to production is dropping the jar, not a
+    // code change
+    val e = intercept[Exception] {
+      new Path("s3a://bucket/exports/x").getFileSystem(conf)
+    }
+    assert(e.getMessage.toLowerCase.contains("s3a"), e.getMessage)
+    // and the registry honors fs.<scheme>.impl: pointing s3a at a class
+    // name proves the config seam hadoop-aws plugs into (the lookup now
+    // fails on CLASS resolution, not on the scheme)
+    val conf2 = new org.apache.hadoop.conf.Configuration(conf)
+    conf2.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    val e2 = intercept[Exception] {
+      new Path("s3a://bucket/exports/x").getFileSystem(conf2)
+    }
+    assert(e2.getMessage.contains("S3AFileSystem") ||
+      Option(e2.getCause).exists(_.getMessage.contains("S3AFileSystem")),
+      s"expected class-resolution failure, got: ${e2.getMessage}")
+  }
+
   test("schema-drift union ingest: stream + backfill rows through one loadNdjson") {
     val dir = java.nio.file.Paths.get(tmpDir("graft_drift"))
     // stream variant: double temp, 7-label mood; backfill variant: int temp,
