@@ -25,10 +25,12 @@ class PlanDisciplineSpec extends SparkSpec {
   // q118's ADC scan is the same sanctioned shape: the encoded corpus
   // streams once past the broadcast per-query distance tables.
   // q122's candidate stage IS q23's brute-force ranker (same shape).
+  // q123 is q118's ADC scan with trained books — same sanctioned shape
+  // (its pruned serving variant is q119, which stays NLJ-free).
   private val nljAllowed =
     Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized",
       "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search",
-      "q118_pq_adc", "q122_mmr_rerank")
+      "q118_pq_adc", "q122_mmr_rerank", "q123_pq_trained")
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.
