@@ -382,6 +382,33 @@ object Oracles {
     WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
     ORDER BY id_a, id_b"""
 
+  /** Mirrors Queries.allPairsJaccardGate / Dedup.allPairsJaccard: the
+    * NAIVE exact all-pairs token join — prefix filtering and size
+    * pruning are provably complete, so the oracle ignores them
+    * entirely and the Spark side must produce the identical pair set.
+    * Pure-integer threshold and jaccard_pp10k; corpus-wide (no source
+    * blocking, unlike q21).
+    */
+  val allPairsJaccard: String = s"""
+    WITH tset AS (
+      SELECT doc_id,
+             list_distinct(list_filter($toks, x -> x <> '')) AS ts
+      FROM documents),
+    s AS (
+      SELECT doc_id, len(ts) AS n, unnest(ts) AS tok
+      FROM tset WHERE len(ts) > 0),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n AS n_a, b.n AS n_b, count(*) AS c
+      FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, CAST(c AS BIGINT) AS n_common,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((c * 10000) // (n_a + n_b - c) AS BIGINT) AS jaccard_pp10k
+    FROM p
+    WHERE c * 100 >= 90 * (n_a + n_b - c)
+    ORDER BY id_a, id_b"""
+
   /** Full corpus-dedup composition (= Dedup.dedupeCorpus with threshold
     * 0.8, k = 8, bands = 4, ngram = 2): exact keepers by normalized-md5
     * fingerprint → 8-hash minhash over word bigrams of the survivors →
@@ -2876,6 +2903,7 @@ object Oracles {
     // q38/q47 reuse discipline)
     "q119_ivf_pq" -> PqOracle.pqAdc,
     "q123_pq_trained" -> PqOracle.pqAdcTrained,
+    "q124_allpairs_jaccard" -> allPairsJaccard,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

@@ -3112,6 +3112,22 @@ object Queries {
     * cosine argmax), so the TRAINED path is cross-engine-checked, not
     * just spec-asserted against itself.
     */
+  /** q124: EXACT all-pairs Jaccard join via prefix filtering
+    * ([[graft.operators.Dedup.allPairsJaccard]], Bayardo et al.
+    * WWW '07) at threshold 0.90 on distinct unigram token sets — the
+    * exact-recall complement to q21's df-capped candidates (which
+    * silently drop pairs sharing only hot tokens) and q20's LSH bands
+    * (which drop pairs missing every band). Prefix + size filtering is
+    * provably complete, so the oracle is the NAIVE exact all-pairs
+    * join — the pruning must be invisible. All-integer output
+    * (`jaccard_pp10k`, integer threshold comparison): no float ever
+    * reaches the hash.
+    */
+  def allPairsJaccardGate(s: SparkSession, dir: String): DataFrame =
+    Dedup.allPairsJaccard(Tables.documents(s, dir), "text", "doc_id",
+        t100 = 90)
+      .orderBy(col("id_a"), col("id_b"))
+
   def pqAdcTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val seeds = Seq.tabulate(4)(_ =>

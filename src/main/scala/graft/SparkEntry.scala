@@ -145,7 +145,8 @@ object SparkEntry {
     "q120_weighted_sample" -> (Queries.weightedSample _),
     "q121_dup_pagerank" -> (Queries.dupPagerank _),
     "q122_mmr_rerank" -> (Queries.mmrRerankGate _),
-    "q123_pq_trained" -> (Queries.pqAdcTrained _))
+    "q123_pq_trained" -> (Queries.pqAdcTrained _),
+    "q124_allpairs_jaccard" -> (Queries.allPairsJaccardGate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

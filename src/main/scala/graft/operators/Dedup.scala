@@ -906,6 +906,95 @@ object Dedup {
     }
   }
 
+  /** EXACT all-pairs Jaccard similarity join via PREFIX FILTERING —
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search" (WWW '07):
+    * every pair of documents whose distinct-token sets reach
+    * `J = |∩|/|∪| ≥ t100/100`, with NO recall loss and NO all-pairs
+    * scan. This is the exact-recall complement to the approximate
+    * candidate generators in this family ([[ngramJaccardPairs]]'s
+    * `maxDf` cap silently drops pairs that share only hot tokens; LSH
+    * banding drops pairs that miss every band).
+    *
+    * The trick: order each doc's tokens by a GLOBAL canonical order
+    * (ascending document frequency, ties by token — rarest first) and
+    * index only each doc's PREFIX of length `n − ceil(t·n) + 1`. If
+    * J(a,b) ≥ t then |∩| ≥ t·|∪| ≥ t·max(na,nb), so the order-smallest
+    * shared token cannot sit past either prefix (a suffix of length
+    * `ceil(t·n) − 1 < t·n ≤ |∩|` cannot hold the whole intersection) —
+    * candidates = the prefix-token equi-join, provably complete. At
+    * corpus scale this is the whole fight: the quadratic blowup of a
+    * naive token join comes from stopword-frequency tokens, and under
+    * the rarest-first order those land in a prefix only for docs made
+    * almost entirely of them. Size pruning (`t·na ≤ nb ≤ na/t`) rides
+    * the join condition. Verification is an exact `array_intersect`
+    * over the candidate pairs alone. (PPJoin's positional refinement —
+    * Xiao et al., WWW '08 — could cut candidates further; prefix +
+    * size filtering already removes the asymptotic problem.)
+    *
+    * Output (all-integer, hash-stable): (id_a, id_b, n_common, n_a,
+    * n_b, jaccard_pp10k = ⌊10000·|∩|/|∪|⌋), id_a < id_b, threshold via
+    * the pure-integer comparison `100·|∩| ≥ t100·|∪|`.
+    */
+  def allPairsJaccard(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      t100: Int): DataFrame = {
+    require(t100 >= 1 && t100 <= 100,
+      "allPairsJaccard: t100 must be in [1, 100]")
+    val tok = Similarity.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc token arrays — `ts` in the canonical (df asc, token asc)
+    // prefix order AND `tss` string-sorted for the verify merge (any
+    // shared total order verifies; binary string order is what the
+    // codegen'd two-pointer intersect walks). Consumed three times
+    // (prefix explode + both verify joins) → persist, materialized by
+    // whichever job runs first.
+    val lists = tok.join(dfreq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dt"))
+      .select(col(idCol),
+        transform(col("dt"), e => e.getField("tok")).as("ts"),
+        array_sort(transform(col("dt"), e => e.getField("tok"))).as("tss"),
+        size(col("dt")).cast("long").as("n"))
+      .persist()
+    val prefixLen =
+      expr(s"cast(n - (($t100 * n + 99) div 100) + 1 as int)")
+    val prefix = lists.select(col(idCol), col("n"),
+      explode(slice(col("ts"), lit(1), prefixLen)).as("ptok"))
+    val cand = prefix
+      .select(col(idCol).as("id_a"), col("n").as("na"), col("ptok"))
+      .join(prefix.select(col(idCol).as("id_b"), col("n").as("nb"),
+        col("ptok")), Seq("ptok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("na") * 100L >= lit(t100.toLong) * col("nb") &&
+        col("nb") * 100L >= lit(t100.toLong) * col("na"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // intersection count via the codegen'd sorted-merge (no hash set,
+    // no materialized intersection array — see SortedIntersectCount)
+    val inter = {
+      import org.apache.spark.sql.graft.{ColumnBridge, SortedIntersectCount}
+      ColumnBridge.column(SortedIntersectCount(
+        ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb"))))
+    }
+    cand
+      .join(lists.select(col(idCol).as("id_a"), col("tss").as("ta"),
+        col("n").as("n_a")), "id_a")
+      .join(lists.select(col(idCol).as("id_b"), col("tss").as("tb"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("n_common", inter)
+      .filter(col("n_common") * 100L >=
+        lit(t100.toLong) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("(n_common * 10000) div (n_a + n_b - n_common)")
+          .as("jaccard_pp10k"))
+  }
+
   /** Simhash near-duplicates by HAMMING RADIUS — Manku et al. (WWW '07):
     * pairs of documents whose `bits`-bit feature simhashes differ in at
     * most `maxHamming` positions. Candidate generation is the pigeonhole

@@ -981,4 +981,61 @@ class DedupSpec extends SparkSpec {
     assert(got(2L)._1 == 1L && got(2L)._2 == 8L)
     assert(got(3L)._1 == 1L && got(3L)._2 == 8L)
   }
+
+  test("allPairsJaccard equals the brute-force exact join; prefix pruning invisible") {
+    // template cluster {1,2,3} with drift, plus distinct docs — enough
+    // token overlap structure that prefix + size pruning actually prune
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra1"),                       // J = 20/21 ≈ .952
+      (3L, base.replace("w20", "z20")),             // J = 19/21 ≈ .905
+      (4L, (1 to 20).map(i => s"v$i").mkString(" ")),
+      (5L, "tiny doc"),
+      (6L, "tiny doc")                              // J = 1 with 5
+    ).toDF("doc_id", "text")
+    def bruteForce(t100: Int): Set[(Long, Long, Long)] = {
+      val sets = corpus.collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        if inter * 100 >= t100 * (sets(a) | sets(b)).size
+      } yield (a, b, inter.toLong)).toSet
+    }
+    for (t100 <- Seq(50, 90)) {
+      val got = Dedup.allPairsJaccard(corpus, "text", "doc_id", t100)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("n_common"))).toSet
+      assert(got == bruteForce(t100), s"t100=$t100")
+    }
+    // the integer jaccard is exact: pair (5,6) is 10000, (1,2) is 9523
+    val pp = Dedup.allPairsJaccard(corpus, "text", "doc_id", 90)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("jaccard_pp10k")).toMap
+    assert(pp((5L, 6L)) == 10000L && pp((1L, 2L)) == 9523L)
+    // candidate generation is an equi-join on prefix tokens — no
+    // cartesian / nested-loop anywhere in the plan
+    val plan = Dedup.allPairsJaccard(corpus, "text", "doc_id", 90)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("SortedIntersectCount: two-pointer merge matches array_intersect on sorted distinct arrays") {
+    import org.apache.spark.sql.graft.{ColumnBridge, SortedIntersectCount}
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "c", "x")),
+      (Seq("a"), Seq[String]()),
+      (Seq[String](), Seq[String]()),
+      (Seq("m", "n"), Seq("m", "n"))
+    ).toDF("x", "y")
+    val c = ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(col("x")), ColumnBridge.expression(col("y"))))
+    val got = df.select(c.as("c")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 0L, 0L, 2L))
+    // interpreted (non-codegen) path agrees
+    val gotEval = df.select(c.as("c")).collect().map(_.getLong(0)).toSeq
+    assert(gotEval == got)
+  }
 }
