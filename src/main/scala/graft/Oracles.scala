@@ -584,6 +584,51 @@ object Oracles {
     WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** Mirrors Queries.tokenShardsGate / Layout.tokenShards: the
+    * distributed two-pass cumulative sum collapses to ONE sequential
+    * window over the deterministic (hash, doc_id) order — partition
+    * boundaries and offsets must be invisible. Same hash and weight
+    * formulas as q120.
+    */
+  val tokenShards: String = s"""
+    WITH w AS (
+      SELECT doc_id, CAST(len($toks) + 1 AS BIGINT) AS w FROM documents),
+    h AS (
+      SELECT doc_id, w,
+             ${hash60("concat(CAST(doc_id AS VARCHAR), ':shard')")} AS hh
+      FROM w),
+    c AS (
+      SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY hh, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum
+      FROM h)
+    SELECT doc_id, w, CAST(cum // 4000 AS BIGINT) AS shard_id
+    FROM c ORDER BY doc_id"""
+
+  /** Mirrors Queries.hardNegativesGate / Similarity.hardNegatives: the
+    * q23 exact-cosine scan with the [0.10, 0.30) band applied to the
+    * 6-dp-rounded cosine BEFORE ranking — banding on the rounded value
+    * is what makes membership bit-stable across engines.
+    */
+  val hardNegatives: String = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s WHERE cosine >= 0.10 AND cosine < 0.30)
+    WHERE rank <= 10
+    ORDER BY query_id, rank"""
+
   /** q27: the LSH ranking itself is not SQL-expressible (random
     * hyperplanes), so the dump is the in-query certification (see
     * Queries.annLshCertified) and every certified bound is emitted as
@@ -2904,6 +2949,8 @@ object Oracles {
     "q119_ivf_pq" -> PqOracle.pqAdc,
     "q123_pq_trained" -> PqOracle.pqAdcTrained,
     "q124_allpairs_jaccard" -> allPairsJaccard,
+    "q125_hard_negatives" -> hardNegatives,
+    "q126_token_shards" -> tokenShards,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

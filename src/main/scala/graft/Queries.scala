@@ -3112,6 +3112,45 @@ object Queries {
     * cosine argmax), so the TRAINED path is cross-engine-checked, not
     * just spec-asserted against itself.
     */
+  /** q126: training-shard packing — the corpus in a deterministic
+    * hash-shuffled order, packed into contiguous ~4000-token shards
+    * ([[graft.operators.Layout.tokenShards]], weight = q120's
+    * tokenCount + 1). The global cumulative sum runs as the TWO-PASS
+    * per-partition-offsets shape (range partition on the hash, local
+    * running sums, collected per-partition totals re-entering as
+    * literal offsets) — never a single-partition window; the oracle
+    * replays it as one plain SQL window over (hash, doc_id), so the
+    * distributed two-pass must be exactly the sequential cumsum.
+    */
+  def tokenShardsGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (TextFunctions.tokenCount(col("text")) + 1).cast("long").as("w"))
+    graft.operators.Layout
+      .tokenShards(docs, "doc_id", "w", budget = 4000L, salt = "shard")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q125: HARD-NEGATIVE mining — per anchor (vec_id < 5), the top-10
+    * corpus vectors in the cosine band [0.10, 0.30)
+    * ([[graft.operators.Similarity.hardNegatives]]): similar enough to
+    * be informative contrastive negatives, banded BELOW the
+    * near-duplicate zone so probable unlabeled positives never poison
+    * the training pairs (the classic DPR/SimCSE false-negative
+    * failure). Brute scan on the gate (q23's sanctioned broadcast
+    * shape; band filter before the rank exchange); the IVF candidates
+    * + same band tail are the documented corpus-scale path.
+    */
+  def hardNegativesGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity
+      .hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, lo = 0.10, hi = 0.30)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q124: EXACT all-pairs Jaccard join via prefix filtering
     * ([[graft.operators.Dedup.allPairsJaccard]], Bayardo et al.
     * WWW '07) at threshold 0.90 on distinct unigram token sets — the

@@ -146,7 +146,9 @@ object SparkEntry {
     "q121_dup_pagerank" -> (Queries.dupPagerank _),
     "q122_mmr_rerank" -> (Queries.mmrRerankGate _),
     "q123_pq_trained" -> (Queries.pqAdcTrained _),
-    "q124_allpairs_jaccard" -> (Queries.allPairsJaccardGate _))
+    "q124_allpairs_jaccard" -> (Queries.allPairsJaccardGate _),
+    "q125_hard_negatives" -> (Queries.hardNegativesGate _),
+    "q126_token_shards" -> (Queries.tokenShardsGate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

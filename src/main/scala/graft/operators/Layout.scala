@@ -16,6 +16,69 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Deterministic token-budget SHARD PACKER — the "shuffle and shard
+    * into training files" step every pretraining pipeline runs between
+    * curation and the trainer: documents land in a reproducible global
+    * order (stable 60-bit hash of the id, salt-keyed — a deterministic
+    * corpus shuffle, independent of ingest order and partitioning) and
+    * are packed into contiguous bins of ~`budget` weight units:
+    * `shard_id = ⌊exclusive-cumulative-weight / budget⌋`. Every shard
+    * except the last carries ≥ budget − max(weight) and < budget +
+    * max(weight) tokens, shard count ≈ total/budget, and re-running on
+    * the same corpus reproduces the identical assignment bit-for-bit —
+    * what makes training-data builds auditable.
+    *
+    * Scale shape — the global cumulative sum is NOT a single-partition
+    * window: the frame range-partitions on the hash order, each
+    * partition computes its LOCAL running sum, and the per-partition
+    * totals (collected — one row per partition) re-enter as literal
+    * offsets, so the window partitions BY `spark_partition_id` and
+    * every executor sums only its own slice. The one collect is
+    * numShufflePartitions rows. The range exchange is the inherent
+    * cost of ordering; nothing else shuffles.
+    *
+    * Output: (`idCol`, `weightCol`, shard_id) — one row per input doc.
+    */
+  def tokenShards(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      salt: String): DataFrame = {
+    require(budget >= 1, "tokenShards: budget must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val h = graft.functions.TextFunctions.stableHash60(
+      concat(col(idCol).cast("string"), lit(s":$salt")))
+    // persist the range-partitioned frame: the offsets collect and the
+    // final window must see the SAME partition boundaries (range
+    // boundaries come from a sample; two independent evaluations could
+    // legally differ — the cache pins one materialization for both)
+    val parted = docs
+      .select(col(idCol), col(weightCol))
+      .withColumn("__h", h)
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val nParts = parted.rdd.getNumPartitions
+    val sums = parted.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (p <- 0 until nParts) { offsets(p) = acc; acc += sums.getOrElse(p, 0L) }
+    val win = Window.partitionBy(col("__pid"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__cum",
+        coalesce(sum(col(weightCol)).over(win), lit(0L)) +
+          element_at(typedLit(offsets.toSeq), col("__pid") + 1))
+      .select(col(idCol), col(weightCol),
+        expr(s"__cum div ${budget}L").as("shard_id"))
+  }
+
   /** Rewrite `df` under `outDir` partitioned by day(`tsCol`), one file
     * per day, rows sorted by `sortCol` within each file. Returns the
     * rewritten table (read back through the partition-pruned layout).

@@ -657,6 +657,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive embedding training — per
+    * anchor, the top-k corpus vectors inside the cosine band
+    * `[lo, hi)`: similar enough to be informative negatives (≥ lo —
+    * random negatives teach nothing once the model separates easy
+    * pairs), but NOT so similar they are probable duplicates /
+    * unlabeled positives (< hi — the classic false-negative poisoning
+    * failure of naive nearest-neighbor mining; DPR/SimCSE-style
+    * pipelines band for exactly this reason).
+    *
+    * Shape is [[bruteForceTopK]]'s sanctioned broadcast scan (anchors
+    * broadcast, corpus streams once, band filter BEFORE the rank
+    * window so out-of-band rows never reach the exchange); at corpus
+    * scale swap the scan for [[ivfQuery]]/[[ivfPqQuery]] candidates
+    * and keep the same band + rank tail. Cosines are 6-dp-rounded
+    * before banding and ranking (the cross-engine ulp discipline), so
+    * band membership is bit-stable; ties break to the smaller
+    * neighbor id.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo < hi, s"hardNegatives: need lo < hi, got [$lo, $hi)")
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** One L2 Lloyd iteration over EVERY PQ subspace in a single corpus
     * pass — the PQ codebook trainer's inner step. Each vector's M
     * subvectors are assigned to their nearest codeword under the

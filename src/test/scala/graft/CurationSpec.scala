@@ -88,6 +88,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenShards: bins respect the budget, assignment is layout-independent, no global-sort window") {
+    val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "w")
+    val got = Layout.tokenShards(docs, "doc_id", "w", budget = 100L, salt = "t")
+    val rows = got.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("shard_id")))
+    assert(rows.length == 200)
+    // sequential replay: the two-pass distributed cumsum must equal the
+    // plain ordered prefix sum
+    val h = docs.select(col("doc_id"),
+        TextFunctions.stableHash60(concat(col("doc_id").cast("string"),
+          lit(":t"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val expected = rows.map(t => (t._1, t._2)).sortBy(t => (h(t._1), t._1))
+      .map { case (id, w) => val s = cum / 100L; cum += w; id -> s }.toMap
+    assert(rows.map(t => t._1 -> t._3).toMap == expected)
+    // bin property: every shard except the last holds >= budget - max(w)
+    val perShard = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val lastShard = perShard.keys.max
+    assert(perShard.filter(_._1 != lastShard).values.forall(_ >= 100L - 16L))
+    // layout-independent: identical assignment from any input partitioning
+    val re = Layout.tokenShards(docs.repartition(7), "doc_id", "w", 100L, "t")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard_id"))
+      .toMap
+    assert(re == rows.map(t => t._1 -> t._3).toMap)
+    // scale shape: the window partitions by spark_partition_id — no
+    // single-partition exchange anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("upsertLatest: latest version wins, updates beat base on ties, inserts land") {
     val base = Seq(
       (1L, 10L, "a"),  // will be updated by a newer version

@@ -493,6 +493,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("hardNegatives: band respected, near-dups excluded, ranks = banded brute force") {
+    import org.apache.spark.sql.functions._
+    // anchor 0; 1 is a near-dup (cos ~ .994), 4 is moderately similar
+    // (cos ~ .707), 2/3 are near-orthogonal
+    val got = Similarity
+      .hardNegatives(vecs, vecs.filter(col("vec_id") === 0), "embedding",
+        "vec_id", k = 5, lo = 0.1, hi = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank")))
+    // the near-dup (1) is banded OUT despite being the nearest neighbor;
+    // every returned cosine sits inside [0.1, 0.9)
+    assert(!got.map(_._1).contains(1L))
+    assert(got.forall(t => t._2 >= 0.1 && t._2 < 0.9))
+    // = brute force restricted to the band
+    val brute = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "embedding",
+        "vec_id", k = 5)
+      .filter(col("cosine") >= 0.1 && col("cosine") < 0.9)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got.map(_._1).toSet == brute)
+    // ranks are contiguous from 1 within the band
+    assert(got.map(_._3).sorted.toSeq == (1 to got.length).toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vecs, vecs, "embedding", "vec_id", 5,
+        lo = 0.9, hi = 0.1)
+    }
+  }
+
   test("pqTrain: matches a local L2 Lloyd reference; starved codeword keeps its seed; layout-independent") {
     import org.apache.spark.sql.functions._
     // local reference replaying the operator's exact arithmetic:
