@@ -63,7 +63,14 @@ object Bench {
         spark.sparkContext.cancelJobGroup(name)
         worker.join(30000)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries that persist() intermediates (q89/q92 batch caches, q124
+      // token lists, q126 range-partitioned frame) are self-contained —
+      // release their cache entries so a 126-query run doesn't accumulate
+      // session-lifetime block-manager storage. Outside the timed window:
+      // eviction cost is the harness's, not the query's.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")

@@ -3101,17 +3101,6 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** q123: PQ-ADC with TRAINED codebooks — q118's serving arithmetic
-    * fed by [[graft.operators.Similarity.pqTrain]]: two L2 Lloyd
-    * iterations per subspace (all four subspaces in ONE corpus pass
-    * per round) from the q118 axis-unit seeds, then encode + ADC with
-    * the trained books. The oracle replays the identical two training
-    * iterations as chained CTEs (codeword lists rebuilt from the
-    * previous round's table, starved codewords carried forward — the
-    * q91 discipline, with `‖x‖² − 2⟨x,c⟩ + ‖c‖²` L2 argmin in place of
-    * cosine argmax), so the TRAINED path is cross-engine-checked, not
-    * just spec-asserted against itself.
-    */
   /** q126: training-shard packing — the corpus in a deterministic
     * hash-shuffled order, packed into contiguous ~4000-token shards
     * ([[graft.operators.Layout.tokenShards]], weight = q120's
@@ -3167,6 +3156,17 @@ object Queries {
         t100 = 90)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q123: PQ-ADC with TRAINED codebooks — q118's serving arithmetic
+    * fed by [[graft.operators.Similarity.pqTrain]]: two L2 Lloyd
+    * iterations per subspace (all four subspaces in ONE corpus pass
+    * per round) from the q118 axis-unit seeds, then encode + ADC with
+    * the trained books. The oracle replays the identical two training
+    * iterations as chained CTEs (codeword lists rebuilt from the
+    * previous round's table, starved codewords carried forward — the
+    * q91 discipline, with `‖x‖² − 2⟨x,c⟩ + ‖c‖²` L2 argmin in place of
+    * cosine argmax), so the TRAINED path is cross-engine-checked, not
+    * just spec-asserted against itself.
+    */
   def pqAdcTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val seeds = Seq.tabulate(4)(_ =>

@@ -42,6 +42,10 @@ object Verify {
         spark.sparkContext.cancelJobGroup(name)
         worker.join(30000)
       }
+      // release any caches the query persisted (q89/q92/q124/q126):
+      // queries are self-contained, and a full-surface run must not
+      // accumulate session-lifetime block-manager storage
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

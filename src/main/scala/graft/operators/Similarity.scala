@@ -716,6 +716,14 @@ object Similarity {
     *
     * Output: (m, code, dim, n_vecs, c) — starved (m, code) cells emit
     * no rows; [[pqTrain]] carries their previous codeword forward.
+    *
+    * Finite-corpus contract: non-finite vectors are EXCLUDED from the
+    * mean update here (one NaN component would poison a codeword), but
+    * [[pqEncode]] — and a SQL replay of the training — has no such
+    * filter, so feed a pre-filtered corpus (isFiniteVec) when exact
+    * cross-engine replay matters. Same asymmetry as [[lloydStep]] and
+    * its q86/q91 oracles; the driver corpora contain no non-finite
+    * vectors.
     */
   def pqLloydStep(
       corpus: DataFrame,

@@ -71,6 +71,30 @@ object Scheduler {
       val dowOk = dow.contains(t.getDayOfWeek.getValue % 7)
       if (domStar || dowStar) domOk && dowOk else domOk || dowOk
     }
+
+    /** Structural satisfiability — COMPLETE for this grammar, no date
+      * search (a probe from any fixed epoch wrongly rejects satisfiable
+      * rare crons, e.g. Feb 29 pinned to one weekday by a star-step dow
+      * field, whose next fire can sit beyond any bounded search
+      * window). Minute/hour/month sets are non-empty
+      * by parsing, so the only way a parsed cron never fires is the day
+      * clause: under the OR rule (both day fields restricted) dow alone
+      * satisfies — every weekday recurs in every month — and under AND
+      * semantics the dow requirement is also always eventually met (a
+      * fixed (month, day) cycles through every weekday across years),
+      * leaving exactly one failure mode: no month in the set has any
+      * feasible day-of-month (`0 0 31 2 *`). February counts 29 — leap
+      * years exist.
+      */
+    def isSatisfiable: Boolean = {
+      def maxDom(m: Int): Int = m match {
+        case 2 => 29
+        case 4 | 6 | 9 | 11 => 30
+        case _ => 31
+      }
+      if (!domStar && !dowStar) true
+      else months.exists(m => dom.exists(_ <= maxDom(m)))
+    }
   }
 
   /** Parse a cron schedule: the 5-field form (`min hour dom month dow`,
@@ -155,16 +179,12 @@ object Scheduler {
     // fail at BUILD time on a parseable-but-unsatisfiable cron (e.g.
     // `0 0 31 2 *`): advance() evaluates every entry's nextFire each
     // tick, so one such entry would otherwise poison every tick for
-    // every pipeline in the loop. One probe from a fixed leap-cycle
-    // start exercises the same 5-year search bound nextFire enforces.
-    entries.foreach { e =>
-      try e.cron.nextFire(LocalDateTime.of(2024, 1, 1, 0, 0))
-      catch {
-        case ex: IllegalArgumentException =>
-          throw new IllegalArgumentException(
-            s"${e.pipeline.name}: unsatisfiable cron schedule — ${ex.getMessage}")
-      }
-    }
+    // every pipeline in the loop. The check is STRUCTURAL (Cron.
+    // isSatisfiable) — a date-search probe from a fixed epoch would
+    // wrongly reject satisfiable rare schedules.
+    entries.foreach(e => require(e.cron.isSatisfiable,
+      s"${e.pipeline.name}: unsatisfiable cron schedule " +
+        "(no month in the expression has a feasible day-of-month)"))
 
     /** Fire every pipeline once per cron boundary in `(from, to]`, in
       * boundary order (ties broken by entry declaration order), running

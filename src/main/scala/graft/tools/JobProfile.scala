@@ -42,6 +42,10 @@ object JobProfile {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val warm = (System.nanoTime() - t0) / 1e9
+    // the listener bus is asynchronous: give the warm run's queued
+    // job-end events time to drain before clearing, or they pollute the
+    // measured job list (the number this tool exists to report)
+    Thread.sleep(2000)
     lines.clear()
     val t1 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()

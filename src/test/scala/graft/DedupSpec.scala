@@ -1034,8 +1034,20 @@ class DedupSpec extends SparkSpec {
       ColumnBridge.expression(col("x")), ColumnBridge.expression(col("y"))))
     val got = df.select(c.as("c")).collect().map(_.getLong(0)).toSeq
     assert(got == Seq(2L, 0L, 0L, 2L))
-    // interpreted (non-codegen) path agrees
-    val gotEval = df.select(c.as("c")).collect().map(_.getLong(0)).toSeq
-    assert(gotEval == got)
+    // interpreted (nullSafeEval) path agrees — force the no-codegen
+    // factory so the fallback actually executes, then restore
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val gotEval = df.select(c.as("c")).collect().map(_.getLong(0)).toSeq
+      assert(gotEval == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 }

@@ -128,6 +128,14 @@ class SchedulerSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("bad"))
     assert(runs == 0)
+    // the check is structural, so a RARE but satisfiable cron (Feb 29
+    // pinned to Sunday via a star-step dow — next fire 2032-02-29, past
+    // any bounded date-search window) constructs fine
+    new Loop(Seq(Entry(ok, Scheduler.parse("0 0 29 2 */7"))))
+    assert(!Scheduler.parse("0 0 31 2 *").isSatisfiable)
+    assert(Scheduler.parse("0 0 29 2 */7").isSatisfiable)
+    assert(Scheduler.parse("0 0 30 2,4 *").isSatisfiable) // April 30th
+    assert(!Scheduler.parse("0 0 31 2,4,6,9,11 *").isSatisfiable)
   }
 
   test("cross-DAG triggers cascade with cycle guard") {
