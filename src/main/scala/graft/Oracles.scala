@@ -584,6 +584,34 @@ object Oracles {
     WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** Mirrors Queries.tokenDriftGate / Profile.tokenDrift: per-parity
+    * token counts, vocabulary full-outer join, integer ppm (`//` = the
+    * engine's truncating `div` on non-negative operands), ranked by
+    * (drift desc, token asc), top 30.
+    */
+  val tokenDrift: String = s"""
+    WITH a AS (
+      SELECT tok, count(*) AS cnt_a
+      FROM (SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 0)
+      WHERE tok <> '' GROUP BY 1),
+    b AS (
+      SELECT tok, count(*) AS cnt_b
+      FROM (SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 1)
+      WHERE tok <> '' GROUP BY 1),
+    j AS (
+      SELECT coalesce(a.tok, b.tok) AS tok,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b ON a.tok = b.tok)
+    SELECT tok, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           CAST(cnt_a * 1000000 // (SELECT sum(cnt_a) FROM a) AS BIGINT) AS ppm_a,
+           CAST(cnt_b * 1000000 // (SELECT sum(cnt_b) FROM b) AS BIGINT) AS ppm_b,
+           CAST(abs(cnt_a * 1000000 // (SELECT sum(cnt_a) FROM a)
+                  - cnt_b * 1000000 // (SELECT sum(cnt_b) FROM b)) AS BIGINT)
+             AS drift_ppm
+    FROM j
+    ORDER BY drift_ppm DESC, tok ASC
+    LIMIT 30"""
+
   /** Mirrors Queries.tokenShardsGate / Layout.tokenShards: the
     * distributed two-pass cumulative sum collapses to ONE sequential
     * window over the deterministic (hash, doc_id) order — partition
@@ -2951,6 +2979,7 @@ object Oracles {
     "q124_allpairs_jaccard" -> allPairsJaccard,
     "q125_hard_negatives" -> hardNegatives,
     "q126_token_shards" -> tokenShards,
+    "q127_token_drift" -> tokenDrift,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

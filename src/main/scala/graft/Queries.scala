@@ -3101,6 +3101,21 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q127: corpus drift report — the top-30 tokens whose relative
+    * frequency (integer ppm) moved most between two corpus snapshots
+    * ([[graft.operators.Profile.tokenDrift]]); the gate's snapshots are
+    * the documents table split by doc_id parity. Vocabulary-sized
+    * full-outer join, scalar totals on a broadcast one-row frame,
+    * TakeOrderedAndProject top-k — corpus size never reaches the join.
+    */
+  def tokenDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Profile.tokenDrift(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "text", topK = 30)
+  }
+
   /** q126: training-shard packing — the corpus in a deterministic
     * hash-shuffled order, packed into contiguous ~4000-token shards
     * ([[graft.operators.Layout.tokenShards]], weight = q120's

@@ -148,7 +148,8 @@ object SparkEntry {
     "q123_pq_trained" -> (Queries.pqAdcTrained _),
     "q124_allpairs_jaccard" -> (Queries.allPairsJaccardGate _),
     "q125_hard_negatives" -> (Queries.hardNegativesGate _),
-    "q126_token_shards" -> (Queries.tokenShardsGate _))
+    "q126_token_shards" -> (Queries.tokenShardsGate _),
+    "q127_token_drift" -> (Queries.tokenDriftGate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -26,6 +26,55 @@ import org.apache.spark.sql.types.{DataType, NumericType, StringType}
   */
 object Profile {
 
+  /** CORPUS DRIFT between two snapshots — the crawl-over-crawl QA check
+    * a training-data pipeline runs before admitting a new dump: the
+    * `topK` tokens whose relative frequency moved most between corpus A
+    * and corpus B. Catches silent upstream shifts (a scraper change, a
+    * new boilerplate template, a language-mix move) that no per-corpus
+    * profile sees, because each side looks healthy in isolation.
+    *
+    * All-integer surface: per-side relative frequency in parts-per-
+    * million (`ppm = count·10⁶ div total`), drift = |ppm_a − ppm_b|,
+    * ranked (drift desc, token asc). A token absent from one side reads
+    * 0 ppm there — appearing/vanishing vocabulary is exactly the signal.
+    *
+    * Scale shape: each side is one token-keyed count (map-side partial
+    * aggregation collapses the explode), the comparison is a
+    * vocabulary-sized full-outer join — corpus size never reaches the
+    * join — and the top-k runs as TakeOrderedAndProject (per-partition
+    * heads, driver merge; no full sort). The two scalar totals ride a
+    * broadcast one-row frame, not a collect-into-literal, so the whole
+    * report stays one lazy plan.
+    */
+  def tokenDrift(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "tokenDrift: topK must be >= 1")
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(graft.functions.TextFunctions
+          .tokens(col(textCol))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val a = counts(corpusA)
+    val b = counts(corpusB)
+    val totA = a.agg(sum(col("cnt")).as("ta"))
+    val totB = b.agg(sum(col("cnt")).as("tb"))
+    a.withColumnRenamed("cnt", "cnt_a")
+      .join(b.withColumnRenamed("cnt", "cnt_b"), Seq("tok"), "full_outer")
+      .crossJoin(broadcast(totA))
+      .crossJoin(broadcast(totB))
+      .select(col("tok"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+        expr("coalesce(cnt_a, 0L) * 1000000L div ta").as("ppm_a"),
+        expr("coalesce(cnt_b, 0L) * 1000000L div tb").as("ppm_b"))
+      .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
+      .orderBy(col("drift_ppm").desc, col("tok").asc)
+      .limit(topK)
+  }
+
   /** Rendered numbers whose fractional part ends in a zero — the one
     * string shape engines disagree on when rendering a DECIMAL
     * ("1013.70" vs "1013.7" across DuckDB versions). Java-regex ∩ RE2

@@ -88,6 +88,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenDrift: appearing/vanishing/shifting tokens rank by ppm delta; top-k is not a full sort") {
+    val a = Seq((1L, "alpha alpha beta gamma"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val b = Seq((3L, "beta beta beta delta"), (4L, "beta gamma")).toDF("doc_id", "text")
+    val got = Profile.tokenDrift(a, b, "text", topK = 10).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("ppm_a"),
+        r.getAs[Long]("ppm_b"), r.getAs[Long]("drift_ppm")))
+    // side A: alpha 3/6, beta 2/6, gamma 1/6; side B: beta 4/6,
+    // delta 1/6, gamma 1/6 — alpha vanished (500000 ppm drift),
+    // beta grew, delta appeared
+    val byTok = got.map(t => t._1 -> t).toMap
+    assert(byTok("alpha") == (("alpha", 500000L, 0L, 500000L)))
+    assert(byTok("beta") == (("beta", 333333L, 666666L, 333333L)))
+    assert(byTok("delta") == (("delta", 0L, 166666L, 166666L)))
+    assert(byTok("gamma")._4 == 0L)
+    // ranked by drift desc, token asc
+    assert(got.map(_._1).toSeq == Seq("alpha", "beta", "delta", "gamma"))
+    // top-k plans as TakeOrderedAndProject (per-partition heads + driver
+    // merge), never a full global sort
+    val plan = Profile.tokenDrift(a, b, "text", topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("tokenShards: bins respect the budget, assignment is layout-independent, no global-sort window") {
     val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "w")
     val got = Layout.tokenShards(docs, "doc_id", "w", budget = 100L, salt = "t")

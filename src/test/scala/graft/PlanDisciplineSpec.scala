@@ -31,7 +31,9 @@ class PlanDisciplineSpec extends SparkSpec {
     Set("q23_ann_brute_force", "q27_ann_lsh", "q94_ann_quantized",
       "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search",
       "q118_pq_adc", "q122_mmr_rerank", "q123_pq_trained",
-      "q125_hard_negatives") // q125 IS q23's brute-force scan, banded
+      "q125_hard_negatives", // q125 IS q23's brute-force scan, banded
+      "q127_token_drift") // q127 attaches two ONE-ROW scalar-total
+      // frames via crossJoin(broadcast(_)) — the q100/q104 shape
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.
