@@ -603,11 +603,13 @@ object Oracles {
              coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
       FROM a FULL OUTER JOIN b ON a.tok = b.tok)
     SELECT tok, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
-           CAST(cnt_a * 1000000 // (SELECT sum(cnt_a) FROM a) AS BIGINT) AS ppm_a,
-           CAST(cnt_b * 1000000 // (SELECT sum(cnt_b) FROM b) AS BIGINT) AS ppm_b,
-           CAST(abs(cnt_a * 1000000 // (SELECT sum(cnt_a) FROM a)
-                  - cnt_b * 1000000 // (SELECT sum(cnt_b) FROM b)) AS BIGINT)
-             AS drift_ppm
+           CAST(coalesce(cnt_a * 1000000 // (SELECT sum(cnt_a) FROM a), 0)
+             AS BIGINT) AS ppm_a,
+           CAST(coalesce(cnt_b * 1000000 // (SELECT sum(cnt_b) FROM b), 0)
+             AS BIGINT) AS ppm_b,
+           CAST(abs(coalesce(cnt_a * 1000000 // (SELECT sum(cnt_a) FROM a), 0)
+                  - coalesce(cnt_b * 1000000 // (SELECT sum(cnt_b) FROM b), 0))
+             AS BIGINT) AS drift_ppm
     FROM j
     ORDER BY drift_ppm DESC, tok ASC
     LIMIT 30"""

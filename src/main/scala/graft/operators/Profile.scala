@@ -68,8 +68,15 @@ object Profile {
       .select(col("tok"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
-        expr("coalesce(cnt_a, 0L) * 1000000L div ta").as("ppm_a"),
-        expr("coalesce(cnt_b, 0L) * 1000000L div tb").as("ppm_b"))
+        // coalesce AFTER the division: an EMPTY snapshot has a NULL
+        // total, and engines disagree on NULL placement under ORDER BY
+        // DESC — reading every ppm on the empty side as 0 keeps the
+        // report total (drift = the other side's ppm) and the ranking
+        // engine-stable
+        expr("coalesce(coalesce(cnt_a, 0L) * 1000000L div ta, 0L)")
+          .as("ppm_a"),
+        expr("coalesce(coalesce(cnt_b, 0L) * 1000000L div tb, 0L)")
+          .as("ppm_b"))
       .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
       .orderBy(col("drift_ppm").desc, col("tok").asc)
       .limit(topK)
