@@ -522,46 +522,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("pqTrain: matches a local L2 Lloyd reference; starved codeword keeps its seed; layout-independent") {
-    import org.apache.spark.sql.functions._
-    // local reference replaying the operator's exact arithmetic:
-    // sequential-fold dots, 6-dp rounded L2 argmin with ties to the
-    // smaller j, DECIMAL(38,12) sums, one double division, round+(-0.0)
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def dotd(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
-    def localTrain(
-        data: Seq[Seq[Double]],
-        seeds: Seq[Seq[Seq[Double]]],
-        iters: Int): Seq[Seq[Seq[Double]]] = {
-      val subDim = seeds.head.head.length
-      var books = seeds
-      for (_ <- 1 to iters) {
-        books = books.zipWithIndex.map { case (book, m) =>
-          val subs = data.map(_.slice(m * subDim, (m + 1) * subDim))
-          val byCode = subs.groupBy { x =>
-            val ss = dotd(x, x)
-            book.zipWithIndex.map { case (c, j) =>
-              val ssc = c.foldLeft(0.0)((a, e) => a + e * e)
-              (r6(ss - 2.0 * dotd(x, c) + ssc), j)
-            }.min._2
-          }
-          book.zipWithIndex.map { case (prev, j) =>
-            byCode.get(j) match {
-              case Some(members) => (0 until subDim).map { d =>
-                val sx = members.map(v =>
-                  BigDecimal(v(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
-                  .foldLeft(BigDecimal(0))(_ + _)
-                r6(sx.toDouble / members.size) + 0.0
-              }
-              case None => prev
+  // local pqTrain reference replaying the operator's exact arithmetic:
+  // sequential-fold dots, 6-dp rounded L2 argmin with ties to the
+  // smaller j, DECIMAL(38,12) sums, one double division, round+(-0.0)
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def dotd(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+  private def localTrain(
+      data: Seq[Seq[Double]],
+      seeds: Seq[Seq[Seq[Double]]],
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val subDim = seeds.head.head.length
+    var books = seeds
+    for (_ <- 1 to iters) {
+      books = books.zipWithIndex.map { case (book, m) =>
+        val subs = data.map(_.slice(m * subDim, (m + 1) * subDim))
+        val byCode = subs.groupBy { x =>
+          val ss = dotd(x, x)
+          book.zipWithIndex.map { case (c, j) =>
+            val ssc = c.foldLeft(0.0)((a, e) => a + e * e)
+            (r6(ss - 2.0 * dotd(x, c) + ssc), j)
+          }.min._2
+        }
+        book.zipWithIndex.map { case (prev, j) =>
+          byCode.get(j) match {
+            case Some(members) => (0 until subDim).map { d =>
+              val sx = members.map(v =>
+                BigDecimal(v(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+                .foldLeft(BigDecimal(0))(_ + _)
+              r6(sx.toDouble / members.size) + 0.0
             }
+            case None => prev
           }
         }
       }
-      books
     }
+    books
+  }
+
+  test("pqTrain: matches a local L2 Lloyd reference; starved codeword keeps its seed; layout-independent") {
+    import org.apache.spark.sql.functions._
     val data = Seq(
       Seq(0.0, 0.1, 10.0, 10.0),
       Seq(0.2, 0.0, 10.0, 9.8),
@@ -588,5 +589,22 @@ class SimilaritySpec extends SparkSpec {
       .pqTrain(df, "embedding", "vec_id", farSeeds, iters = 1)
     assert(starved(0)(1).toSeq == Seq(1.0e9, 1.0e9))
     assert(starved(1)(1).toSeq == Seq(1.0e9, 1.0e9))
+  }
+  test("pqTrain ≡ local reference on randomized corpora (M=2, K=2, 2 iters)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9090L)
+    for (trial <- 1 to 6) {
+      val n = 5 + rnd.nextInt(12)
+      val data = Seq.fill(n)(Seq.fill(4)(
+        math.rint(rnd.nextGaussian() * 1000) / 1000.0))
+      val seeds = Seq.fill(2)(Seq.fill(2)(Seq.fill(2)(
+        math.rint(rnd.nextGaussian() * 1000) / 1000.0)))
+      val df = data.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val got = Similarity.pqTrain(df, "embedding", "vec_id", seeds, iters = 2)
+      assert(got.map(_.map(_.toSeq).toSeq).toSeq ==
+        localTrain(data, seeds, 2).map(_.map(_.toSeq).toSeq).toSeq,
+        s"trial=$trial data=$data seeds=$seeds")
+    }
   }
 }
