@@ -1051,6 +1051,19 @@ object Oracles {
     FROM asg
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.leakageSafeSplit / Sampling.groupSplit: q52's
+    * recursive-CTE cluster closure, then the side as the shared integer
+    * ppm bucket of the CLUSTER id — membership and split both replayed.
+    */
+  val leakageSafeSplit: String = s"""
+    WITH RECURSIVE $dupClusterCtes
+    SELECT doc_id, cluster_id,
+           CASE WHEN mod(${hash60(
+    "concat(CAST(cluster_id AS VARCHAR), ':cvsplit')")}, 1000000) < 800000
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM asg
+    ORDER BY doc_id"""
+
   /** Mirrors Queries.dupClusterHistogram: q52's closure rolled up to
     * cluster sizes, then to a size histogram with the integer doc-share.
     */
@@ -2982,6 +2995,7 @@ object Oracles {
     "q125_hard_negatives" -> hardNegatives,
     "q126_token_shards" -> tokenShards,
     "q127_token_drift" -> tokenDrift,
+    "q128_leakage_safe_split" -> leakageSafeSplit,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

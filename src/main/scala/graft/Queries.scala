@@ -3101,6 +3101,32 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q128: leakage-safe split — q52's near-dup clusters as the split
+    * UNIT ([[graft.operators.Sampling.groupSplit]], 80% train by
+    * integer ppm bucket of the cluster id): every member of a near-dup
+    * cluster lands on the same side, so the heldout set can never hold
+    * a twin of a training doc (the eval-leakage failure doc-level
+    * splits silently commit). The oracle replays the clustering with
+    * q52's recursive-CTE closure and the side with the shared hash
+    * macro — cluster ids AND the split must both match exactly.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+    val comps = graft.operators.Cluster
+      .connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val members = docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    graft.operators.Sampling
+      .groupSplit(members, col("cluster_id"),
+        trainPerMillion = 800000L, salt = "cvsplit")
+      .orderBy(col("doc_id"))
+  }
+
   /** q127: corpus drift report — the top-30 tokens whose relative
     * frequency (integer ppm) moved most between two corpus snapshots
     * ([[graft.operators.Profile.tokenDrift]]); the gate's snapshots are

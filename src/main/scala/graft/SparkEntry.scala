@@ -149,7 +149,8 @@ object SparkEntry {
     "q124_allpairs_jaccard" -> (Queries.allPairsJaccardGate _),
     "q125_hard_negatives" -> (Queries.hardNegativesGate _),
     "q126_token_shards" -> (Queries.tokenShardsGate _),
-    "q127_token_drift" -> (Queries.tokenDriftGate _))
+    "q127_token_drift" -> (Queries.tokenDriftGate _),
+    "q128_leakage_safe_split" -> (Queries.leakageSafeSplit _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -34,6 +34,34 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.filter(sampleBucket(key, salt) < perMillion)
 
+  /** LEAKAGE-SAFE train/heldout split: the split key is a GROUP id
+    * (near-duplicate cluster, url domain, conversation thread …), so
+    * every member of a group lands on the same side — splitting by
+    * document puts one copy of a near-dup pair in train and its twin in
+    * the heldout set, and the heldout metric silently becomes a
+    * memorization probe (the classic eval-leakage failure this
+    * operator exists to prevent; pair it with
+    * [[graft.operators.Cluster.connectedComponents]] over the near-dup
+    * candidate graph, q52's shape). Deterministic: the side is a pure
+    * function of (group, salt) via the same integer ppm bucket as
+    * [[hashSample]] — re-runs, re-partitions, and other engines
+    * reproduce it bit-for-bit.
+    *
+    * Map-only: one hash + one comparison per row; no shuffle beyond
+    * whatever produced `groupCol`.
+    */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: Column,
+      trainPerMillion: Long,
+      salt: String): DataFrame = {
+    require(trainPerMillion >= 0 && trainPerMillion <= 1000000,
+      "groupSplit: trainPerMillion must be in [0, 1000000]")
+    df.withColumn("split",
+      when(sampleBucket(groupCol, salt) < trainPerMillion, "train")
+        .otherwise("heldout"))
+  }
+
   /** EXACT-COUNT stratified sample: the k rows per group with the
     * smallest stable key hashes (tie-broken by key) — the deterministic
     * replacement for per-group reservoir sampling. Rate-based

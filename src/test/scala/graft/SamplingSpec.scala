@@ -6,6 +6,41 @@ import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
 
+  test("groupSplit: every group member lands on one side; deterministic; rate tracks ppm; map-only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 600L).map(i => (i, i % 97)).toDF("doc_id", "cluster_id")
+    val got = graft.operators.Sampling
+      .groupSplit(df, col("cluster_id"), trainPerMillion = 800000L, salt = "s")
+    val rows = got.collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[String]("split")))
+    // cluster-coherent: one side per cluster — the anti-leakage contract
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).toSet.size == 1))
+    // deterministic under repartition
+    val re = graft.operators.Sampling
+      .groupSplit(df.repartition(7), col("cluster_id"), 800000L, "s")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+      .toMap
+    val base = got.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    assert(re == base)
+    // rate is about 80% of CLUSTERS (binomial over 97 groups)
+    val trainClusters = rows.groupBy(_._1).values
+      .count(_.head._2 == "train")
+    assert(trainClusters > 60 && trainClusters < 95, s"$trainClusters/97")
+    // extremes and bounds
+    assert(graft.operators.Sampling.groupSplit(df, col("cluster_id"), 0L, "s")
+      .filter(col("split") === "train").count() == 0)
+    assert(graft.operators.Sampling
+      .groupSplit(df, col("cluster_id"), 1000000L, "s")
+      .filter(col("split") =!= "train").count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.groupSplit(df, col("cluster_id"), -1L, "s")
+    }
+    // map-only: no exchange anywhere (the split is one hash per row)
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("event_id").collect().map(_.getLong(0)).toSet
 
