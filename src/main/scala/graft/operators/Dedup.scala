@@ -953,14 +953,17 @@ object Dedup {
     // codegen'd two-pointer intersect walks). Consumed three times
     // (prefix explode + both verify joins) → persist, materialized by
     // whichever job runs first.
-    val lists = tok.join(dfreq, Seq("tok"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dt"))
-      .select(col(idCol),
-        transform(col("dt"), e => e.getField("tok")).as("ts"),
-        array_sort(transform(col("dt"), e => e.getField("tok"))).as("tss"),
-        size(col("dt")).cast("long").as("n"))
-      .persist()
+    // CACHE CONTRACT: registered with OperatorCaches — the caller
+    // releases via OperatorCaches.release(spark) after its terminal
+    // action on the returned (lazy) frame.
+    val lists = graft.util.OperatorCaches.persisted(
+      tok.join(dfreq, Seq("tok"))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dt"))
+        .select(col(idCol),
+          transform(col("dt"), e => e.getField("tok")).as("ts"),
+          array_sort(transform(col("dt"), e => e.getField("tok"))).as("tss"),
+          size(col("dt")).cast("long").as("n")))
     val prefixLen =
       expr(s"cast(n - (($t100 * n + 99) div 100) + 1 as int)")
     val prefix = lists.select(col(idCol), col("n"),
@@ -1653,9 +1656,12 @@ object Dedup {
     // whole optimization; recompute-on-eviction is deterministic, and
     // both frames are batch-bounded (~one row per token) — at 100 TB
     // stage them under storeDir instead of executor storage.
-    val base0 = tokenizedBase(batch, textCol, idCol).persist()
+    // CACHE CONTRACT: both frames registered with OperatorCaches —
+    // callers release after the terminal action on the returned frames.
+    val base0 = graft.util.OperatorCaches.persisted(
+      tokenizedBase(batch, textCol, idCol))
     val (base, occ0) = spanPositionsFrom(base0, idCol, k)
-    val occ = occ0.persist()
+    val occ = graft.util.OperatorCaches.persisted(occ0)
     // store probe on the STRING form of the gram hash: the store's fp
     // column is the bucketed/sorted key after a compaction, so keeping
     // the join key = fp lets the history side read exchange-free; only

@@ -54,13 +54,15 @@ object Layout {
     // final window must see the SAME partition boundaries (range
     // boundaries come from a sample; two independent evaluations could
     // legally differ — the cache pins one materialization for both)
-    val parted = docs
+    // CACHE CONTRACT: registered with OperatorCaches — the caller
+    // releases via OperatorCaches.release(spark) after its terminal
+    // action on the returned (lazy) frame.
+    val parted = graft.util.OperatorCaches.persisted(docs
       .select(col(idCol), col(weightCol))
       .withColumn("__h", h)
       .repartitionByRange(s.sessionState.conf.numShufflePartitions,
         col("__h"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+      .withColumn("__pid", spark_partition_id()))
     val nParts = parted.rdd.getNumPartitions
     val sums = parted.groupBy(col("__pid"))
       .agg(sum(col(weightCol)).as("__s"))

@@ -889,15 +889,24 @@ object Similarity {
     * divided by the same literal on both engines.
     *
     * `maxCandidates` bounds the per-query group the greedy loop will
-    * accept (default 1024): a corpus-sized group means the caller fed
-    * the rerank raw ANN input instead of a top-N window, and the task
-    * fails with a pointed message instead of grinding quadratically.
+    * work on (default 1024): a corpus-sized group means the caller fed
+    * the rerank raw ANN input instead of a top-N window. The DEFAULT
+    * response is warn-and-truncate — the group is deterministically cut
+    * to its `maxCandidates` most relevant members (rel desc, id asc — a
+    * total order, so the cut is stable) and a warning names the query
+    * group, keeping pre-guard pipelines completing on upgrade. MMR only
+    * ever promotes a candidate whose relevance term can beat the
+    * incumbents, so the far tail of a huge group was never going to
+    * place in a top-k anyway; callers who want the old hard failure set
+    * `strictLimit = true` (a corpus-sized group then fails the task with
+    * a pointed message instead of grinding quadratically).
     */
   def mmrRerank(
       candidates: DataFrame,
       k: Int,
       lambdaPct: Int = 70,
-      maxCandidates: Int = 1024): DataFrame = {
+      maxCandidates: Int = 1024,
+      strictLimit: Boolean = false): DataFrame = {
     require(k >= 1, "mmrRerank: k must be >= 1")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       "mmrRerank: lambdaPct must be in [0, 100]")
@@ -905,15 +914,27 @@ object Similarity {
       s"mmrRerank: maxCandidates ($maxCandidates) must be >= k ($k)")
     val l = lambdaPct
     val maxC = maxCandidates
+    val strict = strictLimit
     val sel = udf((cands: Seq[org.apache.spark.sql.Row]) => {
       // reranking is an in-process greedy loop over ONE query's top-N
       // window — a corpus-sized group here means the caller skipped the
-      // ANN stage; fail loudly instead of quadratically grinding one task
-      require(cands.length <= maxC,
+      // ANN stage. strict → fail loudly; default → truncate to the
+      // maxC most relevant (deterministic total order) and warn.
+      if (strict) require(cands.length <= maxC,
         s"mmrRerank: candidate group of ${cands.length} exceeds " +
           s"maxCandidates=$maxC — rerank a bounded per-query top-N " +
           "(run an ANN/top-k stage first), or raise maxCandidates")
-      val arr = cands.map(r => (r.getLong(0), r.getDouble(1),
+      val kept =
+        if (cands.length <= maxC) cands
+        else {
+          System.err.println(
+            s"[mmrRerank] WARN: candidate group of ${cands.length} exceeds " +
+              s"maxCandidates=$maxC — truncating to the $maxC most " +
+              "relevant (rel desc, id asc); run an ANN/top-k stage first " +
+              "or raise maxCandidates")
+          cands.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(maxC)
+        }
+      val arr = kept.map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Double](2).toArray)).toArray
       def cos(a: Array[Double], b: Array[Double]): Double = {
         var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0

@@ -73,16 +73,27 @@ object Skew {
       minCount: Long = 16L,
       maxKeys: Int = 1024): SkewReport = {
     require(skewFactor > 1.0, "skewFactor must be > 1")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
     val base = if (sampleFraction >= 1.0) df
                else df.sample(withReplacement = false, sampleFraction, seed)
+    // minCount is expressed in FULL-DATA rows; under a sample the counts
+    // observed are ~sampleFraction of the true counts, so the threshold
+    // scales with the fraction — otherwise a caller's noise floor would
+    // silently rise 1/sampleFraction-fold when sampling is on (a key with
+    // 100 true rows reads ~10 in a 10% sample and must clear minCount=16
+    // scaled to 2, not 16). skewFactor needs no scaling: it compares the
+    // sampled max against the sampled mean, both shrunk by the same
+    // fraction.
+    val minCountEff = math.max(1L, math.ceil(minCount * sampleFraction).toLong)
     val counts = base.groupBy(col(key)).agg(count(lit(1)).as("__c"))
     val stats = counts.agg(max(col("__c")).as("mx"), avg(col("__c")).as("mean")).head()
     if (stats.isNullAt(0)) return SkewReport(Nil, 0L, 0.0) // empty input
     val (mx, mean) = (stats.getLong(0), stats.getDouble(1))
-    if (mx < minCount || mx <= skewFactor * mean) return SkewReport(Nil, mx, mean)
+    if (mx < minCountEff || mx <= skewFactor * mean) return SkewReport(Nil, mx, mean)
     // bounded collect: at most `maxKeys` rows (hot-key list), justified above
     val hot = counts
-      .filter(col("__c") > lit(skewFactor * mean) && col("__c") >= lit(minCount))
+      .filter(col("__c") > lit(skewFactor * mean) && col("__c") >= lit(minCountEff))
       .orderBy(col("__c").desc, col(key))
       .limit(maxKeys)
       .select(col(key)).collect().map(_.get(0)).toSeq
@@ -106,7 +117,9 @@ object Skew {
     * groupBy-count pre-scan before every join would double the left-side
     * read at 100 TB, and a key hot enough to matter (> skewFactor × mean)
     * is present in any non-trivial sample by construction. `minCount`
-    * inside [[detectHeavyKeys]] applies to SAMPLED counts.
+    * is expressed in FULL-DATA rows either way — [[detectHeavyKeys]]
+    * scales it by the sample fraction internally, so the detection
+    * threshold is invariant to how the gate samples.
     */
   def adaptiveSaltedJoin(
       left: DataFrame,

@@ -40,12 +40,26 @@ object Scheduler {
     /** First matching minute STRICTLY after `after`. Skips field-by-field
       * (wrong month → jump to next month, wrong day → next day, wrong
       * hour → next hour) so the search is O(fields traversed), not
-      * O(minutes); bounded at 5 years to fail fast on unsatisfiable
-      * expressions (e.g. `0 0 31 2 *`).
+      * O(minutes).
+      *
+      * Search bound = 401 years, which makes the search COMPLETE for
+      * every cron [[isSatisfiable]] accepts: the Gregorian calendar
+      * (dates AND weekdays) repeats exactly every 400 years, so if a
+      * cron ever fires at some instant T it also fires at T + 400y —
+      * hence any satisfiable cron fires within 400 years of ANY start.
+      * The worst real gap is the rare-cron family like `0 0 29 2 1`
+      * (Feb 29 falling on a Monday: gaps of 40+ years across century
+      * non-leaps), which a shorter bound would wrongly reject AFTER
+      * isSatisfiable accepted it at build time — poisoning every
+      * advance() tick. The day-skip search keeps even the 400-year
+      * worst case to ~16k iterations (29 Februaries' days + 11 month
+      * jumps per year). The throw below is therefore reachable only
+      * when nextFire is called directly on an unsatisfiable cron that
+      * bypassed the Loop's build-time gate.
       */
     def nextFire(after: LocalDateTime): LocalDateTime = {
       var t = after.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
-      val limit = after.plusYears(5)
+      val limit = after.plusYears(401)
       while (t.isBefore(limit)) {
         if (!months.contains(t.getMonthValue))
           t = t.withDayOfMonth(1).withHour(0).withMinute(0).plusMonths(1)
@@ -58,7 +72,9 @@ object Scheduler {
         else return t
       }
       throw new IllegalArgumentException(
-        s"cron expression never fires within 5 years after $after")
+        s"cron expression never fires within 401 years after $after — " +
+          "unsatisfiable (a satisfiable cron always fires within one " +
+          "400-year Gregorian cycle)")
     }
 
     // Vixie day rule: the two day fields OR only when BOTH were

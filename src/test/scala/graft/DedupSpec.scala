@@ -1020,6 +1020,17 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
+    // CACHE CONTRACT: the operator registers its persisted token-list
+    // intermediate with OperatorCaches; a library caller releases it
+    // after the terminal action without nuking their own caches
+    import graft.util.OperatorCaches
+    assert(OperatorCaches.registeredCount(spark) > 0)
+    val mine = corpus.persist()
+    mine.count()
+    OperatorCaches.release(spark)
+    assert(OperatorCaches.registeredCount(spark) == 0)
+    assert(mine.storageLevel.useMemory) // caller cache untouched
+    mine.unpersist()
   }
 
   test("SortedIntersectCount: two-pointer merge matches array_intersect on sorted distinct arrays") {

@@ -138,6 +138,36 @@ class SchedulerSpec extends AnyFunSuite {
     assert(!Scheduler.parse("0 0 31 2,4,6,9,11 *").isSatisfiable)
   }
 
+  test("nextFire covers everything isSatisfiable accepts — rare crons fire, not throw") {
+    // Feb 29 pinned to Sunday (star-step dow → AND semantics): the next
+    // fire from 2026 sits in 2032, far beyond the old 5-year search
+    // bound, which made every advance() tick throw on an entry the
+    // build-time satisfiability gate had just accepted.
+    val rare = Scheduler.parse("0 0 29 2 */7")
+    val t1 = rare.nextFire(at("2026-01-01T00:00:00"))
+    assert(t1 == at("2032-02-29T00:00:00"))
+    assert(t1.getDayOfWeek.getValue % 7 == 0) // Sunday
+    // the worst gap in this family crosses the 2100 century non-leap:
+    // Feb-29 Sundays run 2060, 2088, then nothing until 2128 — a
+    // 40-year stretch no 5-year (or 35-year) search bound survives.
+    // (Note `0 0 29 2 1` would NOT express Feb-29-on-Monday: with both
+    // day fields restricted cron ORs them — every Feb Monday fires.
+    // Only the star-step dow form keeps AND semantics.)
+    val t2 = rare.nextFire(at("2089-01-01T00:00:00"))
+    assert(t2 == at("2128-02-29T00:00:00"))
+    assert(t2.getDayOfWeek.getValue % 7 == 0)
+    assert(rare.matches(t2))
+    // and advance() over a window containing a rare boundary fires it
+    var runs = 0
+    val p = Pipeline("rare", Seq(Task("t")(() => runs += 1)))
+    val loop = new Loop(Seq(Entry(p, rare)))
+    val fired = loop.advance(at("2032-02-28T00:00:00"), at("2032-03-01T00:00:00"))
+    assert(fired.map(_.pipeline) == Seq("rare") && runs == 1)
+    // a window NOT containing the (distant) boundary is an empty tick,
+    // not an exception — the tick-poisoning regression this guards
+    assert(loop.advance(at("2026-01-01T00:00:00"), at("2026-12-31T00:00:00")).isEmpty)
+  }
+
   test("cross-DAG triggers cascade with cycle guard") {
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     def p(name: String, ok: Boolean = true) = Pipeline(name,
