@@ -2197,6 +2197,69 @@ object Oracles {
              text || ' qz17 qz18' AS text
       FROM documents""")
 
+  /** = q129: the incremental ClusterStore's accumulated map must equal
+    * the ONE-SHOT clustering of the union corpus — q52's recursive-CTE
+    * closure with q67's three-batch corpus and the k=8/4-band recipe
+    * (the store's per-key owner STARS are connectivity-equivalent to
+    * the one-shot per-key cliques, so segments, contraction, the
+    * mid-sequence compaction, and incremental relabeling are all
+    * invisible in the component labels).
+    */
+  val clusterStore: String = s"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+             text || ' qz17 qz18' AS text
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct($bigrams)) AS sh FROM corpus),
+    h AS (
+      SELECT doc_id, mod(${hash60("sh")}, 1000000007) AS hh FROM g),
+    sigs AS (
+      SELECT doc_id,
+             min(mod(hh *  2000007 + 777767777, 1000000007)) AS mh0,
+             min(mod(hh *  4000013 + 555535547, 1000000007)) AS mh1,
+             min(mod(hh *  6000019 + 333303317, 1000000007)) AS mh2,
+             min(mod(hh *  8000025 + 111071087, 1000000007)) AS mh3,
+             min(mod(hh * 10000031 + 888838864, 1000000007)) AS mh4,
+             min(mod(hh * 12000037 + 666606634, 1000000007)) AS mh5,
+             min(mod(hh * 14000043 + 444374404, 1000000007)) AS mh6,
+             min(mod(hh * 16000049 + 222142174, 1000000007)) AS mh7
+      FROM h GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0, mh1)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(concat_ws(',', mh2, mh3)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 2 AS band, md5(concat_ws(',', mh4, mh5)) AS sig FROM sigs
+      UNION ALL
+      SELECT doc_id, 3 AS band, md5(concat_ws(',', mh6, mh7)) AS sig FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    lbl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+    asg AS (
+      SELECT c.doc_id,
+             coalesce(least(l.doc_id, l.mn), c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN lbl l ON c.doc_id = l.doc_id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM asg
+    ORDER BY doc_id"""
+
   /** = q72: the STREAMING near-dup loop over a two-copy planted corpus
     * (originals + suffixed near-dups) collapses to the same one-pass
     * band-drop rule — epoch segments, the replayed middle epoch, and
@@ -2996,6 +3059,7 @@ object Oracles {
     "q126_token_shards" -> tokenShards,
     "q127_token_drift" -> tokenDrift,
     "q128_leakage_safe_split" -> leakageSafeSplit,
+    "q129_cluster_store" -> clusterStore,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

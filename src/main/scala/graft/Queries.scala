@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.model.Vocab
-import graft.operators.{Cluster, Dedup, Layout, Merge, Multimodal, Profile, Retrieval, Similarity, Skew}
+import graft.operators.{Cluster, ClusterStore, Dedup, Layout, Merge, Multimodal, Profile, Retrieval, Similarity, Skew}
 import graft.ops._
 import graft.pipeline.MoodPipeline
 
@@ -3125,6 +3125,51 @@ object Queries {
       .groupSplit(members, col("cluster_id"),
         trainPerMillion = 800000L, salt = "cvsplit")
       .orderBy(col("doc_id"))
+  }
+
+  /** q129: PERSISTED incremental cluster map — q52's cluster assignment
+    * maintained through [[graft.operators.ClusterStore]] instead of
+    * rebuilt from scratch: three ingest batches (q67's planted corpus —
+    * originals, an identical second copy, a near-dup suffixed third)
+    * with a mid-sequence compaction, then ONE load of the accumulated
+    * map labels the union corpus. Each ingest runs CC only over the
+    * batch's contracted edges (batch-sized, never the accumulated
+    * graph); cross-batch connectivity comes from the band-key store's
+    * owner stars, which are connectivity-equivalent to the one-shot
+    * LSH candidate cliques — so the oracle is the one-shot
+    * recursive-CTE closure over the union corpus (q52's oracle shape on
+    * q67's corpus). Output = q52's schema.
+    */
+  def clusterStoreGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_cstore_gate").toString
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val m1 = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val b1 = docs0
+      val b2 = docs0.select((col("doc_id") + lit(m1)).as("doc_id"), col("text"))
+      val b3 = docs0.select((col("doc_id") + lit(2 * m1)).as("doc_id"),
+        concat(col("text"), lit(" qz17 qz18")).as("text"))
+      ClusterStore.ingest(b1, storeDir, "text", "doc_id")
+      ClusterStore.ingest(b2, storeDir, "text", "doc_id")
+      ClusterStore.compact(s, storeDir, buckets = 8,
+        tablePrefix = "graft_q129_store")
+      ClusterStore.ingest(b3, storeDir, "text", "doc_id")
+      val m = ClusterStore.load(s, storeDir)
+        .withColumnRenamed("node", "doc_id")
+      b1.unionByName(b2).unionByName(b3).select(col("doc_id"))
+        .join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      ClusterStore.dropTables(s, storeDir)
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
   }
 
   /** q127: corpus drift report — the top-30 tokens whose relative

@@ -150,7 +150,8 @@ object SparkEntry {
     "q125_hard_negatives" -> (Queries.hardNegativesGate _),
     "q126_token_shards" -> (Queries.tokenShardsGate _),
     "q127_token_drift" -> (Queries.tokenDriftGate _),
-    "q128_leakage_safe_split" -> (Queries.leakageSafeSplit _))
+    "q128_leakage_safe_split" -> (Queries.leakageSafeSplit _),
+    "q129_cluster_store" -> (Queries.clusterStoreGate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Persisted duplicate-CLUSTER map with INCREMENTAL connected components
+  * — the missing member of the store family (FingerprintStore holds
+  * exact fingerprints, the band store holds LSH keys, EvalGramStore
+  * holds benchmark shingles; this holds the duplicate-graph COMPONENT
+  * LABELS). At 100 TB the cluster map is built once and updated as
+  * batches arrive; rebuilding MinHash→LSH→CC from scratch per consumer
+  * (the hermetic-gate shape of q52/q97/q117/q121/q128) is a gate
+  * artifact, not a production plan.
+  *
+  * ## State
+  *
+  * Two substores under `dir`:
+  *  - `dir/keys` — a [[Dedup.FingerprintStore]] holding each document's
+  *    MinHash LSH band keys (`fp` = band key, `doc_id` = the smallest id
+  *    that FIRST registered the key). Immutable `_SUCCESS`-gated
+  *    segments, bucketed compaction, the whole existing discipline.
+  *  - `dir/map` — the cluster map: (node, component) rows in
+  *    `_SUCCESS`-gated segments where LATER SEGMENTS SHADOW EARLIER
+  *    ONES per node (an ingest that merges two components rewrites only
+  *    the affected members as a new segment — latest-wins at load).
+  *    [[compact]] folds the resolved map into a generation table
+  *    bucketed by `node` (external table + marker file, exactly the
+  *    FingerprintStore protocol) so the per-ingest contraction join
+  *    reads the map side exchange-free.
+  *
+  * ## Incremental algorithm (star contraction over the contracted graph)
+  *
+  * Per [[ingest]] batch:
+  *  1. band keys of the batch (one tokenize+minhash pass);
+  *  2. EDGES: per key, the STAR rooted at the key's owner — cross-batch
+  *     (batch doc → store owner of the key) and within-batch (batch doc
+  *     → smallest batch id holding the key). A star is
+  *     connectivity-equivalent to the per-key CLIQUE that one-shot LSH
+  *     candidate pairs ([[Dedup.lshCandidates]]) emit, so the
+  *     accumulated components equal a one-shot run over the union of
+  *     all batches — the oracle form (recursive-CTE closure). Stars
+  *     root at the FIRST owner rather than the global minimum, which
+  *     changes no component (connectivity is label-free); labels are
+  *     recovered as exact minima by the CC step.
+  *  3. CONTRACT the edges through the current map: each endpoint that
+  *     already has a component is replaced by its label. The CC that
+  *     follows runs over BATCH-SIZED input touching only affected
+  *     components — never the accumulated graph (Kiveris et al.,
+  *     SoCC'14 large-star/small-star inside; O(log² n) rounds).
+  *  4. RELABEL: components of the contracted graph are global minima
+  *     (old labels are minima of their members; the new label is the
+  *     min over merged old labels and new ids). The committed segment
+  *     holds (a) assignments for new nodes and (b) rewrites for every
+  *     member of an old component whose label changed — nothing else is
+  *     touched.
+  *  5. register the batch's store-novel keys as the next `dir/keys`
+  *     segment.
+  *
+  * Batch-id order does NOT matter for the resulting components (unlike
+  * the dedup stores' smallest-id-survives drop policy): connectivity is
+  * symmetric, and labels are always the component minimum.
+  *
+  * ## Crash story
+  *
+  * Map segments commit via parquet `_SUCCESS`; a half-written segment is
+  * never read and is overwritten by the next ingest claiming the index.
+  * [[compact]] writes the folded generation, atomically renames the
+  * marker, and only then deletes folded segments — the marker's
+  * `foldedBelow` bound makes a leftover folded segment INVISIBLE to
+  * [[load]] (required: latest-wins over a partially-deleted fold could
+  * otherwise resurrect a stale label). Single concurrent writer, like
+  * every store in the family.
+  */
+object ClusterStore {
+
+  val mapSchema: StructType = StructType(Seq(
+    StructField("node", LongType), StructField("component", LongType)))
+
+  private def mapDir(dir: String) = s"$dir/map"
+  private def keysDir(dir: String) = s"$dir/keys"
+
+  /** Committed map-segment paths, oldest first (`_SUCCESS`-gated). */
+  def segments(s: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(mapDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  private def segId(path: String): Long =
+    path.substring(path.lastIndexOf("seg_") + 4).toLong
+
+  /** Newest committed map generation: (table, dataSub, buckets,
+    * foldedBelow). Marker protocol mirrors FingerprintStore — the data
+    * lives under the store dir, the catalog entry is a bucketed-read
+    * handle re-registered on demand after a session restart.
+    */
+  private def currentGen(
+      s: SparkSession, dir: String): Option[(String, String, Int, Long)] = {
+    val p = new Path(mapDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
+      .sortBy(_.getPath.getName)
+      .lastOption.map { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }.filter(_.nonEmpty).map { content =>
+        content.split("\t") match {
+          case Array(table, sub, b, below) => (table, sub, b.toInt, below.toLong)
+          case other => sys.error(
+            s"malformed cluster-store generation marker in $dir: " +
+              other.mkString("\\t"))
+        }
+      }
+  }
+
+  private def tableFor(prefix: String, dir: String, gen: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    f"${prefix}_${h}_g$gen%05d"
+  }
+
+  private def currentGenTable(
+      s: SparkSession, dir: String): Option[(String, Long)] =
+    currentGen(s, dir).map { case (table, sub, buckets, below) =>
+      if (!s.catalog.tableExists(table)) {
+        val loc = new Path(new Path(mapDir(dir)), sub).toString
+        s.sql(
+          s"""CREATE TABLE $table (node BIGINT, component BIGINT)
+             |USING PARQUET
+             |CLUSTERED BY (node) SORTED BY (node) INTO $buckets BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      }
+      (table, below)
+    }
+
+  private def emptyMap(s: SparkSession): DataFrame = s.createDataFrame(
+    s.sparkContext.emptyRDD[org.apache.spark.sql.Row], mapSchema)
+
+  /** The current cluster map: (node, component), one row per node that
+    * has ever appeared in a duplicate edge. Latest segment wins per
+    * node; the folded generation covers everything below its
+    * `foldedBelow` bound (segments under the bound are IGNORED even if
+    * a crashed compaction left them behind — see the crash story).
+    * Nodes absent from the map are singletons; callers label them with
+    * `coalesce(component, node)` exactly as with
+    * [[Cluster.connectedComponents]].
+    */
+  def load(s: SparkSession, dir: String): DataFrame = {
+    val gen = currentGenTable(s, dir)
+    val below = gen.map(_._2).getOrElse(0L)
+    val segs = segments(s, dir).filter(p => segId(p) >= below)
+    val genRows = gen.map { case (t, _) =>
+      s.table(t).select(col("node"), col("component"), lit(-1L).as("__seg")) }
+    val segRows = segs.map(p =>
+      s.read.schema(mapSchema).parquet(p)
+        .select(col("node"), col("component"), lit(segId(p)).as("__seg")))
+    val all = (genRows.toSeq ++ segRows).reduceOption(_ unionByName _)
+    all match {
+      case None => emptyMap(s)
+      case Some(u) => u.groupBy(col("node"))
+        .agg(max_by(col("component"), col("__seg")).as("component"))
+    }
+  }
+
+  /** Ingest one batch of documents: derive its LSH band keys, emit the
+    * star edges (cross-batch via the key store, within-batch via the
+    * per-key minimum), contract them through the current map, run CC on
+    * the batch-sized contracted graph, and commit (new assignments +
+    * relabels of merged components) as the next map segment — then
+    * register the batch's novel keys. Returns the committed segment
+    * (read back), i.e. exactly the rows whose labels this batch created
+    * or changed.
+    *
+    * Replay-idempotent: a replayed batch's keys are already owned
+    * (self-stars), its edges contract to existing labels, CC confirms
+    * them, and the rewritten segment carries identical rows.
+    */
+  def ingest(
+      batch: DataFrame,
+      dir: String,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      ngram: Int = 2): DataFrame = {
+    val s = batch.sparkSession
+    val kd = keysDir(dir)
+    val store = Dedup.FingerprintStore.load(s, kd)
+    // one tokenize+minhash pass; the frame feeds three consumers
+    // (cross-batch probe, within-batch star, key registration) — same
+    // materialize-once lesson as dedupeNearIncrementalStaged
+    val keys = Dedup.bandKeys(
+      Dedup.minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
+      .select(col(idCol).cast("long").as("id"), col("fp"))
+      .localCheckpoint(true)
+    // cross-batch stars: batch doc -> the key's first owner
+    val cross = keys
+      .join(store.select(col("fp"), col("doc_id").as("owner")), Seq("fp"))
+      .select(col("id").as("a"), col("owner").as("b"))
+      .filter(col("a") =!= col("b"))
+    // within-batch stars: batch doc -> smallest batch id with the key
+    val wmin = keys.groupBy(col("fp")).agg(min(col("id")).as("wmin"))
+    val within = keys.join(wmin, Seq("fp"))
+      .select(col("id").as("a"), col("wmin").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = cross.unionByName(within)
+    // contract through the current map, then CC on batch-sized input
+    val m = load(s, dir).localCheckpoint(true)
+    val contracted = edges
+      .join(m.select(col("node").as("a"), col("component").as("__ca")),
+        Seq("a"), "left")
+      .join(m.select(col("node").as("b"), col("component").as("__cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("a"),
+        coalesce(col("__cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val seg = {
+      val nextIdx = {
+        val existingMax = segments(s, dir).map(segId).maxOption
+        val below = currentGen(s, dir).map(_._4).getOrElse(0L)
+        math.max(existingMax.map(_ + 1).getOrElse(0L), below)
+      }
+      f"${mapDir(dir)}/seg_$nextIdx%05d"
+    }
+    if (contracted.isEmpty) {
+      // no connectivity created or changed — commit an empty segment so
+      // the ingest protocol stays one-segment-per-batch (replay claims
+      // the same index)
+      emptyMap(s).write.mode("overwrite").parquet(seg)
+    } else {
+      val comps = Cluster.connectedComponents(contracted, "a", "b")
+      val oldLabels = m.select(col("component")).distinct()
+      // (a) new nodes: CC rows whose node is not an existing label
+      val fresh = comps.join(
+        oldLabels.withColumnRenamed("component", "node"), Seq("node"),
+        "left_anti")
+      // (b) relabels: every member of an old component whose label moved
+      val relabel = m.join(
+          comps.select(col("node").as("component"),
+            col("component").as("__new")),
+          Seq("component"))
+        .filter(col("__new") =!= col("component"))
+        .select(col("node"), col("__new").as("component"))
+      fresh.select(col("node"), col("component"))
+        .unionByName(relabel)
+        .write.mode("overwrite").parquet(seg)
+    }
+    // register store-novel keys (first-owner semantics, min id per key)
+    val existingKeySegs = Dedup.FingerprintStore.segments(s, kd)
+    val nextKeyIdx = existingKeySegs
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    keys.groupBy(col("fp")).agg(min(col("id")).as("doc_id"))
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("fp"), col("doc_id"))
+      .write.mode("overwrite").parquet(f"$kd/seg_$nextKeyIdx%05d")
+    s.read.schema(mapSchema).parquet(seg)
+  }
+
+  /** Fold the resolved map into a new generation bucketed by `node` and
+    * compact the key store. After this the per-ingest contraction join
+    * and any consumer keyed by node read the map side exchange-free.
+    */
+  def compact(
+      s: SparkSession,
+      dir: String,
+      buckets: Int,
+      tablePrefix: String = "graft_cluster_store"): String = {
+    require(buckets > 0, "buckets must be positive")
+    val p = new Path(mapDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val prevMarker = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
+      .map(_.getPath.getName).sorted.lastOption
+    val prev = currentGen(s, dir)
+    val prevTable = currentGenTable(s, dir).map(_._1)
+    val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)
+    val segs = segments(s, dir).filter(q =>
+      segId(q) >= prev.map(_._4).getOrElse(0L))
+    val foldedBelow = segs.map(segId).maxOption.map(_ + 1)
+      .orElse(prev.map(_._4)).getOrElse(0L)
+    val folded = load(s, dir) // fully-resolved latest-wins
+    val table = tableFor(tablePrefix, dir, gen)
+    val dataSub = f"gen_data_$gen%05d"
+    val dataDir = new Path(p, dataSub).toString
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    folded.write
+      .bucketBy(buckets, "node").sortBy("node")
+      .option("path", dataDir)
+      .mode("overwrite").saveAsTable(table)
+    val tmp = new Path(p, f"gen_$gen%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$table\t$dataSub\t$buckets\t$foldedBelow".getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(p, f"gen_$gen%05d"))
+    prevTable.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    prevMarker.foreach(mk => fs.delete(new Path(p, mk), false): Unit)
+    prev.foreach { case (_, sub, _, _) =>
+      fs.delete(new Path(p, sub), true): Unit
+    }
+    segs.foreach(sp => fs.delete(new Path(sp), true): Unit)
+    Dedup.FingerprintStore.compact(s, keysDir(dir), buckets,
+      tablePrefix = s"${tablePrefix}_keys")
+    table
+  }
+
+  /** Drop this store's catalog handles (both substores) — gate/test
+    * cleanup; the on-disk data is the caller's to delete.
+    */
+  def dropTables(s: SparkSession, dir: String): Unit = {
+    currentGenTable(s, dir).foreach { case (t, _) =>
+      s.sql(s"DROP TABLE IF EXISTS $t") }
+    Dedup.FingerprintStore.currentGenTable(s, keysDir(dir))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
