@@ -614,6 +614,51 @@ object Oracles {
     ORDER BY drift_ppm DESC, tok ASC
     LIMIT 30"""
 
+  /** Mirrors Queries.streamDriftGate / DriftStream.driftStaged: the
+    * three-epoch staged drift monitor collapses to per-window SQL
+    * re-aggregations — batch k's report covers segments {k−1, k},
+    * per-source totals inside the window, integer-ppm vs the even-half
+    * baseline, flags at 500 ppm. Segment files and the epoch-scoped
+    * window reads must be invisible.
+    */
+  val streamDrift: String = s"""
+    WITH bc AS (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 0)
+      WHERE tok <> '' GROUP BY 1),
+    base AS (
+      SELECT tok,
+             CAST(coalesce(cnt * 1000000 // (SELECT sum(cnt) FROM bc), 0)
+               AS BIGINT) AS ppm_base
+      FROM bc),
+    seg AS (
+      SELECT batch_id, source, tok, count(*) AS cnt
+      FROM (SELECT (doc_id % 6 - 1) // 2 AS batch_id, source,
+                   unnest($toks) AS tok
+            FROM documents WHERE doc_id % 2 = 1)
+      WHERE tok <> '' GROUP BY 1, 2, 3),
+    win AS (
+      SELECT k.batch_id, s.source, s.tok, CAST(sum(s.cnt) AS BIGINT) AS cnt_win
+      FROM (VALUES (0), (1), (2)) k(batch_id)
+      JOIN seg s ON s.batch_id = k.batch_id OR s.batch_id = k.batch_id - 1
+      GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT batch_id, source, sum(cnt_win) AS tot FROM win GROUP BY 1, 2),
+    rep AS (
+      SELECT w.batch_id, w.source, w.tok, w.cnt_win,
+             CAST(coalesce(w.cnt_win * 1000000 // t.tot, 0) AS BIGINT)
+               AS ppm_win,
+             CAST(coalesce(b.ppm_base, 0) AS BIGINT) AS ppm_base
+      FROM win w
+      JOIN tot t ON w.batch_id = t.batch_id AND w.source = t.source
+      LEFT JOIN base b ON w.tok = b.tok)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, source, tok, cnt_win,
+           ppm_win, ppm_base,
+           CAST(abs(ppm_win - ppm_base) AS BIGINT) AS drift_ppm
+    FROM rep
+    WHERE abs(ppm_win - ppm_base) >= 500
+    ORDER BY batch_id, source, tok"""
+
   /** Mirrors Queries.tokenShardsGate / Layout.tokenShards: the
     * distributed two-pass cumulative sum collapses to ONE sequential
     * window over the deterministic (hash, doc_id) order — partition
@@ -3060,6 +3105,7 @@ object Oracles {
     "q127_token_drift" -> tokenDrift,
     "q128_leakage_safe_split" -> leakageSafeSplit,
     "q129_cluster_store" -> clusterStore,
+    "q130_stream_drift" -> streamDrift,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

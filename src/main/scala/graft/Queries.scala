@@ -3127,6 +3127,37 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q130: STREAMING drift monitor — q127's live twin
+    * ([[graft.streaming.DriftStream]]): the odd-doc_id half of the
+    * corpus arrives as three micro-batches (doc_id mod 6 ∈ {1,3,5}),
+    * each landing its per-(source, token) counts as a batch-id segment
+    * and reporting integer-ppm drift of its 2-batch sliding window
+    * against the even-half baseline snapshot (broadcast,
+    * vocabulary-sized). The oracle replays every window re-aggregation
+    * in plain SQL, so segments and the epoch-scoped window reads must
+    * be invisible — the same batch-id-segment protocol as q102's
+    * budget meter.
+    */
+  def streamDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_drift_gate").toString
+    try {
+      val docs = Tables.documents(s, dir)
+      val base = graft.streaming.DriftStream.baselinePpm(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val reports = (0 to 2).map { k =>
+        graft.streaming.DriftStream.driftStaged(
+          odd.filter(pmod(col("doc_id"), lit(6)) === 2 * k + 1),
+          stateDir, "text", "source", base,
+          window = 2, thresholdPpm = 500L, batchId = k.toLong)
+      }
+      reports.reduce(_ unionByName _)
+        .orderBy(col("batch_id"), col("source"), col("tok"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, stateDir)
+  }
+
   /** q129: PERSISTED incremental cluster map — q52's cluster assignment
     * maintained through [[graft.operators.ClusterStore]] instead of
     * rebuilt from scratch: three ingest batches (q67's planted corpus —
