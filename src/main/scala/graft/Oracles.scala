@@ -3106,6 +3106,11 @@ object Oracles {
     "q128_leakage_safe_split" -> leakageSafeSplit,
     "q129_cluster_store" -> clusterStore,
     "q130_stream_drift" -> streamDrift,
+    // q131/q132: fused-backfill ingest is row- AND store-identical to
+    // the sequential loop (BackfillSpanSpec), so the oracles are
+    // q89/q92's verbatim — the q38/q47 reuse discipline
+    "q131_backfill_dup_spans" -> incrementalDupSpans,
+    "q132_backfill_strip_spans" -> incrementalStripSpans,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
     "q122_mmr_rerank" -> mmrRerank)

@@ -2321,6 +2321,51 @@ object Queries {
     threeBatchGramStoreGate(s, dir, "graft_q92_store")(
       Dedup.stripDupSpansIncrementalStaged(_, _, "text", "doc_id", k = 8))
 
+  /** Shared harness of the FUSED-backfill ExactSubstr gates (q131/q132):
+    * q89/q92's exact three-batch corpus, but ingested as ONE backlog
+    * call ([[graft.operators.Dedup.dupSpansBackfillStaged]]) instead of
+    * three sequential ingests — one tokenize+window corpus pass, one
+    * occurrence checkpoint, segments still committed one-per-batch.
+    * Because the fused path's semantics are proven identical to the
+    * sequential fold (BackfillSpanSpec, store-state included), the
+    * oracles are q89/q92's VERBATIM — and the driver board now carries
+    * a direct sequential-vs-fused cost comparison on the same corpus.
+    */
+  private def backlogGramStoreGate(
+      s: SparkSession,
+      dir: String)(
+      run: (DataFrame, String) => DataFrame): DataFrame = {
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_backlog_gate").toString
+    try {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val shift = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val backlog = docs.withColumn("b", lit(0L))
+        .unionByName(docs
+          .select((col("doc_id") + shift).as("doc_id"), col("text"))
+          .withColumn("b", lit(1L)))
+        .unionByName(docs
+          .select((col("doc_id") + 2 * shift).as("doc_id"),
+            concat(col("text"), lit(" qz17 qz18")).as("text"))
+          .withColumn("b", lit(2L)))
+      run(backlog, storeDir).orderBy(col("doc_id")).localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, storeDir)
+  }
+
+  /** q131: q89's ingest backlog run through the fused one-pass backfill
+    * — same output, same oracle, a third of the corpus passes.
+    */
+  def backfillDupSpans(s: SparkSession, dir: String): DataFrame =
+    backlogGramStoreGate(s, dir)(
+      Dedup.dupSpansBackfillStaged(_, "b", _, "text", "doc_id", k = 8))
+
+  /** q132: q92's strip backlog through the fused backfill — same
+    * output, same oracle.
+    */
+  def backfillStripSpans(s: SparkSession, dir: String): DataFrame =
+    backlogGramStoreGate(s, dir)(
+      Dedup.stripDupSpansBackfillStaged(_, "b", _, "text", "doc_id", k = 8))
+
   /** q98: sketch-then-verify heavy hitters — every token holding more
     * than 1/30 of the corpus token mass, exact counts. A Misra–Gries
     * sketch (native typed-imperative aggregate, 64 counters) nominates

@@ -1627,6 +1627,130 @@ object Dedup {
     stripByDup(base, dup, idCol, k)
   }
 
+  /** FUSED BACKFILL of the incremental ExactSubstr loop — N queued
+    * batches ingested in ONE corpus pass with semantics IDENTICAL to
+    * folding [[dupSpansIncrementalStaged]] over them in ascending
+    * `batchCol` order (the catch-up shape: a stalled pipeline restarts
+    * with a backlog, and paying the per-batch
+    * tokenize+window+checkpoint pipeline once per queued batch triples
+    * the jobs for zero information).
+    *
+    * The sequential dependency ("batch k probes history < k") is
+    * resolved WITHIN the single pass: per gram, `cnt` counts
+    * occurrences inside the row's own batch (peer frame of the
+    * g-partition window ordered by batch), `minb` is the first batch
+    * carrying the gram (running min over the same sort — one exchange,
+    * one sort, both stats), and a row is duplicated iff
+    * `cnt ≥ 2 ∨ minb < b ∨ gram ∈ pre-existing store` — exactly the
+    * sequential rule, since segment b' (b' < b) holds a gram iff it was
+    * store-novel with `minb = b'`. Segments still commit one-per-batch
+    * (ascending, the sequential loop's layout), each a skinny aggregate
+    * over the one persisted occurrence frame.
+    *
+    * Batch ids within one backfill call must not repeat an (id, batch)
+    * pair; the same doc id MAY appear in several batches (each batch
+    * emits its own profile row, as the sequential loop would).
+    */
+  def dupSpansBackfillStaged(
+      batches: DataFrame,
+      batchCol: String,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val (_, occ, dup) = backfillSpanCore(
+      batches, batchCol, storeDir, textCol, idCol, k)
+    def bid(df: DataFrame): DataFrame =
+      df.withColumn("__bid", struct(col("__b"), col(idCol)))
+    spanProfileOf(nTokensFromOcc(bid(occ), "__bid"), bid(dup), "__bid", k)
+      .select(col("__bid").getField(idCol).as(idCol), col("n_tokens"),
+        col("dup_spans"), col("dup_tokens"), col("dup_ratio"))
+  }
+
+  /** [[stripDupSpansIncrementalStaged]]'s fused-backfill twin — same
+    * one-pass machinery as [[dupSpansBackfillStaged]], rewrite output.
+    */
+  def stripDupSpansBackfillStaged(
+      batches: DataFrame,
+      batchCol: String,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val (base, _, dup) = backfillSpanCore(
+      batches, batchCol, storeDir, textCol, idCol, k)
+    def bid(df: DataFrame): DataFrame =
+      df.withColumn("__bid", struct(col("__b"), col(idCol)))
+    stripByDup(bid(base), bid(dup), "__bid", k)
+      .select(col("__bid").getField(idCol).as(idCol), col("n_tokens"),
+        col("kept_tokens"), col("clean_text"))
+  }
+
+  /** One-pass core of the fused backfill: occurrence frame over the
+    * UNION of batches with per-batch `cnt` and first-batch `minb`
+    * riding one g-keyed exchange, store probe against the
+    * pre-backfill segment list, one committed segment per batch.
+    * CACHE CONTRACT: the tokenized base and occurrence frames are
+    * registered with [[graft.util.OperatorCaches]].
+    */
+  private def backfillSpanCore(
+      batches: DataFrame,
+      batchCol: String,
+      storeDir: String,
+      textCol: String,
+      idCol: String,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batches.sparkSession
+    val existing = FingerprintStore.segments(s, storeDir)
+    val store = FingerprintStore.load(s, storeDir)
+    val base0 = graft.util.OperatorCaches.persisted(
+      Similarity.spread(batches.select(
+          col(batchCol).cast("long").as("__b"), col(idCol), col(textCol)))
+        .select(col("__b"), col(idCol), tokens(col(textCol)).as("toks")))
+    val base = base0.select(col("__b"), col(idCol), col("toks"),
+      ngramsOfTokens(col("toks"), k).as("grams"))
+    // both per-batch count (peer frame) and first-batch min (running
+    // min) ride ONE exchange + sort on (g, __b)
+    val wPeers = Window.partitionBy(col("g")).orderBy(col("__b"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val wRun = Window.partitionBy(col("g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val occ = graft.util.OperatorCaches.persisted(base
+      .select(col("__b"), col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        posexplode_outer(col("grams")).as(Seq("p0", "gram")))
+      .select(col("__b"), col(idCol), col("n_tokens"),
+        (col("p0") + 1).as("pos"),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g"))
+      .withColumn("cnt", count(col("g")).over(wPeers))
+      .withColumn("__minb", min(col("__b")).over(wRun)))
+    val seen = store.select(col("fp")).distinct()
+      .withColumn("__seen", lit(true))
+    val dup = occ.withColumn("fp", col("g").cast("string"))
+      .join(seen, Seq("fp"), "left")
+      .filter(col("g").isNotNull &&
+        (col("cnt") >= 2 || col("__minb") < col("__b") || col("__seen")))
+    val nextIdx = existing
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+    // one committed segment per batch, ascending — the layout the
+    // sequential loop would have produced; the distinct-batch collect is
+    // bounded by the backlog length
+    val bs = occ.select(col("__b")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    bs.zipWithIndex.foreach { case (b, i) =>
+      occ.filter(col("g").isNotNull &&
+          col("__minb") === b && col("__b") === b)
+        .groupBy(col("g"))
+        .agg(min(col(idCol).cast("long")).as("doc_id"))
+        .select(col("g").cast("string").as("fp"), col("doc_id"))
+        .join(seen.select(col("fp")), Seq("fp"), "left_anti")
+        .write.mode("overwrite").parquet(f"$storeDir/seg_${nextIdx + i}%05d")
+    }
+    (base, occ, dup)
+  }
+
   /** Shared store-probe front half of the incremental ExactSubstr pair:
     * checkpoints the batch's occurrence frame, decides its duplicated
     * positions against the store + the batch itself, and commits the
