@@ -155,10 +155,26 @@ object ClusterStore {
     * `coalesce(component, node)` exactly as with
     * [[Cluster.connectedComponents]].
     */
-  def load(s: SparkSession, dir: String): DataFrame = {
+  def load(s: SparkSession, dir: String): DataFrame =
+    loadBefore(s, dir, Long.MaxValue)
+
+  /** As [[load]] but resolving only map segments with id strictly below
+    * `belowSegId` — the history a replayed streaming epoch is allowed
+    * to see ([[ingestEpoch]]'s contract). Fails loudly if a compaction
+    * has folded segments at or beyond the bound into the generation
+    * (their state would leak future labels into the replay): while a
+    * stream feeds the store, compact with `keepNewestSegments = 1`,
+    * exactly the FingerprintStore stream discipline.
+    */
+  def loadBefore(s: SparkSession, dir: String, belowSegId: Long): DataFrame = {
     val gen = currentGenTable(s, dir)
     val below = gen.map(_._2).getOrElse(0L)
-    val segs = segments(s, dir).filter(p => segId(p) >= below)
+    require(below <= belowSegId,
+      s"cluster-store compaction folded segments up to $below, beyond the " +
+        s"requested history bound $belowSegId — compact with " +
+        "keepNewestSegments >= 1 while a stream feeds the store")
+    val segs = segments(s, dir)
+      .filter(p => segId(p) >= below && segId(p) < belowSegId)
     val genRows = gen.map { case (t, _) =>
       s.table(t).select(col("node"), col("component"), lit(-1L).as("__seg")) }
     val segRows = segs.map(p =>
@@ -192,10 +208,47 @@ object ClusterStore {
       idCol: String,
       k: Int = 8,
       bands: Int = 4,
-      ngram: Int = 2): DataFrame = {
+      ngram: Int = 2): DataFrame =
+    ingestCore(batch, dir, textCol, idCol, k, bands, ngram, epoch = None)
+
+  /** [[ingest]] under Structured Streaming's foreachBatch protocol —
+    * segments (map AND keys) are keyed by the MICRO-BATCH id, and the
+    * contraction/probe read history STRICTLY below this epoch
+    * ([[loadBefore]] / FingerprintStore.loadBefore). A replayed epoch
+    * therefore re-derives its state from exactly the history it saw the
+    * first time — neither its own earlier half-commit nor any later
+    * epoch's segment can change the outcome — and overwrites its own
+    * segments with byte-identical rows. Compact with
+    * `keepNewestSegments = 1` between epochs while the stream runs
+    * (the dedupeStreamStaged discipline); single writer per store.
+    */
+  def ingestEpoch(
+      batch: DataFrame,
+      dir: String,
+      textCol: String,
+      idCol: String,
+      batchId: Long,
+      k: Int = 8,
+      bands: Int = 4,
+      ngram: Int = 2): DataFrame =
+    ingestCore(batch, dir, textCol, idCol, k, bands, ngram,
+      epoch = Some(batchId))
+
+  private def ingestCore(
+      batch: DataFrame,
+      dir: String,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      bands: Int,
+      ngram: Int,
+      epoch: Option[Long]): DataFrame = {
     val s = batch.sparkSession
     val kd = keysDir(dir)
-    val store = Dedup.FingerprintStore.load(s, kd)
+    val store = epoch match {
+      case Some(id) => Dedup.FingerprintStore.loadBefore(s, kd, id)
+      case None => Dedup.FingerprintStore.load(s, kd)
+    }
     // one tokenize+minhash pass; the frame feeds three consumers
     // (cross-batch probe, within-batch star, key registration) — same
     // materialize-once lesson as dedupeNearIncrementalStaged
@@ -214,8 +267,12 @@ object ClusterStore {
       .select(col("id").as("a"), col("wmin").as("b"))
       .filter(col("a") =!= col("b"))
     val edges = cross.unionByName(within)
-    // contract through the current map, then CC on batch-sized input
-    val m = load(s, dir).localCheckpoint(true)
+    // contract through the current map (history strictly below the
+    // epoch in streaming mode), then CC on batch-sized input
+    val m = epoch match {
+      case Some(id) => loadBefore(s, dir, id).localCheckpoint(true)
+      case None => load(s, dir).localCheckpoint(true)
+    }
     val contracted = edges
       .join(m.select(col("node").as("a"), col("component").as("__ca")),
         Seq("a"), "left")
@@ -225,12 +282,12 @@ object ClusterStore {
         coalesce(col("__cb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
     val seg = {
-      val nextIdx = {
+      val idx = epoch.getOrElse {
         val existingMax = segments(s, dir).map(segId).maxOption
         val below = currentGen(s, dir).map(_._4).getOrElse(0L)
         math.max(existingMax.map(_ + 1).getOrElse(0L), below)
       }
-      f"${mapDir(dir)}/seg_$nextIdx%05d"
+      f"${mapDir(dir)}/seg_$idx%05d"
     }
     if (contracted.isEmpty) {
       // no connectivity created or changed — commit an empty segment so
@@ -256,26 +313,32 @@ object ClusterStore {
         .write.mode("overwrite").parquet(seg)
     }
     // register store-novel keys (first-owner semantics, min id per key)
-    val existingKeySegs = Dedup.FingerprintStore.segments(s, kd)
-    val nextKeyIdx = existingKeySegs
-      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
-      .maxOption.map(_ + 1).getOrElse(0)
+    val keyIdx = epoch.getOrElse {
+      Dedup.FingerprintStore.segments(s, kd)
+        .map(p => p.substring(p.lastIndexOf("seg_") + 4).toLong)
+        .maxOption.map(_ + 1).getOrElse(0L)
+    }
     keys.groupBy(col("fp")).agg(min(col("id")).as("doc_id"))
       .join(store.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("fp"), col("doc_id"))
-      .write.mode("overwrite").parquet(f"$kd/seg_$nextKeyIdx%05d")
+      .write.mode("overwrite").parquet(f"$kd/seg_$keyIdx%05d")
     s.read.schema(mapSchema).parquet(seg)
   }
 
   /** Fold the resolved map into a new generation bucketed by `node` and
     * compact the key store. After this the per-ingest contraction join
     * and any consumer keyed by node read the map side exchange-free.
+    * `keepNewestSegments > 0` spares the newest map+key segments from
+    * the fold — REQUIRED (= 1) while a stream feeds the store
+    * ([[ingestEpoch]]): a replayed epoch reads history strictly below
+    * itself, which a fold covering its own segment would corrupt.
     */
   def compact(
       s: SparkSession,
       dir: String,
       buckets: Int,
-      tablePrefix: String = "graft_cluster_store"): String = {
+      tablePrefix: String = "graft_cluster_store",
+      keepNewestSegments: Int = 0): String = {
     require(buckets > 0, "buckets must be positive")
     val p = new Path(mapDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -287,10 +350,11 @@ object ClusterStore {
     val prevTable = currentGenTable(s, dir).map(_._1)
     val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)
     val segs = segments(s, dir).filter(q =>
-      segId(q) >= prev.map(_._4).getOrElse(0L))
+        segId(q) >= prev.map(_._4).getOrElse(0L))
+      .dropRight(keepNewestSegments)
     val foldedBelow = segs.map(segId).maxOption.map(_ + 1)
       .orElse(prev.map(_._4)).getOrElse(0L)
-    val folded = load(s, dir) // fully-resolved latest-wins
+    val folded = loadBefore(s, dir, foldedBelow) // resolved fold scope
     val table = tableFor(tablePrefix, dir, gen)
     val dataSub = f"gen_data_$gen%05d"
     val dataDir = new Path(p, dataSub).toString
@@ -311,7 +375,8 @@ object ClusterStore {
     }
     segs.foreach(sp => fs.delete(new Path(sp), true): Unit)
     Dedup.FingerprintStore.compact(s, keysDir(dir), buckets,
-      tablePrefix = s"${tablePrefix}_keys")
+      tablePrefix = s"${tablePrefix}_keys",
+      keepNewestSegments = keepNewestSegments)
     table
   }
 

@@ -130,6 +130,39 @@ class ClusterStoreSpec extends SparkSpec {
     }
   }
 
+  test("epoch protocol: replay of the newest epoch is byte-identical; compaction spares it") {
+    val dir = tmpDir("graft_cstore_epoch")
+    val e0 = Seq((1L, fill("aa")), (2L, fill("aa")), (3L, fill("bb")))
+    val e1 = Seq((13L, fill("bb")))
+    val e2 = Seq((23L, fill("aa")), (24L, fill("cc")))
+    def run(rows: Seq[(Long, String)], id: Long) =
+      ClusterStore.ingestEpoch(rows.toDF("doc_id", "text"), dir,
+          "text", "doc_id", batchId = id)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    run(e0, 0L); run(e1, 1L)
+    // stream-mode compaction spares the newest segment so epoch 1 can
+    // still replay against history strictly below itself
+    ClusterStore.compact(spark, dir, buckets = 4, keepNewestSegments = 1)
+    // replay AFTER the compaction: same rows as the original epoch-1
+    // commit — doc 3 was a singleton until 13 linked to it, so the
+    // epoch-1 segment carries BOTH (3→3) and (13→3)
+    val r1 = run(e1, 1L)
+    assert(r1 == Seq((3L, 3L), (13L, 3L)))
+    val r2 = run(e2, 2L)
+    // replay of epoch 2 after everything: byte-identical
+    assert(run(e2, 2L) == r2)
+    val union = (e0 ++ e1 ++ e2).toDF("doc_id", "text")
+    assert(loadMap(dir) == oneShot(union))
+    // a fold covering the replayed epoch fails LOUDLY, not wrongly
+    ClusterStore.compact(spark, dir, buckets = 4) // folds everything
+    val ex = intercept[IllegalArgumentException] {
+      ClusterStore.ingestEpoch(e2.toDF("doc_id", "text"), dir,
+        "text", "doc_id", batchId = 2L).collect()
+    }
+    assert(ex.getMessage.contains("keepNewestSegments"))
+    ClusterStore.dropTables(spark, dir)
+  }
+
   test("fresh session over a persisted store: load re-registers the generation handle") {
     val dir = tmpDir("graft_cstore")
     val b1 = Seq((1L, fill("aa")), (2L, fill("aa"))).toDF("doc_id", "text")
