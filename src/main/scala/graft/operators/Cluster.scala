@@ -72,12 +72,27 @@ object Cluster {
     * materialized frames — by then the edge set is stars, a sliver of
     * the input), bounded by `maxRounds` as a safety net at ~2 log₂ n.
     */
+  /** @param localFinishEdges size gate for the LOCAL FINISH fast path:
+    *   when the canonicalized edge set is no larger than this (counted
+    *   by the same aggregate that seeds convergence detection — no
+    *   extra job) AND both node columns are BIGINT, the components are
+    *   computed with a driver-side union-find over the collected edges
+    *   instead of iterated star rounds. This is the standard hybrid
+    *   every production CC runs (finish small graphs locally — each
+    *   distributed round costs a fixed scheduler/shuffle overhead that
+    *   dwarfs the actual work once the edge set fits in memory): the
+    *   collect is BOUNDED BY THE GATE (default 500k edges ≈ 8 MB),
+    *   labels are identical (min node id per component), and larger
+    *   graphs take the O(log² n) distributed path unchanged. Pass 0 to
+    *   force the distributed path.
+    */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 25,
-      stagingDir: Option[String] = None): DataFrame = {
+      stagingDir: Option[String] = None,
+      localFinishEdges: Long = 500000L): DataFrame = {
     val s = edges.sparkSession
     def materialize(df: DataFrame, round: Int): DataFrame = stagingDir match {
       case Some(dir) =>
@@ -113,6 +128,35 @@ object Cluster {
     }
     var cur = materialize(canon, 0)
     var curSig = signature(cur)
+    val longCols = Seq(srcCol, dstCol).forall(c =>
+      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (curSig._1 > 0L && curSig._1 <= localFinishEdges && longCols) {
+      // LOCAL FINISH: union-find over the (gate-bounded) collected
+      // edges; labels = min node id per component, exactly the
+      // distributed fixpoint's
+      val arr = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = arr.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct.map(n => (n, find(n))).toSeq
+      import s.implicits._
+      return rows.toDF("node", "component")
+        .unionByName(selfLoopSingletons)
+    }
     var converged = curSig._1 == 0L
     var round = 1
     while (!converged && round <= maxRounds) {

@@ -268,19 +268,29 @@ object ClusterStore {
       .filter(col("a") =!= col("b"))
     val edges = cross.unionByName(within)
     // contract through the current map (history strictly below the
-    // epoch in streaming mode), then CC on batch-sized input
-    val m = epoch match {
-      case Some(id) => loadBefore(s, dir, id).localCheckpoint(true)
-      case None => load(s, dir).localCheckpoint(true)
-    }
-    val contracted = edges
-      .join(m.select(col("node").as("a"), col("component").as("__ca")),
-        Seq("a"), "left")
-      .join(m.select(col("node").as("b"), col("component").as("__cb")),
-        Seq("b"), "left")
-      .select(coalesce(col("__ca"), col("a")).as("a"),
-        coalesce(col("__cb"), col("b")).as("b"))
-      .filter(col("a") =!= col("b"))
+    // epoch in streaming mode), then CC on batch-sized input. A
+    // provably-empty map (no committed segments, no generation — a
+    // FILESYSTEM check, no Spark job) skips the contraction joins and
+    // the map checkpoint entirely: the first ingest of a fresh store is
+    // the one-shot CC, and on the q129 gate this path saves the empty
+    // frame's materialize + two no-op joins.
+    val mapIsEmpty = segments(s, dir).isEmpty && currentGen(s, dir).isEmpty
+    val m =
+      if (mapIsEmpty) emptyMap(s)
+      else (epoch match {
+        case Some(id) => loadBefore(s, dir, id)
+        case None => load(s, dir)
+      }).localCheckpoint(true)
+    val contracted =
+      if (mapIsEmpty) edges.filter(col("a") =!= col("b"))
+      else edges
+        .join(m.select(col("node").as("a"), col("component").as("__ca")),
+          Seq("a"), "left")
+        .join(m.select(col("node").as("b"), col("component").as("__cb")),
+          Seq("b"), "left")
+        .select(coalesce(col("__ca"), col("a")).as("a"),
+          coalesce(col("__cb"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
     val seg = {
       val idx = epoch.getOrElse {
         val existingMax = segments(s, dir).map(segId).maxOption
@@ -289,29 +299,30 @@ object ClusterStore {
       }
       f"${mapDir(dir)}/seg_$idx%05d"
     }
-    if (contracted.isEmpty) {
-      // no connectivity created or changed — commit an empty segment so
-      // the ingest protocol stays one-segment-per-batch (replay claims
-      // the same index)
-      emptyMap(s).write.mode("overwrite").parquet(seg)
-    } else {
-      val comps = Cluster.connectedComponents(contracted, "a", "b")
-      val oldLabels = m.select(col("component")).distinct()
-      // (a) new nodes: CC rows whose node is not an existing label
-      val fresh = comps.join(
-        oldLabels.withColumnRenamed("component", "node"), Seq("node"),
-        "left_anti")
-      // (b) relabels: every member of an old component whose label moved
-      val relabel = m.join(
-          comps.select(col("node").as("component"),
-            col("component").as("__new")),
-          Seq("component"))
-        .filter(col("__new") =!= col("component"))
-        .select(col("node"), col("__new").as("component"))
-      fresh.select(col("node"), col("component"))
-        .unionByName(relabel)
-        .write.mode("overwrite").parquet(seg)
-    }
+    // no isEmpty pre-probe: it would cost a full evaluation of the
+    // contracted plan per ingest, and connectedComponents handles an
+    // empty edge set (one signature job) — an edge-free batch just
+    // commits an empty segment through the same path
+    val comps = Cluster.connectedComponents(contracted, "a", "b")
+    val segRows =
+      if (mapIsEmpty) comps.select(col("node"), col("component"))
+      else {
+        val oldLabels = m.select(col("component")).distinct()
+        // (a) new nodes: CC rows whose node is not an existing label
+        val fresh = comps.join(
+          oldLabels.withColumnRenamed("component", "node"), Seq("node"),
+          "left_anti")
+        // (b) relabels: every member of an old component whose label
+        // moved
+        val relabel = m.join(
+            comps.select(col("node").as("component"),
+              col("component").as("__new")),
+            Seq("component"))
+          .filter(col("__new") =!= col("component"))
+          .select(col("node"), col("__new").as("component"))
+        fresh.select(col("node"), col("component")).unionByName(relabel)
+      }
+    segRows.write.mode("overwrite").parquet(seg)
     // register store-novel keys (first-owner semantics, min id per key)
     val keyIdx = epoch.getOrElse {
       Dedup.FingerprintStore.segments(s, kd)

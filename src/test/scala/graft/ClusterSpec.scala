@@ -66,6 +66,28 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("distributed star rounds == local-finish fast path (randomized graphs)") {
+    // the size-gated local union-find must be label-identical to the
+    // iterated large-star/small-star fixpoint — including self-loop
+    // singletons and chain shapes the local path must not mis-label
+    val edgeGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 49L), Gen.choose(0L, 49L)))
+    val seed = org.scalacheck.rng.Seed(42L)
+    val datasets = Gen.listOfN(4, edgeGen)
+      .apply(Gen.Parameters.default, seed).getOrElse(Nil)
+    assert(datasets.nonEmpty)
+    (datasets :+ (0L until 59L).map(i => (i + 1, i)).toList)
+      .foreach { edges =>
+        def labels(localGate: Long) = Cluster.connectedComponents(
+            edges.toDF("s", "d"), "s", "d",
+            localFinishEdges = localGate)
+          .collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+          .toMap
+        assert(labels(500000L) == labels(0L)) // fast path == distributed
+      }
+  }
+
   test("staged variant (parquet rounds) matches the checkpoint variant") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 9L))
     val staged = Cluster.connectedComponents(
