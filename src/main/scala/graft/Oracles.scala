@@ -2947,6 +2947,77 @@ object Oracles {
     FROM base bb LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.centroidOutliersGate: per-label exact centroid
+    * through DECIMAL(38,12) component sums (= the native vector-sum
+    * aggregate), 6-dp cosine of every member to its centroid, integer
+    * bottom-10% rank cut. The `+ 0.0` on both the centroid components
+    * and the cosine is the −0.0 normalization every mean/cosine gate
+    * carries.
+    */
+  val centroidOutliers: String = s"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    sums AS (
+      SELECT label, d AS dim,
+             sum(CAST(v[d] AS DECIMAL(38,12))) AS sx,
+             count(*) AS n
+      FROM v, (SELECT unnest(generate_series(1, 64)) AS d) ds
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT label, any_value(n) AS n_vecs,
+             list(round(CAST(sx AS DOUBLE) / n, 6) + 0.0 ORDER BY dim) AS ctr
+      FROM sums GROUP BY label),
+    scored AS (
+      SELECT v.vec_id, v.label, c.n_vecs,
+             round(list_cosine_similarity(v.v, c.ctr), 6) + 0.0 AS cos
+      FROM v JOIN cent c USING (label)),
+    r AS (
+      SELECT vec_id, label, n_vecs, cos,
+             row_number() OVER (PARTITION BY label
+               ORDER BY cos ASC, vec_id ASC) AS rk
+      FROM scored)
+    SELECT vec_id, label, cos, CAST(rk AS BIGINT) AS rk, n_vecs,
+           rk * 1000 <= n_vecs * 100 AS is_outlier
+    FROM r ORDER BY label, rk"""
+
+  /** Mirrors Queries.lengthBucketsGate (width 64): all-integer
+    * padding-waste report; `//` is DuckDB floor division = Spark `div`
+    * on the non-negative values here.
+    */
+  val lengthBuckets: String = s"""
+    WITH t AS (
+      SELECT CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+    b AS (
+      SELECT n_tokens // 64 AS bucket, count(*) AS n_docs,
+             max(n_tokens) AS max_tokens,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM t GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 64 AS BIGINT) AS min_tokens,
+           n_docs, max_tokens, sum_tokens,
+           CAST(max_tokens * n_docs AS BIGINT) AS padded_tokens,
+           CAST((max_tokens * n_docs - sum_tokens) * 1000000
+                // (max_tokens * n_docs) AS BIGINT) AS waste_ppm
+    FROM b ORDER BY bucket"""
+
+  /** Mirrors Queries.domainCapGate (cap 15): per-source rank by the
+    * q87 exact-integer quality logit (double division of exact
+    * integers is IEEE-exact, so both engines order identically; NULLS
+    * LAST matches Spark's desc default), keep rank ≤ 15.
+    */
+  val domainCaps: String = s"""
+    WITH $qualitySignalCte,
+    r AS (
+      SELECT doc_id, source, n_tokens, zn,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rk
+      FROM sig)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(zn, 0) AS BIGINT) AS zn, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 15
+    ORDER BY source, rk"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3113,7 +3184,10 @@ object Oracles {
     "q132_backfill_strip_spans" -> incrementalStripSpans,
     "q120_weighted_sample" -> weightedSample,
     "q121_dup_pagerank" -> dupPagerank,
-    "q122_mmr_rerank" -> mmrRerank)
+    "q122_mmr_rerank" -> mmrRerank,
+    "q133_centroid_outliers" -> centroidOutliers,
+    "q134_length_buckets" -> lengthBuckets,
+    "q135_domain_caps" -> domainCaps)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3344,4 +3344,47 @@ object Queries {
         col("neighbor_id"), col("approx_dist2"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q133: centroid-distance outlier pruning — for every label cluster,
+    * the exact centroid (native vector-sum aggregate, ONE group-keyed
+    * pass for count + sums), 6-dp cosine of each member to it, and an
+    * integer-rank flag on the bottom 10 % (rk × 1000 ≤ n × 100). See
+    * [[graft.operators.Similarity.centroidOutliers]] for the 100 TB
+    * shape (corpus never shuffles for the centroid; broadcast
+    * centroids; one group-keyed window).
+    */
+  def centroidOutliersGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity
+      .centroidOutliers(Tables.embeddings(s, dir), "embedding", "vec_id",
+        "label", bottomPerMille = 100)
+      .select(col("id").as("vec_id"), col("grp").as("label"),
+        col("cos"), col("rk"), col("n_vecs"), col("is_outlier"))
+      .orderBy(col("label"), col("rk"))
+
+  /** q134: length-bucketed batching report — per 64-token bucket, how
+    * much compute padding-to-the-bucket-max wastes (integer ppm). See
+    * [[graft.operators.Layout.lengthBuckets]]: one map pass + one
+    * bucket-keyed aggregation, partials collapse to ≤ #buckets rows
+    * before the exchange.
+    */
+  def lengthBucketsGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout
+      .lengthBuckets(Tables.documents(s, dir), "text", bucketWidth = 64)
+      .orderBy(col("bucket"))
+
+  /** q135: per-domain document cap — keep at most 15 docs per source,
+    * best-quality first (the q87 exact-integer logit ranks; ties to the
+    * smaller doc_id), the RefinedWeb-style absolute-count complement to
+    * q95's percentile gate. See
+    * [[graft.operators.Sampling.groupCapByScore]]: the rank ≤ cap
+    * filter plans as a WindowGroupLimit, so a mega-domain pre-truncates
+    * to 15 rows per map partition BEFORE the shuffle.
+    */
+  def domainCapGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .groupCapByScore(qualitySignal(s, dir), col("source"), col("quality"),
+        col("doc_id"), cap = 15)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("zn"), lit(0L)).as("zn"), col("rk"))
+      .orderBy(col("source"), col("rk"))
 }

@@ -28,6 +28,20 @@ object VectorFunctions {
   def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Element-wise EXACT-decimal vector sum aggregate
+    * (`array<double>` → `array<decimal(38,12)>`): each element is
+    * bit-identical to `sum(cast(v[d] AS decimal(38,12)))` but the whole
+    * vector folds in ONE buffer probe per row instead of a `posexplode`
+    * into dim generator rows + dim hash probes — the centroid-update
+    * workhorse (see [[org.apache.spark.sql.graft.VectorDecimalSumAgg]]
+    * for the 128-bit fixed-point design and its guards).
+    */
+  def vectorDecimalSum(v: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, VectorDecimalSumAgg}
+    ColumnBridge.column(
+      VectorDecimalSumAgg(ColumnBridge.expression(v)).toAggregateExpression())
+  }
+
   /** L2 norm (codegen'd via ArrayDot; same accumulation order as a fold). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

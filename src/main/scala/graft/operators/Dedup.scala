@@ -1849,16 +1849,20 @@ object Dedup {
   /** Semantic DECONTAMINATION — the embedding-space sibling of the n-gram
     * [[decontaminate]]: flag every corpus vector whose cosine similarity
     * to ANY eval-suite vector reaches `tau`. Eval suites are bounded
-    * (they are benchmarks, not corpora), so the whole eval set rides as
-    * ONE collected array row broadcast to every task, and the scan is
-    * MAP-ONLY: per corpus vector one `aggregate` fold over the eval
-    * array computes (max cosine, hit count) — no join, no shuffle, no
-    * per-pair row explosion. Per-element cosines are 6-dp-rounded BEFORE
-    * the max/threshold (the cross-engine ulp discipline every cosine
-    * gate in this family uses). Non-finite vectors on either side are
-    * barred the same way [[semanticDedup]] bars them: a NaN cosine
-    * orders above every double in Spark, so an unguarded fold would let
-    * one poisoned eval vector contaminate the entire corpus.
+    * (they are benchmarks, not corpora), so the whole eval set rides in
+    * the scan expression itself and the scan is MAP-ONLY: per corpus
+    * vector the fused native kernel
+    * [[org.apache.spark.sql.graft.CosineMaxHits]] computes (max cosine,
+    * hit count) in one compiled loop — no join, no shuffle, no per-pair
+    * row explosion, and none of the per-eval-vector interpreted-lambda
+    * cost of the HOF fold it replaced (whose O(corpus × eval) steps
+    * made the scan superlinear in scale factor: 245 s at sf1).
+    * Per-element cosines are 6-dp-rounded BEFORE the max/threshold (the
+    * cross-engine ulp discipline every cosine gate in this family
+    * uses). Non-finite vectors on either side are barred the same way
+    * [[semanticDedup]] bars them: a NaN cosine orders above every
+    * double in Spark, so an unguarded fold would let one poisoned eval
+    * vector contaminate the entire corpus.
     *
     * Output: `(idCol, max_cos, n_hits, contaminated)` — one row per
     * corpus vector; `max_cos` NULL when the eval set is empty (nothing
@@ -1870,26 +1874,28 @@ object Dedup {
       idCol: String,
       vecCol: String,
       tau: Double): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, CosineMaxHits}
     val none = lit(-2.0) // below any true cosine; NULL-ed out at the end
-    val evRow = eval
+    // The eval suite is bounded by contract (benchmarks, not corpora), so
+    // it is collected once and rides in the scan expression itself — the
+    // same boundedness the broadcast-row form relied on, minus the
+    // per-pair HOF lambda: the fused CosineMaxHits kernel hoists the
+    // corpus vector and its norm once per row and runs a compiled loop
+    // over the eval matrix (measured 245 s → seconds at sf1; the HOF
+    // fold's cost is O(corpus × eval) interpreted steps and compounds
+    // quadratically with scale). Norms are precomputed HERE with the
+    // kernel's own accumulation so driver and executor doubles agree.
+    val evVecs: Array[Array[Double]] = eval
       .filter(VectorFunctions.isFiniteVec(
         VectorFunctions.asDouble(col(vecCol))))
-      .agg(collect_list(VectorFunctions.asDouble(col(vecCol))).as("ev"))
+      .select(VectorFunctions.asDouble(col(vecCol)).as("e"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val evNorms = evVecs.map(CosineMaxHits.norm)
     val scanned = Similarity.spread(
       corpus.withColumn("v", VectorFunctions.asDouble(col(vecCol))))
-      .withColumn("__finite", VectorFunctions.isFiniteVec(col("v")))
-      .crossJoin(broadcast(evRow))
-    val folded = aggregate(
-      col("ev"),
-      struct(none.as("mx"), lit(0L).as("hits")),
-      (acc, e) => {
-        val c = round(VectorFunctions.cosine(col("v"), e), 6)
-        val safe = when(col("__finite") && !isnan(c), c).otherwise(none)
-        struct(
-          greatest(acc.getField("mx"), safe).as("mx"),
-          (acc.getField("hits") +
-            when(safe >= tau, 1L).otherwise(0L)).as("hits"))
-      })
+    val folded = ColumnBridge.column(
+      CosineMaxHits(ColumnBridge.expression(col("v")), evVecs, evNorms, tau))
     scanned
       .select(col(idCol), folded.as("f"))
       .select(col(idCol),

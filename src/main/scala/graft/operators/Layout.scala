@@ -109,6 +109,46 @@ object Layout {
     spark.read.parquet(outDir)
   }
 
+  /** Length-bucketed BATCHING REPORT — the padding-efficiency audit a
+    * variable-length-sequence trainer runs before fixing its dynamic
+    * batching policy: documents are grouped into token-length buckets
+    * (`bucket = n_tokens div bucketWidth`), and each bucket reports how
+    * much compute padding-to-the-bucket-max would waste. All arithmetic
+    * is integer (counts, sums, maxes, and a ppm ratio via 64-bit floor
+    * division), so the report is bit-stable across engines and re-runs.
+    *
+    * Scale shape: one map pass computes per-doc token counts (the
+    * tokenizer is O(len) per row), then a single bucket-keyed hash
+    * aggregation — map-side partials collapse every partition to
+    * ≤ #buckets rows before the exchange, so the shuffle moves KBs at
+    * any corpus size. No window, no join.
+    *
+    * Output, one row per non-empty bucket: (bucket, min_tokens =
+    * bucket × width inclusive lower bound, n_docs, max_tokens,
+    * sum_tokens, padded_tokens = max_tokens × n_docs, waste_ppm =
+    * (padded − sum) × 1e6 div padded).
+    */
+  def lengthBuckets(
+      docs: DataFrame,
+      textCol: String,
+      bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0, "lengthBuckets: bucketWidth must be positive")
+    import graft.functions.TextFunctions
+    docs
+      .select(TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"),
+        (col("bucket") * bucketWidth).as("min_tokens"),
+        col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        (col("max_tokens") * col("n_docs")).as("padded_tokens"))
+      .withColumn("waste_ppm",
+        expr("((padded_tokens - sum_tokens) * 1000000) div padded_tokens"))
+  }
+
   /** 32-bit Morton (z-order) code of two 16-bit dimensions: bits of `a`
     * and `b` interleaved (`b` in the odd positions). Sorting a table by
     * this code clusters BOTH dimensions at once — every run of 4^k

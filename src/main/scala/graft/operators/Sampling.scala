@@ -98,6 +98,41 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Per-group DOCUMENT CAP ranked by a score — "keep at most `cap`
+    * docs per domain, best first", the RefinedWeb/C4-style curation
+    * step that bounds any one domain's share of the corpus (a handful
+    * of mega-domains otherwise dominate a web crawl; a cap is the
+    * absolute-count complement to the per-source PERCENTILE gate, which
+    * cannot stop a huge domain from still contributing millions of
+    * rows). Ranking is by `score` DESC with ties to the smaller
+    * `tieKey` — fully deterministic given a deterministic score (pair
+    * it with the exact-integer quality logit, the q87 discipline).
+    *
+    * Scale shape: one group-keyed exchange; the `row_number ≤ cap`
+    * filter is recognized by Catalyst as a WindowGroupLimit, so every
+    * map partition pre-truncates its groups to `cap` rows BEFORE the
+    * shuffle — a mega-domain never travels whole (same economics as
+    * [[stratifiedTopK]]).
+    *
+    * Output contract: input columns plus `rk` (LONG, 1-based rank
+    * within the group); a pre-existing `rk` is rejected.
+    */
+  def groupCapByScore(
+      df: DataFrame,
+      group: Column,
+      score: Column,
+      tieKey: Column,
+      cap: Int): DataFrame = {
+    require(cap > 0, "groupCapByScore: cap must be positive")
+    require(!df.columns.contains("rk"),
+      "groupCapByScore emits a `rk` rank column (output contract); " +
+        "the input frame already has one — rename it before calling")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(score.desc, tieKey.asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
   /** Deterministic WEIGHTED sample: the k rows per group with the
     * smallest `hash div weight` — integer-arithmetic priority sampling
     * (the Duffield–Lund–Thorup priority-sample shape with the stable

@@ -374,11 +374,13 @@ object Similarity {
     *     (literal-data seeds keep the expression tree small, q27
     *     discipline); cosines are rounded to 6 dp BEFORE the argmax so
     *     cell membership at a boundary is ulp-stable across engines;
-    *  2. update: per-(cell, dimension) mean via posexplode + one
-    *     aggregation — map-side partial agg collapses every partition to
-    *     ≤ cells × dim rows before the shuffle, so the exchange moves
-    *     KB regardless of corpus size; component sums go through
-    *     DECIMAL(38,12) (summation-order-independent, so re-runs and
+    *  2. update: ONE cell-keyed aggregation computing the count and the
+    *     exact component sums together — the native
+    *     [[org.apache.spark.sql.graft.VectorDecimalSumAgg]] folds each
+    *     row's whole vector in a single buffer probe (no posexplode row
+    *     blow-up), partials are 2 × dim longs per cell, and the exchange
+    *     moves KB regardless of corpus size; sums are bit-identical to
+    *     DECIMAL(38,12) summation (order-independent, so re-runs and
     *     engines agree bit-for-bit — the exactAvg discipline), and the
     *     final mean is one double division + round(6).
     *
@@ -410,12 +412,16 @@ object Similarity {
         s => s.getField("cell")),
       1)
     val assigned = v.select(cell.as("cell"), col("v"))
-    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-    assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("d0", "x")))
-      .groupBy(col("cell"), col("d0"))
-      .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
-      .join(broadcast(counts), Seq("cell"))
+    // ONE aggregation computes counts AND exact component sums: the
+    // native vector-sum aggregate folds each row's whole vector in one
+    // buffer probe (bit-identical to the posexplode + decimal-sum form,
+    // see VectorDecimalSumAgg), and fusing the count into the same
+    // GroupBy halves the corpus passes (the old shape aggregated
+    // `assigned` twice). The posexplode now touches only ≤ cells rows.
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), vectorDecimalSum(col("v")).as("sv"))
+      .select(col("cell"), col("n_vecs"),
+        posexplode(col("sv")).as(Seq("d0", "sx")))
       .select(col("cell").cast("long").as("cell"),
         (col("d0") + 1).cast("long").as("dim"),
         col("n_vecs"),
@@ -459,6 +465,60 @@ object Similarity {
       }
     }
     centers
+  }
+
+  /** Centroid-distance OUTLIER pruning — the embedding-space data-
+    * cleaning pass that sits next to SemDeDup in curation pipelines
+    * (prune the vectors farthest from their group's centroid: noisy
+    * scrapes, mislabeled shards, encoder failures). For each group
+    * (source, near-dup cluster, assigned cell …) the exact centroid is
+    * computed, every member is scored by 6-dp-rounded cosine to it, and
+    * the bottom `bottomPerMille` ‰ of the group is flagged — an INTEGER
+    * rank comparison (rk × 1000 ≤ n × p), so no float epsilon moves the
+    * cut and any engine reproduces it bit-for-bit.
+    *
+    * Scale shape, in order: (1) ONE group-keyed aggregation for count +
+    * exact centroid sums via the native vector-sum aggregate
+    * ([[org.apache.spark.sql.graft.VectorDecimalSumAgg]] — partials are
+    * 2 × dim longs per group, the corpus itself never shuffles here);
+    * (2) centroids broadcast back (group cardinality ≪ corpus — sources,
+    * clusters — so the join is map-side; the cosine is the codegen'd
+    * ArrayDot); (3) one group-keyed window for the rank — the only
+    * corpus-sized shuffle, inherent to a per-group percentile cut.
+    * Non-finite vectors are excluded from centroid AND output (a NaN
+    * component would poison its group's mean — the [[lloydStep]]
+    * policy).
+    *
+    * Output: (id, group, cos, rk, n_vecs, is_outlier) with `cos`
+    * 6-dp-rounded (−0.0-normalized), `rk` the 1-based rank from the
+    * centroid outward (ties to the smaller id), `is_outlier` boolean.
+    */
+  def centroidOutliers(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      groupCol: String,
+      bottomPerMille: Int): DataFrame = {
+    require(bottomPerMille >= 0 && bottomPerMille <= 1000,
+      "centroidOutliers: bottomPerMille must be in [0, 1000]")
+    val v = vecs
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        asDouble(col(vecCol)).as("v"))
+      .filter(isFiniteVec(col("v")))
+    val cent = v.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vecs"), vectorDecimalSum(col("v")).as("sv"))
+      .select(col("grp"), col("n_vecs"),
+        transform(col("sv"),
+          s => round(s.cast("double") / col("n_vecs"), 6) + 0.0).as("ctr"))
+    val scored = v.join(broadcast(cent), Seq("grp"))
+      .select(col("id"), col("grp"), col("n_vecs"),
+        (round(cosine(col("v"), col("ctr")), 6) + 0.0).as("cos"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cos").asc, col("id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("is_outlier",
+        col("rk") * 1000 <= col("n_vecs") * bottomPerMille)
   }
 
   /** Build the IVF index once: train centroids on a bounded sample, then
@@ -704,15 +764,18 @@ object Similarity {
     * current `codebooks` (the [[pqCodes]] argmin: 6-dp-rounded
     * `‖x‖² − 2⟨x,c⟩ + ‖c‖²`, ties to the smaller j — the SAME
     * assignment the encoder uses, so training optimizes exactly the
-    * quantizer that will serve), then per-(subspace, codeword, dim)
-    * means update through exact DECIMAL(38,12) sums with one double
-    * division and the q86 `round(·,6) + 0.0` normalization.
+    * quantizer that will serve), then per-(subspace, codeword) mean
+    * updates through the exact native vector-sum aggregate
+    * ([[org.apache.spark.sql.graft.VectorDecimalSumAgg]] — bit-identical
+    * to DECIMAL(38,12) summation) with one double division and the q86
+    * `round(·,6) + 0.0` normalization.
     *
     * Scale shape: assignment is map-only (codebooks ride the plan as
     * literals — M × K × subDim doubles, KBs); the only shuffle is the
-    * (m, code, dim)-keyed mean update, ≤ M × K × subDim rows after
-    * map-side partial aggregation — identical to [[lloydStep]]'s
-    * economics, ONE pass for all M subspaces rather than M.
+    * (m, code)-keyed mean update, ≤ M × K rows of (count, 2 × subDim
+    * longs) after map-side partial aggregation — identical to
+    * [[lloydStep]]'s economics, ONE pass for all M subspaces rather
+    * than M.
     *
     * Output: (m, code, dim, n_vecs, c) — starved (m, code) cells emit
     * no rows; [[pqTrain]] carries their previous codeword forward.
@@ -733,14 +796,20 @@ object Similarity {
     val subDim = codebooks.head.head.length
     val v = spread(corpus.select(col(idCol), asDouble(col(vecCol)).as("cv")))
       .filter(isFiniteVec(col("cv")))
+    // One (m, code)-keyed aggregation per SUBVECTOR (not per element):
+    // the native vector-sum aggregate folds each subvector in one buffer
+    // probe (bit-identical to the old posexplode + decimal-sum form), and
+    // the count fuses into the same GroupBy — the per-element explode and
+    // its dim-fold row blow-up are gone; only the ≤ M × K result rows
+    // posexplode into (dim, sx) pairs.
     v.select(col("cv"),
         posexplode(pqCodes(col("cv"), codebooks)).as(Seq("m", "code")))
       .select(col("m"), col("code"),
-        posexplode(slice(col("cv"), col("m") * subDim + lit(1), lit(subDim)))
-          .as(Seq("d0", "x")))
-      .groupBy(col("m"), col("code"), col("d0"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("x").cast("decimal(38,12)")).as("sx"))
+        slice(col("cv"), col("m") * subDim + lit(1), lit(subDim)).as("sub"))
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), vectorDecimalSum(col("sub")).as("sv"))
+      .select(col("m"), col("code"), col("n_vecs"),
+        posexplode(col("sv")).as(Seq("d0", "sx")))
       .select(col("m").cast("long").as("m"),
         col("code").cast("long").as("code"),
         (col("d0") + 1).cast("long").as("dim"),

@@ -529,4 +529,22 @@ class CurationSpec extends SparkSpec {
       (3L, 0L, false, 2L, 0L),
       (4L, -1L, false, 0L, 0L)))
   }
+
+  test("lengthBuckets: integer padding-waste report, bucket edges, no window") {
+    import spark.implicits._
+    // widths 1..5 tokens, bucket width 3: bucket 0 = {1,2}, bucket 1 = {3,4,5}
+    val docs = Seq.tabulate(5)(i => (i.toLong, Seq.fill(i + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Layout.lengthBuckets(docs, "text", bucketWidth = 3)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // bucket, min_tokens, n_docs, max_tokens, sum_tokens, padded, waste_ppm
+      (0L, 0L, 2L, 2L, 3L, 4L, 250000L),
+      (1L, 3L, 3L, 5L, 12L, 15L, 200000L)))
+    // one hash aggregation, no window/join in the plan
+    val plan = Layout.lengthBuckets(docs, "text", bucketWidth = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
 }

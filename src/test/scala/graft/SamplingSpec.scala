@@ -185,4 +185,30 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("groupCapByScore: best-first cap per group, deterministic ties, WindowGroupLimit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "b", 1L)).toDF("id", "g", "score")
+    val got = Sampling.groupCapByScore(df, col("g"), col("score"),
+        col("id"), cap = 2)
+      .select("id", "g", "rk").as[(Long, String, Long)].collect().toSet
+    // score 30 ties between id 1 and 3 → smaller id first; cap cuts id 4
+    assert(got == Set((1L, "a", 1L), (3L, "a", 2L), (5L, "b", 1L)))
+    // partitioning must not change membership
+    val re = Sampling.groupCapByScore(df.repartition(7), col("g"),
+        col("score"), col("id"), cap = 2)
+      .select("id", "g", "rk").as[(Long, String, Long)].collect().toSet
+    assert(re == got)
+    // rk collision guard + map-side pre-truncation
+    intercept[IllegalArgumentException] {
+      Sampling.groupCapByScore(df.withColumn("rk", lit(1)), col("g"),
+        col("score"), col("id"), cap = 2)
+    }
+    val plan = Sampling.groupCapByScore(df, col("g"), col("score"),
+        col("id"), cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

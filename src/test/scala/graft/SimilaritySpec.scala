@@ -306,12 +306,14 @@ class SimilaritySpec extends SparkSpec {
       (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) - 5).toFloat)))
       .toDF("vec_id", "embedding")
     val out = Similarity.lloydStep(vecs, "embedding", "vec_id", seeds)
-    // one aggregation pair (partial + final) for the sums, one for the
-    // counts, nothing quadratic: no joins beyond the broadcast of counts
+    // ONE fused aggregation (count + native vector-sum partials), no join
+    // at all, nothing quadratic; the posexplode sits ABOVE the aggregate
+    // (touches ≤ cells result rows, not the corpus)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("BroadcastHashJoin")) // counts side is broadcast
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Join"))
+    assert(plan.contains("graft_vector_dsum"), plan)
+    assert("(?s)Generate posexplode.*Aggregate".r.findFirstIn(plan).isDefined, plan)
     assert(out.count() <= 4L * 8L)
   }
 
@@ -663,5 +665,41 @@ class SimilaritySpec extends SparkSpec {
         localTrain(data, seeds, 2).map(_.map(_.toSeq).toSeq).toSeq,
         s"trial=$trial data=$data seeds=$seeds")
     }
+  }
+
+  test("centroidOutliers: bottom-ppm flag counts, rank order, layout-stable, non-finite barred") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.centroidOutliers(emb, "embedding", "vec_id",
+      "label", bottomPerMille = 200)
+    val perGroup = got.groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("flagged"),
+        max(when(col("is_outlier"), col("cos"))).as("maxFlaggedCos"),
+        min(when(!col("is_outlier"), col("cos"))).as("minKeptCos"))
+      .collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // exactly floor(n * 200 / 1000) rows flagged (integer rank cut)
+      assert(r.getAs[Long]("flagged") == n * 200 / 1000, r.toString)
+      // every flagged cosine ≤ every kept cosine (flags are the tail)
+      if (!r.isNullAt(2) && !r.isNullAt(3))
+        assert(r.getAs[Double]("maxFlaggedCos") <= r.getAs[Double]("minKeptCos"))
+    }
+    // partitioning must not change a single flag
+    val re = Similarity.centroidOutliers(emb.repartition(7), "embedding",
+      "vec_id", "label", bottomPerMille = 200)
+    assert(got.select("id", "rk", "is_outlier")
+      .join(re.select("id", "rk", "is_outlier"),
+        Seq("id", "rk", "is_outlier"), "anti").count() == 0L)
+    // a NaN-poisoned vector is excluded from centroid AND output
+    val poisoned = emb.limit(3)
+      .union(Seq((999L, Seq.fill(64)(Double.NaN.toFloat), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val p = Similarity.centroidOutliers(poisoned, "embedding", "vec_id",
+      "label", bottomPerMille = 200)
+    assert(p.filter(col("id") === 999L).count() == 0L)
   }
 }

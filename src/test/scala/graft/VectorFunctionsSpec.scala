@@ -58,4 +58,70 @@ class VectorFunctionsSpec extends SparkSpec {
     val r = z.select(col("qs.scale"), dequantizeInt8(col("qs")).as("back")).head()
     assert(r.getDouble(0) == 0.0 && r.getSeq[Double](1) == Seq(0.0, 0.0))
   }
+
+  test("vectorDecimalSum is bit-identical to posexplode + decimal(38,12) sums") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .repartition(7) // exercise partial merge + serialization across tasks
+    val viaAgg = emb.groupBy(col("label"))
+      .agg(vectorDecimalSum(col("v")).as("sv"))
+      .select(col("label"), posexplode(col("sv")).as(Seq("d0", "sx")))
+    val viaExplode = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy(col("label"), col("d0"))
+      .agg(sum(col("x").cast("decimal(38,12)")).as("sx"))
+    // exact join on the decimal VALUE: any ulp/rounding divergence drops rows
+    assert(viaAgg.count() > 0)
+    assert(viaAgg.join(viaExplode, Seq("label", "d0", "sx"), "anti").count() == 0L)
+    assert(viaExplode.join(viaAgg, Seq("label", "d0", "sx"), "anti").count() == 0L)
+  }
+
+  test("vectorDecimalSum guards: dim change and overflow-domain elements fail loudly") {
+    val mixed = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0))).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      mixed.groupBy(col("g")).agg(vectorDecimalSum(col("v"))).collect()
+    }
+    assert(e1.getMessage.contains("dimension") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("dimension"))
+    val big = Seq((1L, Seq(1.0e7))).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      big.groupBy(col("g")).agg(vectorDecimalSum(col("v"))).collect()
+    }
+    assert(e2.getMessage.contains("exact-sum domain") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("exact-sum domain"))
+  }
+
+  test("CosineMaxHits kernel matches the HOF max/hits fold bit-for-bit") {
+    import org.apache.spark.sql.graft.{ColumnBridge, CosineMaxHits}
+    val tau = 0.35
+    val emb = Tables.embeddings(spark, sf0001)
+    val evalDf = emb.filter(pmod(col("vec_id"), lit(19)) === 3)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(19)) =!= 3)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val evVecs = evalDf.select(asDouble(col("embedding")).as("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val evNorms = evVecs.map(CosineMaxHits.norm)
+    val kernel = corpus.select(col("vec_id"),
+      ColumnBridge.column(CosineMaxHits(
+        ColumnBridge.expression(col("v")), evVecs, evNorms, tau)).as("f"))
+      .select(col("vec_id"), col("f.mx").as("mx"), col("f.hits").as("hits"))
+    // reference: the HOF fold this kernel replaced, evaluated per pair
+    val evRow = evalDf
+      .agg(collect_list(asDouble(col("embedding"))).as("ev"))
+    val reference = corpus.crossJoin(broadcast(evRow))
+      .select(col("vec_id"), aggregate(
+        col("ev"),
+        struct(lit(-2.0).as("mx"), lit(0L).as("hits")),
+        (acc, e) => {
+          val c = round(cosine(col("v"), e), 6)
+          val safe = when(!isnan(c), c).otherwise(lit(-2.0))
+          struct(
+            greatest(acc.getField("mx"), safe).as("mx"),
+            (acc.getField("hits") +
+              when(safe >= tau, 1L).otherwise(0L)).as("hits"))
+        }).as("f"))
+      .select(col("vec_id"), col("f.mx").as("mx"), col("f.hits").as("hits"))
+    assert(kernel.count() > 0)
+    assert(kernel.join(reference, Seq("vec_id", "mx", "hits"), "anti").count() == 0L)
+  }
 }
