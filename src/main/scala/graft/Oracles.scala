@@ -3018,6 +3018,75 @@ object Oracles {
     FROM r WHERE rk <= 15
     ORDER BY source, rk"""
 
+  /** Mirrors Queries.perplexityGate: bounded bigram LM (top-512 trusted
+    * bigrams + full trusted unigram table + add-one smoothing over the
+    * trusted vocabulary size), per-bigram NLL snapped to integer
+    * micro-nats BEFORE summation (`round(ln(r) * 1e6)` — a 1-ulp `ln`
+    * divergence moves the product by ~1e-9, never across the rounding
+    * boundary), all downstream arithmetic 64-bit integer. `round(x)`
+    * returns an integral double in both engines, so the BIGINT cast is
+    * exact (never cast a fractional double — DuckDB rounds, Spark
+    * truncates).
+    */
+  val perplexityFilter: String = s"""
+    WITH t AS (
+      SELECT doc_id, source, $toks AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, unnest($bigrams) AS bg FROM documents),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(tk) AS tok FROM t
+            WHERE CAST(substr(source, 4) AS BIGINT) < 5)
+      GROUP BY tok),
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    lm AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest($bigrams) AS bg FROM documents
+            WHERE CAST(substr(source, 4) AS BIGINT) < 5)
+      GROUP BY bg ORDER BY cnt DESC, bg LIMIT 512),
+    sc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(ln(
+               CAST(coalesce(u.c1, 0) + vv.v AS DOUBLE) /
+               CAST(coalesce(l.cnt, 0) + 1 AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS s
+      FROM bg
+      LEFT JOIN lm l USING (bg)
+      LEFT JOIN uni u ON u.tok = string_split(bg.bg, ' ')[1]
+      CROSS JOIN vv
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(sc.n, 0) AS n_bigrams,
+           coalesce(sc.s, 0) AS nll_micro,
+           CASE WHEN sc.n > 0 THEN sc.s // sc.n END AS avg_nll_micro,
+           coalesce(sc.n > 0 AND sc.s <= sc.n * 4200000, FALSE) AS keep
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Mirrors Queries.epochShuffleGate (3 epochs, batch 64, salt
+    * "epoch13"): per-epoch global order by the stable 60-bit hash of
+    * `id:salt:epoch`, position via row_number − 1, batch by floor
+    * division — the one-shot window form of the engine's grouped
+    * two-pass cumsum.
+    */
+  val epochShuffle: String = s"""
+    WITH e AS (
+      SELECT doc_id, unnest(generate_series(0, 2)) AS epoch
+      FROM documents),
+    h AS (
+      SELECT doc_id, epoch,
+             ${hash60("concat(CAST(doc_id AS VARCHAR), ':epoch13:', CAST(epoch AS VARCHAR))")} AS hh
+      FROM e),
+    r AS (
+      SELECT doc_id, epoch,
+             row_number() OVER (PARTITION BY epoch ORDER BY hh, doc_id) - 1
+               AS pos
+      FROM h)
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(pos // 64 AS BIGINT) AS batch
+    FROM r ORDER BY epoch, pos"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3187,7 +3256,9 @@ object Oracles {
     "q122_mmr_rerank" -> mmrRerank,
     "q133_centroid_outliers" -> centroidOutliers,
     "q134_length_buckets" -> lengthBuckets,
-    "q135_domain_caps" -> domainCaps)
+    "q135_domain_caps" -> domainCaps,
+    "q136_perplexity_filter" -> perplexityFilter,
+    "q137_epoch_shuffle" -> epochShuffle)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3387,4 +3387,34 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         coalesce(col("zn"), lit(0L)).as("zn"), col("rk"))
       .orderBy(col("source"), col("rk"))
+
+  /** q136: reference-LM perplexity filter — the CCNet shape q99's
+    * integer coverage gate approximates: a bounded bigram LM (top-512
+    * bigrams + full unigram table, trained on q99's trusted slice)
+    * scores every doc by average NLL in integer MICRO-NATS, keep at
+    * avg ≤ 4.2 nats (≈ the corpus median — a discriminative cut on the
+    * synthetic corpus, whose per-doc averages span ~3.4–4.8 nats).
+    * See [[graft.operators.LmScore.bigramPerplexity]]
+    * for the term-level integerization and the 100 TB shape (model
+    * collapses at the vocabulary, broadcast probes, one doc-keyed
+    * shuffle).
+    */
+  def perplexityGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore
+      .bigramPerplexity(Tables.documents(s, dir), "text", "doc_id",
+        trusted = substring(col("source"), 4, 10).cast("long") < 5,
+        topK = 512, keepMaxMicroNll = 4200000L)
+      .orderBy(col("doc_id"))
+
+  /** q137: deterministic multi-epoch training shuffle — 3 epochs of
+    * salt+epoch-keyed global order with 64-doc batches. See
+    * [[graft.operators.Layout.epochShuffle]] for the grouped two-pass
+    * cumsum (never a single-partition window; driver holds only the
+    * epochs × nParts offset matrix).
+    */
+  def epochShuffleGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout
+      .epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3,
+        batchSize = 64, salt = "epoch13")
+      .orderBy(col("epoch"), col("pos"))
 }

@@ -109,6 +109,78 @@ object Layout {
     spark.read.parquet(outDir)
   }
 
+  /** Deterministic MULTI-EPOCH training shuffle — the "each epoch sees
+    * the corpus in a different but reproducible order" layout step a
+    * trainer's data loader needs: for every epoch `e` the documents are
+    * globally ordered by a salt- and epoch-keyed stable 60-bit hash
+    * (re-running on the same corpus reproduces every epoch's order
+    * bit-for-bit; different epochs decorrelate because the epoch is in
+    * the hash preimage), positions are assigned 0..n−1 within the
+    * epoch, and fixed-size training batches fall out as
+    * `batch = pos div batchSize`.
+    *
+    * Scale shape — the per-epoch global position is NOT a
+    * single-partition window (the [[tokenShards]] two-pass cumsum,
+    * generalized to grouped epochs): the exploded (epoch, doc) frame
+    * range-partitions on (epoch, hash, id), each partition counts its
+    * (partition, epoch) slice, the ≤ nParts + epochs − 1 slice counts
+    * collect and re-enter as a literal epochs × nParts offset matrix,
+    * and the rank window partitions by (partition-id, epoch) so every
+    * executor ranks only its own slice. The range exchange is the
+    * inherent cost of ordering; nothing else shuffles, and the driver
+    * holds only the offset matrix.
+    *
+    * Output: (epoch, `idCol`, pos, batch) — epochs × input rows.
+    */
+  def epochShuffle(
+      docs: DataFrame,
+      idCol: String,
+      epochs: Int,
+      batchSize: Int,
+      salt: String): DataFrame = {
+    require(epochs > 0, "epochShuffle: epochs must be positive")
+    require(batchSize > 0, "epochShuffle: batchSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val h = graft.functions.TextFunctions.stableHash60(
+      concat(col(idCol).cast("string"), lit(s":$salt:"),
+        col("epoch").cast("string")))
+    // persist the range-partitioned frame: the slice-count collect and
+    // the final window must see the SAME partition boundaries (range
+    // boundaries come from a sample — two evaluations could legally
+    // differ). CACHE CONTRACT: registered with OperatorCaches; the
+    // caller releases after its terminal action on the returned frame.
+    val parted = graft.util.OperatorCaches.persisted(docs
+      .select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("__h", h)
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("epoch"), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id()))
+    val nParts = parted.rdd.getNumPartitions
+    // range partitioning sorts by (epoch, …), so each partition holds a
+    // contiguous slice: at most nParts + epochs − 1 (pid, epoch) pairs
+    val sliceCounts = parted.groupBy(col("__pid"), col("epoch"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val offsets: Seq[Seq[Long]] = (0L until epochs.toLong).map { e =>
+      var acc = 0L
+      (0 until nParts).map { p =>
+        val off = acc; acc += sliceCounts.getOrElse((p, e), 0L); off
+      }
+    }
+    val win = Window.partitionBy(col("__pid"), col("epoch"))
+      .orderBy(col("__h"), col(idCol))
+    parted
+      .withColumn("pos",
+        row_number().over(win).cast("long") - 1L +
+          element_at(element_at(typedLit(offsets), col("epoch").cast("int") + 1),
+            col("__pid") + 1))
+      .select(col("epoch"), col(idCol), col("pos"),
+        expr(s"pos div ${batchSize}L").as("batch"))
+  }
+
   /** Length-bucketed BATCHING REPORT — the padding-efficiency audit a
     * variable-length-sequence trainer runs before fixing its dynamic
     * batching policy: documents are grouped into token-length buckets

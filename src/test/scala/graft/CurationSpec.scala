@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Layout, Merge, Profile}
+import graft.operators.{Dedup, Layout, LmScore, Merge, Profile}
 
 /** Corpus-curation operators: decontamination, PII scrubbing, layout
   * compaction (including the partition-pruning property the layout
@@ -546,5 +546,82 @@ class CurationSpec extends SparkSpec {
     val plan = Layout.lengthBuckets(docs, "text", bucketWidth = 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("bigramPerplexity: micro-nat terms match the formula; keep cut is integer; OOV penalized") {
+    // trusted slice: docs 1 and 2. Vocabulary {a,b,c}: V=3.
+    // trusted unigrams: a=3 (doc1: a,b,a; doc2: a,c), wait — count below.
+    val docs = Seq(
+      (1L, "a b a b", true),   // trusted: tokens a,b,a,b; bigrams ab,ba,ab
+      (2L, "a c", true),       // trusted: tokens a,c; bigram ac
+      (3L, "a b z", false),    // scored only: bigrams ab, bz (bz OOV, z OOV)
+      (4L, "q", false)         // no bigrams at all
+    ).toDF("doc_id", "text", "tr")
+    // trusted counts: a: 3 (2 in doc1 + 1 in doc2), b: 2, c: 1 → V = 3
+    // trusted bigrams: "a b": 2, "b a": 1, "a c": 1 (all within top-512)
+    def nllU(c1: Long, cnt: Long): Long =
+      math.round(math.log((c1 + 3).toDouble / (cnt + 1).toDouble) * 1e6)
+    val expected3 = nllU(3, 2) + nllU(2, 0) // "a b" in model; "b z" OOV-bigram, w1=b
+    val out = LmScore.bigramPerplexity(docs, "text", "doc_id",
+        trusted = col("tr"), topK = 512, keepMaxMicroNll = 700000L)
+      .select("doc_id", "n_bigrams", "nll_micro", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (k, n, s, kp) => k -> ((n, s, kp)) }.toMap
+    assert(out(3L) == ((2L, expected3, false)))
+    // doc1: bigrams ab(c1=3,cnt=2), ba(c1=2,cnt=1), ab → avg ≈ 0.60 nats
+    val s1 = 2 * nllU(3, 2) + nllU(2, 1)
+    assert(out(1L) == ((3L, s1, s1 <= 3L * 700000L)))
+    assert(out(4L) == ((0L, 0L, false))) // bigram-less doc: never kept
+    // partitioning must not move a single micro-nat (integer exactness)
+    val re = LmScore.bigramPerplexity(docs.repartition(5), "text", "doc_id",
+        trusted = col("tr"), topK = 512, keepMaxMicroNll = 700000L)
+      .select("doc_id", "nll_micro").as[(Long, Long)].collect().toMap
+    assert(re == out.map { case (k, v) => k -> v._2 })
+    // model probes broadcast; no corpus-sized join shuffle
+    val plan = LmScore.bigramPerplexity(docs, "text", "doc_id",
+        trusted = col("tr"), topK = 512, keepMaxMicroNll = 700000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("epochShuffle: per-epoch permutation, cross-epoch decorrelation, two-pass offsets hold under repartition") {
+    val docs = (1L to 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Layout.epochShuffle(docs, "doc_id", epochs = 3,
+        batchSize = 10, salt = "t")
+      .select("epoch", "doc_id", "pos", "batch")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    try {
+      assert(out.size == 3 * 97)
+      // each epoch's positions are exactly 0..96 (a permutation)
+      for (e <- 0L to 2L) {
+        val ps = out.filter(_._1 == e).map(_._3).sorted
+        assert(ps == (0L until 97L), s"epoch $e positions")
+      }
+      // batch = pos div batchSize everywhere
+      assert(out.forall { case (_, _, p, b) => b == p / 10 })
+      // epochs genuinely differ (the epoch is in the hash preimage)
+      val ord0 = out.filter(_._1 == 0L).sortBy(_._3).map(_._2)
+      val ord1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2)
+      assert(ord0 != ord1)
+      // reference: the single-window form over the same hash
+      val h = TextFunctions.stableHash60(concat(col("doc_id").cast("string"),
+        lit(":t:"), col("epoch").cast("string")))
+      val ref = docs.select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+        .withColumn("__h", h)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("epoch")
+            .orderBy(col("__h"), col("doc_id"))).cast("long") - 1L)
+        .select("epoch", "doc_id", "pos")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out.map(t => (t._1, t._2, t._3)).toSet == ref)
+      // partitioning must not move a single position
+      val re = Layout.epochShuffle(docs.repartition(7), "doc_id",
+          epochs = 3, batchSize = 10, salt = "t")
+        .select("epoch", "doc_id", "pos")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(re == ref)
+    } finally graft.util.OperatorCaches.release(spark)
   }
 }

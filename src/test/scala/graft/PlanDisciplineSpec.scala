@@ -32,8 +32,11 @@ class PlanDisciplineSpec extends SparkSpec {
       "q100_semantic_decon", "q104_curriculum_order", "q109_hybrid_search",
       "q118_pq_adc", "q122_mmr_rerank", "q123_pq_trained",
       "q125_hard_negatives", // q125 IS q23's brute-force scan, banded
-      "q127_token_drift") // q127 attaches two ONE-ROW scalar-total
+      "q127_token_drift", // q127 attaches two ONE-ROW scalar-total
       // frames via crossJoin(broadcast(_)) — the q100/q104 shape
+      "q136_perplexity_filter") // q136 attaches the ONE-ROW vocabulary
+      // size (the smoothing mass) via crossJoin(broadcast(_)) — q127's
+      // scalar shape
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.
