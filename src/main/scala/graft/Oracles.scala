@@ -3087,6 +3087,67 @@ object Oracles {
            CAST(pos // 64 AS BIGINT) AS batch
     FROM r ORDER BY epoch, pos"""
 
+  /** Mirrors Queries.temperatureMixtureGate (α = 0.3, budget 200,
+    * salt "tmix13"): per-source weight `round(exp(ln(n) × 0.3) × 1e6)`
+    * snapped to integer micro-units (the q136 ulp argument), integer
+    * quota division, hash-rank cut. `//` on the positive BIGINTs =
+    * Spark `div`.
+    */
+  val temperatureMixture: String = s"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source,
+             CAST(round(exp(ln(CAST(n AS DOUBLE)) * 0.3) * 1000000)
+               AS BIGINT) AS wu
+      FROM c),
+    tot AS (SELECT CAST(sum(wu) AS BIGINT) AS t FROM w),
+    q AS (
+      SELECT source, (200 * wu) // t AS quota FROM w CROSS JOIN tot),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY
+               ${hash60("concat(CAST(doc_id AS VARCHAR), ':tmix13')")},
+               doc_id) AS rk
+      FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, q.quota
+    FROM r JOIN q USING (source)
+    WHERE r.rk <= q.quota
+    ORDER BY source, rk"""
+
+  /** Mirrors Queries.vocabEncodeGate (minCount 3): pruned vocabulary
+    * with dense ids by (count DESC, token ASC), docs re-encoded as
+    * position-ordered id sequences, OOV → 0, joined to a csv scalar
+    * (the driver hasher can't hash arrays — the q27/q42 precedent).
+    * DuckDB zips parallel unnests, giving each token its 1-based
+    * position.
+    */
+  val vocabEncode: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(tk) AS tok,
+             unnest(generate_series(1, len(tk))) AS pos
+      FROM t),
+    v AS (
+      SELECT tok, count(*) AS cnt FROM tok
+      GROUP BY tok HAVING count(*) >= 3),
+    ids AS (
+      SELECT tok,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS id
+      FROM v)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN i.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           string_agg(CAST(coalesce(i.id, 0) AS VARCHAR), ',' ORDER BY pos)
+             AS ids_csv
+    FROM tok LEFT JOIN ids i USING (tok)
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3258,7 +3319,9 @@ object Oracles {
     "q134_length_buckets" -> lengthBuckets,
     "q135_domain_caps" -> domainCaps,
     "q136_perplexity_filter" -> perplexityFilter,
-    "q137_epoch_shuffle" -> epochShuffle)
+    "q137_epoch_shuffle" -> epochShuffle,
+    "q138_temperature_mixture" -> temperatureMixture,
+    "q139_vocab_encode" -> vocabEncode)
 }
 
 /** Holder split out so the oracle text initializes before

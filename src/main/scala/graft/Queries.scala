@@ -3417,4 +3417,34 @@ object Queries {
       .epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3,
         batchSize = 64, salt = "epoch13")
       .orderBy(col("epoch"), col("pos"))
+
+  /** q138: temperature-scaled source mixture — T5/mC4 α-sampling at
+    * α = 0.3, budget 200 docs: source i contributes
+    * ⌊200 × nᵢ^0.3 / Σ nⱼ^0.3⌋ docs, selected as the source's first
+    * quota in stable-hash order. See
+    * [[graft.operators.Sampling.temperatureSample]] for the micro-unit
+    * weight snap (the q136 discipline) and the scale shape (quotas on
+    * the source-count frame; one rank window + broadcast join on the
+    * corpus).
+    */
+  def temperatureMixtureGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .temperatureSample(Tables.documents(s, dir), "doc_id", "source",
+        alpha = 0.3, budget = 200L, salt = "tmix13")
+      .orderBy(col("source"), col("rk"))
+
+  /** q139: vocabulary-pruned token-id encoding — the tensorization
+    * step: min-count-3 vocabulary with dense ids by (count DESC, token
+    * ASC), every doc rewritten as its id sequence with OOV → 0
+    * (`<unk>`), emitted as a csv scalar the hash gate can verify. See
+    * [[graft.operators.Vocab]] (vocab collapses at the token before
+    * the exchange; encode probes broadcast and pays one doc-keyed
+    * re-assembly).
+    */
+  def vocabEncodeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.operators.Vocab.build(docs, "text", minCount = 3L)
+    graft.operators.Vocab.encode(docs, "text", "doc_id", vocab)
+      .orderBy(col("doc_id"))
+  }
 }

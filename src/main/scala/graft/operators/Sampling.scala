@@ -133,6 +133,63 @@ object Sampling {
       .filter(col("rk") <= cap)
   }
 
+  /** TEMPERATURE-scaled source mixture — the T5/mC4 α-sampling shape:
+    * source `i` contributes `kᵢ = ⌊budget × nᵢ^α / Σⱼ nⱼ^α⌋` documents
+    * (α < 1 upweights small sources relative to proportional sampling —
+    * the standard fix for a web crawl where one domain is 100× another),
+    * and WHICH kᵢ documents is deterministic: the source's first kᵢ in
+    * stable-hash order (salt-keyed, so a different salt draws an
+    * independent mixture). Sampling is WITHOUT replacement: a source
+    * whose quota exceeds its size contributes all of it (T5's
+    * with-replacement repetition is the trainer's epoch concern — pair
+    * with [[graft.operators.Layout.epochShuffle]]).
+    *
+    * Cross-engine exactness: the only transcendental is the weight
+    * `nᵢ^α = exp(α·ln nᵢ)`, snapped to integer MICRO-units
+    * (`round(·×1e6)` — a 1-ulp `exp`/`ln` divergence moves the product
+    * ~1e-9 of the rounding boundary, the q136 micro-nat argument); the
+    * quota division and the rank cut are 64-bit integer arithmetic, so
+    * the selected set is bit-stable across engines and partitionings.
+    *
+    * Scale shape: weights/quotas live on the source-count frame (GROUP
+    * cardinality — KBs) with the weight total attached as a broadcast
+    * one-row frame (the q127 scalar discipline); the corpus pays one
+    * source-keyed rank window (inherent to "first kᵢ per source") and a
+    * broadcast quota join — no other shuffle.
+    *
+    * Output: the selected rows only — (`idCol`, `sourceCol`, rk, quota),
+    * `rk` the 1-based hash rank within the source.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      budget: Long,
+      salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      "temperatureSample: alpha must be in (0, 1]")
+    require(budget > 0, "temperatureSample: budget must be positive")
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wu",
+        round(exp(log(col("__n").cast("double")) * alpha) * 1e6, 0)
+          .cast("long"))
+    val tot = counts.agg(sum(col("__wu")).as("__t"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        expr(s"(${budget}L * __wu) div __t").as("quota"))
+    val h = TextFunctions.stableHash60(
+      concat(col(idCol).cast("string"), lit(s":$salt")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(h.asc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col("rk"), col("quota"))
+  }
+
   /** Deterministic WEIGHTED sample: the k rows per group with the
     * smallest `hash div weight` — integer-arithmetic priority sampling
     * (the Duffield–Lund–Thorup priority-sample shape with the stable

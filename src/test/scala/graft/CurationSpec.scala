@@ -585,6 +585,37 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("Vocab: min-count prune, dense deterministic ids, OOV->0, position-ordered encode") {
+    val docs = Seq(
+      (1L, "a b a c a b"),   // a=3, b=2, c=1
+      (2L, "b z"),           // b=1 more (b=3 total), z=1
+      (3L, "")               // empty text → one empty-string token
+    ).toDF("doc_id", "text")
+    val vocab = graft.operators.Vocab.build(docs, "text", minCount = 2L)
+    val v = vocab.select("tok", "cnt", "id")
+      .as[(String, Long, Long)].collect().toSet
+    // counts: a=3, b=3, "":1, c=1, z=1 → pruned to {a,b}; ties (3,3)
+    // break token-ascending: a→1, b→2
+    assert(v == Set(("a", 3L, 1L), ("b", 3L, 2L)))
+    val enc = graft.operators.Vocab.encode(docs, "text", "doc_id", vocab)
+      .select("doc_id", "n_tokens", "n_unk", "ids_csv")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(enc(1L) == ((6L, 1L, "1,2,1,0,1,2"))) // c is OOV
+    assert(enc(2L) == ((2L, 1L, "2,0")))
+    assert(enc(3L) == ((1L, 1L, "0")))
+    // arrival order must be invisible (position-keyed re-assembly)
+    val re = graft.operators.Vocab
+      .encode(docs.repartition(5), "text", "doc_id", vocab)
+      .select("doc_id", "ids_csv").as[(Long, String)].collect().toMap
+    assert(re == enc.map { case (k, v) => k -> v._3 })
+    // vocabulary probes broadcast — no corpus-sized join shuffle
+    val plan = graft.operators.Vocab.encode(docs, "text", "doc_id", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan)
+  }
+
   test("epochShuffle: per-epoch permutation, cross-epoch decorrelation, two-pass offsets hold under repartition") {
     val docs = (1L to 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = Layout.epochShuffle(docs, "doc_id", epochs = 3,

@@ -34,9 +34,12 @@ class PlanDisciplineSpec extends SparkSpec {
       "q125_hard_negatives", // q125 IS q23's brute-force scan, banded
       "q127_token_drift", // q127 attaches two ONE-ROW scalar-total
       // frames via crossJoin(broadcast(_)) — the q100/q104 shape
-      "q136_perplexity_filter") // q136 attaches the ONE-ROW vocabulary
+      "q136_perplexity_filter", // q136 attaches the ONE-ROW vocabulary
       // size (the smoothing mass) via crossJoin(broadcast(_)) — q127's
       // scalar shape
+      "q138_temperature_mixture") // q138 attaches the ONE-ROW weight
+      // total to the source-count frame the same way (and only there:
+      // the corpus side joins quotas by hash)
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.

@@ -211,4 +211,40 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("temperatureSample: alpha<1 upweights small sources; quotas integer-exact; deterministic") {
+    import spark.implicits._
+    // skewed corpus: big source 400 docs, small source 25 docs
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 425L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def quota(n: Long, nOther: Long, budget: Long, alpha: Double): Long = {
+      def wu(m: Long) = math.round(math.exp(math.log(m.toDouble) * alpha) * 1e6)
+      budget * wu(n) / (wu(n) + wu(nOther))
+    }
+    val got = Sampling.temperatureSample(docs, "doc_id", "source",
+        alpha = 0.3, budget = 100L, salt = "t")
+      .select("source", "doc_id", "rk", "quota")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val byScr = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // proportional sampling would give big 94 / small 6; alpha=0.3
+    // compresses the ratio to w=exp(0.3 ln n): quotas big 63 / small 30
+    // (without-replacement semantics cap a source at its own size, so
+    // the small source's 30-quota saturates at its 25 docs)
+    assert(byScr("big") == quota(400, 25, 100, 0.3))
+    assert(byScr("small") == math.min(25L, quota(25, 400, 100, 0.3)))
+    assert(quota(25, 400, 100, 0.3) == 30L)
+    assert(byScr("small") > 6, "alpha must upweight the small source")
+    assert(got.forall { case (_, _, rk, q) => rk <= q })
+    // membership is a pure function of the corpus — partitioning invisible
+    val re = Sampling.temperatureSample(docs.repartition(7), "doc_id",
+        "source", alpha = 0.3, budget = 100L, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == got.map(_._2).toSet)
+    // alpha = 1 recovers (floor-exact) proportional sampling
+    val prop = Sampling.temperatureSample(docs, "doc_id", "source",
+        alpha = 1.0, budget = 100L, salt = "t")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(prop("big") == quota(400, 25, 100, 1.0) &&
+      prop("small") == quota(25, 400, 100, 1.0))
+  }
 }
