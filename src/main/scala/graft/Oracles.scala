@@ -3148,6 +3148,39 @@ object Oracles {
     GROUP BY tok.doc_id
     ORDER BY tok.doc_id"""
 
+  /** Mirrors Queries.contrastiveTripletsGate: per query (vec_id % 19 ==
+    * 7), argmax same-label cosine (positive) and argmax different-label
+    * cosine inside [0.05, 0.45) (hard negative), ties to the smaller id
+    * — the rank-window form of the engine's conditional
+    * max(struct(cos, −id)) argmax. Queries missing either side drop.
+    */
+  val contrastiveTriplets: String = """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlbl, v AS qv
+      FROM v WHERE vec_id % 19 = 7),
+    sc AS (
+      SELECT q.query_id, c.label = q.qlbl AS same, c.vec_id AS cid,
+             round(list_cosine_similarity(q.qv, c.v), 6) + 0.0 AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    p AS (
+      SELECT query_id, cid, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, cid ASC) AS rk
+      FROM sc WHERE same),
+    n AS (
+      SELECT query_id, cid, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, cid ASC) AS rk
+      FROM sc WHERE NOT same AND cos >= 0.05 AND cos < 0.45)
+    SELECT p.query_id, p.cid AS pos_id, p.cos AS pos_cos,
+           n.cid AS neg_id, n.cos AS neg_cos
+    FROM p JOIN n USING (query_id)
+    WHERE p.rk = 1 AND n.rk = 1
+    ORDER BY query_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3321,7 +3354,8 @@ object Oracles {
     "q136_perplexity_filter" -> perplexityFilter,
     "q137_epoch_shuffle" -> epochShuffle,
     "q138_temperature_mixture" -> temperatureMixture,
-    "q139_vocab_encode" -> vocabEncode)
+    "q139_vocab_encode" -> vocabEncode,
+    "q140_contrastive_triplets" -> contrastiveTriplets)
 }
 
 /** Holder split out so the oracle text initializes before

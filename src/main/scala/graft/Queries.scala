@@ -3447,4 +3447,20 @@ object Queries {
     graft.operators.Vocab.encode(docs, "text", "doc_id", vocab)
       .orderBy(col("doc_id"))
   }
+
+  /** q140: contrastive triplet mining — for each query vector
+    * (vec_id % 19 == 7, ~5%), the best same-label positive and the best
+    * different-label hard negative in the [0.05, 0.45) confusable band.
+    * See [[graft.operators.Similarity.contrastiveTriplets]]: one
+    * broadcast corpus scan, both sides reduced in the same group-keyed
+    * conditional argmax — no rank exchange, no second scan.
+    */
+  def contrastiveTripletsGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity
+      .contrastiveTriplets(emb,
+        emb.filter(pmod(col("vec_id"), lit(19)) === 7),
+        "embedding", "vec_id", "label", negLo = 0.05, negHi = 0.45)
+      .orderBy(col("query_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -927,6 +927,64 @@ object Similarity {
         approx.as("approx_dist2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** CONTRASTIVE TRIPLET mining — the training-pair construction step a
+    * contrastive/embedding-model pipeline runs after labels (or
+    * pseudo-labels) exist: for every query vector, its best POSITIVE
+    * (highest-cosine same-label neighbor) and its best HARD NEGATIVE
+    * (highest-cosine different-label vector inside the `[negLo, negHi)`
+    * "confusable" band — the [[hardNegatives]] band semantics: above
+    * `negHi` is suspicious labeling, below `negLo` is too easy to teach
+    * anything). Queries missing either side emit no row (a triplet is
+    * only useful whole).
+    *
+    * Scale shape: ONE corpus scan — queries are bounded by contract
+    * (training batches, not corpora) and broadcast; both sides reduce in
+    * the SAME group-keyed aggregation via conditional deterministic
+    * argmax (`max(struct(cos, −id))` — max cosine, ties to the smaller
+    * id, exactly the rank-window order), so there is no rank exchange,
+    * no window, and no second scan. Cosines 6-dp-snapped pre-argmax
+    * (cross-engine ulp discipline); non-finite vectors barred on both
+    * sides.
+    *
+    * Output: (query_id, pos_id, pos_cos, neg_id, neg_cos), one row per
+    * query with both sides present.
+    */
+  def contrastiveTriplets(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      negLo: Double,
+      negHi: Double): DataFrame = {
+    require(negLo < negHi,
+      s"contrastiveTriplets: need negLo < negHi, got [$negLo, $negHi)")
+    val c = spread(corpus.select(col(idCol).as("__cid"),
+      col(labelCol).as("__clbl"), asDouble(col(vecCol)).as("cv")))
+      .filter(isFiniteVec(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("__qlbl"),
+        asDouble(col(vecCol)).as("qv"))
+      .filter(isFiniteVec(col("qv")))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("__cid"))
+      .select(col("query_id"),
+        (col("__clbl") === col("__qlbl")).as("__same"),
+        col("__cid"),
+        (round(cosine(col("qv"), col("cv")), 6) + 0.0).as("__cos"))
+    def argmax(cond: Column) = max(when(cond,
+      struct(col("__cos"), (-col("__cid")).as("__nid"))))
+    scored.groupBy(col("query_id"))
+      .agg(
+        argmax(col("__same")).as("__p"),
+        argmax(!col("__same") &&
+          col("__cos") >= negLo && col("__cos") < negHi).as("__n"))
+      .filter(col("__p").isNotNull && col("__n").isNotNull)
+      .select(col("query_id"),
+        (-col("__p.__nid")).as("pos_id"), col("__p.__cos").as("pos_cos"),
+        (-col("__n.__nid")).as("neg_id"), col("__n.__cos").as("neg_cos"))
   }
 
   /** MMR diversity rerank (Carbonell & Goldstein 1998) over a BOUNDED

@@ -37,9 +37,12 @@ class PlanDisciplineSpec extends SparkSpec {
       "q136_perplexity_filter", // q136 attaches the ONE-ROW vocabulary
       // size (the smoothing mass) via crossJoin(broadcast(_)) — q127's
       // scalar shape
-      "q138_temperature_mixture") // q138 attaches the ONE-ROW weight
+      "q138_temperature_mixture", // q138 attaches the ONE-ROW weight
       // total to the source-count frame the same way (and only there:
       // the corpus side joins quotas by hash)
+      "q140_contrastive_triplets") // q140 IS q125's sanctioned brute
+      // scan (bounded broadcast query set, id-inequality condition),
+      // reduced by a group-keyed argmax instead of a rank window
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.

@@ -667,6 +667,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastiveTriplets: argmax matches rank windows; band + label rules; one-pass plan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(pmod(col("vec_id"), lit(7)) === 2)
+    val got = Similarity.contrastiveTriplets(emb, queries, "embedding",
+      "vec_id", "label", negLo = 0.05, negHi = 0.45)
+    // reference: the two-rank-window form over an explicit cross score
+    val v = emb.select(col("vec_id").as("cid"), col("label").as("clbl"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlbl"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val sc = v.join(broadcast(q), col("query_id") =!= col("cid"))
+      .select(col("query_id"), (col("clbl") === col("qlbl")).as("same"),
+        col("cid"),
+        (round(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")),
+          6) + 0.0).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val p = sc.filter(col("same")).withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cid").as("pos_id"), col("cos").as("pos_cos"))
+    val n = sc.filter(!col("same") && col("cos") >= 0.05 && col("cos") < 0.45)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col("cid").as("neg_id"), col("cos").as("neg_cos"))
+    val ref = p.join(n, Seq("query_id"))
+    assert(got.count() > 0)
+    assert(got.join(ref,
+      Seq("query_id", "pos_id", "pos_cos", "neg_id", "neg_cos"), "anti")
+      .count() == 0L)
+    assert(ref.join(got,
+      Seq("query_id", "pos_id", "pos_cos", "neg_id", "neg_cos"), "anti")
+      .count() == 0L)
+    // semantic rules on the result itself
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val checked = got
+      .join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), Seq("query_id"))
+      .join(lbl.withColumnRenamed("vec_id", "pos_id")
+        .withColumnRenamed("label", "pl"), Seq("pos_id"))
+      .join(lbl.withColumnRenamed("vec_id", "neg_id")
+        .withColumnRenamed("label", "nl"), Seq("neg_id"))
+    assert(checked.filter(col("ql") =!= col("pl")).count() == 0L)
+    assert(checked.filter(col("ql") === col("nl")).count() == 0L)
+    assert(got.filter(col("neg_cos") < 0.05 || col("neg_cos") >= 0.45)
+      .count() == 0L)
+    assert(got.filter(col("query_id") === col("pos_id") ||
+      col("query_id") === col("neg_id")).count() == 0L)
+    // one-pass: no window, no sort-merge join; one aggregate pair
+    val plan = Similarity.contrastiveTriplets(emb, queries, "embedding",
+      "vec_id", "label", negLo = 0.05, negHi = 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("centroidOutliers: bottom-ppm flag counts, rank order, layout-stable, non-finite barred") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf0001)
