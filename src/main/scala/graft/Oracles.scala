@@ -3181,6 +3181,60 @@ object Oracles {
     WHERE p.rk = 1 AND n.rk = 1
     ORDER BY query_id"""
 
+  /** Mirrors Queries.streamQualityGate / QualityStream.meterStaged:
+    * the three-epoch staged quality meter collapses to per-slice q136
+    * scoring (model = even-id half, batches = odd-id half by
+    * (doc_id % 6 − 1) / 2) with running totals — segment files and the
+    * ≤ batch_id reads must be invisible. Counts CAST to BIGINT (the
+    * q58 HUGEINT/pandas-dtype class).
+    */
+  val streamQuality: String = s"""
+    WITH tt AS (
+      SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(tk) AS tok FROM tt) GROUP BY tok),
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    lm AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest($bigrams) AS bg FROM documents
+            WHERE doc_id % 2 = 0)
+      GROUP BY bg ORDER BY cnt DESC, bg LIMIT 512),
+    bg AS (
+      SELECT (doc_id % 6 - 1) // 2 AS batch_id, doc_id,
+             unnest($bigrams) AS bg
+      FROM documents WHERE doc_id % 2 = 1),
+    sc AS (
+      SELECT batch_id, doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(ln(
+               CAST(coalesce(u.c1, 0) + vv.v AS DOUBLE) /
+               CAST(coalesce(l.cnt, 0) + 1 AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS s
+      FROM bg
+      LEFT JOIN lm l USING (bg)
+      LEFT JOIN uni u ON u.tok = string_split(bg.bg, ' ')[1]
+      CROSS JOIN vv
+      GROUP BY 1, 2),
+    d AS (
+      SELECT (doc_id % 6 - 1) // 2 AS batch_id, doc_id
+      FROM documents WHERE doc_id % 2 = 1),
+    per AS (
+      SELECT d.batch_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN sc.n > 0 AND sc.s <= sc.n * 4200000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(sum(coalesce(sc.s, 0)) AS BIGINT) AS nll_micro
+      FROM d LEFT JOIN sc
+        ON d.batch_id = sc.batch_id AND d.doc_id = sc.doc_id
+      GROUP BY 1)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, n_docs, n_keep, nll_micro,
+           CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(n_keep) OVER w AS BIGINT) AS cum_keep,
+           CAST(sum(nll_micro) OVER w AS BIGINT) AS cum_nll_micro
+    FROM per
+    WINDOW w AS (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)
+    ORDER BY batch_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3355,7 +3409,8 @@ object Oracles {
     "q137_epoch_shuffle" -> epochShuffle,
     "q138_temperature_mixture" -> temperatureMixture,
     "q139_vocab_encode" -> vocabEncode,
-    "q140_contrastive_triplets" -> contrastiveTriplets)
+    "q140_contrastive_triplets" -> contrastiveTriplets,
+    "q141_stream_quality" -> streamQuality)
 }
 
 /** Holder split out so the oracle text initializes before

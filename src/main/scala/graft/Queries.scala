@@ -3448,6 +3448,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q141: streaming quality meter — q136's live twin (the q127→q130
+    * lambda pairing): the frozen bigram LM trains once on the even-id
+    * half, the odd-id half arrives in three staged micro-batches, and
+    * each batch emits its admit counts plus cumulative totals via
+    * batch-id-keyed one-row segments
+    * ([[graft.streaming.QualityStream.meterStaged]] — replay
+    * byte-identical because batch k reads only segments ≤ k).
+    */
+  def streamQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_qmeter_gate").toString
+    try {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.LmScore.trainBigramLm(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", topK = 512)
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      (0 to 2).map { k =>
+        graft.streaming.QualityStream.meterStaged(
+          odd.filter(pmod(col("doc_id"), lit(6)) === 2 * k + 1),
+          stateDir, "text", "doc_id", model,
+          keepMaxMicroNll = 4200000L, batchId = k.toLong)
+      }.reduce(_ unionByName _)
+        .orderBy(col("batch_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, stateDir)
+  }
+
   /** q140: contrastive triplet mining — for each query vector
     * (vec_id % 19 == 7, ~5%), the best same-label positive and the best
     * different-label hard negative in the [0.05, 0.45) confusable band.

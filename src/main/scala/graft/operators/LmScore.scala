@@ -66,35 +66,11 @@ object LmScore {
       trusted: Column,
       topK: Int,
       keepMaxMicroNll: Long): DataFrame = {
-    require(topK > 0, "bigramPerplexity: topK must be positive")
     require(keepMaxMicroNll > 0,
       "bigramPerplexity: keepMaxMicroNll must be positive")
-    val base = docs.select(col(idCol), col(textCol).as("__text"),
-      trusted.as("__trusted"))
-    val bg = base.select(col(idCol), col("__trusted"),
-      explode(TextFunctions.wordNgrams(col("__text"), 2)).as("bg"))
-    val trustedToks = base.filter(col("__trusted"))
-      .select(explode(TextFunctions.tokens(col("__text"))).as("tok"))
-    val uni = trustedToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val vRow = uni.agg(count(lit(1)).as("__V"))
-    val lm = bg.filter(col("__trusted"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("bg")).limit(topK)
-    val scored = bg
-      .select(col(idCol), col("bg"),
-        element_at(split(col("bg"), " "), 1).as("__w1"))
-      .join(broadcast(lm), Seq("bg"), "left")
-      .join(broadcast(uni.withColumnRenamed("tok", "__w1")), Seq("__w1"), "left")
-      .crossJoin(broadcast(vRow))
-      // integer micro-nats: ln of a ratio of exact-integer-valued doubles,
-      // scaled and snapped BEFORE any accumulation (see object scaladoc)
-      .select(col(idCol),
-        round(log((coalesce(col("c1"), lit(0L)) + col("__V")).cast("double") /
-          (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")) * 1e6, 0)
-          .cast("long").as("__nll_u"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll_u")).as("nll_micro"))
-    base.select(col(idCol))
+    val model = trainBigramLm(docs.filter(trusted), textCol, topK)
+    val scored = scoreBigrams(docs, textCol, idCol, model)
+    docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -105,4 +81,56 @@ object LmScore {
           col("nll_micro") <= col("n_bigrams") * keepMaxMicroNll,
           lit(false)).as("keep"))
   }
+
+  /** The frozen model [[trainBigramLm]] produces and [[scoreBigrams]]
+    * consumes: unigram counts (vocabulary-bounded), the top-K bigram
+    * table, and the smoothing mass V as a broadcast one-row frame.
+    * Compute once, score many (batches, streams — the baselinePpm
+    * discipline).
+    */
+  final case class BigramLm(uni: DataFrame, lm: DataFrame, vRow: DataFrame)
+
+  /** Train the bounded bigram LM on `trusted` (see [[bigramPerplexity]]
+    * for the smoothing/boundedness contract).
+    */
+  def trainBigramLm(
+      trusted: DataFrame,
+      textCol: String,
+      topK: Int): BigramLm = {
+    require(topK > 0, "trainBigramLm: topK must be positive")
+    val uni = trusted
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val lm = trusted
+      .select(explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg")).limit(topK)
+    BigramLm(uni, lm, uni.agg(count(lit(1)).as("__V")))
+  }
+
+  /** Per-document (n_bigrams, nll_micro) under `model` — inner rows
+    * only (a bigram-less document emits nothing; callers decide its
+    * fate). One broadcast-probed map pass + one doc-keyed sum.
+    */
+  def scoreBigrams(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: BigramLm): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(TextFunctions.wordNgrams(col(textCol), 2)).as("bg"))
+      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
+      .join(broadcast(model.lm), Seq("bg"), "left")
+      .join(broadcast(model.uni.withColumnRenamed("tok", "__w1")),
+        Seq("__w1"), "left")
+      .crossJoin(broadcast(model.vRow))
+      // integer micro-nats: ln of a ratio of exact-integer-valued doubles,
+      // scaled and snapped BEFORE any accumulation (see object scaladoc)
+      .select(col(idCol),
+        round(log((coalesce(col("c1"), lit(0L)) + col("__V")).cast("double") /
+          (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")) * 1e6, 0)
+          .cast("long").as("__nll_u"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll_u")).as("nll_micro"))
 }
