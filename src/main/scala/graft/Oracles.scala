@@ -3235,6 +3235,52 @@ object Oracles {
     WINDOW w AS (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)
     ORDER BY batch_id"""
 
+  /** Mirrors Queries.spanCorruptGate (15%, salt "t5span"): per-position
+    * hash flags, maximal flagged runs become sentinel spans
+    * (`lag` for starts, running start-count − 1 for the span index),
+    * input/target re-assembled position-ordered. `string_agg ... ORDER
+    * BY pos` skips NULL pieces exactly like the engine's filtered
+    * struct-sort join.
+    */
+  val spanCorruption: String = s"""
+    WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(tk))) AS pos,
+             unnest(tk) AS tok
+      FROM t),
+    f AS (
+      SELECT doc_id, pos, tok,
+             mod(${hash60("concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR), ':t5span')")},
+                 100) < 15 AS fl
+      FROM tok),
+    s0 AS (
+      SELECT doc_id, pos, tok, fl,
+             fl AND NOT coalesce(lag(fl) OVER
+               (PARTITION BY doc_id ORDER BY pos), FALSE) AS st
+      FROM f),
+    m AS (
+      SELECT doc_id, pos, tok, fl, st,
+             CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS k
+      FROM s0),
+    p AS (
+      SELECT doc_id, pos, fl, st,
+             CASE WHEN NOT fl THEN tok
+                  WHEN st THEN concat('<extra_id_', k, '>') END AS inp,
+             CASE WHEN st THEN concat('<extra_id_', k, '> ', tok)
+                  WHEN fl THEN tok END AS tgt
+      FROM m)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           coalesce(string_agg(inp, ' ' ORDER BY pos), '') AS input_text,
+           coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS target_text
+    FROM p GROUP BY doc_id
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3410,7 +3456,8 @@ object Oracles {
     "q138_temperature_mixture" -> temperatureMixture,
     "q139_vocab_encode" -> vocabEncode,
     "q140_contrastive_triplets" -> contrastiveTriplets,
-    "q141_stream_quality" -> streamQuality)
+    "q141_stream_quality" -> streamQuality,
+    "q142_span_corruption" -> spanCorruption)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3475,6 +3475,18 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, stateDir)
   }
 
+  /** q142: span-corruption training examples — T5-style denoising pairs
+    * at 15% position masking, consecutive flags merging into sentinel
+    * spans. See [[graft.operators.Examples.spanCorrupt]]: deterministic
+    * per-(doc, pos, salt) hashes, one doc-keyed window + one doc-keyed
+    * re-assembly; every shuffle key is the document id.
+    */
+  def spanCorruptGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Examples
+      .spanCorrupt(Tables.documents(s, dir), "text", "doc_id",
+        maskPerCent = 15, salt = "t5span")
+      .orderBy(col("doc_id"))
+
   /** q140: contrastive triplet mining — for each query vector
     * (vec_id % 19 == 7, ~5%), the best same-label positive and the best
     * different-label hard negative in the [0.05, 0.45) confusable band.

@@ -616,6 +616,47 @@ class CurationSpec extends SparkSpec {
       plan)
   }
 
+  test("spanCorrupt: denoising pairs reconstruct the document; flags deterministic; spans are runs") {
+    import graft.operators.Examples
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val out = Examples.spanCorrupt(docs, "text", "doc_id",
+        maskPerCent = 15, salt = "t")
+      .join(docs, Seq("doc_id"))
+      .select("doc_id", "n_tokens", "n_masked", "n_spans",
+        "input_text", "target_text", "text")
+      .collect()
+    assert(out.length == docs.count())
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val (n, m, sp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (inp, tgt) = (r.getString(4), r.getString(5))
+      val norm = r.getString(6).toLowerCase.trim.split("\\s+").mkString(" ")
+      masked += m; total += n
+      assert(sp <= m && m <= n) // spans are maximal runs of flags
+      // every sentinel appears exactly once in input, in order, and the
+      // target's k-th span substitutes back to reconstruct the document
+      val spans = tgt.split("<extra_id_\\d+>").map(_.trim).drop(1)
+      assert(spans.length == sp, s"doc ${r.getLong(0)}: $tgt")
+      var rebuilt = inp
+      for (k <- spans.indices)
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", spans(k))
+      assert(rebuilt == norm, s"doc ${r.getLong(0)}")
+    }
+    // global mask rate near 15% (hash-uniform; wide tolerance)
+    assert(masked * 100 >= total * 11 && masked * 100 <= total * 19,
+      s"$masked/$total")
+    // partitioning must not move a single flag
+    val re = Examples.spanCorrupt(docs.repartition(7), "text", "doc_id",
+        maskPerCent = 15, salt = "t")
+      .select("doc_id", "input_text").as[(Long, String)].collect().toMap
+    assert(out.forall(r => re(r.getLong(0)) == r.getString(4)))
+    // a different salt draws different spans
+    val other = Examples.spanCorrupt(docs, "text", "doc_id",
+        maskPerCent = 15, salt = "u")
+      .select("doc_id", "input_text").as[(Long, String)].collect().toMap
+    assert(out.exists(r => other(r.getLong(0)) != r.getString(4)))
+  }
+
   test("epochShuffle: per-epoch permutation, cross-epoch decorrelation, two-pass offsets hold under repartition") {
     val docs = (1L to 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = Layout.epochShuffle(docs, "doc_id", epochs = 3,
