@@ -3281,6 +3281,33 @@ object Oracles {
     FROM p GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.clusterQualityGate: q52's recursive-CTE cluster
+    * closure joined to the exact-integer quality signal; doc_keep =
+    * zn ≥ 2·n_tokens (q87's z ≥ 0 in integer form), cluster_keep =
+    * no failing member. Counts CAST to BIGINT (the q58 class).
+    */
+  val clusterQuality: String = s"""
+    WITH RECURSIVE $dupClusterCtes,
+    $qualitySignalCte,
+    k AS (
+      SELECT doc_id, n_tokens, coalesce(zn, 0) AS zn,
+             coalesce(n_tokens > 0 AND zn >= 2 * n_tokens, FALSE)
+               AS doc_keep
+      FROM sig),
+    j AS (
+      SELECT a.doc_id, a.cluster_id, k.n_tokens, k.zn, k.doc_keep
+      FROM asg a JOIN k USING (doc_id))
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER w AS BIGINT) AS cluster_size,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(zn AS BIGINT) AS zn,
+           doc_keep,
+           CAST(sum(CASE WHEN doc_keep THEN 0 ELSE 1 END) OVER w
+             AS BIGINT) = 0 AS cluster_keep
+    FROM j
+    WINDOW w AS (PARTITION BY cluster_id)
+    ORDER BY doc_id"""
+
   /** All oracles, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3457,7 +3484,8 @@ object Oracles {
     "q139_vocab_encode" -> vocabEncode,
     "q140_contrastive_triplets" -> contrastiveTriplets,
     "q141_stream_quality" -> streamQuality,
-    "q142_span_corruption" -> spanCorruption)
+    "q142_span_corruption" -> spanCorruption,
+    "q143_cluster_quality" -> clusterQuality)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3475,6 +3475,40 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, stateDir)
   }
 
+  /** q143: cluster-level quality propagation — "duplication propagates
+    * contamination": q52's duplicate clusters joined to q87's exact-
+    * integer quality logit; a cluster is kept only if EVERY member
+    * passes the gate (zn ≥ 2·n_tokens, the q87 keep rule in integer
+    * form), so one spam copy condemns all its mirrors. One
+    * cluster-keyed window over the CC assignment; the integer rule
+    * means no float epsilon can disagree across engines.
+    */
+  def clusterQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
+    val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val q = qualitySignal(s, dir).select(col("doc_id"), col("n_tokens"), col("zn"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .join(q, Seq("doc_id"), "left")
+      .withColumn("doc_keep",
+        coalesce(col("n_tokens") > 0 && col("zn") >= col("n_tokens") * 2,
+          lit(false)))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .withColumn("n_bad",
+        sum(when(col("doc_keep"), 0L).otherwise(1L)).over(wc))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), coalesce(col("zn"), lit(0L)).as("zn"),
+        col("doc_keep"), (col("n_bad") === 0L).as("cluster_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q142: span-corruption training examples — T5-style denoising pairs
     * at 15% position masking, consecutive flags merging into sentinel
     * spans. See [[graft.operators.Examples.spanCorrupt]]: deterministic
