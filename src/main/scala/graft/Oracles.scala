@@ -3121,7 +3121,8 @@ object Oracles {
     * position-ordered id sequences, OOV → 0, joined to a csv scalar
     * (the driver hasher can't hash arrays — the q27/q42 precedent).
     * DuckDB zips parallel unnests, giving each token its 1-based
-    * position.
+    * position; the final left join from `t` keeps zero-token documents
+    * as (0, 0, '') rows — the engine's one-row-per-input-doc contract.
     */
   val vocabEncode: String = s"""
     WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
@@ -3137,16 +3138,22 @@ object Oracles {
       SELECT tok,
              CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
                AS id
-      FROM v)
-    SELECT tok.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN i.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_unk,
-           string_agg(CAST(coalesce(i.id, 0) AS VARCHAR), ',' ORDER BY pos)
-             AS ids_csv
-    FROM tok LEFT JOIN ids i USING (tok)
-    GROUP BY tok.doc_id
-    ORDER BY tok.doc_id"""
+      FROM v),
+    enc AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN i.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+             string_agg(CAST(coalesce(i.id, 0) AS VARCHAR), ',' ORDER BY pos)
+               AS ids_csv
+      FROM tok LEFT JOIN ids i USING (tok)
+      GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_unk, 0) AS BIGINT) AS n_unk,
+           coalesce(e.ids_csv, '') AS ids_csv
+    FROM t LEFT JOIN enc e USING (doc_id)
+    ORDER BY t.doc_id"""
 
   /** Mirrors Queries.contrastiveTripletsGate: per query (vec_id % 19 ==
     * 7), argmax same-label cosine (positive) and argmax different-label
@@ -3240,7 +3247,9 @@ object Oracles {
     * (`lag` for starts, running start-count − 1 for the span index),
     * input/target re-assembled position-ordered. `string_agg ... ORDER
     * BY pos` skips NULL pieces exactly like the engine's filtered
-    * struct-sort join.
+    * struct-sort join; the final left join from `t` keeps zero-token
+    * documents as (0, 0, 0, '', '') rows — the engine's
+    * one-row-per-input-doc contract.
     */
   val spanCorruption: String = s"""
     WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
@@ -3271,15 +3280,23 @@ object Oracles {
                   WHEN st THEN concat('<extra_id_', k, '>') END AS inp,
              CASE WHEN st THEN concat('<extra_id_', k, '> ', tok)
                   WHEN fl THEN tok END AS tgt
-      FROM m)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-           CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
-           coalesce(string_agg(inp, ' ' ORDER BY pos), '') AS input_text,
-           coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS target_text
-    FROM p GROUP BY doc_id
-    ORDER BY doc_id"""
+      FROM m),
+    g AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+             coalesce(string_agg(inp, ' ' ORDER BY pos), '') AS input_text,
+             coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS target_text
+      FROM p GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(g.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(coalesce(g.n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(g.input_text, '') AS input_text,
+           coalesce(g.target_text, '') AS target_text
+    FROM t LEFT JOIN g USING (doc_id)
+    ORDER BY t.doc_id"""
 
   /** Mirrors Queries.clusterQualityGate: q52's recursive-CTE cluster
     * closure joined to the exact-integer quality signal; doc_keep =

@@ -90,7 +90,7 @@ object ClusterStore {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
       .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
-      .sorted
+      .sortBy(segId) // NUMERIC: lexicographic puts seg_100000 before seg_99999
   }
 
   private def segId(path: String): Long =
@@ -107,8 +107,8 @@ object ClusterStore {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
-      .sortBy(_.getPath.getName)
+      .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5,}"))
+      .sortBy(_.getPath.getName.stripPrefix("gen_").toLong)
       .lastOption.map { st =>
         val in = fs.open(st.getPath)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -354,9 +354,13 @@ object ClusterStore {
     val p = new Path(mapDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
+    // gen markers ordered NUMERICALLY and matched with \d{5,}: %05d
+    // widens past 99999, where a 5-digit-only regex would lose the
+    // newest marker and a lexicographic sort would mis-order it
     val prevMarker = fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
-      .map(_.getPath.getName).sorted.lastOption
+      .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5,}"))
+      .map(_.getPath.getName)
+      .sortBy(_.stripPrefix("gen_").toLong).lastOption
     val prev = currentGen(s, dir)
     val prevTable = currentGenTable(s, dir).map(_._1)
     val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)

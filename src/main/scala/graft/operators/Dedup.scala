@@ -113,7 +113,7 @@ object Dedup {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
         .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
-        .sorted
+        .sortBy(segId) // NUMERIC: seg_100000 sorts before seg_99999 as text
     }
 
     /** The accumulated store: the current compacted GENERATION (a
@@ -171,8 +171,8 @@ object Dedup {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
       else fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
-        .sortBy(_.getPath.getName)
+        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5,}"))
+        .sortBy(_.getPath.getName.stripPrefix("gen_").toLong)
         .lastOption.map { st =>
           val in = fs.open(st.getPath)
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -242,9 +242,13 @@ object Dedup {
       val p = new Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(p)
+      // numeric marker order + \d{5,}: %05d widens past 99999, where a
+      // 5-digit-only regex would lose the newest marker and a
+      // lexicographic sort would mis-order it (seg_100000 < seg_99999)
       val prevMarker = fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5}"))
-        .map(_.getPath.getName).sorted.lastOption
+        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5,}"))
+        .map(_.getPath.getName)
+        .sortBy(_.stripPrefix("gen_").toLong).lastOption
       val prev = currentGen(s, dir)
       val prevTable = currentGenTable(s, dir)
       val gen = prevMarker.map(_.stripPrefix("gen_").toInt + 1).getOrElse(1)
@@ -1189,7 +1193,7 @@ object Dedup {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
         .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
-        .sorted
+        .sortBy(p => p.substring(p.lastIndexOf("seg_") + 4).toLong) // numeric
     }
 
     /** Every registered suite's grams as one schema-pinned relation. */
@@ -1650,6 +1654,13 @@ object Dedup {
     * Batch ids within one backfill call must not repeat an (id, batch)
     * pair; the same doc id MAY appear in several batches (each batch
     * emits its own profile row, as the sequential loop would).
+    *
+    * `maxBacklogBatches` guards the driver-side distinct-batch collect
+    * (and the one-segment-write-per-batch job count): a backlog past
+    * the bound fails fast with a pointer to the sequential
+    * [[dupSpansIncrementalStaged]] loop, which has no driver-side
+    * backlog bound — the [[Bpe.trainMergesLocal]] `maxVocabRows`
+    * discipline.
     */
   def dupSpansBackfillStaged(
       batches: DataFrame,
@@ -1657,9 +1668,10 @@ object Dedup {
       storeDir: String,
       textCol: String,
       idCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBacklogBatches: Int = 10000): DataFrame = {
     val (_, occ, dup) = backfillSpanCore(
-      batches, batchCol, storeDir, textCol, idCol, k)
+      batches, batchCol, storeDir, textCol, idCol, k, maxBacklogBatches)
     def bid(df: DataFrame): DataFrame =
       df.withColumn("__bid", struct(col("__b"), col(idCol)))
     spanProfileOf(nTokensFromOcc(bid(occ), "__bid"), bid(dup), "__bid", k)
@@ -1676,9 +1688,10 @@ object Dedup {
       storeDir: String,
       textCol: String,
       idCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBacklogBatches: Int = 10000): DataFrame = {
     val (base, _, dup) = backfillSpanCore(
-      batches, batchCol, storeDir, textCol, idCol, k)
+      batches, batchCol, storeDir, textCol, idCol, k, maxBacklogBatches)
     def bid(df: DataFrame): DataFrame =
       df.withColumn("__bid", struct(col("__b"), col(idCol)))
     stripByDup(bid(base), bid(dup), "__bid", k)
@@ -1699,7 +1712,10 @@ object Dedup {
       storeDir: String,
       textCol: String,
       idCol: String,
-      k: Int): (DataFrame, DataFrame, DataFrame) = {
+      k: Int,
+      maxBacklogBatches: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(maxBacklogBatches >= 1,
+      "backfill: maxBacklogBatches must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val s = batches.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
@@ -1735,10 +1751,19 @@ object Dedup {
       .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
       .maxOption.map(_ + 1).getOrElse(0)
     // one committed segment per batch, ascending — the layout the
-    // sequential loop would have produced; the distinct-batch collect is
-    // bounded by the backlog length
+    // sequential loop would have produced; the distinct-batch collect
+    // (and the per-batch segment-write job count) is bounded by
+    // maxBacklogBatches, failing FAST past the bound instead of
+    // surprising the driver with an unbounded backlog
     val bs = occ.select(col("__b")).distinct()
+      .limit(maxBacklogBatches + 1)
       .collect().map(_.getLong(0)).sorted
+    require(bs.length <= maxBacklogBatches,
+      s"backfill: backlog exceeds maxBacklogBatches=$maxBacklogBatches " +
+        "distinct batch ids — raise the bound, or fall back to the " +
+        "sequential incremental loop (dupSpansIncrementalStaged / " +
+        "stripDupSpansIncrementalStaged per batch), which has no " +
+        "driver-side backlog bound")
     bs.zipWithIndex.foreach { case (b, i) =>
       occ.filter(col("g").isNotNull &&
           col("__minb") === b && col("__b") === b)

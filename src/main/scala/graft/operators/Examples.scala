@@ -31,8 +31,12 @@ object Examples {
     * Nothing corpus-global: every shuffle key is the document id.
     *
     * Output: (`idCol`, n_tokens, n_masked, n_spans, input_text,
-    * target_text); an unmasked document keeps its full text as input
-    * and an empty target.
+    * target_text) — ONE ROW PER INPUT DOCUMENT: an unmasked document
+    * keeps its full text as input and an empty target, and a
+    * zero-token document (empty/whitespace/null text) emits
+    * (0, 0, 0, "", "") rather than silently dropping. The outer
+    * explode carries such docs through on a null-position row that the
+    * window functions and every aggregate ignore.
     */
   def spanCorrupt(
       docs: DataFrame,
@@ -43,7 +47,8 @@ object Examples {
     require(maskPerCent >= 0 && maskPerCent <= 100,
       "spanCorrupt: maskPerCent must be in [0, 100]")
     val toks = docs.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "tok")))
+      posexplode_outer(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos0", "tok")))
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
     val flagged = pmod(TextFunctions.stableHash60(
       concat(col(idCol).cast("string"), lit(":"),
@@ -70,7 +75,7 @@ object Examples {
         s => s.getField("p").isNotNull),
       s => s.getField("p")), " ")
     pieces.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(count(col("pos")).as("n_tokens"),
         sum(when(col("__f"), 1L).otherwise(0L)).as("n_masked"),
         sum(when(col("__start"), 1L).otherwise(0L)).as("n_spans"),
         joined("__in").as("input_text"),

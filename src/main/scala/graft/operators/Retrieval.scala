@@ -231,7 +231,7 @@ object Retrieval {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
-      .sorted
+      .sortBy(p => p.substring(p.lastIndexOf(prefix) + prefix.length).toLong)
   }
 
   /** All committed segments as one schema-pinned relation. */

@@ -176,9 +176,17 @@ object Sampling {
         round(exp(log(col("__n").cast("double")) * alpha) * 1e6, 0)
           .cast("long"))
     val tot = counts.agg(sum(col("__wu")).as("__t"))
+    // quota through DECIMAL(38,0): budget (up to ~1e18) times a
+    // micro-unit weight (n^alpha * 1e6, ~3e10 at n=1e9, alpha=0.5)
+    // overflows int64 silently under Spark's non-ANSI arithmetic —
+    // exactly the corpus-scale regime this operator targets. The
+    // decimal product is exact to 38 digits and `div` floor-divides
+    // decimals back to BIGINT, so small-budget results are unchanged
+    // and large-budget quotas can no longer wrap negative.
     val quotas = counts.crossJoin(broadcast(tot))
       .select(col(sourceCol),
-        expr(s"(${budget}L * __wu) div __t").as("quota"))
+        expr(s"(cast(${budget} as decimal(38,0)) * __wu) div __t")
+          .as("quota"))
     val h = TextFunctions.stableHash60(
       concat(col(idCol).cast("string"), lit(s":$salt")))
     val w = org.apache.spark.sql.expressions.Window

@@ -169,7 +169,10 @@ object Similarity {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
         .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.getName.stripPrefix("seg="))
-        .sorted
+        // base first, then deltas in NUMERIC id order (lexicographic
+        // would put delta_100000 before delta_99999)
+        .sortBy(n =>
+          if (n == "base") -1L else n.stripPrefix("delta_").toLong)
     }
 
     /** Committed APPEND segments only (excludes the base build). */
@@ -1018,22 +1021,26 @@ object Similarity {
     * `maxCandidates` bounds the per-query group the greedy loop will
     * work on (default 1024): a corpus-sized group means the caller fed
     * the rerank raw ANN input instead of a top-N window. The DEFAULT
-    * response is warn-and-truncate — the group is deterministically cut
-    * to its `maxCandidates` most relevant members (rel desc, id asc — a
-    * total order, so the cut is stable) and a warning names the query
-    * group, keeping pre-guard pipelines completing on upgrade. MMR only
-    * ever promotes a candidate whose relevance term can beat the
+    * (`strictLimit = true`) is a hard failure with a pointed message —
+    * a silently truncated rerank would return results computed from a
+    * different candidate set than the caller supplied, which is the
+    * kind of wrong-but-plausible output no log line can excuse.
+    * Callers who explicitly opt into `strictLimit = false` get
+    * truncate-and-log: the group is deterministically cut to its
+    * `maxCandidates` most relevant members (rel desc, id asc — a total
+    * order, so the cut is stable) and the executor logs a WARN through
+    * the Spark log4j logger naming the query group. MMR only ever
+    * promotes a candidate whose relevance term can beat the
     * incumbents, so the far tail of a huge group was never going to
-    * place in a top-k anyway; callers who want the old hard failure set
-    * `strictLimit = true` (a corpus-sized group then fails the task with
-    * a pointed message instead of grinding quadratically).
+    * place in a top-k anyway — but the truncation is the caller's
+    * decision, not the library's.
     */
   def mmrRerank(
       candidates: DataFrame,
       k: Int,
       lambdaPct: Int = 70,
       maxCandidates: Int = 1024,
-      strictLimit: Boolean = false): DataFrame = {
+      strictLimit: Boolean = true): DataFrame = {
     require(k >= 1, "mmrRerank: k must be >= 1")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       "mmrRerank: lambdaPct must be in [0, 100]")
@@ -1045,8 +1052,9 @@ object Similarity {
     val sel = udf((cands: Seq[org.apache.spark.sql.Row]) => {
       // reranking is an in-process greedy loop over ONE query's top-N
       // window — a corpus-sized group here means the caller skipped the
-      // ANN stage. strict → fail loudly; default → truncate to the
-      // maxC most relevant (deterministic total order) and warn.
+      // ANN stage. strict (DEFAULT) → fail loudly; opt-in non-strict →
+      // truncate to the maxC most relevant (deterministic total order)
+      // and log a WARN through the executor's Spark logger.
       if (strict) require(cands.length <= maxC,
         s"mmrRerank: candidate group of ${cands.length} exceeds " +
           s"maxCandidates=$maxC — rerank a bounded per-query top-N " +
@@ -1054,11 +1062,12 @@ object Similarity {
       val kept =
         if (cands.length <= maxC) cands
         else {
-          System.err.println(
-            s"[mmrRerank] WARN: candidate group of ${cands.length} exceeds " +
-              s"maxCandidates=$maxC — truncating to the $maxC most " +
-              "relevant (rel desc, id asc); run an ANN/top-k stage first " +
-              "or raise maxCandidates")
+          org.apache.logging.log4j.LogManager.getLogger("graft.Similarity")
+            .warn(
+              s"mmrRerank: candidate group of ${cands.length} exceeds " +
+                s"maxCandidates=$maxC — truncating to the $maxC most " +
+                "relevant (rel desc, id asc); run an ANN/top-k stage " +
+                "first or raise maxCandidates")
           cands.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(maxC)
         }
       val arr = kept.map(r => (r.getLong(0), r.getDouble(1),

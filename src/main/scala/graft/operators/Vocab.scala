@@ -54,7 +54,12 @@ object Vocab {
     * independent of `collect_list` arrival order. One corpus-sized
     * shuffle (the doc-keyed re-assembly), inherent to re-ordering.
     *
-    * Output: (`idCol`, n_tokens, n_unk, ids_csv).
+    * Output: (`idCol`, n_tokens, n_unk, ids_csv) — ONE ROW PER INPUT
+    * DOCUMENT: a zero-token document (empty/whitespace/null text)
+    * emits (0, 0, "") rather than silently dropping, so a pipeline
+    * consumer's row count survives the encode stage. The outer explode
+    * carries such docs through on a null-position row that every
+    * aggregate ignores.
     */
   def encode(
       docs: DataFrame,
@@ -62,16 +67,18 @@ object Vocab {
       idCol: String,
       vocab: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      posexplode_outer(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
     toks
       .join(broadcast(vocab.select(col("tok"), col("id"))), Seq("tok"), "left")
       .select(col(idCol), col("pos"),
-        coalesce(col("id"), lit(0L)).as("id"))
+        when(col("tok").isNotNull, coalesce(col("id"), lit(0L))).as("id"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(count(col("pos")).as("n_tokens"),
         sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("id")))),
+          array_sort(collect_list(
+            when(col("pos").isNotNull, struct(col("pos"), col("id"))))),
           s => s.getField("id").cast("string")), ",").as("ids_csv"))
   }
 }

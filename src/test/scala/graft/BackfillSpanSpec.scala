@@ -115,4 +115,29 @@ class BackfillSpanSpec extends SparkSpec {
     // copy can ever be flagged — both survive intact
     assert(out.count(t => t._1 == 3L && t._4 == "m n") == 2)
   }
+
+  test("maxBacklogBatches bounds the driver-side distinct-batch collect") {
+    // a backlog past the bound fails FAST with a pointer to the
+    // sequential loop, before any segment is committed
+    val dir = tmpDir("bf-guard")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dupSpansBackfillStaged(
+        backlog(Seq(b0, b1, b2)), "b", dir, "text", "doc_id", k,
+        maxBacklogBatches = 2)
+    }
+    assert(ex.getMessage.contains("maxBacklogBatches"))
+    assert(Dedup.FingerprintStore.segments(spark, dir).isEmpty,
+      "guard must fire before any segment commit")
+    // an incoherent bound is rejected at call time
+    intercept[IllegalArgumentException] {
+      Dedup.dupSpansBackfillStaged(
+        backlog(Seq(b0)), "b", dir, "text", "doc_id", k,
+        maxBacklogBatches = 0)
+    }
+    // at the bound, the backfill completes normally
+    val ok = Dedup.dupSpansBackfillStaged(
+      backlog(Seq(b0, b1)), "b", dir, "text", "doc_id", k,
+      maxBacklogBatches = 2)
+    assert(ok.count() > 0)
+  }
 }

@@ -614,6 +614,18 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
       plan)
+    // ONE ROW PER INPUT DOC: a zero-token (null-text) document emits
+    // (0, 0, '') instead of silently dropping out of the encode stage
+    val withNull = docs.unionByName(
+      Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
+    val enc2 = graft.operators.Vocab
+      .encode(withNull, "text", "doc_id", vocab)
+      .select("doc_id", "n_tokens", "n_unk", "ids_csv")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(enc2.keySet == Set(1L, 2L, 3L, 4L))
+    assert(enc2(4L) == ((0L, 0L, "")))
+    assert(enc2(1L) == enc(1L)) // populated docs unchanged
   }
 
   test("spanCorrupt: denoising pairs reconstruct the document; flags deterministic; spans are runs") {
@@ -655,6 +667,17 @@ class CurationSpec extends SparkSpec {
         maskPerCent = 15, salt = "u")
       .select("doc_id", "input_text").as[(Long, String)].collect().toMap
     assert(out.exists(r => other(r.getLong(0)) != r.getString(4)))
+    // ONE ROW PER INPUT DOC: a zero-token (null-text) document emits
+    // (0, 0, 0, '', '') instead of silently dropping
+    val withNull = docs.limit(3).unionByName(
+      Seq((-1L, Option.empty[String])).toDF("doc_id", "text"))
+    val nulled = Examples.spanCorrupt(withNull, "text", "doc_id",
+        maskPerCent = 15, salt = "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(nulled.size == 4)
+    assert(nulled(-1L) == ((0L, 0L, 0L, "", "")))
   }
 
   test("epochShuffle: per-epoch permutation, cross-epoch decorrelation, two-pass offsets hold under repartition") {

@@ -1031,6 +1031,23 @@ class DedupSpec extends SparkSpec {
     assert(OperatorCaches.registeredCount(spark) == 0)
     assert(mine.storageLevel.useMemory) // caller cache untouched
     mine.unpersist()
+    // TOKEN-SCOPED release: a caller composing two cache-registering
+    // operators can evict only the second's frames — the first's pinned
+    // intermediate (whose recompute might not be byte-identical, e.g. a
+    // range-partitioned Layout frame) stays cached
+    val first = Dedup.allPairsJaccard(corpus, "text", "doc_id", 90)
+    first.count() // registers + materializes the first operator's caches
+    val before = OperatorCaches.registeredCount(spark)
+    assert(before > 0)
+    val markAt = OperatorCaches.mark()
+    val second = Dedup.allPairsJaccard(corpus, "text", "doc_id", 50)
+    second.count()
+    assert(OperatorCaches.registeredCount(spark) > before)
+    OperatorCaches.releaseSince(spark, markAt)
+    assert(OperatorCaches.registeredCount(spark) == before,
+      "releaseSince must evict exactly the frames registered after mark")
+    OperatorCaches.release(spark)
+    assert(OperatorCaches.registeredCount(spark) == 0)
   }
 
   test("SortedIntersectCount: two-pointer merge matches array_intersect on sorted distinct arrays") {

@@ -246,5 +246,15 @@ class SamplingSpec extends SparkSpec {
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(prop("big") == quota(400, 25, 100, 1.0) &&
       prop("small") == quota(25, 400, 100, 1.0))
+    // corpus-scale budget: budget * __wu (~4e15 * 6e6 ≈ 2.4e22) is far
+    // past Long.MaxValue — the DECIMAL(38,0) quota path must stay exact
+    // instead of wrapping negative and silently dropping whole sources
+    val huge = Sampling.temperatureSample(docs, "doc_id", "source",
+        alpha = 0.3, budget = 4000000000000000L, salt = "t")
+      .select("source", "doc_id", "rk", "quota")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(huge.size == 425, // budget >> corpus: every doc selected
+      s"overflow wrapped a quota negative: kept ${huge.size}/425")
+    assert(huge.forall(_._4 > 0L))
   }
 }

@@ -500,21 +500,21 @@ class SimilaritySpec extends SparkSpec {
     val pure = Similarity.mmrRerank(cands, 4, lambdaPct = 100)
       .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
     assert(pure.toSeq == Seq(1L, 2L, 3L, 4L))
-    // an oversized candidate group DEFAULTS to warn-and-truncate (the
-    // pre-guard completing behavior): deterministic cut to the maxC most
-    // relevant by (rel desc, id asc), then the normal greedy loop
+    // an oversized candidate group with EXPLICIT strictLimit = false is
+    // truncate-and-log: deterministic cut to the maxC most relevant by
+    // (rel desc, id asc), then the normal greedy loop
     val big = (1 to 40).map(i =>
         (7L, i.toLong, 1.0 - i * 0.01, Seq(1.0, 0.0, 0.0, 0.0)))
       .toDF("query_id", "neighbor_id", "rel", "cv")
     val truncated = Similarity
-      .mmrRerank(big, k = 4, lambdaPct = 100, maxCandidates = 32)
+      .mmrRerank(big, k = 4, lambdaPct = 100, maxCandidates = 32,
+        strictLimit = false)
       .orderBy(col("rank")).collect().map(_.getAs[Long]("neighbor_id"))
     assert(truncated.toSeq == Seq(1L, 2L, 3L, 4L)) // top-rel ids survive the cut
-    // strictLimit = true restores the hard failure for callers who want
-    // a corpus-sized group to fail loudly, not grind quadratically
+    // the DEFAULT is the hard failure: a corpus-sized group fails the
+    // task loudly instead of silently reranking a truncated set
     val ex = intercept[Exception] {
-      Similarity.mmrRerank(big, k = 4, lambdaPct = 70, maxCandidates = 32,
-          strictLimit = true)
+      Similarity.mmrRerank(big, k = 4, lambdaPct = 70, maxCandidates = 32)
         .collect()
     }
     assert(ex.getMessage.contains("maxCandidates") ||
