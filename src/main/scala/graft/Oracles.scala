@@ -3502,7 +3502,10 @@ object Oracles {
     "q140_contrastive_triplets" -> contrastiveTriplets,
     "q141_stream_quality" -> streamQuality,
     "q142_span_corruption" -> spanCorruption,
-    "q143_cluster_quality" -> clusterQuality)
+    "q143_cluster_quality" -> clusterQuality,
+    // q144 runs q129's corpus through the fused backfill; the stores are
+    // spec-asserted identical, so the oracle is identical too
+    "q144_cluster_backfill" -> clusterStore)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3248,6 +3248,46 @@ object Queries {
     }
   }
 
+  /** q144: FUSED-BACKFILL cluster-store ingest — q129's three-batch
+    * sequence absorbed in ONE
+    * [[graft.operators.ClusterStore.ingestBackfill]] call instead of
+    * three sequential ingests: one tokenize+minhash+band pass over the
+    * backlog union, cross-batch owner stars from a window (not a
+    * per-batch store probe), per-batch CC on contracted edges with the
+    * running map carried in memory. Store-identical to the sequential
+    * loop (spec-asserted), so the oracle is the SAME one-shot
+    * recursive-CTE closure as q129. Output = q52's schema.
+    */
+  def clusterBackfillGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_cbackfill_gate").toString
+    try {
+      val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val m1 = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val backlog = docs0.select(lit(0L).as("bt"), col("doc_id"), col("text"))
+        .unionByName(docs0.select(lit(1L).as("bt"),
+          (col("doc_id") + lit(m1)).as("doc_id"), col("text")))
+        .unionByName(docs0.select(lit(2L).as("bt"),
+          (col("doc_id") + lit(2 * m1)).as("doc_id"),
+          concat(col("text"), lit(" qz17 qz18")).as("text")))
+      ClusterStore.ingestBackfill(backlog, "bt", storeDir, "text", "doc_id")
+      val m = ClusterStore.load(s, storeDir)
+        .withColumnRenamed("node", "doc_id")
+      backlog.select(col("doc_id"))
+        .join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      ClusterStore.dropTables(s, storeDir)
+      graft.io.Sinks.truncatePath(s, storeDir)
+    }
+  }
+
   /** q127: corpus drift report — the top-30 tokens whose relative
     * frequency (integer ppm) moved most between two corpus snapshots
     * ([[graft.operators.Profile.tokenDrift]]); the gate's snapshots are

@@ -163,6 +163,99 @@ class ClusterStoreSpec extends SparkSpec {
     ClusterStore.dropTables(spark, dir)
   }
 
+  /** Full store state: map segment id -> row set, key segment id ->
+    * row set, plus the resolved map — the identity a backfill must
+    * reproduce byte-for-byte (up to parquet row layout).
+    */
+  private def storeState(dir: String)
+      : (Map[Long, Set[(Long, Long)]], Map[Long, Set[(String, Long)]],
+         Map[Long, Long]) = {
+    def segId(p: String) = p.substring(p.lastIndexOf("seg_") + 4).toLong
+    val mapSegs = ClusterStore.segments(spark, dir).map { p =>
+      segId(p) -> spark.read.schema(ClusterStore.mapSchema).parquet(p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.toMap
+    val keySegs = Dedup.FingerprintStore.segments(spark, s"$dir/keys")
+      .map { p =>
+        segId(p) -> spark.read.parquet(p)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      }.toMap
+    (mapSegs, keySegs, loadMap(dir))
+  }
+
+  test("ingestBackfill: one-pass backlog == the sequential ingest loop, store-identical") {
+    // q67's planted shape: originals, identical copies (cross-batch
+    // dup), a bridge, and a replayed doc id inside the backlog
+    val b0 = Seq((1L, fill("aa")), (2L, fill("aa")), (3L, fill("bb")))
+    val b1 = Seq((13L, fill("bb")), (14L, fill("cc")))
+    val b2 = Seq((23L, fill("aa") + " " + fill("bb")), (24L, fill("cc")),
+      (14L, fill("cc"))) // 14 replayed in a later batch
+    val seqDir = tmpDir("graft_cstore_seq")
+    val fusedDir = tmpDir("graft_cstore_fused")
+    Seq(b0, b1, b2).foreach(b =>
+      ClusterStore.ingest(b.toDF("doc_id", "text"), seqDir, "text", "doc_id"))
+    val backlog = Seq(b0, b1, b2).zipWithIndex
+      .flatMap { case (rows, i) => rows.map(t => (i.toLong, t._1, t._2)) }
+      .toDF("bt", "doc_id", "text")
+    val committed = ClusterStore.ingestBackfill(
+      backlog, "bt", fusedDir, "text", "doc_id")
+    assert(storeState(fusedDir) == storeState(seqDir))
+    // the returned frame is exactly the committed per-batch deltas
+    val bySeg = committed.collect()
+      .groupBy(_.getLong(0))
+      .map { case (b, rs) =>
+        b -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(bySeg == storeState(seqDir)._1)
+    // and the map equals the one-shot pipeline over the union
+    val union = (b0 ++ b1 ++ b2).toDF("doc_id", "text")
+    assert(loadMap(fusedDir) == oneShot(union))
+  }
+
+  test("ingestBackfill against a NON-empty, compacted store probes pre-existing history") {
+    val b0 = Seq((1L, fill("aa")), (2L, fill("aa")), (3L, fill("bb")))
+    val b1 = Seq((13L, fill("bb"))) // links to pre-seeded 3 via the store
+    val b2 = Seq((7L, fill("aa"))) // later-arriving smaller id relabels
+    val seqDir = tmpDir("graft_cstore_seq_pre")
+    val fusedDir = tmpDir("graft_cstore_fused_pre")
+    for (d <- Seq(seqDir, fusedDir)) {
+      ClusterStore.ingest(b0.toDF("doc_id", "text"), d, "text", "doc_id")
+      ClusterStore.compact(spark, d, buckets = 2,
+        tablePrefix = s"graft_cstore_bf_${d.hashCode.abs}")
+    }
+    Seq(b1, b2).foreach(b =>
+      ClusterStore.ingest(b.toDF("doc_id", "text"), seqDir, "text", "doc_id"))
+    val backlog = Seq(b1, b2).zipWithIndex
+      .flatMap { case (rows, i) => rows.map(t => (i.toLong, t._1, t._2)) }
+      .toDF("bt", "doc_id", "text")
+    ClusterStore.ingestBackfill(backlog, "bt", fusedDir, "text", "doc_id")
+    assert(storeState(fusedDir) == storeState(seqDir))
+    assert(loadMap(fusedDir) ==
+      oneShot((b0 ++ b1 ++ b2).toDF("doc_id", "text")))
+    // a later sequential ingest lands on the backfilled store unchanged
+    val b3 = Seq((30L, fill("bb"))).toDF("doc_id", "text")
+    ClusterStore.ingest(b3, seqDir, "text", "doc_id")
+    ClusterStore.ingest(b3, fusedDir, "text", "doc_id")
+    assert(storeState(fusedDir) == storeState(seqDir))
+    Seq(seqDir, fusedDir).foreach(d => ClusterStore.dropTables(spark, d))
+  }
+
+  test("ingestBackfill: maxBacklogBatches guard fails fast; empty backlog is a no-op") {
+    val dir = tmpDir("graft_cstore_guard")
+    val backlog = Seq((0L, 1L, fill("aa")), (1L, 2L, fill("aa")))
+      .toDF("bt", "doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      ClusterStore.ingestBackfill(backlog, "bt", dir, "text", "doc_id",
+        maxBacklogBatches = 1)
+    }
+    assert(ex.getMessage.contains("maxBacklogBatches"))
+    assert(ClusterStore.segments(spark, dir).isEmpty,
+      "guard must fire before any segment commit")
+    val empty = ClusterStore.ingestBackfill(backlog.limit(0), "bt", dir,
+      "text", "doc_id")
+    assert(empty.count() == 0 &&
+      ClusterStore.segments(spark, dir).isEmpty)
+  }
+
   test("fresh session over a persisted store: load re-registers the generation handle") {
     val dir = tmpDir("graft_cstore")
     val b1 = Seq((1L, fill("aa")), (2L, fill("aa"))).toDF("doc_id", "text")
