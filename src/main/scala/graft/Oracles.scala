@@ -2242,6 +2242,86 @@ object Oracles {
              text || ' qz17 qz18' AS text
       FROM documents""")
 
+  /** Mirrors Queries.htmlExtractGate: the planted page (head with
+    * script/style payloads, nav/promo/footer link blocks, body split
+    * across two p blocks with an entity), then the shared RE2∩Java
+    * extraction — drop script/style/comments, split on block tags,
+    * per-block visible text + anchor text, keep iff ≥ 25 chars AND
+    * link density ≤ 33%, reassemble position-ordered.
+    */
+  val htmlExtract: String = {
+    // the shared visible-text chain: strip tags, decode entities (amp
+    // LAST), collapse whitespace, trim — verbatim Html.visibleText
+    def visible(x: String) =
+      "trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+        ", '\\s+', ' ', 'g'))"
+    // coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+    // (Spark's array_join is ''), which would null the whole keep
+    // predicate for every anchor-free block
+    val anchor = visible(
+      "coalesce(array_to_string(regexp_extract_all(blk, " +
+        "'(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2), ' '), '')")
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><style>p{margin:0}</style>' ||
+        '<script type="text/javascript">var id=' || doc_id ||
+        ';</script></head><body>' ||
+        '<nav><a href="/">home</a> <a href="/about">about</a> ' ||
+        '<a href="/contact">contact</a></nav>' ||
+        '<h1>Document ' || doc_id || '</h1><p>' ||
+        substring(coalesce(text, ''), 1,
+          CAST(floor(len(coalesce(text, '')) / 2) AS INTEGER)) ||
+        '</p>' ||
+        CASE WHEN doc_id % 3 = 0 THEN
+          '<div class="promo"><a href="/buy">buy now great deals</a> ' ||
+          '<a href="/subscribe">subscribe to the newsletter</a></div>'
+        ELSE '' END ||
+        '<p>' ||
+        substring(coalesce(text, ''),
+          CAST(floor(len(coalesce(text, '')) / 2) AS INTEGER) + 1,
+          len(coalesce(text, ''))) ||
+        ' &amp; more</p>' ||
+        '<footer><a href="/privacy">privacy</a> ' ||
+        '<a href="/terms">terms</a> (c) 2026</footer></body></html>'
+          AS markup
+      FROM documents),
+    c AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(markup,
+        '(?is)<script(\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+        '(?is)<style(\\s[^>]*)?>.*?</style\\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d),
+    b AS (
+      SELECT doc_id, regexp_split_to_array(m,
+        '(?i)</?(?:html|head|body|title|p|div|li|ul|ol|h[1-6]|t[dhr]|table|section|article|header|footer|nav|blockquote|form|aside|main|br)(\\s[^>]*)?/?>')
+        AS blocks
+      FROM c),
+    t AS (
+      SELECT doc_id, unnest(blocks) AS blk,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM b),
+    v AS (
+      SELECT doc_id, pos, ${visible("blk")} AS btext, $anchor AS ltext
+      FROM t)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN len(btext) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks,
+           CAST(sum(CASE WHEN len(btext) >= 25
+                     AND len(ltext) * 100 <= len(btext) * 33
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN len(btext) >= 25
+                     AND len(ltext) * 100 <= len(btext) * 33
+                    THEN btext END, ' ' ORDER BY pos), '') AS main_text
+    FROM v GROUP BY doc_id
+    ORDER BY doc_id"""
+  }
+
   /** = q129: the incremental ClusterStore's accumulated map must equal
     * the ONE-SHOT clustering of the union corpus — q52's recursive-CTE
     * closure with q67's three-batch corpus and the k=8/4-band recipe
@@ -3505,7 +3585,8 @@ object Oracles {
     "q143_cluster_quality" -> clusterQuality,
     // q144 runs q129's corpus through the fused backfill; the stores are
     // spec-asserted identical, so the oracle is identical too
-    "q144_cluster_backfill" -> clusterStore)
+    "q144_cluster_backfill" -> clusterStore,
+    "q145_html_extract" -> htmlExtract)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3288,6 +3288,43 @@ object Queries {
     }
   }
 
+  /** q145: HTML main-content extraction — the boilerplate-removal stage
+    * before any text operator ([[graft.operators.Html.extractMain]]).
+    * The synthetic corpus is plain text, so the gate PLANTS a
+    * deterministic page around each document (head with script/style
+    * payloads, nav/promo/footer link blocks, the body split across two
+    * `<p>` blocks with an entity) and provably recovers the article
+    * text while dropping every boilerplate block — the q54
+    * plant-and-remove discipline. Map-only: higher-order array
+    * functions on the ingest scan, zero shuffle, zero explode.
+    */
+  def htmlExtractGate(s: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val half = (length(t) / lit(2)).cast("int")
+    val id = col("doc_id").cast("string")
+    val markup = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p{margin:0}</style>" +
+        "<script type=\"text/javascript\">var id="), id,
+      lit(";</script></head><body>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+        "<a href=\"/contact\">contact</a></nav>" +
+        "<h1>Document "), id, lit("</h1><p>"),
+      t.substr(lit(1), half), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<div class=\"promo\"><a href=\"/buy\">buy now great deals</a> " +
+          "<a href=\"/subscribe\">subscribe to the newsletter</a></div>"))
+        .otherwise(lit("")),
+      lit("<p>"), t.substr(half + lit(1), length(t)),
+      lit(" &amp; more</p>" +
+        "<footer><a href=\"/privacy\">privacy</a> " +
+        "<a href=\"/terms\">terms</a> (c) 2026</footer></body></html>"))
+    graft.operators.Html.extractMain(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** q127: corpus drift report — the top-30 tokens whose relative
     * frequency (integer ppm) moved most between two corpus snapshots
     * ([[graft.operators.Profile.tokenDrift]]); the gate's snapshots are

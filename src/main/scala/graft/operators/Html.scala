@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction — the boilerplate-removal stage every
+  * web-crawl curation pipeline runs BEFORE any of the text operators
+  * (the trafilatura / jusText / Readability stage, re-expressed as pure
+  * column expressions): drop script/style/comment payloads, split the
+  * markup into block-level segments, score each block by visible-text
+  * length and LINK DENSITY (anchor-text chars per text char — the
+  * jusText boilerplate signal), and reassemble the surviving blocks in
+  * document order.
+  *
+  * Deterministic by construction: every step is a regex/string
+  * transform from the RE2∩Java-safe subset (no lookarounds, no
+  * backreferences — the q54 scrubPii discipline), so a SQL oracle can
+  * replicate the extraction byte-for-byte and the result is a pure
+  * function of the markup.
+  *
+  * Scale shape: MAP-ONLY — the block pipeline runs as higher-order
+  * array functions (split → transform → zip_with → filter →
+  * array_join) on the ingest scan, so a 100 TB crawl pays zero
+  * shuffle and zero explode amplification; one output row per input
+  * row, ready to feed dedup/quality/tokenize stages directly.
+  *
+  * One row per input document ([[Vocab.encode]]'s contract): a null or
+  * block-free markup yields (0, 0, "").
+  */
+object Html {
+
+  /** `<script ...>...</script>` including payload (RE2-safe: separate
+    * patterns per tag — RE2 has no backreferences).
+    */
+  val ScriptPattern = "(?is)<script(\\s[^>]*)?>.*?</script\\s*>"
+  val StylePattern = "(?is)<style(\\s[^>]*)?>.*?</style\\s*>"
+  val CommentPattern = "(?s)<!--.*?-->"
+
+  /** Block-level tag boundary (opening OR closing, with attributes):
+    * the segmentation delimiter. Inline tags (`a`, `b`, `span`, …)
+    * stay inside their block so anchor text can be measured.
+    */
+  val BlockSplitPattern =
+    "(?i)</?(?:html|head|body|title|p|div|li|ul|ol|h[1-6]|t[dhr]|table" +
+      "|section|article|header|footer|nav|blockquote|form|aside|main|br)" +
+      "(\\s[^>]*)?/?>"
+
+  /** Anchor inner markup, capture group 1. */
+  val AnchorPattern = "(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>"
+
+  /** Any remaining tag. */
+  val TagPattern = "<[^>]*>"
+
+  /** Visible text of a markup fragment: strip tags, decode the common
+    * entities (amp LAST so `&amp;lt;` cannot double-decode), collapse
+    * whitespace, trim. Shared verbatim by the oracle.
+    */
+  def visibleText(fragment: Column): Column = {
+    val noTags = regexp_replace(fragment, TagPattern, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Concatenated anchor text of a fragment (group 2 of
+    * [[AnchorPattern]]), visible-text normalized — the link-density
+    * numerator.
+    */
+  def anchorText(fragment: Column): Column =
+    visibleText(array_join(
+      regexp_extract_all(fragment, lit(AnchorPattern), lit(2)), " "))
+
+  /** Main-content extraction over `markupCol`. A block SURVIVES when
+    * its visible text has at least `minTextChars` characters AND its
+    * link density (anchor chars · 100 / text chars) is at most
+    * `maxLinkDensityPct` — the jusText short/link-heavy boilerplate
+    * rule. Output: (`idCol`, n_blocks [blocks with any visible text],
+    * n_kept, main_text [kept blocks in document order, space-joined]).
+    */
+  def extractMain(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String,
+      minTextChars: Int = 25,
+      maxLinkDensityPct: Int = 33): DataFrame = {
+    require(minTextChars >= 1, "extractMain: minTextChars must be >= 1")
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      "extractMain: maxLinkDensityPct must be in [0, 100]")
+    val cleaned = Seq(ScriptPattern, StylePattern, CommentPattern)
+      .foldLeft(coalesce(col(markupCol), lit("")): Column) {
+        (c, p) => regexp_replace(c, p, " ")
+      }
+    val blocks = split(cleaned, BlockSplitPattern)
+    val btexts = transform(blocks, b => visibleText(b))
+    val ltexts = transform(blocks, b => anchorText(b))
+    // survivor text per block position, null where the block drops —
+    // zip_with keeps document order without any explode/shuffle
+    val kept = zip_with(btexts, ltexts, (t, l) =>
+      when(length(t) >= minTextChars &&
+        length(l) * 100 <= length(t) * maxLinkDensityPct, t))
+    docs.select(col(idCol),
+      size(filter(btexts, t => length(t) > 0)).cast("long").as("n_blocks"),
+      size(filter(kept, t => t.isNotNull)).cast("long").as("n_kept"),
+      array_join(filter(kept, t => t.isNotNull), " ").as("main_text"))
+  }
+}

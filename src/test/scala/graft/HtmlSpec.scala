@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Html
+
+/** [[graft.operators.Html.extractMain]] — boilerplate removal as pure
+  * column expressions: script/style/comment payloads vanish, blocks
+  * split on block-level tags, short and link-dense blocks drop, the
+  * survivors reassemble in document order. Map-only (no shuffle).
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], minChars: Int = 25,
+      maxPct: Int = 33) =
+    Html.extractMain(rows.toDF("doc_id", "markup"), "markup", "doc_id",
+        minChars, maxPct)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("script/style/comment payloads never reach the text") {
+    val page = "<html><head><style>body{color:red}</style>" +
+      "<script>var secret = 'leaky javascript payload here';</script>" +
+      "</head><body><!-- hidden comment text -->" +
+      "<p>the visible article body with plenty of characters</p>" +
+      "</body></html>"
+    val got = run(Seq((1L, page)))
+    assert(got(1L)._3 == "the visible article body with plenty of characters")
+    assert(!got(1L)._3.contains("secret") && !got(1L)._3.contains("hidden"))
+  }
+
+  test("link-dense and short blocks drop; order and entities survive") {
+    val page = "<body>" +
+      "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>" + // dense
+      "<p>first real paragraph with enough visible characters</p>" +
+      "<div><a href='/buy'>buy now great deals today friends</a></div>" + // long but 100% links
+      "<p>second paragraph mentions Tom &amp; Jerry extensively</p>" +
+      "<footer>short</footer></body>"
+    val got = run(Seq((1L, page)))
+    val (nBlocks, nKept, text) = got(1L)
+    assert(nKept == 2L)
+    assert(text == "first real paragraph with enough visible characters " +
+      "second paragraph mentions Tom & Jerry extensively")
+    assert(nBlocks >= 4L) // nav, both p, promo, footer all have text
+    // a mixed block under the density bar SURVIVES: long text, one link
+    val mixed = "<p>an article sentence that links <a href='/x'>here</a> " +
+      "but keeps mostly prose around the anchor text</p>"
+    assert(run(Seq((2L, mixed)))(2L)._2 == 1L)
+  }
+
+  test("one row per input doc; null/empty markup yields (0, 0, '')") {
+    val got = Html.extractMain(
+      Seq((1L, Option("<p>a paragraph long enough to clear the bar</p>")),
+        (2L, Option.empty[String]), (3L, Option("")))
+        .toDF("doc_id", "markup"), "markup", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L) == ((0L, 0L, "")) && got(3L) == ((0L, 0L, "")))
+    assert(got(1L)._2 == 1L)
+  }
+
+  test("map-only: the plan carries no shuffle and no explode") {
+    val df = Seq((1L, "<p>x</p>")).toDF("doc_id", "markup")
+    val plan = Html.extractMain(df, "markup", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode amplification
+  }
+
+  test("thresholds are honored exactly at the boundary") {
+    // 25 visible chars exactly -> kept at minTextChars=25
+    val text25 = "abcde fghij klmno pqrst u" // 25 chars
+    assert(text25.length == 25)
+    val got = run(Seq((1L, s"<p>$text25</p>")))
+    assert(got(1L)._2 == 1L)
+    val got24 = run(Seq((1L, s"<p>${text25.dropRight(1)}</p>")))
+    assert(got24(1L)._2 == 0L)
+    // density exactly at 33%: 100 chars text with 33 anchor chars kept
+    val prose = "a" * 67
+    val link = "b" * 33
+    val page = s"<p>$prose<a href='/x'>$link</a></p>"
+    assert(run(Seq((1L, page)))(1L)._2 == 1L)
+    val page34 = s"<p>${"a" * 66}<a href='/x'>${"b" * 34}</a></p>"
+    assert(run(Seq((1L, page34)))(1L)._2 == 0L)
+  }
+}
