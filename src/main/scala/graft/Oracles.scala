@@ -2322,6 +2322,117 @@ object Oracles {
     ORDER BY doc_id"""
   }
 
+  /** Mirrors Queries.urlCanonGate: the five planted URL shapes, then
+    * the shared canonicalization (lowercase scheme/host, fragment +
+    * default-port strip, tracking-param removal, byte-order param
+    * sort, empty path → '/'), the registered-domain blocklist verdict,
+    * and the per-domain window rollup.
+    */
+  val urlCanon: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Doc/'
+            || doc_id || '?utm_source=feed&b=2&a=1&gclid=zz#frag'
+          WHEN 1 THEN 'https://blog.' || source ||
+            '.example.com:443/post?id=' || doc_id ||
+            '&utm_campaign=x&z=9&ref=tw'
+          WHEN 2 THEN 'https://ads.' || source || '.badsite.net/click?cid='
+            || doc_id
+          WHEN 3 THEN 'http://' || source || '.example.com:8080'
+          ELSE 'not a url ' || doc_id
+        END AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+      FROM d),
+    r AS (
+      SELECT doc_id, scheme, rest,
+        lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+          '^([^:]*)', 1)) AS host,
+        regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+          ':([0-9]+)$$', 1) AS port,
+        regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
+        regexp_extract(rest, '\\?(.*)$$', 1) AS query
+      FROM p),
+    s AS (
+      SELECT doc_id, scheme, host,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END AS portpart,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        list_sort(list_filter(string_split(query, '&'), q -> q <> ''
+          AND NOT regexp_matches(regexp_extract(q, '^([^=]*)', 1), '^utm_')
+          AND regexp_extract(q, '^([^=]*)', 1)
+            NOT IN ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_eid')))
+          AS params
+      FROM r),
+    canon AS (
+      SELECT doc_id,
+        CASE WHEN scheme <> '' AND host <> ''
+          THEN scheme || '://' || host || portpart || path ||
+            CASE WHEN len(params) > 0
+              THEN '?' || coalesce(array_to_string(params, '&'), '')
+              ELSE '' END
+        END AS url_canon,
+        nullif(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '') AS domain
+      FROM s),
+    b(bdomain) AS (VALUES ('badsite.net'), ('tracker.io')),
+    j AS (
+      SELECT c.doc_id, c.url_canon, c.domain, b.bdomain IS NULL AS keep
+      FROM canon c LEFT JOIN b ON c.domain = b.bdomain)
+    SELECT doc_id, url_canon, domain, keep,
+           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT)
+             AS domain_docs
+    FROM j ORDER BY doc_id"""
+
+  /** Mirrors Queries.langModelGate / LangId.scoreDocs: char trigrams
+    * of the normalized text, 60-bit hash into 64 buckets, the frozen
+    * per-language integer weights `(bk·P_k + Q_k) mod 21 − 10`, argmax
+    * with first-language-wins tie-break, margin over the runner-up.
+    */
+  val langModel: String = {
+    val langs = Seq("en", "de", "es", "fr", "it", "pt", "nl", "zh")
+    val p = Seq(37, 41, 43, 47, 53, 59, 61, 67)
+    val q = Seq(5, 11, 17, 2, 8, 19, 3, 13)
+    val zCols = langs.indices.map(k =>
+      s"CAST(sum(mod(bk * ${p(k)} + ${q(k)}, 21) - 10) AS BIGINT) AS z$k")
+      .mkString(",\n             ")
+    val negList = langs.indices.map(k => s"-z$k").mkString(", ")
+    val predCase = langs.indices.map(k =>
+      s"WHEN z$k = -ns[1] THEN '${langs(k)}'").mkString(" ")
+    s"""
+    WITH nrm AS (SELECT doc_id, $norm AS m FROM documents),
+    g0 AS (
+      SELECT doc_id, m,
+             unnest(generate_series(1, len(m) - 2)) AS i
+      FROM nrm),
+    g AS (
+      SELECT doc_id, substring(m, CAST(i AS INTEGER), 3) AS gr FROM g0),
+    b AS (SELECT doc_id, mod(${hash60("gr")}, 64) AS bk FROM g),
+    z AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             $zCols
+      FROM b GROUP BY doc_id),
+    sel AS (
+      SELECT doc_id, n_grams, ${langs.indices.map(k => s"z$k").mkString(", ")},
+             list_sort([$negList]) AS ns
+      FROM z)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CASE WHEN s.n_grams > 0
+             THEN CASE $predCase END
+             ELSE 'unknown' END AS lang_pred,
+           CASE WHEN s.n_grams > 0 THEN CAST(-ns[1] AS BIGINT) END AS z_best,
+           CASE WHEN s.n_grams > 0 THEN CAST(ns[2] - ns[1] AS BIGINT) END
+             AS margin
+    FROM documents d LEFT JOIN sel s USING (doc_id)
+    ORDER BY d.doc_id"""
+  }
+
   /** = q129: the incremental ClusterStore's accumulated map must equal
     * the ONE-SHOT clustering of the union corpus — q52's recursive-CTE
     * closure with q67's three-batch corpus and the k=8/4-band recipe
@@ -3586,7 +3697,9 @@ object Oracles {
     // q144 runs q129's corpus through the fused backfill; the stores are
     // spec-asserted identical, so the oracle is identical too
     "q144_cluster_backfill" -> clusterStore,
-    "q145_html_extract" -> htmlExtract)
+    "q145_html_extract" -> htmlExtract,
+    "q146_url_canonical" -> urlCanon,
+    "q147_lang_model" -> langModel)
 }
 
 /** Holder split out so the oracle text initializes before

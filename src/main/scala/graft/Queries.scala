@@ -3325,6 +3325,51 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q146: URL canonicalization + domain blocklist — the C4 crawl
+    * hygiene stage ([[graft.operators.Urls]]): scheme/host lowercase,
+    * fragment + default-port strip, tracking-parameter removal with
+    * byte-order param sort, registered-domain blocklist verdict, and
+    * the per-domain rollup. The corpus carries no URLs, so the gate
+    * PLANTS five deterministic URL shapes per doc_id class (shouting
+    * host + default port + tracking params; https default port;
+    * blocklisted domain; portful no-path; malformed) — the q54/q145
+    * plant-and-remove discipline. Canonicalization is map-only; the
+    * blocklist joins broadcast; the rollup is the one domain-keyed
+    * exchange.
+    */
+  def urlCanonGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(5))
+    val url = when(m === 0, concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/Doc/"), id,
+        lit("?utm_source=feed&b=2&a=1&gclid=zz#frag")))
+      .when(m === 1, concat(lit("https://blog."), col("source"),
+        lit(".example.com:443/post?id="), id,
+        lit("&utm_campaign=x&z=9&ref=tw")))
+      .when(m === 2, concat(lit("https://ads."), col("source"),
+        lit(".badsite.net/click?cid="), id))
+      .when(m === 3, concat(lit("http://"), col("source"),
+        lit(".example.com:8080")))
+      .otherwise(concat(lit("not a url "), id))
+    val block = Seq("badsite.net", "tracker.io").toDF("domain")
+    graft.operators.Urls.domainFilterReport(
+      Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+      "url", "doc_id", block)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q147: model-based language ID — q17's heuristic upgraded to the
+    * q87 architecture ([[graft.operators.LangId.scoreDocs]]): hashed
+    * char-trigram features, frozen integer-logit linear model, exact
+    * integer argmax with a margin. One gram explode collapsed map-side
+    * into 8 long sums per doc — a single doc-keyed shuffle.
+    */
+  def langModelGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LangId
+      .scoreDocs(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** q127: corpus drift report — the top-30 tokens whose relative
     * frequency (integer ppm) moved most between two corpus snapshots
     * ([[graft.operators.Profile.tokenDrift]]); the gate's snapshots are

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain-level filtering — the C4/crawl-
+  * curation stage that turns raw crawl URLs into stable dedup/join
+  * keys and enforces domain blocklists: lowercase scheme+host, strip
+  * the fragment and default ports, drop tracking parameters
+  * (`utm_*`, click ids), sort the surviving query parameters, and
+  * reduce the host to its registered domain for blocklist joins and
+  * per-domain rollups (the q135 domain-cap complement).
+  *
+  * Everything is a pure column expression over the RE2∩Java-safe
+  * regex subset (the q54/q145 discipline) — no UDF, no URI parser
+  * dependency, byte-reproducible in a SQL oracle. Malformed URLs
+  * (no `scheme://`) canonicalize to NULL rather than a half-parsed
+  * guess.
+  *
+  * Scale shape: canonicalization is MAP-ONLY on the scan; the
+  * blocklist joins BROADCAST (blocklists are domain-sized — millions
+  * of rows at the top end, never corpus-sized); the per-domain rollup
+  * is the one inherent domain-keyed exchange.
+  */
+object Urls {
+
+  /** Query-parameter keys dropped during canonicalization: the
+    * analytics/click-tracking families that vary per impression and
+    * never identify content.
+    */
+  val TrackingKeyPattern = "^utm_"
+  val TrackingKeys: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "ref", "mc_eid")
+
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Everything after `scheme://` with the fragment already cut. */
+  private def restOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
+
+  private def hostPortOf(url: Column): Column =
+    regexp_extract(restOf(url), "^([^/?]*)", 1)
+
+  /** Lowercased host without the port. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(hostPortOf(url), "^([^:]*)", 1))
+
+  /** Registered domain: the last two host labels — the blocklist /
+    * rollup key. (A production deployment swaps in the public-suffix
+    * list for ccSLDs like `co.uk`; the two-label heuristic is the
+    * deterministic, dependency-free core.)
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(hostOf(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonical form: `scheme://host[:port]path[?sorted-params]` —
+    * scheme/host lowercased, fragment stripped, default ports (http
+    * 80, https 443) dropped, tracking parameters removed, surviving
+    * parameters byte-order sorted, empty path normalized to `/`.
+    * NULL for anything without a `scheme://`.
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val rest = restOf(url)
+    val host = hostOf(url)
+    val port = regexp_extract(hostPortOf(url), ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), "")
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(rest, "^[^/?]*(/[^?]*)?", 1)
+    val path = when(path0 === "", "/").otherwise(path0)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p => {
+      val key = regexp_extract(p, "^([^=]*)", 1)
+      p =!= "" && !key.rlike(TrackingKeyPattern) &&
+        !key.isin(TrackingKeys: _*)
+    })
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise("")
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** Per-document canonicalization + blocklist verdict + domain
+    * rollup: (`idCol`, url_canon, domain, keep, domain_docs).
+    * `blocklist` is a one-column (`domain`) frame, broadcast — a doc
+    * keeps iff its registered domain is absent. `domain_docs` counts
+    * the docs of the row's domain (blocked or not) — the rollup a
+    * domain-cap stage reads. Malformed URLs keep (nothing to block
+    * on) with NULL url_canon/domain and domain_docs over the NULL
+    * group.
+    */
+  def domainFilterReport(
+      docs: DataFrame,
+      urlCol: String,
+      idCol: String,
+      blocklist: DataFrame): DataFrame = {
+    require(blocklist.columns.contains("domain"),
+      "domainFilterReport: blocklist needs a 'domain' column")
+    val canon = docs.select(col(idCol),
+      canonicalize(col(urlCol)).as("url_canon"),
+      // '' (no scheme://, or a single-label host) normalizes to NULL —
+      // "no domain to block on", distinct from a real empty string
+      nullif(registeredDomain(col(urlCol)), lit("")).as("domain"))
+    canon
+      .join(broadcast(blocklist.select(col("domain"))
+        .withColumn("__blocked", lit(true))), Seq("domain"), "left")
+      .select(col(idCol), col("url_canon"), col("domain"),
+        col("__blocked").isNull.as("keep"))
+      .withColumn("domain_docs",
+        count(lit(1)).over(Window.partitionBy(col("domain"))))
+  }
+}

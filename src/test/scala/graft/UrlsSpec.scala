@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Urls
+
+/** [[graft.operators.Urls]] — URL canonicalization as pure column
+  * expressions, registered-domain extraction, and the broadcast
+  * blocklist report.
+  */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[Option[String]] =
+    urls.toDF("u").select(Urls.canonicalize(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+
+  test("canonicalize: case, ports, fragments, tracking params, param order") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/Path/X?utm_source=a&b=2&a=1&gclid=z#frag",
+      "https://Blog.Example.com:443/post?id=7&utm_campaign=x&ref=tw",
+      "http://host.example.com:8080", // non-default port, no path
+      "https://a.b.example.net/p?z=1&y=2&x=3", // params sort byte-order
+      "http://example.com/?utm_only=1", // all params tracked -> bare path
+      "not a url at all") == Seq(
+      Some("http://www.example.com/Path/X?a=1&b=2"),
+      Some("https://blog.example.com/post?id=7"),
+      Some("http://host.example.com:8080/"),
+      Some("https://a.b.example.net/p?x=3&y=2&z=1"),
+      Some("http://example.com/"),
+      None))
+    // path CASE is preserved (paths are case-sensitive); an equal URL
+    // modulo tracking noise canonicalizes identically (the dedup key)
+    val Seq(a, b) = canon(
+      "https://example.com/Article?page=2&utm_medium=rss",
+      "HTTPS://EXAMPLE.COM/Article?page=2#section-3")
+    assert(a == b && a == Some("https://example.com/Article?page=2"))
+  }
+
+  test("registeredDomain: last two labels of the lowercased host") {
+    val got = Seq("https://ads.sub.BadSite.NET/x", "http://example.com",
+        "nonsense").toDF("u")
+      .select(Urls.registeredDomain(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("badsite.net", "example.com", ""))
+  }
+
+  test("domainFilterReport: blocklist verdict, NULL-domain rows keep, rollup counts") {
+    val docs = Seq(
+      (1L, "https://a.good.org/x"),
+      (2L, "https://b.good.org/y"),
+      (3L, "https://ads.badsite.net/z"),
+      (4L, "garbage")).toDF("doc_id", "url")
+    val block = Seq("badsite.net").toDF("domain")
+    val out = Urls.domainFilterReport(docs, "url", "doc_id", block)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), Option(r.getString(2)), r.getBoolean(3),
+        r.getLong(4)))).toMap
+    assert(rows(1L) == ((Some("https://a.good.org/x"), Some("good.org"),
+      true, 2L)))
+    assert(rows(3L)._2 == Some("badsite.net") && !rows(3L)._3)
+    assert(rows(4L) == ((None, None, true, 1L)))
+    // the blocklist probe must broadcast — never a corpus-wide shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
