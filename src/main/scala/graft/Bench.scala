@@ -124,6 +124,13 @@ object Bench {
       // session-lifetime block-manager storage. Outside the timed window:
       // eviction cost is the harness's, not the query's.
       spark.catalog.clearCache()
+      // localCheckpoint blocks of frames the gates have dropped are only
+      // reclaimed once the RDD is GC'd (ContextCleaner is weak-ref
+      // driven) — without a nudge, 140+ queries of sf1-sized orphans
+      // pile into the block manager and tax later queries' memory
+      // (observed: q111 9s alone vs 174s mid-sequence at sf1). Outside
+      // the timed window: reclamation cost is the harness's.
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }

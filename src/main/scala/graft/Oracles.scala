@@ -615,11 +615,12 @@ object Oracles {
     LIMIT 30"""
 
   /** Mirrors Queries.streamDriftGate / DriftStream.driftStaged: the
-    * three-epoch staged drift monitor collapses to per-window SQL
+    * four-epoch staged drift monitor (with the mid-stream segment purge
+    * — replay-invisible, so absent here) collapses to per-window SQL
     * re-aggregations — batch k's report covers segments {k−1, k},
     * per-source totals inside the window, integer-ppm vs the even-half
-    * baseline, flags at 500 ppm. Segment files and the epoch-scoped
-    * window reads must be invisible.
+    * baseline, flags at 500 ppm. Segment files, the epoch-scoped
+    * window reads, and the retention GC must all be invisible.
     */
   val streamDrift: String = s"""
     WITH bc AS (
@@ -633,13 +634,13 @@ object Oracles {
       FROM bc),
     seg AS (
       SELECT batch_id, source, tok, count(*) AS cnt
-      FROM (SELECT (doc_id % 6 - 1) // 2 AS batch_id, source,
+      FROM (SELECT (doc_id % 8 - 1) // 2 AS batch_id, source,
                    unnest($toks) AS tok
             FROM documents WHERE doc_id % 2 = 1)
       WHERE tok <> '' GROUP BY 1, 2, 3),
     win AS (
       SELECT k.batch_id, s.source, s.tok, CAST(sum(s.cnt) AS BIGINT) AS cnt_win
-      FROM (VALUES (0), (1), (2)) k(batch_id)
+      FROM (VALUES (0), (1), (2), (3)) k(batch_id)
       JOIN seg s ON s.batch_id = k.batch_id OR s.batch_id = k.batch_id - 1
       GROUP BY 1, 2, 3),
     tot AS (
@@ -2433,6 +2434,160 @@ object Oracles {
     ORDER BY d.doc_id"""
   }
 
+  /** Mirrors Queries.linkGraphGate / Html.extractLinks + Urls: planted
+    * markup, comment strip, per-anchor href (double- then single-
+    * quoted) + visible anchor text, then the q146 canonicalization
+    * chain over the hrefs and the per-domain rollup.
+    */
+  val linkGraph: String = {
+    // Html.visibleText verbatim (the q145 helper)
+    def visible(x: String) =
+      "trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+        ", '\\s+', ' ', 'g'))"
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><body><p>see <a href="HTTP://WWW.Example.COM:80/doc/' ||
+        doc_id || '?utm_source=x&b=2&a=1#f">Doc ' || doc_id || '</a></p>' ||
+        CASE WHEN doc_id % 5 = 0 THEN
+          '<p><a href=''https://blog.example.com:443/post?id=' || doc_id ||
+          '&ref=tw''>blog <b>post</b></a></p>' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 1 THEN
+          '<p><a href="https://ads.badsite.net/click">ad</a> ' ||
+          '<a name="x">no href</a> ' ||
+          '<!-- <a href="https://ghost.example.com/">gone</a> --></p>'
+        ELSE '' END ||
+        CASE WHEN doc_id % 5 = 2 THEN
+          '<p><a href="not a url">weird &amp; broken</a></p>' ELSE '' END ||
+        '<footer><a href="https://example.com/privacy">privacy' ||
+        '&amp;terms</a></footer></body></html>' AS markup
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d),
+    aa AS (
+      SELECT doc_id,
+             regexp_extract_all(m, '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 0)
+               AS anchors
+      FROM c),
+    ax AS (
+      SELECT doc_id, anchors,
+             unnest(generate_series(1, len(anchors))) AS pos
+      FROM aa),
+    a1 AS (
+      SELECT doc_id, CAST(pos - 1 AS BIGINT) AS link_pos,
+             anchors[CAST(pos AS INTEGER)] AS a
+      FROM ax),
+    a2 AS (
+      SELECT doc_id, link_pos,
+        regexp_extract(a, '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 1) AS attrs,
+        ${visible(
+          "regexp_extract(a, '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2)")}
+          AS anchor
+      FROM a1),
+    a3 AS (
+      SELECT doc_id, link_pos, anchor,
+        CASE WHEN regexp_extract(attrs,
+               '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+          THEN regexp_extract(attrs, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+          ELSE regexp_extract(attrs, '(?i)href\\s*=\\s*''([^'']*)''', 1)
+        END AS href
+      FROM a2),
+    lnk AS (SELECT * FROM a3 WHERE href <> ''),
+    p AS (
+      SELECT doc_id, link_pos, href, anchor,
+        lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+      FROM lnk),
+    r AS (
+      SELECT doc_id, link_pos, href, anchor, scheme, rest,
+        lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+          '^([^:]*)', 1)) AS host,
+        regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+          ':([0-9]+)$$', 1) AS port,
+        regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
+        regexp_extract(rest, '\\?(.*)$$', 1) AS query
+      FROM p),
+    s AS (
+      SELECT doc_id, link_pos, href, anchor, scheme, host,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END AS portpart,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        list_sort(list_filter(string_split(query, '&'), q -> q <> ''
+          AND NOT regexp_matches(regexp_extract(q, '^([^=]*)', 1), '^utm_')
+          AND regexp_extract(q, '^([^=]*)', 1)
+            NOT IN ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_eid')))
+          AS params
+      FROM r),
+    canon AS (
+      SELECT doc_id, link_pos, href, anchor,
+        CASE WHEN scheme <> '' AND host <> ''
+          THEN scheme || '://' || host || portpart || path ||
+            CASE WHEN len(params) > 0
+              THEN '?' || coalesce(array_to_string(params, '&'), '')
+              ELSE '' END
+        END AS url_canon,
+        nullif(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '') AS domain
+      FROM s)
+    SELECT doc_id, link_pos, href, anchor, url_canon, domain,
+           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT)
+             AS domain_links
+    FROM canon ORDER BY doc_id, link_pos"""
+  }
+
+  /** Mirrors Queries.boilerplateGate / Boilerplate.removeFrequentLines:
+    * the five planted line shapes, whitespace-trimmed non-blank lines,
+    * distinct-doc frequency, removal at df ≥ 10, in-order reassembly,
+    * one row per document.
+    */
+  val boilerplate: String = s"""
+    WITH d AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0
+             THEN chr(10) || 'Subscribe to our newsletter today'
+             ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+             THEN chr(10) || 'copyright 2026 example corp' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+             THEN chr(10) || '  accept our cookie policy  ' ELSE '' END
+        || CASE WHEN doc_id IN (1, 7)
+             THEN chr(10) || 'rare pair line' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END AS txt
+      FROM documents),
+    p AS (SELECT doc_id, string_split(txt, chr(10)) AS parts FROM d),
+    lx AS (
+      SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS pos
+      FROM p),
+    l AS (
+      SELECT doc_id, pos, trim(parts[CAST(pos AS INTEGER)]) AS ln FROM lx),
+    nb AS (SELECT doc_id, pos, ln FROM l WHERE ln <> ''),
+    rm AS (
+      SELECT ln FROM (SELECT DISTINCT doc_id, ln FROM nb)
+      GROUP BY ln HAVING count(*) >= 10),
+    k AS (
+      SELECT n.doc_id, n.pos, n.ln, r.ln IS NOT NULL AS rmv
+      FROM nb n LEFT JOIN rm r USING (ln)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rmv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             string_agg(CASE WHEN NOT rmv THEN ln END, chr(10)
+               ORDER BY pos) AS text_clean
+      FROM k GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id"""
+
   /** = q129: the incremental ClusterStore's accumulated map must equal
     * the ONE-SHOT clustering of the union corpus — q52's recursive-CTE
     * closure with q67's three-batch corpus and the k=8/4-band recipe
@@ -3699,7 +3854,9 @@ object Oracles {
     "q144_cluster_backfill" -> clusterStore,
     "q145_html_extract" -> htmlExtract,
     "q146_url_canonical" -> urlCanon,
-    "q147_lang_model" -> langModel)
+    "q147_lang_model" -> langModel,
+    "q148_boilerplate" -> boilerplate,
+    "q149_link_graph" -> linkGraph)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3181,7 +3181,11 @@ object Queries {
     * vocabulary-sized). The oracle replays every window re-aggregation
     * in plain SQL, so segments and the epoch-scoped window reads must
     * be invisible — the same batch-id-segment protocol as q102's
-    * budget meter.
+    * budget meter. FOUR epochs (doc_id mod 8 ∈ {1,3,5,7}) with a
+    * [[graft.streaming.DriftStream.purge]] after epoch 2 — the purge
+    * deletes segment 0 (out of every future window), so epoch 3's
+    * report proves the retention GC is replay-invisible: delete a LIVE
+    * segment and the window re-aggregation (and the hash) breaks.
     */
   def streamDriftGate(s: SparkSession, dir: String): DataFrame = {
     val stateDir =
@@ -3191,11 +3195,14 @@ object Queries {
       val base = graft.streaming.DriftStream.baselinePpm(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
       val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      val reports = (0 to 2).map { k =>
-        graft.streaming.DriftStream.driftStaged(
-          odd.filter(pmod(col("doc_id"), lit(6)) === 2 * k + 1),
+      val reports = (0 to 3).map { k =>
+        val r = graft.streaming.DriftStream.driftStaged(
+          odd.filter(pmod(col("doc_id"), lit(8)) === 2 * k + 1),
           stateDir, "text", "source", base,
           window = 2, thresholdPpm = 500L, batchId = k.toLong)
+          .localCheckpoint(true)
+        if (k == 2) graft.streaming.DriftStream.purge(s, stateDir, window = 2)
+        r
       }
       reports.reduce(_ unionByName _)
         .orderBy(col("batch_id"), col("source"), col("tok"))
@@ -3357,6 +3364,82 @@ object Queries {
       Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
       "url", "doc_id", block)
       .orderBy(col("doc_id"))
+  }
+
+  /** q149: outlink graph extraction — the web-graph stage composing
+    * [[graft.operators.Html.extractLinks]] (one row per `<a href=…>`,
+    * comments stripped, visible-text anchors) with
+    * [[graft.operators.Urls]] canonicalization: each planted anchor
+    * yields (doc_id, link_pos, href, anchor, url_canon, domain) plus
+    * the per-domain outlink rollup. Plants: a shouting default-port
+    * tracking-param href (double-quoted), a single-quoted href, an
+    * href-less named anchor (drops, position gap preserved), a
+    * commented-out anchor (invisible), a malformed href (NULL canon),
+    * and entity-bearing anchor text. Extraction is map-only; the
+    * rollup is the one domain-keyed exchange.
+    */
+  def linkGraphGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id").cast("string")
+    val m5 = pmod(col("doc_id"), lit(5))
+    val markup = concat(
+      lit("<html><body><p>see <a href=\"HTTP://WWW.Example.COM:80/doc/"),
+      id, lit("?utm_source=x&b=2&a=1#f\">Doc "), id, lit("</a></p>"),
+      when(m5 === 0, concat(
+        lit("<p><a href='https://blog.example.com:443/post?id="), id,
+        lit("&ref=tw'>blog <b>post</b></a></p>"))).otherwise(lit("")),
+      when(m5 === 1,
+        lit("<p><a href=\"https://ads.badsite.net/click\">ad</a> " +
+          "<a name=\"x\">no href</a> " +
+          "<!-- <a href=\"https://ghost.example.com/\">gone</a> --></p>"))
+        .otherwise(lit("")),
+      when(m5 === 2,
+        lit("<p><a href=\"not a url\">weird &amp; broken</a></p>"))
+        .otherwise(lit("")),
+      lit("<footer><a href=\"https://example.com/privacy\">privacy" +
+        "&amp;terms</a></footer></body></html>"))
+    val links = graft.operators.Html.extractLinks(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id")
+    links.select(col("doc_id"), col("link_pos"), col("href"), col("anchor"),
+        graft.operators.Urls.canonicalize(col("href")).as("url_canon"),
+        nullif(graft.operators.Urls.registeredDomain(col("href")), lit(""))
+          .as("domain"))
+      .withColumn("domain_links",
+        count(lit(1)).over(Window.partitionBy(col("domain"))))
+      .orderBy(col("doc_id"), col("link_pos"))
+  }
+
+  /** q148: cross-corpus frequent-line boilerplate removal — the CCNet/
+    * RefinedWeb template-chrome stage ([[graft.operators.Boilerplate
+    * .removeFrequentLines]]): lines appearing verbatim in ≥ 10 distinct
+    * documents are removed from every document, survivors rejoin in
+    * order. The corpus is single-line, so the gate PLANTS newsletter/
+    * copyright/cookie footers on doc_id residue classes (plus a df=2
+    * "rare pair" that must survive, a whitespace-padded line exercising
+    * trim, and a trailing blank line that drops) — the q145/q146
+    * plant-and-remove discipline. One corpus explode; the frequent set
+    * is bounded by Σlines/minDocs and broadcasts.
+    */
+  def boilerplateGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("\nSubscribe to our newsletter today")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\ncopyright 2026 example corp")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("\n  accept our cookie policy  ")).otherwise(lit("")),
+      when(col("doc_id").isin(1L, 7L),
+        lit("\nrare pair line")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("\n")).otherwise(lit("")))
+    val mk = graft.util.OperatorCaches.mark()
+    val out = graft.operators.Boilerplate.removeFrequentLines(
+      Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id", minDocs = 10L)
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true) // terminal action: the cache is consumed
+    graft.util.OperatorCaches.releaseSince(s, mk)
+    out
   }
 
   /** q147: model-based language ID — q17's heuristic upgraded to the
@@ -3576,7 +3659,11 @@ object Queries {
     * each batch emits its admit counts plus cumulative totals via
     * batch-id-keyed one-row segments
     * ([[graft.streaming.QualityStream.meterStaged]] — replay
-    * byte-identical because batch k reads only segments ≤ k).
+    * byte-identical because batch k reads only segments ≤ k). A
+    * [[graft.streaming.QualityStream.compact]] after batch 1 folds
+    * segment 0 into a one-row generation — batch 2's cumulative
+    * columns then come from gen + segments ≥ 1, so a fold that lost or
+    * double-counted a row breaks the hash.
     */
   def streamQualityGate(s: SparkSession, dir: String): DataFrame = {
     val stateDir =
@@ -3587,10 +3674,14 @@ object Queries {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", topK = 512)
       val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       (0 to 2).map { k =>
-        graft.streaming.QualityStream.meterStaged(
+        val r = graft.streaming.QualityStream.meterStaged(
           odd.filter(pmod(col("doc_id"), lit(6)) === 2 * k + 1),
           stateDir, "text", "doc_id", model,
           keepMaxMicroNll = 4200000L, batchId = k.toLong)
+          .localCheckpoint(true)
+        if (k == 1) graft.streaming.QualityStream.compact(
+          s, stateDir, keepNewestSegments = 1)
+        r
       }.reduce(_ unionByName _)
         .orderBy(col("batch_id"))
         .localCheckpoint(true)

@@ -560,6 +560,71 @@ object ClusterStore {
     table
   }
 
+  /** GC of crash debris beyond what [[compact]]'s own post-commit
+    * cleanup reclaims — the purgeTombstones analog for superseded map
+    * state. Unlike the FingerprintStore, the map's NEXT compaction
+    * cannot reclaim stale folded segments: its fold scope starts at the
+    * current generation's `foldedBelow`, so a map segment a crashed
+    * cleanup left BELOW that bound lingers forever (invisible to
+    * [[load]], which drops sub-bound segments by id — harmless, but
+    * dead bytes). This deletes, per substore:
+    *
+    *  - map: committed segments with id < the newest generation's
+    *    `foldedBelow`; every non-newest generation marker with its
+    *    catalog handle and data directory; leftover `gen_*.tmp` files.
+    *  - keys: the FingerprintStore debris
+    *    ([[Dedup.FingerprintStore.purgeSuperseded]]).
+    *
+    * Everything deleted is already invisible to [[load]]/[[loadBefore]]
+    * by the marker's bound or ordering, so the purge is replay-safe;
+    * run it between ingests (single writer), and a crash mid-purge
+    * leaves a harmless superset for the next purge.
+    *
+    * @return paths deleted.
+    */
+  def purgeSuperseded(s: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(mapDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deleted = Seq.newBuilder[String]
+    if (fs.exists(p)) {
+      val markers = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5,}"))
+        .sortBy(_.getPath.getName.stripPrefix("gen_").toLong)
+      markers.dropRight(1).foreach { st =>
+        val in = fs.open(st.getPath)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        content.split("\t") match {
+          case Array(table, sub, _, _) =>
+            s.sql(s"DROP TABLE IF EXISTS $table")
+            val data = new Path(p, sub)
+            if (fs.exists(data)) {
+              fs.delete(data, true)
+              deleted += data.toString
+            }
+          case _ => // malformed stale marker: just drop the marker below
+        }
+        fs.delete(st.getPath, false)
+        deleted += st.getPath.toString
+      }
+      fs.listStatus(p).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.matches("gen_\\d{5,}\\.tmp"))
+        .foreach { st =>
+          fs.delete(st.getPath, false)
+          deleted += st.getPath.toString
+        }
+      val below = currentGen(s, dir).map(_._4).getOrElse(0L)
+      segments(s, dir).filter(q => segId(q) < below).foreach { q =>
+        fs.delete(new Path(q), true)
+        deleted += q
+      }
+    }
+    deleted ++= Dedup.FingerprintStore.purgeSuperseded(s, keysDir(dir))
+    deleted.result()
+  }
+
   /** Drop this store's catalog handles (both substores) — gate/test
     * cleanup; the on-disk data is the caller's to delete.
     */

@@ -297,6 +297,55 @@ object Dedup {
       segs.foreach(seg => fs.delete(new Path(seg), true): Unit)
       table
     }
+
+    /** GC of crash debris a compaction's post-commit cleanup never got
+      * to: every NON-newest generation marker (with its catalog handle
+      * and data directory) and any leftover `gen_*.tmp` commit files.
+      * All of it is invisible to [[load]] (which reads only the newest
+      * marker), so purging is safe whenever the single writer isn't
+      * mid-compact; a crash mid-purge just leaves less debris for the
+      * next purge. Folded SEGMENTS a crashed cleanup left behind are
+      * reclaimed by the next [[compact]] (it re-folds every committed
+      * segment), so they are not this method's job.
+      *
+      * @return paths deleted.
+      */
+    def purgeSuperseded(s: SparkSession, dir: String): Seq[String] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return Seq.empty
+      val markers = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("gen_\\d{5,}"))
+        .sortBy(_.getPath.getName.stripPrefix("gen_").toLong)
+      val stale = markers.dropRight(1)
+      val tmps = fs.listStatus(p).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.matches("gen_\\d{5,}\\.tmp"))
+      val deleted = Seq.newBuilder[String]
+      stale.foreach { st =>
+        val in = fs.open(st.getPath)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        content.split("\t") match {
+          case Array(table, sub, _) =>
+            s.sql(s"DROP TABLE IF EXISTS $table")
+            val data = new Path(p, sub)
+            if (fs.exists(data)) {
+              fs.delete(data, true)
+              deleted += data.toString
+            }
+          case _ => // malformed stale marker: just drop the marker below
+        }
+        fs.delete(st.getPath, false)
+        deleted += st.getPath.toString
+      }
+      tmps.foreach { st =>
+        fs.delete(st.getPath, false)
+        deleted += st.getPath.toString
+      }
+      deleted.result()
+    }
   }
 
   /** [[dedupeIncremental]] with the store persistence built in — the

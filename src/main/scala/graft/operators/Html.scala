@@ -72,6 +72,50 @@ object Html {
     visibleText(array_join(
       regexp_extract_all(fragment, lit(AnchorPattern), lit(2)), " "))
 
+  /** `href` attribute value of an anchor's attribute string: double-
+    * quoted, else single-quoted (RE2∩Java-safe; unquoted hrefs are
+    * out of scope by contract).
+    */
+  val HrefDqPattern = "(?i)href\\s*=\\s*\"([^\"]*)\""
+  val HrefSqPattern = "(?i)href\\s*=\\s*'([^']*)'"
+
+  /** Outlink extraction — the web-graph construction stage between
+    * markup and [[Urls]]: one row per `<a href=…>` anchor,
+    * (`idCol`, link_pos, href, anchor), `link_pos` the 0-based index in
+    * the document's full anchor sequence (a dropped href-less anchor
+    * keeps its position — indices can gap), `anchor` the visible-text-
+    * normalized inner markup. Anchors without an href (named anchors)
+    * drop;
+    * documents without anchors emit nothing — this is an edge-list
+    * extractor, not a document transform.
+    *
+    * Scale shape: one map-side explode whose output is proportional to
+    * the corpus's LINK count; no shuffle. Feed the hrefs to
+    * [[Urls.canonicalize]]/[[Urls.registeredDomain]] for graph keys,
+    * then to [[Cluster]]/PageRank for the graph algorithms.
+    */
+  def extractLinks(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String): DataFrame = {
+    val cleaned = regexp_replace(
+      coalesce(col(markupCol), lit("")), CommentPattern, " ")
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(cleaned, lit(AnchorPattern), lit(0)))
+          .as(Seq("link_pos", "__a")))
+      .select(col(idCol), col("link_pos").cast("long").as("link_pos"),
+        {
+          val attrs = regexp_extract(col("__a"), AnchorPattern, 1)
+          val dq = regexp_extract(attrs, HrefDqPattern, 1)
+          val sq = regexp_extract(attrs, HrefSqPattern, 1)
+          when(dq =!= "", dq).otherwise(sq).as("href")
+        },
+        visibleText(regexp_extract(col("__a"), AnchorPattern, 2))
+          .as("anchor"))
+      .filter(col("href") =!= "")
+  }
+
   /** Main-content extraction over `markupCol`. A block SURVIVES when
     * its visible text has at least `minTextChars` characters AND its
     * link density (anchor chars · 100 / text chars) is at most

@@ -80,6 +80,33 @@ object DriftStream {
       .sortBy(_._1)
   }
 
+  /** Delete segments that no FUTURE (or replayed) report can read —
+    * the retention/GC a windowed meter needs instead of a fold: batch
+    * k's report reads `(k − window, k]`, batch ids only move forward,
+    * and Structured Streaming replays at most the newest committed
+    * epoch, so every segment with id ≤ maxCommittedId − window is dead
+    * weight. Run it between epochs (single writer, like ingest itself);
+    * a crash mid-purge just leaves some dead segments for the next
+    * purge — never anything a report reads.
+    *
+    * @return ids of the segments deleted.
+    */
+  def purge(s: SparkSession, stateDir: String, window: Int): Seq[Long] = {
+    require(window >= 1, "purge: window must be >= 1")
+    val segs = committedSegments(s, stateDir)
+    segs.map(_._1).maxOption match {
+      case None => Seq.empty
+      case Some(maxId) =>
+        val fs = new Path(stateDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dead = segs.filter { case (id, _) => id <= maxId - window }
+        dead.foreach { case (_, path) =>
+          fs.delete(new Path(path), true): Unit
+        }
+        dead.map(_._1)
+    }
+  }
+
   /** Sequential-ingest core: land `batch`'s per-(source, token) counts
     * as segment `batchId`, then report drift over the window
     * `(batchId − window, batchId]` against `baseline` (a

@@ -268,4 +268,62 @@ class ClusterStoreSpec extends SparkSpec {
     assert(loadMap(dir) == before)
     ClusterStore.dropTables(spark, dir)
   }
+
+  test("purgeSuperseded: crash debris is a harmless superset, then reclaimed; live state untouched") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("graft_cstore")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkFile(path: String, content: String): Unit = {
+      val out = fs.create(new Path(path), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    val b1 = Seq((1L, fill("aa")), (2L, fill("aa"))).toDF("doc_id", "text")
+    val b2 = Seq((3L, fill("aa")), (4L, fill("bb"))).toDF("doc_id", "text")
+    val b3 = Seq((5L, fill("bb"))).toDF("doc_id", "text")
+    ClusterStore.ingest(b1, dir, "text", "doc_id")
+    ClusterStore.ingest(b2, dir, "text", "doc_id")
+    ClusterStore.compact(spark, dir, buckets = 2, tablePrefix = "graft_prg")
+    ClusterStore.ingest(b3, dir, "text", "doc_id")
+    ClusterStore.compact(spark, dir, buckets = 2, tablePrefix = "graft_prg")
+    val before = loadMap(dir)
+    assert(before == oneShot(b1.unionByName(b2).unionByName(b3)))
+    // recreate exactly the debris a crash BETWEEN a compaction's marker
+    // rename and its cleanup leaves: the superseded generation (marker +
+    // data dir), a folded map segment below the new bound, and a commit
+    // tmp file — in BOTH substores
+    mkFile(s"$dir/map/gen_00001", "graft_prg_stale_tbl\tgen_data_00001\t2\t2")
+    Seq((999L, 1L)).toDF("node", "component")
+      .write.mode("overwrite").parquet(s"$dir/map/gen_data_00001")
+    Seq((999L, 1L)).toDF("node", "component")
+      .write.mode("overwrite").parquet(s"$dir/map/seg_00001")
+    mkFile(s"$dir/map/gen_00003.tmp", "half-written")
+    mkFile(s"$dir/keys/gen_00001", "graft_prg_keys_stale_tbl\tgen_data_00001\t2")
+    Seq(("zz", 1L)).toDF("fp", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/keys/gen_data_00001")
+    // the debris is invisible: stale generations lose to marker order,
+    // sub-bound segments are dropped by id
+    assert(loadMap(dir) == before)
+    val deleted = ClusterStore.purgeSuperseded(spark, dir)
+    assert(deleted.exists(_.endsWith("map/gen_00001")))
+    assert(deleted.exists(_.endsWith("map/gen_data_00001")))
+    assert(deleted.exists(_.endsWith("map/seg_00001")))
+    assert(deleted.exists(_.endsWith("map/gen_00003.tmp")))
+    assert(deleted.exists(_.endsWith("keys/gen_00001")))
+    assert(deleted.exists(_.endsWith("keys/gen_data_00001")))
+    Seq("map/gen_00001", "map/gen_data_00001", "map/seg_00001",
+      "map/gen_00003.tmp", "keys/gen_00001", "keys/gen_data_00001")
+      .foreach(n => assert(!fs.exists(new Path(s"$dir/$n")), n))
+    // the live generation and the resolved map are untouched
+    assert(fs.exists(new Path(s"$dir/map/gen_00002")))
+    assert(loadMap(dir) == before)
+    // idempotent: a second purge finds nothing
+    assert(ClusterStore.purgeSuperseded(spark, dir).isEmpty)
+    // and the store still ingests + compacts normally afterwards
+    val b4 = Seq((6L, fill("aa"))).toDF("doc_id", "text")
+    ClusterStore.ingest(b4, dir, "text", "doc_id")
+    assert(loadMap(dir) ==
+      oneShot(b1.unionByName(b2).unionByName(b3).unionByName(b4)))
+    ClusterStore.dropTables(spark, dir)
+  }
 }

@@ -67,6 +67,30 @@ class DriftStreamSpec extends SparkSpec {
     assert(run(e1, 1L) == want1)
   }
 
+  test("purge: deletes only segments outside every future window; reports unchanged") {
+    val dir = tmpDir("drift-purge")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def run(rows0: Seq[(Long, String, String)], id: Long) =
+      rows(DriftStream.driftStaged(
+        rows0.toDF("doc_id", "source", "text"), dir, "text", "source",
+        baseline, window = 2, thresholdPpm = 200000L, batchId = id))
+    assert(run(e0, 0L) == want0)
+    assert(run(e1, 1L) == want1)
+    // both segments still serve a replay of epoch 1 — nothing deletable
+    assert(DriftStream.purge(spark, dir, window = 2).isEmpty)
+    assert(run(e2, 2L) == want2)
+    // segment 0 is now outside (maxId − window, maxId] for every future
+    // (or replayed-newest) report
+    assert(DriftStream.purge(spark, dir, window = 2) == Seq(0L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/seg_00000")))
+    // newest-epoch replay after the purge: byte-identical
+    assert(run(e2, 2L) == want2)
+    // a fresh epoch whose window is all live segments: e2+e3 both read
+    // "aa bb", so every ppm sits exactly on the baseline — no flags
+    assert(run(Seq((5L, "s1", "aa bb")), 3L).isEmpty)
+  }
+
   test("live monitor: 3 checkpointed epochs land idempotent per-epoch flag tables") {
     implicit val ctx = spark.sqlContext
     val state = tmpDir("drift-state")

@@ -69,6 +69,34 @@ class HtmlSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan) // no explode amplification
   }
 
+  test("extractLinks: hrefs both quote styles, entity anchors, comment strip, position gaps") {
+    val markup =
+      "<p><a href=\"https://a.example.com/x\">First &amp; best</a> " +
+        "<a name=\"here\">anchor only</a> " +
+        "<a href='https://b.example.com/y?q=1'>second <b>link</b></a> " +
+        "<!-- <a href=\"https://ghost.example.com/\">gone</a> --></p>"
+    val got = Html.extractLinks(
+        Seq((1L, markup), (2L, "<p>no links at all</p>"), (3L, null))
+          .toDF("doc_id", "markup"), "markup", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // the href-less anchor keeps position 1 (gap); the commented-out
+    // anchor never appears; link-free and null docs emit nothing
+    assert(got == Seq(
+      (1L, 0L, "https://a.example.com/x", "First & best"),
+      (1L, 2L, "https://b.example.com/y?q=1", "second link")))
+  }
+
+  test("extractLinks plan: one map-side Generate, no shuffle") {
+    val plan = Html.extractLinks(
+        Seq((1L, "<a href='/x'>x</a>")).toDF("doc_id", "markup"),
+        "markup", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("thresholds are honored exactly at the boundary") {
     // 25 visible chars exactly -> kept at minTextChars=25
     val text25 = "abcde fghij klmno pqrst u" // 25 chars

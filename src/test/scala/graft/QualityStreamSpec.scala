@@ -57,6 +57,40 @@ class QualityStreamSpec extends SparkSpec {
     assert(run(e1, 1L) == Seq(want1))
   }
 
+  test("compact: fold is sum-exact, replay-safe; crash debris below the bound never double-counts") {
+    val dir = tmpDir("qmeter-compact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    def run(rows0: Seq[(Long, String)], id: Long) =
+      rows(QualityStream.meterStaged(rows0.toDF("doc_id", "text"), dir,
+        "text", "doc_id", model, keepMaxMicroNll = 800000L, batchId = id))
+    assert(run(e0, 0L) == Seq(want0))
+    assert(run(e1, 1L) == Seq(want1))
+    // fold segment 0 (keep=1 spares the newest, the stream discipline)
+    assert(QualityStream.compact(spark, dir, keepNewestSegments = 1) == 1L)
+    assert(!exists("seg_00000") && exists("gen_00001"))
+    // post-fold report and newest-epoch replay: byte-identical
+    assert(run(e2, 2L) == Seq(want2))
+    assert(run(e1, 1L) == Seq(want1))
+    // crash-left segment BELOW the fold bound: invisible by id, so the
+    // cumulative sums cannot double-count it
+    Seq((9L, 9L, 9L)).toDF("n_docs", "n_keep", "nll_micro")
+      .write.mode("overwrite").parquet(s"$dir/seg_00000")
+    assert(run(e2, 2L) == Seq(want2))
+    // a second fold absorbs the previous generation (still sum-exact)
+    assert(QualityStream.compact(spark, dir, keepNewestSegments = 1) == 2L)
+    assert(!exists("gen_00001") && exists("gen_00002"))
+    assert(run(e2, 2L) == Seq(want2))
+    // keep=0 folds the newest epoch too — a replay below the bound must
+    // now fail loudly instead of silently double-counting itself
+    assert(QualityStream.compact(spark, dir, keepNewestSegments = 0) == 3L)
+    intercept[IllegalArgumentException] { run(e2, 2L) }
+    // nothing left to fold
+    assert(QualityStream.compact(spark, dir) == -1L)
+  }
+
   test("live monitor: 3 checkpointed epochs land idempotent per-epoch meter rows") {
     implicit val ctx = spark.sqlContext
     val state = tmpDir("qmeter-state")
