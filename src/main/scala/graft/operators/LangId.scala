@@ -19,11 +19,16 @@ import graft.functions.TextFunctions
   * partitionings, and re-runs), and a deterministic argmax
   * (first-language-wins tie-break over the fixed [[Langs]] order).
   *
-  * Scale shape: ONE char-trigram explode collapsed by map-side partial
-  * aggregation into |Langs| integer sums per doc — a single doc-keyed
-  * shuffle carrying K longs per doc, exactly the q87 plan; the argmax
-  * is scan-side array math. No per-language passes, no UDF, no model
-  * broadcast (the "weights" are arithmetic).
+  * Scale shape: MAP-ONLY. The
+  * [[org.apache.spark.sql.graft.CharNgramBucketCounts]] kernel folds a
+  * document's whole trigram histogram into one scan-side evaluation
+  * (one md5 per gram straight off the backing bytes, no per-gram
+  * string, no Generate), and the per-language logits are 64-element
+  * dot products against literal weight tables — z_k = Σ_b count_b ·
+  * w10(b, k), identical by distributivity to the per-gram sum. No
+  * explode, no join, no shuffle before the caller's sink; the
+  * explode→aggregate form is kept as [[scoreDocsViaExplode]] for the
+  * cross-check spec.
   *
   * One row per input document: a doc too short for a single trigram
   * (or null text) emits (0, 'unknown', NULL, NULL).
@@ -54,9 +59,54 @@ object LangId {
   /** Score every document: (`idCol`, n_grams, lang_pred, z_best,
     * margin) — `z_best` the winning exact-integer logit, `margin` its
     * lead over the runner-up (0 on a tie; the serving-side confidence
-    * signal a router thresholds on).
+    * signal a router thresholds on). Map-only: one
+    * [[org.apache.spark.sql.graft.CharNgramBucketCounts]] histogram per
+    * document, then literal-table dot products for the logits.
     */
   def scoreDocs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "scoreDocs: n must be >= 1")
+    import org.apache.spark.sql.graft.{CharNgramBucketCounts, ColumnBridge}
+    val m = TextFunctions.normalized(coalesce(col(textCol), lit("")))
+    val cnts = ColumnBridge.column(
+      CharNgramBucketCounts(ColumnBridge.expression(m), n, Buckets))
+    // frozen per-language weight tables, one 64-long literal each:
+    // w10(b, k) = (b·P_k + Q_k) mod 21 − 10, evaluated at plan build
+    val wTabs: Seq[Array[Long]] = Langs.indices.map(k =>
+      (0 until Buckets).map(b => ((b * P(k) + Q(k)) % 21 - 10).toLong)
+        .toArray)
+    val zArr = array(wTabs.map(w =>
+      aggregate(zip_with(col("__c"), lit(w), (c, wt) => c * wt),
+        lit(0L), (a, x) => a + x)): _*)
+    val negSorted = array_sort(transform(col("__z"), z => -z))
+    val best = -element_at(negSorted, 1)
+    val margin = element_at(negSorted, 2) - element_at(negSorted, 1)
+    val pred = Langs.zipWithIndex.tail.foldLeft(
+      when(element_at(col("__z"), 1) === best, Langs.head)) {
+      case (acc, (l, k)) =>
+        acc.when(element_at(col("__z"), k + 1) === best, l)
+    }
+    docs
+      .select(col(idCol), cnts.as("__c"))
+      .select(col(idCol),
+        aggregate(col("__c"), lit(0L), (a, c) => a + c).as("n_grams"),
+        zArr.as("__z"))
+      .select(col(idCol), col("n_grams"),
+        when(col("n_grams") > 0, pred).otherwise("unknown").as("lang_pred"),
+        when(col("n_grams") > 0, best).as("z_best"),
+        when(col("n_grams") > 0, margin).as("margin"))
+  }
+
+  /** The declarative explode→aggregate form — cross-check reference for
+    * the kernel path ([[scoreDocs]] must match it bit-for-bit; see
+    * LangIdSpec). One char-trigram explode collapsed by map-side
+    * partial aggregation into |Langs| sums per doc, then a left join
+    * restoring gram-free documents.
+    */
+  private[graft] def scoreDocsViaExplode(
       docs: DataFrame,
       textCol: String,
       idCol: String,

@@ -18,10 +18,16 @@ object HashUtil {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  def hash60(bytes: Array[Byte]): Long = {
+  def hash60(bytes: Array[Byte]): Long = hash60(bytes, 0, bytes.length)
+
+  /** As [[hash60]] over a slice — lets per-n-gram callers hash straight
+    * out of one backing array with zero per-gram copies.
+    */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     // first 15 hex nibbles: bytes 0..6 whole + the high nibble of byte 7
     var v = 0L
     var i = 0

@@ -50,13 +50,51 @@ class LangIdSpec extends SparkSpec {
     assert(re == out.map { case (k, v) => k -> ((v._1, v._2)) })
   }
 
-  test("scoreDocs plan: map-side partial aggregation, single doc-keyed exchange") {
+  test("scoreDocs plan: map-only — no explode, no join, no shuffle") {
     val docs = Seq((1L, "some text for the plan")).toDF("doc_id", "text")
     val plan = LangId.scoreDocs(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
-    // partial agg before the exchange (the gram explode never shuffles)
-    assert(plan.contains("HashAggregate"), plan)
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("kernel path == explode path bit-for-bit (incl. multi-byte chars)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "el rápido zorro marrón salta sobre el perro perezoso"),
+      (3L, "héllo wörld çà ñandú 中文 テキスト"), // multi-byte slow path
+      (4L, "ab"), (5L, null: String),
+      (6L, "Zwölf Boxkämpfer jagen Viktor quer über den"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+    assert(rows(LangId.scoreDocs(docs, "text", "doc_id")) ==
+      rows(LangId.scoreDocsViaExplode(docs, "text", "doc_id")))
+    // the kernel itself vs the declarative composition, per bucket
+    import org.apache.spark.sql.graft.{CharNgramBucketCounts, ColumnBridge}
+    val m = graft.functions.TextFunctions.normalized(col("text"))
+    val viaKernel = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ColumnBridge.column(
+        CharNgramBucketCounts(ColumnBridge.expression(m), 3, 64)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(LangId.charNgrams(col("text"), 3)).as("g"))
+      .select(col("doc_id"),
+        pmod(graft.functions.TextFunctions.stableHash60(col("g")),
+          lit(64)).as("bk"))
+      .groupBy(col("doc_id"), col("bk")).count()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        val a = Array.fill(64)(0L)
+        rs.foreach(r => a(r.getLong(1).toInt) = r.getLong(2))
+        id -> a.toSeq
+      }
+    viaExplode.foreach { case (id, want) =>
+      assert(viaKernel(id) == want, s"doc $id")
+    }
   }
 }
