@@ -2434,6 +2434,24 @@ object Oracles {
     ORDER BY d.doc_id"""
   }
 
+  /** Mirrors Queries.wetRoundTrip / io.Wet: the WET file round-trip is
+    * an identity on the planted documents, so the oracle recomputes
+    * the expected rows directly — conversion type, the claimed and
+    * actual octet lengths agreeing, payload = the planted multi-line
+    * text.
+    */
+  val wetRoundTrip: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'line two (doc ' || doc_id || ')' AS payload
+      FROM documents)
+    SELECT doc_id,
+           'conversion' AS warc_type,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           payload,
+           TRUE AS length_ok
+    FROM d ORDER BY doc_id"""
+
   /** Mirrors Queries.linkGraphGate / Html.extractLinks + Urls: planted
     * markup, comment strip, per-anchor href (double- then single-
     * quoted) + visible anchor text, then the q146 canonicalization
@@ -3856,7 +3874,8 @@ object Oracles {
     "q146_url_canonical" -> urlCanon,
     "q147_lang_model" -> langModel,
     "q148_boilerplate" -> boilerplate,
-    "q149_link_graph" -> linkGraph)
+    "q149_link_graph" -> linkGraph,
+    "q150_wet_roundtrip" -> wetRoundTrip)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3366,6 +3366,39 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q150: WARC/WET round-trip — the CommonCrawl interchange format
+    * ([[graft.io.Wet]]): documents render as WET `conversion` records
+    * (URI + Content-Length headers, multi-line payloads), land as a
+    * .wet text file, and read back through the split-safe Hadoop
+    * record-delimiter reader. The oracle recomputes the expected rows
+    * straight from the documents table, so framing, header parsing,
+    * payload reassembly, and the Content-Length check must all be
+    * byte-exact. Scale shape: the reader is an ordinary text scan whose
+    * record delimiter straddles split boundaries safely — a multi-GB
+    * .wet file fans out across tasks.
+    */
+  def wetRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit("\nline two (doc "), col("doc_id"),
+        lit(")")).as("text"),
+      concat(lit("https://crawl.example.com/doc/"), col("doc_id"))
+        .as("uri"))
+    val path = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    try {
+      graft.io.Wet.toRecords(docs, "text", "uri").coalesce(1)
+        .write.mode("overwrite")
+        .option("lineSep", graft.io.Wet.RecordSeparator).text(s"$path/wet")
+      graft.io.Wet.read(s, s"$path/wet")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_length"), col("payload"),
+          col("length_ok"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
   /** q149: outlink graph extraction — the web-graph stage composing
     * [[graft.operators.Html.extractLinks]] (one row per `<a href=…>`,
     * comments stripped, visible-text anchors) with

@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET reader — the CommonCrawl extracted-text ingestion format
+  * (ISO 28500 record framing, `conversion` records as produced by the
+  * WET pipeline): each record is `WARC/1.0\r\n` + header lines +
+  * `\r\n\r\n` + payload, records separated by `\r\n\r\n`.
+  *
+  * Splitting strategy: Hadoop's `TextInputFormat` with
+  * `textinputformat.record.delimiter = "\r\n\r\nWARC/1.0\r\n"` — the
+  * line reader handles delimiters STRADDLING input-split boundaries, so
+  * a multi-gigabyte .wet file fans out across tasks with no record ever
+  * torn in two (the same mechanism as ordinary line splitting, with the
+  * record head as the "newline"). Header/payload separation and header
+  * fields are then pure column expressions on each record.
+  *
+  * Honest contract (the WET shape, not full WARC): payloads are TEXT
+  * (no binary response records), and a payload that itself contains the
+  * exact byte sequence `\r\n\r\nWARC/1.0\r\n` would split early — for
+  * extracted text this cannot occur in well-formed WET output (the
+  * writer escapes nothing because the extraction strips CR), and the
+  * reader surfaces `length_ok = false` on any record whose payload
+  * octet length disagrees with its `Content-Length` header, so a torn
+  * record is VISIBLE, never silent. Production hardening beyond this
+  * point (binary WARC, gzip members per record) needs a format-aware
+  * InputFormat, not more string logic.
+  */
+object Wet {
+
+  val RecordDelimiter = "\r\n\r\nWARC/1.0\r\n"
+
+  private def header(rec: org.apache.spark.sql.Column, name: String) =
+    regexp_extract(rec, s"(?i)$name:\\s*([^\\r\\n]*)", 1)
+
+  /** Read .wet files under `path`: one row per WARC record —
+    * (warc_type, target_uri, warc_date, content_length, payload,
+    * length_ok). `content_length` is the header's claim (null when the
+    * header is absent/garbled), `length_ok` compares it to the
+    * payload's actual octet length.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", RecordDelimiter)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (_, t) => t.toString }
+    import spark.implicits._
+    val raw = spark.createDataset(rdd).toDF("rec")
+    // the FIRST record of each file keeps its "WARC/1.0\r\n" head (it
+    // has no preceding delimiter); later records had it consumed
+    val body = when(col("rec").startsWith("WARC/1.0\r\n"),
+      expr("substring(rec, 11)")).otherwise(col("rec"))
+    // header block = up to the first blank line; payload = the rest.
+    // The file's final record keeps its trailing record separator —
+    // strip trailing CRLF runs (payloads are CR-free by the WET
+    // contract, so this never eats content)
+    val parts = split(body, "\r\n\r\n", 2)
+    val hdr = element_at(parts, 1)
+    val payload = regexp_replace(
+      coalesce(element_at(parts, 2), lit("")), "(\\r\\n)+$", "")
+    raw
+      .select(hdr.as("hdr"), payload.as("payload"))
+      .filter(col("hdr") =!= "") // a trailing separator yields an empty tail
+      .select(
+        header(col("hdr"), "WARC-Type").as("warc_type"),
+        header(col("hdr"), "WARC-Target-URI").as("target_uri"),
+        header(col("hdr"), "WARC-Date").as("warc_date"),
+        nullif(header(col("hdr"), "Content-Length"), lit(""))
+          .cast("long").as("content_length"),
+        col("payload"))
+      .withColumn("length_ok",
+        col("content_length").isNotNull &&
+          octet_length(col("payload")) === col("content_length"))
+  }
+
+  /** Render documents as WET `conversion` records (the inverse of
+    * [[read]], for round-trip gates/specs and for EXPORTING a curated
+    * corpus back to the crawl interchange format): one record string
+    * per row — `WARC/1.0` + Type/URI/Date/Content-Length headers + the
+    * payload. Write with
+    * `df.write.option("lineSep", Wet.RecordSeparator)` (text sink) or
+    * join with [[RecordSeparator]].
+    */
+  val RecordSeparator = "\r\n\r\n"
+
+  def toRecords(
+      docs: DataFrame,
+      textCol: String,
+      uriCol: String,
+      date: String = "2026-01-01T00:00:00Z"): DataFrame =
+    docs.select(concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+      col(uriCol),
+      lit(s"\r\nWARC-Date: $date\r\nContent-Length: "),
+      octet_length(col(textCol)).cast("string"),
+      lit("\r\n\r\n"),
+      col(textCol)).as("rec"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Wet
+
+/** [[graft.io.Wet]] — WARC/WET record framing: round-trip fidelity,
+  * split-boundary safety, and visible (never silent) corruption.
+  */
+class WetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame) = df
+    .select("warc_type", "target_uri", "content_length", "payload",
+      "length_ok")
+    .collect()
+    .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getString(3), r.getBoolean(4)))
+    .sortBy(_._2).toSeq
+
+  test("round-trip: multi-line payloads and an inline WARC/1.0 token survive") {
+    val docs = Seq(
+      (1L, "hello world\nsecond line"),
+      (2L, "mentions WARC/1.0 inline and keeps going"),
+      (3L, "plain")).toDF("doc_id", "text")
+      .withColumn("uri", concat(lit("https://ex.com/doc/"), col("doc_id")))
+    val dir = tmpDir("wet-rt")
+    Wet.toRecords(docs, "text", "uri").coalesce(1)
+      .write.mode("overwrite").option("lineSep", Wet.RecordSeparator)
+      .text(dir)
+    val got = collectRows(Wet.read(spark, dir))
+    val want = docs.collect()
+      .map(r => ("conversion", r.getString(2),
+        r.getString(1).getBytes("UTF-8").length.toLong, r.getString(1),
+        true))
+      .sortBy(_._2).toSeq
+    assert(got == want)
+  }
+
+  test("records straddling input-split boundaries are never torn") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, ("x" * 50) + s" doc $i payload\nline two of $i"))
+      .toDF("doc_id", "text")
+      .withColumn("uri",
+        concat(lit("https://ex.com/d/"), format_string("%03d", col("doc_id"))))
+    val dir = tmpDir("wet-split")
+    Wet.toRecords(docs, "text", "uri").coalesce(1)
+      .write.mode("overwrite").option("lineSep", Wet.RecordSeparator)
+      .text(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = hconf.get("mapreduce.input.fileinputformat.split.maxsize")
+    hconf.set("mapreduce.input.fileinputformat.split.maxsize", "512")
+    try {
+      val df = Wet.read(spark, dir)
+      assert(df.rdd.getNumPartitions > 5, "tiny splits should fan out")
+      val got = collectRows(df)
+      assert(got.size == 200)
+      assert(got.forall(_._5), "every straddled record must re-assemble")
+      assert(got.map(_._2) ==
+        (1 to 200).map(i => f"https://ex.com/d/$i%03d"))
+    } finally {
+      if (before == null)
+        hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else hconf.set("mapreduce.input.fileinputformat.split.maxsize", before)
+    }
+  }
+
+  test("a garbled Content-Length is visible: length_ok = false, row kept") {
+    val dir = tmpDir("wet-bad")
+    val file = new java.io.File(dir, "bad.wet")
+    val rec1 = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://ex.com/a\r\nContent-Length: 999\r\n\r\nshort"
+    val rec2 = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://ex.com/b\r\nContent-Length: 2\r\n\r\nok"
+    java.nio.file.Files.write(file.toPath,
+      (rec1 + Wet.RecordSeparator + rec2).getBytes("UTF-8"))
+    val got = collectRows(Wet.read(spark, dir))
+    assert(got == Seq(
+      ("conversion", "https://ex.com/a", 999L, "short", false),
+      ("conversion", "https://ex.com/b", 2L, "ok", true)))
+  }
+}
