@@ -2434,6 +2434,109 @@ object Oracles {
     ORDER BY d.doc_id"""
   }
 
+  /** Mirrors Queries.curationPipeline: mirrored/truncated body plant →
+    * the q145 extraction chain → token stats + quality rule → exact
+    * dedup among quality passers (NULL rep for all-failing groups).
+    */
+  val curation: String = {
+    def visible(x: String) =
+      "trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+        ", '\\s+', ' ', 'g'))"
+    val anchor = visible(
+      "coalesce(array_to_string(regexp_extract_all(blk, " +
+        "'(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2), ' '), '')")
+    val normMain =
+      "trim(regexp_replace(lower(main_text), '\\s+', ' ', 'g'))"
+    s"""
+    WITH pick AS (
+      SELECT d.doc_id, coalesce(r.text, '') AS bt
+      FROM documents d
+      JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 10),
+    dd AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN substring(bt, 1, 60) ELSE bt END AS t
+      FROM pick),
+    d AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><style>p{margin:0}</style>' ||
+        '<script type="text/javascript">var id=' || doc_id ||
+        ';</script></head><body>' ||
+        '<nav><a href="/">home</a> <a href="/about">about</a> ' ||
+        '<a href="/contact">contact</a></nav>' ||
+        '<h1>Document ' || doc_id || '</h1><p>' ||
+        substring(t, 1, CAST(floor(len(t) / 2) AS INTEGER)) ||
+        '</p>' ||
+        CASE WHEN doc_id % 3 = 0 THEN
+          '<div class="promo"><a href="/buy">buy now great deals</a> ' ||
+          '<a href="/subscribe">subscribe to the newsletter</a></div>'
+        ELSE '' END ||
+        '<p>' ||
+        substring(t, CAST(floor(len(t) / 2) AS INTEGER) + 1, len(t)) ||
+        ' &amp; more</p>' ||
+        '<footer><a href="/privacy">privacy</a> ' ||
+        '<a href="/terms">terms</a> (c) 2026</footer></body></html>'
+          AS markup
+      FROM dd),
+    c AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(markup,
+        '(?is)<script(\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+        '(?is)<style(\\s[^>]*)?>.*?</style\\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d),
+    b AS (
+      SELECT doc_id, regexp_split_to_array(m,
+        '(?i)</?(?:html|head|body|title|p|div|li|ul|ol|h[1-6]|t[dhr]|table|section|article|header|footer|nav|blockquote|form|aside|main|br)(\\s[^>]*)?/?>')
+        AS blocks
+      FROM c),
+    tt AS (
+      SELECT doc_id, unnest(blocks) AS blk,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM b),
+    v AS (
+      SELECT doc_id, pos, ${visible("blk")} AS btext, $anchor AS ltext
+      FROM tt),
+    e AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN len(btext) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocks,
+             CAST(sum(CASE WHEN len(btext) >= 25
+                       AND len(ltext) * 100 <= len(btext) * 33
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN len(btext) >= 25
+                       AND len(ltext) * 100 <= len(btext) * 33
+                      THEN btext END, ' ' ORDER BY pos), '') AS main_text
+      FROM v GROUP BY doc_id),
+    st AS (
+      SELECT doc_id, n_blocks, n_kept,
+             string_split($normMain, ' ') AS toksm,
+             md5($normMain) AS fp
+      FROM e),
+    q AS (
+      SELECT doc_id, n_blocks, n_kept,
+             CAST(len(toksm) AS BIGINT) AS n_tokens,
+             round(CAST(list_max(list_transform(list_distinct(toksm),
+                     u -> len(list_filter(toksm, x -> x = u)))) AS DOUBLE)
+                   / len(toksm), 6) AS top_token_frac,
+             fp
+      FROM st),
+    k AS (
+      SELECT *, n_tokens >= 20 AND top_token_frac <= 0.2 AS keep_quality
+      FROM q),
+    r AS (
+      SELECT *, min(CASE WHEN keep_quality THEN doc_id END)
+                  OVER (PARTITION BY fp) AS rep_id
+      FROM k)
+    SELECT doc_id, n_blocks, n_kept, n_tokens, top_token_frac,
+           keep_quality, rep_id,
+           keep_quality AND doc_id = rep_id AS keep
+    FROM r ORDER BY doc_id"""
+  }
+
   /** Mirrors Queries.wetRoundTrip / io.Wet: the WET file round-trip is
     * an identity on the planted documents, so the oracle recomputes
     * the expected rows directly — conversion type, the claimed and
@@ -3875,7 +3978,8 @@ object Oracles {
     "q147_lang_model" -> langModel,
     "q148_boilerplate" -> boilerplate,
     "q149_link_graph" -> linkGraph,
-    "q150_wet_roundtrip" -> wetRoundTrip)
+    "q150_wet_roundtrip" -> wetRoundTrip,
+    "q151_curation_pipeline" -> curation)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3366,6 +3366,71 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q151: end-to-end curation pipeline — the q111-style composition
+    * proof for the CRAWL-CURATION side of the engine: planted HTML
+    * (pages within a 10-block mirror each other's body; every 7th page
+    * is a truncated stub) → [[graft.operators.Html.extractMain]] →
+    * repetition-quality stats + keep rule (n_tokens ≥ 20, top-token
+    * fraction ≤ 0.2) → exact dedup AMONG the quality passers (smallest
+    * passer id represents each fingerprint group; stub pages fail
+    * quality and their groups yield NULL rep). One dataflow, each stage
+    * feeding the next with no materialization between; extraction and
+    * stats are map-only, dedup is the one fingerprint-keyed exchange.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs0 = Tables.documents(s, dir)
+    // pages in a 10-block render the block head's body text (mirrors)
+    val picked = docs0
+      .select((col("doc_id") - pmod(col("doc_id"), lit(10))).as("__b"),
+        col("doc_id"))
+      .join(docs0.select(col("doc_id").as("__b"),
+        coalesce(col("text"), lit("")).as("__t")), Seq("__b"))
+    val t = when(pmod(col("doc_id"), lit(7)) === 0,
+      col("__t").substr(lit(1), lit(60))).otherwise(col("__t"))
+    val half = (length(t) / lit(2)).cast("int")
+    val id = col("doc_id").cast("string")
+    // the q145 markup plant, verbatim, over the mirrored/truncated body
+    val markup = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p{margin:0}</style>" +
+        "<script type=\"text/javascript\">var id="), id,
+      lit(";</script></head><body>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+        "<a href=\"/contact\">contact</a></nav>" +
+        "<h1>Document "), id, lit("</h1><p>"),
+      t.substr(lit(1), half), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<div class=\"promo\"><a href=\"/buy\">buy now great deals</a> " +
+          "<a href=\"/subscribe\">subscribe to the newsletter</a></div>"))
+        .otherwise(lit("")),
+      lit("<p>"), t.substr(half + lit(1), length(t)),
+      lit(" &amp; more</p>" +
+        "<footer><a href=\"/privacy\">privacy</a> " +
+        "<a href=\"/terms\">terms</a> (c) 2026</footer></body></html>"))
+    val main = graft.operators.Html.extractMain(
+      picked.select(col("doc_id"), markup.as("markup")), "markup", "doc_id")
+    val stats = main.select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("main_text"),
+        TextFunctions.tokens(col("main_text")).as("toks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(TextFunctions.maxElementCount(col("toks")).cast("double") /
+          size(col("toks")), 6).as("top_token_frac"),
+        TextFunctions.fingerprint(col("main_text")).as("fp"))
+      .withColumn("keep_quality",
+        col("n_tokens") >= 20 && col("top_token_frac") <= 0.2)
+    stats
+      .withColumn("rep_id",
+        min(when(col("keep_quality"), col("doc_id")))
+          .over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("n_tokens"), col("top_token_frac"), col("keep_quality"),
+        col("rep_id"),
+        (col("keep_quality") && col("doc_id") === col("rep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q150: WARC/WET round-trip — the CommonCrawl interchange format
     * ([[graft.io.Wet]]): documents render as WET `conversion` records
     * (URI + Content-Length headers, multi-line payloads), land as a
