@@ -65,6 +65,23 @@ class WetSpec extends SparkSpec {
     }
   }
 
+  test("gzipped .wet.gz files read transparently (the CommonCrawl layout)") {
+    val dir = tmpDir("wet-gz")
+    val recs = (1 to 5).map { i =>
+      s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: https://ex.com/z/$i\r\nContent-Length: " +
+        s"${s"payload $i".getBytes("UTF-8").length}\r\n\r\npayload $i"
+    }
+    val file = new java.io.File(dir, "part.wet.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(file))
+    try out.write(recs.mkString(Wet.RecordSeparator).getBytes("UTF-8"))
+    finally out.close()
+    val got = collectRows(Wet.read(spark, dir))
+    assert(got.size == 5 && got.forall(_._5))
+    assert(got.map(_._4) == (1 to 5).map(i => s"payload $i"))
+  }
+
   test("a garbled Content-Length is visible: length_ok = false, row kept") {
     val dir = tmpDir("wet-bad")
     val file = new java.io.File(dir, "bad.wet")
