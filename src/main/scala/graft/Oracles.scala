@@ -2340,7 +2340,7 @@ object Oracles {
             '&utm_campaign=x&z=9&ref=tw'
           WHEN 2 THEN 'https://ads.' || source || '.badsite.net/click?cid='
             || doc_id
-          WHEN 3 THEN 'http://' || source || '.example.com:8080'
+          WHEN 3 THEN 'http://user:s3cret@' || source || '.example.com:8080'
           ELSE 'not a url ' || doc_id
         END AS url
       FROM documents),
@@ -2352,9 +2352,11 @@ object Oracles {
       FROM d),
     r AS (
       SELECT doc_id, scheme, rest,
-        lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+        lower(regexp_extract(regexp_extract(
+          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
           '^([^:]*)', 1)) AS host,
-        regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+        regexp_extract(regexp_extract(
+          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
           ':([0-9]+)$$', 1) AS port,
         regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
         regexp_extract(rest, '\\?(.*)$$', 1) AS query
@@ -2628,9 +2630,11 @@ object Oracles {
       FROM lnk),
     r AS (
       SELECT doc_id, link_pos, href, anchor, scheme, rest,
-        lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+        lower(regexp_extract(regexp_extract(
+          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
           '^([^:]*)', 1)) AS host,
-        regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+        regexp_extract(regexp_extract(
+          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
           ':([0-9]+)$$', 1) AS port,
         regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
         regexp_extract(rest, '\\?(.*)$$', 1) AS query

@@ -3356,7 +3356,8 @@ object Queries {
         lit("&utm_campaign=x&z=9&ref=tw")))
       .when(m === 2, concat(lit("https://ads."), col("source"),
         lit(".badsite.net/click?cid="), id))
-      .when(m === 3, concat(lit("http://"), col("source"),
+      // userinfo planted: canonicalization must DROP the credential
+      .when(m === 3, concat(lit("http://user:s3cret@"), col("source"),
         lit(".example.com:8080")))
       .otherwise(concat(lit("not a url "), id))
     val block = Seq("badsite.net", "tracker.io").toDF("domain")

@@ -40,8 +40,13 @@ object Urls {
   private def restOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
 
+  /** host[:port] of the authority — userinfo (`user:pass@`) stripped
+    * first, or `hostOf` would read everything before the password's
+    * colon as the host.
+    */
   private def hostPortOf(url: Column): Column =
-    regexp_extract(restOf(url), "^([^/?]*)", 1)
+    regexp_extract(regexp_extract(restOf(url), "^([^/?]*)", 1),
+      "([^@]*)$", 1)
 
   /** Lowercased host without the port. */
   def hostOf(url: Column): Column =
@@ -59,6 +64,9 @@ object Urls {
     * scheme/host lowercased, fragment stripped, default ports (http
     * 80, https 443) dropped, tracking parameters removed, surviving
     * parameters byte-order sorted, empty path normalized to `/`.
+    * Userinfo (`user:pass@`) is DROPPED — it is never identity for
+    * dedup/blocklist purposes and it is a credential (the q54 PII
+    * discipline says it must not survive into a stored key).
     * NULL for anything without a `scheme://`.
     */
   def canonicalize(url: Column): Column = {
