@@ -2475,10 +2475,13 @@ object Queries {
     * batches (doc_id thirds) through the persisted per-source meter
     * ([[graft.streaming.BudgetStream.admitStaged]], budget 800 tokens
     * per source), with batch 1 REPLAYED mid-sequence to prove the
-    * batch-id-keyed meter segments make recomputation idempotent. The
-    * oracle replays the whole sequence as one source-keyed window pass
-    * in (doc_id) order — segments, the replay, and the meter store must
-    * all be invisible.
+    * batch-id-keyed meter segments make recomputation idempotent, and a
+    * [[graft.streaming.BudgetStream.compact]] after the replay folding
+    * segment 0 into a per-source generation — batch 2's meter then
+    * reads gen + segment 1, so a fold that lost or double-counted a
+    * source breaks the hash. The oracle replays the whole sequence as
+    * one source-keyed window pass in (doc_id) order — segments, the
+    * replay, the meter store, and the fold must all be invisible.
     */
   def streamingTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val stateDir =
@@ -2495,6 +2498,8 @@ object Queries {
       run(col("doc_id") > t1 && col("doc_id") <= t2, 1L).localCheckpoint(true)
       val r1 = run(col("doc_id") > t1 && col("doc_id") <= t2, 1L)
         .localCheckpoint(true)
+      graft.streaming.BudgetStream.compact(s, stateDir,
+        keepNewestSegments = 1)
       val r2 = run(col("doc_id") > t2, 2L).localCheckpoint(true)
       r0.unionByName(r1).unionByName(r2).orderBy(col("doc_id"))
         .localCheckpoint(true)

@@ -91,6 +91,43 @@ class BudgetStreamSpec extends SparkSpec {
     assert(spent == Map("a" -> 12L, "b" -> 6L))
   }
 
+  test("compact: per-source fold is sum-exact, replay-safe; debris below the bound invisible") {
+    val dir = tmpDir("budget-compact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(n: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n"))
+    def mk(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "source", "text")
+    val b0 = mk((1L, "a", "w w w w"), (2L, "a", "x x x"), (3L, "b", "y y y y y"))
+    val b1 = mk((4L, "a", "z z z z z"), (5L, "b", "q"))
+    val b2 = mk((6L, "b", "r r"))
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      BudgetStream.admitStaged(b, dir, "text", "doc_id", "source",
+        budget = 6L, batchId = id)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    run(b0, 0L); val r1 = run(b1, 1L)
+    // fold segment 0; the newest is spared (the stream discipline)
+    assert(BudgetStream.compact(spark, dir, keepNewestSegments = 1) == 1L)
+    assert(!exists("m_00000") && exists("gen_00001"))
+    // decisions after the fold and the newest-epoch replay: identical
+    val r2 = run(b2, 2L)
+    assert(r2 == Seq((6L, "b", 2L, 6L, false))) // b spent 5+1 before
+    assert(run(b1, 1L) == r1)
+    // crash-left sub-bound segment never double-counts
+    Seq(("a", 999L)).toDF("source", "__spent")
+      .write.mode("overwrite").parquet(s"$dir/m_00000")
+    assert(run(b2, 2L) == r2)
+    val spent = BudgetStream.loadSpent(spark, dir, Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spent == Map("a" -> 12L, "b" -> 8L))
+    // keep=0 folds everything; a replay below the bound fails loudly
+    assert(BudgetStream.compact(spark, dir, keepNewestSegments = 0) == 3L)
+    intercept[IllegalArgumentException] { run(b2, 2L) }
+    assert(BudgetStream.compact(spark, dir) == -1L)
+  }
+
   test("admitStaged joins the meter broadcast — no batch-side exchange for state") {
     val dir = tmpDir("budget-plan")
     val b0 = Seq((1L, "a", "w w")).toDF("doc_id", "source", "text")
