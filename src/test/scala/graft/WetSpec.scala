@@ -82,6 +82,32 @@ class WetSpec extends SparkSpec {
     assert(got.map(_._4) == (1 to 5).map(i => s"payload $i"))
   }
 
+  test("property: framing is an identity on random CR-free payloads") {
+    import org.scalacheck.Gen
+    val payloadGen = Gen.listOf(Gen.frequency(
+      20 -> Gen.alphaNumChar, 4 -> Gen.const(' '), 1 -> Gen.const('\n'),
+      1 -> Gen.oneOf("<>&\"'#?/=:@".toSeq))).map(_.mkString)
+    val docs = Gen.listOfN(60, payloadGen).sample.getOrElse(Nil)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("uri",
+        concat(lit("https://p.ex.com/"), format_string("%04d", col("doc_id"))))
+    val dir = tmpDir("wet-prop")
+    Wet.toRecords(df, "text", "uri").coalesce(1)
+      .write.mode("overwrite").option("lineSep", Wet.RecordSeparator)
+      .text(dir)
+    val got = Wet.read(spark, dir)
+      .select("target_uri", "payload", "length_ok")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val want = docs.map { case (i, t) =>
+      // the reader strips trailing CRLF runs only; payloads here are
+      // CR-free, so the payload survives byte-identical
+      (f"https://p.ex.com/$i%04d", t, true)
+    }
+    assert(got == want)
+  }
+
   test("a garbled Content-Length is visible: length_ok = false, row kept") {
     val dir = tmpDir("wet-bad")
     val file = new java.io.File(dir, "bad.wet")
