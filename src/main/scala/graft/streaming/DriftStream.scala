@@ -158,6 +158,13 @@ object DriftStream {
     * an epoch-scoped segment window), so the output table is idempotent
     * under the checkpoint's replay contract.
     */
+  /** `purgeEvery > 0` makes the monitor SELF-MAINTAINING: after every
+    * Nth epoch, [[purge]] deletes segments outside every future (or
+    * replayed) window, so a long-lived stream holds O(window) segments
+    * instead of one per epoch since start. Runs after the epoch's own
+    * write — the single-writer window — and is replay-invisible by the
+    * window bound.
+    */
   def monitor(
       stream: DataFrame,
       stateDir: String,
@@ -167,13 +174,16 @@ object DriftStream {
       srcCol: String,
       baseline: DataFrame,
       window: Int,
-      thresholdPpm: Long): StreamingQuery =
+      thresholdPpm: Long,
+      purgeEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
         driftStaged(df, stateDir, textCol, srcCol, baseline,
           window, thresholdPpm, id)
           .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+        if (purgeEvery > 0 && id > 0 && id % purgeEvery == 0)
+          purge(df.sparkSession, stateDir, window): Unit
         ()
       }
       .start()

@@ -208,6 +208,15 @@ object QualityStream {
     * its own directory with identical rows (segments newer than the
     * epoch are excluded by construction), so the output table is
     * idempotent under the checkpoint's replay contract.
+    *
+    * `compactEvery > 0` makes the meter SELF-MAINTAINING: after every
+    * Nth epoch, [[compact]] folds the old one-row segments into the
+    * generation (always `keepNewestSegments = 1`, the replay horizon),
+    * so a stream that runs for months holds O(1) segments instead of
+    * one per epoch since start. The fold runs AFTER the epoch's own
+    * write, between epochs — exactly the single-writer window the
+    * store contract requires — and is replay-invisible by the
+    * `foldedBelow` read bound.
     */
   def monitor(
       stream: DataFrame,
@@ -217,13 +226,16 @@ object QualityStream {
       textCol: String,
       idCol: String,
       model: LmScore.BigramLm,
-      keepMaxMicroNll: Long): StreamingQuery =
+      keepMaxMicroNll: Long,
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
         meterStaged(df, stateDir, textCol, idCol, model,
           keepMaxMicroNll, id)
           .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compact(df.sparkSession, stateDir, keepNewestSegments = 1): Unit
         ()
       }
       .start()

@@ -91,6 +91,33 @@ class DriftStreamSpec extends SparkSpec {
     assert(run(Seq((5L, "s1", "aa bb")), 3L).isEmpty)
   }
 
+  test("self-maintaining monitor: purgeEvery deletes out-of-window segments, flags identical") {
+    implicit val ctx = spark.sqlContext
+    val state = tmpDir("drift-auto-state")
+    val out = tmpDir("drift-auto-out")
+    val in = MemoryStream[(Long, String, String)]
+    val q = DriftStream.monitor(in.toDF().toDF("doc_id", "source", "text"),
+      state, out, tmpDir("drift-auto-ckpt"), "text", "source", baseline,
+      window = 2, thresholdPpm = 200000L, purgeEvery = 1)
+    try {
+      in.addData(e0); q.processAllAvailable()
+      in.addData(e1); q.processAllAvailable()
+      in.addData(e2); q.processAllAvailable()
+      val got = rows(spark.read
+        .schema("batch_id LONG, source STRING, tok STRING, cnt_win LONG," +
+          " ppm_win LONG, ppm_base LONG, drift_ppm LONG")
+        .parquet(s"$out/batch_id=00000", s"$out/batch_id=00001",
+          s"$out/batch_id=00002"))
+      assert(got == want0 ++ want1 ++ want2)
+      // the epoch-2 purge deleted segment 0 (outside every future window)
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def ex(n: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$state/$n"))
+      assert(!ex("seg_00000") && ex("seg_00001") && ex("seg_00002"))
+    } finally q.stop()
+  }
+
   test("live monitor: 3 checkpointed epochs land idempotent per-epoch flag tables") {
     implicit val ctx = spark.sqlContext
     val state = tmpDir("drift-state")
