@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   * ([[graft.util.OperatorCaches]] — caller releases) because it feeds
   * both the df count and the reassembly. The df aggregation collapses
   * map-side into one line-keyed exchange; the frequent-line set is
-  * BOUNDED by Σ lines / minDocs (a line needs ≥ minDocs distinct docs
-  * to qualify), so it broadcasts — the corpus-sized side never shuffles
-  * for the verdict. Reassembly is the one inherent doc-keyed exchange.
+  * bounded by Σ lines / minDocs (a line needs ≥ minDocs distinct docs
+  * to qualify) — template-chrome-sized in practice, so the verdict
+  * join BROADCASTS by default and the corpus side never shuffles for
+  * it. The bound is an upper bound, not a guarantee: a pathological
+  * corpus (tiny minDocs × enormous duplication) can push the set past
+  * driver memory, so `broadcastFrequent = false` degrades the verdict
+  * to a shuffle join instead of a driver OOM. Reassembly is the one
+  * inherent doc-keyed exchange.
   */
 object Boilerplate {
 
@@ -56,18 +61,20 @@ object Boilerplate {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      minDocs: Long): DataFrame = {
+      minDocs: Long,
+      broadcastFrequent: Boolean = true): DataFrame = {
     require(minDocs >= 2,
       "removeFrequentLines: minDocs must be >= 2 (at 1 everything is " +
         "boilerplate)")
     val ls = graft.util.OperatorCaches.persisted(
       lines(docs, textCol, idCol))
-    val frequent = ls.select(col(idCol), col("ln")).distinct()
+    val frequent0 = ls.select(col(idCol), col("ln")).distinct()
       .groupBy(col("ln")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("ln"), lit(true).as("__rm"))
+    val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
     val agg = ls
-      .join(broadcast(frequent), Seq("ln"), "left")
+      .join(frequent, Seq("ln"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),

@@ -32,13 +32,18 @@ class BoilerplateSpec extends SparkSpec {
   }
 
   test("remove at threshold: every occurrence, order kept, one row per doc") {
-    val got = rows(Boilerplate.removeFrequentLines(
-      docs, "text", "doc_id", minDocs = 3L))
-    assert(got == Seq(
+    val want = Seq(
       (1L, 3L, 1L, "unique one\nkeep me"),
       (2L, 3L, 2L, "other text"),
       (3L, 1L, 1L, ""),
-      (4L, 0L, 0L, "")))
+      (4L, 0L, 0L, ""))
+    assert(rows(Boilerplate.removeFrequentLines(
+      docs, "text", "doc_id", minDocs = 3L)) == want)
+    // the shuffle-join fallback (the driver-OOM escape hatch for a
+    // pathological frequent set) is result-identical
+    assert(rows(Boilerplate.removeFrequentLines(
+      docs, "text", "doc_id", minDocs = 3L,
+      broadcastFrequent = false)) == want)
     graft.util.OperatorCaches.release(spark)
   }
 
