@@ -97,12 +97,22 @@ object BudgetStream {
   /** foreachBatch adapter: decisions land in `outDir/batch=<id>/`,
     * overwrite mode, so a replayed epoch rewrites only itself.
     */
+  /** `compactEvery > 0` makes the meter SELF-MAINTAINING (the
+    * QualityStream.monitor discipline): after every Nth epoch,
+    * [[compact]] folds old per-source segments into the generation,
+    * always sparing the replay horizon (`keepNewestSegments = 1`).
+    */
   def sink(
       stateDir: String, outDir: String,
       textCol: String, idCol: String, srcCol: String,
-      budget: Long): (DataFrame, Long) => Unit = (batch, id) =>
-    admitStaged(batch, stateDir, textCol, idCol, srcCol, budget, id)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      budget: Long, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      admitStaged(batch, stateDir, textCol, idCol, srcCol, budget, id)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        compact(batch.sparkSession, stateDir, srcCol,
+          keepNewestSegments = 1): Unit
+    }
 
   private def segPath(dir: String, id: Long) = f"$dir/m_$id%05d"
 

@@ -128,6 +128,31 @@ class BudgetStreamSpec extends SparkSpec {
     assert(BudgetStream.compact(spark, dir) == -1L)
   }
 
+  test("self-maintaining sink: compactEvery folds old segments, decisions identical") {
+    val state = tmpDir("budget-auto-state")
+    val out = tmpDir("budget-auto-out")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ex(n: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$state/$n"))
+    def mk(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "source", "text")
+    val sink = BudgetStream.sink(state, out, "text", "doc_id", "source",
+      budget = 6L, compactEvery = 2)
+    sink(mk((1L, "a", "w w w w"), (2L, "a", "x x x")), 0L)
+    sink(mk((3L, "a", "y")), 1L)
+    sink(mk((4L, "a", "z z")), 2L) // compacts after: folds m_0, m_1
+    assert(!ex("m_00000") && !ex("m_00001") && ex("m_00002"))
+    assert(ex("gen_00001"))
+    val got = spark.read
+      .parquet(s"$out/batch=0", s"$out/batch=1", s"$out/batch=2")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+    // meter: a spends 4,3 (b0), 1 (b1), 2 (b2) — cum 0,4,7,8
+    assert(got == Seq((1L, 0L, true), (2L, 4L, true), (3L, 7L, false),
+      (4L, 8L, false)))
+  }
+
   test("admitStaged joins the meter broadcast — no batch-side exchange for state") {
     val dir = tmpDir("budget-plan")
     val b0 = Seq((1L, "a", "w w")).toDF("doc_id", "source", "text")
