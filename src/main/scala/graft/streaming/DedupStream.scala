@@ -32,21 +32,38 @@ class DedupStream(
     idCol: String) {
 
   /** foreachBatch adapter:
-    * `stream.writeStream.foreachBatch(dedup.sink).start()`.
+    * `stream.writeStream.foreachBatch(dedup.sink()).start()`.
+    * `compactEvery > 0` makes the store SELF-MAINTAINING: after every
+    * Nth epoch, `FingerprintStore.compact(keepNewestSegments = 1)`
+    * folds the accumulated segments into the bucketed generation —
+    * the anti-join reads the store side exchange-free afterwards, and
+    * the spared newest segment is the only one a replay can need.
     */
-  def sink: (DataFrame, Long) => Unit = (batch, id) =>
-    Dedup.dedupeStreamStaged(batch, storeDir, textCol, idCol, id)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+  def sink(compactEvery: Int = 0, buckets: Int = 64): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      Dedup.dedupeStreamStaged(batch, storeDir, textCol, idCol, id)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        Dedup.FingerprintStore.compact(batch.sparkSession, storeDir,
+          buckets, keepNewestSegments = 1): Unit
+    }
 
   /** NEAR-dup foreachBatch adapter — the band-store twin of [[sink]]
     * ([[Dedup.dedupeNearStreamStaged]]): each micro-batch drops docs
     * whose LSH band keys are owned by any smaller-id doc ever ingested,
-    * then registers its own keys. Same replay/compaction contract.
+    * then registers its own keys. Same replay/compaction contract,
+    * same `compactEvery` self-maintenance.
     */
-  def nearSink(k: Int = 8, bands: Int = 4, ngram: Int = 2): (DataFrame, Long) => Unit =
-    (batch, id) =>
+  def nearSink(
+      k: Int = 8, bands: Int = 4, ngram: Int = 2,
+      compactEvery: Int = 0, buckets: Int = 64): (DataFrame, Long) => Unit =
+    (batch, id) => {
       Dedup.dedupeNearStreamStaged(batch, storeDir, textCol, idCol, id, k, bands, ngram)
         .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        Dedup.FingerprintStore.compact(batch.sparkSession, storeDir,
+          buckets, keepNewestSegments = 1): Unit
+    }
 
   /** The deduped corpus so far (hive-discovers the `batch` column). */
   def corpus(): DataFrame = spark.read.parquet(outDir)

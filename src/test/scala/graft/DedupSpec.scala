@@ -430,7 +430,7 @@ class DedupSpec extends SparkSpec {
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
       .option("checkpointLocation", tmpDir("graft_stream_fp_ckpt"))
-      .foreachBatch(dedup.sink)
+      .foreachBatch(dedup.sink())
       .start()
     try {
       mem.addData((1L, "alpha body"), (2L, "beta body"))
@@ -450,6 +450,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(replayed == Set(4L))
     assert(Dedup.FingerprintStore.segments(spark, storeDir) == segsBefore)
+  }
+
+  test("self-maintaining dedup sink: compactEvery folds into the generation mid-stream") {
+    val storeDir = tmpDir("graft_stream_fp_auto")
+    val outDir = tmpDir("graft_stream_corpus_auto")
+    val dedup = new graft.streaming.DedupStream(
+      spark, storeDir, outDir, "text", "doc_id")
+    val sink = dedup.sink(compactEvery = 2, buckets = 4)
+    sink(Seq((1L, "alpha body"), (2L, "beta body")).toDF("doc_id", "text"), 0L)
+    sink(Seq((3L, "gamma body")).toDF("doc_id", "text"), 1L)
+    // epoch 2 compacts after its write: segments 0..1 fold, 2 is spared
+    sink(Seq((4L, "ALPHA body"), (5L, "delta body")).toDF("doc_id", "text"), 2L)
+    assert(Dedup.FingerprintStore.segments(spark, storeDir)
+      .map(p => p.substring(p.lastIndexOf("seg_") + 4).toLong) == Seq(2L))
+    assert(Dedup.FingerprintStore.currentGenTable(spark, storeDir).nonEmpty)
+    // post-fold epoch still dedups against the WHOLE history
+    sink(Seq((6L, "beta body"), (7L, "epsilon body")).toDF("doc_id", "text"), 3L)
+    val corpus = dedup.corpus().collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(corpus == Set(1L, 2L, 3L, 5L, 7L)) // 4 dups 1, 6 dups 2
+    Dedup.FingerprintStore.currentGenTable(spark, storeDir)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("streaming dedup: replay survives a compaction that spares the newest segment") {
