@@ -2323,15 +2323,61 @@ object Oracles {
     ORDER BY doc_id"""
   }
 
-  /** Mirrors Queries.urlCanonGate: the five planted URL shapes, then
-    * the shared canonicalization (lowercase scheme/host, fragment +
-    * default-port strip, tracking-param removal, byte-order param
-    * sort, empty path → '/'), the registered-domain blocklist verdict,
-    * and the per-domain window rollup.
+  /** The shared q146 canonicalization chain (lowercase scheme/host,
+    * fragment + default-port strip, tracking-param removal, byte-order
+    * param sort, empty path → '/', bracketed-IPv6 → NULL) as CTEs over
+    * a source CTE `src` exposing `url` plus the carried key columns —
+    * ends in a CTE named `canon` with (carry..., url_canon, domain).
+    * Mirrors [[graft.operators.Urls.canonicalize]] /
+    * [[graft.operators.Urls.registeredDomain]] exactly (q146/q149/
+    * q152–q154 all replay through this one fragment).
     */
-  val urlCanon: String = s"""
-    WITH d AS (
-      SELECT doc_id,
+  private def urlCanonChain(src: String, carry: String): String = s"""
+    p AS (
+      SELECT $carry,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+      FROM $src),
+    r0 AS (
+      SELECT $carry, scheme,
+        regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+          '([^@]*)$$', 1) AS hostport,
+        regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
+        regexp_extract(rest, '\\?(.*)$$', 1) AS query
+      FROM p),
+    r AS (
+      SELECT $carry, scheme,
+        CASE WHEN hostport LIKE '[%' THEN ''
+             ELSE lower(regexp_extract(hostport, '^([^:]*)', 1)) END AS host,
+        regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+        path0, query
+      FROM r0),
+    s AS (
+      SELECT $carry, scheme, host,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END AS portpart,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        list_sort(list_filter(string_split(query, '&'), q -> q <> ''
+          AND NOT regexp_matches(regexp_extract(q, '^([^=]*)', 1), '^utm_')
+          AND regexp_extract(q, '^([^=]*)', 1)
+            NOT IN ('gclid', 'fbclid', 'msclkid', 'mc_eid')))
+          AS params
+      FROM r),
+    canon AS (
+      SELECT $carry, host,
+        CASE WHEN scheme <> '' AND host <> ''
+          THEN scheme || '://' || host || portpart || path ||
+            CASE WHEN len(params) > 0
+              THEN '?' || coalesce(array_to_string(params, '&'), '')
+              ELSE '' END
+        END AS url_canon,
+        nullif(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '') AS domain
+      FROM s)"""
+
+  /** The q146 planted URL shapes (shared by the q152/q153 oracles). */
+  private val urlPlantCase: String = """
         CASE CAST(doc_id % 5 AS INTEGER)
           WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Doc/'
             || doc_id || '?utm_source=feed&b=2&a=1&gclid=zz#frag'
@@ -2341,48 +2387,79 @@ object Oracles {
           WHEN 2 THEN 'https://ads.' || source || '.badsite.net/click?cid='
             || doc_id
           WHEN 3 THEN 'http://user:s3cret@' || source || '.example.com:8080'
-          ELSE 'not a url ' || doc_id
+          ELSE CASE WHEN doc_id % 10 = 9
+            THEN 'http://[2001:db8::1]:8080/v6/' || doc_id
+            ELSE 'not a url ' || doc_id END
+        END"""
+
+  /** Mirrors Queries.pslDomainsGate: the five planted ccSLD URL shapes
+    * through the shared canonicalization chain, then the PSL
+    * registered-domain rule (longest-suffix-wins over the IN-lists
+    * GENERATED from graft.operators.PublicSuffix's Seqs — one suffix
+    * table, two engines), the blocklist verdict on the PSL key, and
+    * the per-domain rollup.
+    */
+  val pslDomains: String = {
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    val psl2 = inList(graft.operators.PublicSuffix.Suffixes2)
+    val psl3 = inList(graft.operators.PublicSuffix.Suffixes3)
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'https://WWW.Shop' || source || '.CO.UK/item/'
+            || doc_id || '?b=2&a=1#frag'
+          WHEN 1 THEN 'http://blog.evil.co.uk:80/p/' || doc_id
+          WHEN 2 THEN 'https://a.b.example' || source || '.com/' || doc_id
+          WHEN 3 THEN 'https://myschool' || source || '.k12.ca.us/class/'
+            || doc_id
+          ELSE 'https://co.uk/'
         END AS url
       FROM documents),
-    p AS (
-      SELECT doc_id,
-        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-          AS scheme,
-        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
-      FROM d),
-    r AS (
-      SELECT doc_id, scheme, rest,
-        lower(regexp_extract(regexp_extract(
-          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
-          '^([^:]*)', 1)) AS host,
-        regexp_extract(regexp_extract(
-          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
-          ':([0-9]+)$$', 1) AS port,
-        regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
-        regexp_extract(rest, '\\?(.*)$$', 1) AS query
-      FROM p),
-    s AS (
-      SELECT doc_id, scheme, host,
-        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-               OR (scheme = 'https' AND port = '443')
-          THEN '' ELSE ':' || port END AS portpart,
-        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-        list_sort(list_filter(string_split(query, '&'), q -> q <> ''
-          AND NOT regexp_matches(regexp_extract(q, '^([^=]*)', 1), '^utm_')
-          AND regexp_extract(q, '^([^=]*)', 1)
-            NOT IN ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_eid')))
-          AS params
-      FROM r),
-    canon AS (
-      SELECT doc_id,
-        CASE WHEN scheme <> '' AND host <> ''
-          THEN scheme || '://' || host || portpart || path ||
-            CASE WHEN len(params) > 0
-              THEN '?' || coalesce(array_to_string(params, '&'), '')
-              ELSE '' END
-        END AS url_canon,
-        nullif(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '') AS domain
-      FROM s),
+    ${urlCanonChain("d", "doc_id")},
+    lbl AS (
+      SELECT doc_id, url_canon, domain AS domain_2label, host,
+             string_split(host, '.') AS labels
+      FROM canon),
+    pd AS (
+      SELECT doc_id, url_canon, domain_2label,
+        nullif(CASE
+          WHEN host = '' THEN ''
+          WHEN len(labels) >= 4
+            AND array_to_string(labels[-3:], '.') IN ($psl3)
+            THEN array_to_string(labels[-4:], '.')
+          WHEN len(labels) = 3
+            AND array_to_string(labels[-3:], '.') IN ($psl3) THEN ''
+          WHEN len(labels) >= 3
+            AND array_to_string(labels[-2:], '.') IN ($psl2)
+            THEN array_to_string(labels[-3:], '.')
+          WHEN len(labels) = 2
+            AND array_to_string(labels[-2:], '.') IN ($psl2) THEN ''
+          WHEN len(labels) >= 2 THEN array_to_string(labels[-2:], '.')
+          ELSE '' END, '') AS domain
+      FROM lbl),
+    b(bdomain) AS (VALUES ('evil.co.uk'), ('spam.com.au')),
+    j AS (
+      SELECT pd.doc_id, pd.url_canon, pd.domain, pd.domain_2label,
+             b.bdomain IS NULL AS keep
+      FROM pd LEFT JOIN b ON pd.domain = b.bdomain)
+    SELECT doc_id, url_canon, domain, domain_2label, keep,
+           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT)
+             AS domain_docs
+    FROM j ORDER BY doc_id"""
+  }
+
+  /** Mirrors Queries.urlCanonGate: the six planted URL shapes, the
+    * shared canonicalization chain, the registered-domain blocklist
+    * verdict, and the per-domain rollup (the engine computes it as a
+    * two-phase aggregate + broadcast join; the window here is the
+    * value-equivalent declarative spec).
+    */
+  val urlCanon: String = s"""
+    WITH d AS (
+      SELECT doc_id, $urlPlantCase AS url
+      FROM documents),
+    ${urlCanonChain("d", "doc_id")},
     b(bdomain) AS (VALUES ('badsite.net'), ('tracker.io')),
     j AS (
       SELECT c.doc_id, c.url_canon, c.domain, b.bdomain IS NULL AS keep
@@ -2621,46 +2698,9 @@ object Oracles {
           ELSE regexp_extract(attrs, '(?i)href\\s*=\\s*''([^'']*)''', 1)
         END AS href
       FROM a2),
-    lnk AS (SELECT * FROM a3 WHERE href <> ''),
-    p AS (
-      SELECT doc_id, link_pos, href, anchor,
-        lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-          AS scheme,
-        regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
-      FROM lnk),
-    r AS (
-      SELECT doc_id, link_pos, href, anchor, scheme, rest,
-        lower(regexp_extract(regexp_extract(
-          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
-          '^([^:]*)', 1)) AS host,
-        regexp_extract(regexp_extract(
-          regexp_extract(rest, '^([^/?]*)', 1), '([^@]*)$$', 1),
-          ':([0-9]+)$$', 1) AS port,
-        regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path0,
-        regexp_extract(rest, '\\?(.*)$$', 1) AS query
-      FROM p),
-    s AS (
-      SELECT doc_id, link_pos, href, anchor, scheme, host,
-        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-               OR (scheme = 'https' AND port = '443')
-          THEN '' ELSE ':' || port END AS portpart,
-        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-        list_sort(list_filter(string_split(query, '&'), q -> q <> ''
-          AND NOT regexp_matches(regexp_extract(q, '^([^=]*)', 1), '^utm_')
-          AND regexp_extract(q, '^([^=]*)', 1)
-            NOT IN ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_eid')))
-          AS params
-      FROM r),
-    canon AS (
-      SELECT doc_id, link_pos, href, anchor,
-        CASE WHEN scheme <> '' AND host <> ''
-          THEN scheme || '://' || host || portpart || path ||
-            CASE WHEN len(params) > 0
-              THEN '?' || coalesce(array_to_string(params, '&'), '')
-              ELSE '' END
-        END AS url_canon,
-        nullif(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '') AS domain
-      FROM s)
+    lnk AS (SELECT doc_id, link_pos, href, anchor, href AS url
+            FROM a3 WHERE href <> ''),
+    ${urlCanonChain("lnk", "doc_id, link_pos, href, anchor")}
     SELECT doc_id, link_pos, href, anchor, url_canon, domain,
            CAST(count(*) OVER (PARTITION BY domain) AS BIGINT)
              AS domain_links
@@ -3983,7 +4023,8 @@ object Oracles {
     "q148_boilerplate" -> boilerplate,
     "q149_link_graph" -> linkGraph,
     "q150_wet_roundtrip" -> wetRoundTrip,
-    "q151_curation_pipeline" -> curation)
+    "q151_curation_pipeline" -> curation,
+    "q152_psl_domains" -> pslDomains)
 }
 
 /** Holder split out so the oracle text initializes before

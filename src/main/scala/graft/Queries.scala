@@ -3342,12 +3342,13 @@ object Queries {
     * fragment + default-port strip, tracking-parameter removal with
     * byte-order param sort, registered-domain blocklist verdict, and
     * the per-domain rollup. The corpus carries no URLs, so the gate
-    * PLANTS five deterministic URL shapes per doc_id class (shouting
+    * PLANTS six deterministic URL shapes per doc_id class (shouting
     * host + default port + tracking params; https default port;
-    * blocklisted domain; portful no-path; malformed) — the q54/q145
-    * plant-and-remove discipline. Canonicalization is map-only; the
-    * blocklist joins broadcast; the rollup is the one domain-keyed
-    * exchange.
+    * blocklisted domain; portful no-path; bracketed IPv6 → NULL;
+    * malformed) — the q54/q145 plant-and-remove discipline.
+    * Canonicalization is map-only; the blocklist joins broadcast; the
+    * rollup is a two-phase aggregate + broadcast join back (never a
+    * window — the mega-domain skew shape).
     */
   def urlCanonGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3364,11 +3365,66 @@ object Queries {
       // userinfo planted: canonicalization must DROP the credential
       .when(m === 3, concat(lit("http://user:s3cret@"), col("source"),
         lit(".example.com:8080")))
+      // bracketed IPv6 authority: unsupported shape — must go NULL like
+      // malformed, never a half-parsed "[" host key (doc_id%10==9 ⇒ m==4)
+      .when(pmod(col("doc_id"), lit(10)) === 9,
+        concat(lit("http://[2001:db8::1]:8080/v6/"), id))
       .otherwise(concat(lit("not a url "), id))
     val block = Seq("badsite.net", "tracker.io").toDF("domain")
     graft.operators.Urls.domainFilterReport(
       Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
       "url", "doc_id", block)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q152: public-suffix registered domains — q146's blocklist/rollup
+    * re-keyed through [[graft.operators.PublicSuffix]]'s offline PSL
+    * snapshot. The two-label heuristic conflates every ccSLD
+    * registrant (`shop.co.uk`, `evil.co.uk`, … all key as "co.uk"),
+    * silently merging unrelated domains in blocklists and caps; the
+    * PSL key separates them. Plants: co.uk retail (PSL keys the
+    * registrant), a blocklisted `evil.co.uk` (must block ONLY that
+    * registrant, not all of .co.uk), a default-rule .com, a
+    * `k12.ca.us` school (3-label suffix → 4-label domain), and a bare
+    * public-suffix host (`https://co.uk/` — NO registrable part →
+    * NULL). Output carries BOTH keys (`domain` = PSL, `domain_2label`
+    * = heuristic) so the divergence is part of the contract.
+    * Extraction is map-only (the suffix sets are codegen'd `InSet`
+    * literal probes — no join, no broadcast); verdict + rollup follow
+    * the q146 two-phase skew discipline. The oracle's IN-lists are
+    * GENERATED from the same [[graft.operators.PublicSuffix]] Seqs —
+    * one suffix table, two engines.
+    */
+  def pslDomainsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(5))
+    val url = when(m === 0, concat(lit("https://WWW.Shop"), col("source"),
+        lit(".CO.UK/item/"), id, lit("?b=2&a=1#frag")))
+      .when(m === 1, concat(lit("http://blog.evil.co.uk:80/p/"), id))
+      .when(m === 2, concat(lit("https://a.b.example"), col("source"),
+        lit(".com/"), id))
+      .when(m === 3, concat(lit("https://myschool"), col("source"),
+        lit(".k12.ca.us/class/"), id))
+      .otherwise(lit("https://co.uk/"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+    val canon = docs.select(col("doc_id"),
+      graft.operators.Urls.canonicalize(col("url")).as("url_canon"),
+      nullif(graft.operators.PublicSuffix.registeredDomain(col("url")),
+        lit("")).as("domain"),
+      nullif(graft.operators.Urls.registeredDomain(col("url")), lit(""))
+        .as("domain_2label"))
+    val block = Seq("evil.co.uk", "spam.com.au").toDF("domain")
+    val verdict = canon
+      .join(broadcast(block.withColumn("__blocked", lit(true))),
+        Seq("domain"), "left")
+      .select(col("doc_id"), col("url_canon"), col("domain"),
+        col("domain_2label"), col("__blocked").isNull.as("keep"))
+    val counts = canon.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"))
+      .withColumnRenamed("domain", "__cd")
+    verdict.join(broadcast(counts), col("domain") <=> col("__cd"), "left")
+      .drop("__cd")
       .orderBy(col("doc_id"))
   }
 
@@ -3483,7 +3539,6 @@ object Queries {
     * rollup is the one domain-keyed exchange.
     */
   def linkGraphGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val id = col("doc_id").cast("string")
     val m5 = pmod(col("doc_id"), lit(5))
     val markup = concat(
@@ -3505,12 +3560,19 @@ object Queries {
     val links = graft.operators.Html.extractLinks(
       Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
       "markup", "doc_id")
-    links.select(col("doc_id"), col("link_pos"), col("href"), col("anchor"),
-        graft.operators.Urls.canonicalize(col("href")).as("url_canon"),
-        nullif(graft.operators.Urls.registeredDomain(col("href")), lit(""))
-          .as("domain"))
-      .withColumn("domain_links",
-        count(lit(1)).over(Window.partitionBy(col("domain"))))
+    val base = links.select(col("doc_id"), col("link_pos"), col("href"),
+      col("anchor"),
+      graft.operators.Urls.canonicalize(col("href")).as("url_canon"),
+      nullif(graft.operators.Urls.registeredDomain(col("href")), lit(""))
+        .as("domain"))
+    // two-phase rollup + null-safe broadcast join back — the q146 skew
+    // discipline (a window-by-domain serializes a mega-domain's links
+    // onto one task's buffer)
+    val counts = base.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_links"))
+      .withColumnRenamed("domain", "__cd")
+    base.join(broadcast(counts), col("domain") <=> col("__cd"), "left")
+      .drop("__cd")
       .orderBy(col("doc_id"), col("link_pos"))
   }
 

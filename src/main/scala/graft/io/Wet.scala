@@ -33,8 +33,10 @@ object Wet {
 
   val RecordDelimiter = "\r\n\r\nWARC/1.0\r\n"
 
+  // [ \t]* — NOT \s*, which would eat the CRLF of an EMPTY header value
+  // and capture the next header line as this header's value
   private def header(rec: org.apache.spark.sql.Column, name: String) =
-    regexp_extract(rec, s"(?i)$name:\\s*([^\\r\\n]*)", 1)
+    regexp_extract(rec, s"(?i)$name:[ \\t]*([^\\r\\n]*)", 1)
 
   /** Read .wet files under `path`: one row per WARC record —
     * (warc_type, target_uri, warc_date, content_length, payload,
@@ -89,16 +91,24 @@ object Wet {
     */
   val RecordSeparator = "\r\n\r\n"
 
+  /** NULL text/uri coalesce to '' rather than nulling the whole record
+    * through `concat`: one null document must yield a diagnosable
+    * zero-length record (readable back, `length_ok = true`), never a
+    * NULL `rec` row that aborts or silently skips a corpus export at
+    * the text sink.
+    */
   def toRecords(
       docs: DataFrame,
       textCol: String,
       uriCol: String,
-      date: String = "2026-01-01T00:00:00Z"): DataFrame =
+      date: String = "2026-01-01T00:00:00Z"): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
     docs.select(concat(
       lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-      col(uriCol),
+      coalesce(col(uriCol), lit("")),
       lit(s"\r\nWARC-Date: $date\r\nContent-Length: "),
-      octet_length(col(textCol)).cast("string"),
+      octet_length(text).cast("string"),
       lit("\r\n\r\n"),
-      col(textCol)).as("rec"))
+      text).as("rec"))
+  }
 }

@@ -56,16 +56,28 @@ object Boilerplate {
   /** Remove every occurrence of a line whose document frequency is
     * ≥ `minDocs`: (`idCol`, n_lines, n_removed, text_clean), one row
     * per input document. `n_lines` counts the doc's non-blank lines.
+    *
+    * Reassembly materializes each document's surviving lines in ONE
+    * aggregation buffer (per-doc bounded — fine at any corpus size),
+    * so a single pathological document (one giant page, tens of
+    * millions of lines) is the only OOM shape. `maxLinesPerDoc` makes
+    * that LOUD instead of silent: any document over the cap fails the
+    * job with a `raise_error` naming the document, well before the
+    * buffer reaches OOM scale under the default (1M lines ≈ tens of
+    * MB). Real pipelines size-cap documents upstream (q41/q134); the
+    * cap is the backstop, not the filter.
     */
   def removeFrequentLines(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       minDocs: Long,
-      broadcastFrequent: Boolean = true): DataFrame = {
+      broadcastFrequent: Boolean = true,
+      maxLinesPerDoc: Long = 1000000L): DataFrame = {
     require(minDocs >= 2,
       "removeFrequentLines: minDocs must be >= 2 (at 1 everything is " +
         "boilerplate)")
+    require(maxLinesPerDoc >= 1, "removeFrequentLines: maxLinesPerDoc >= 1")
     val ls = graft.util.OperatorCaches.persisted(
       lines(docs, textCol, idCol))
     val frequent0 = ls.select(col(idCol), col("ln")).distinct()
@@ -84,10 +96,19 @@ object Boilerplate {
               when(col("__rm").isNull, struct(col("pos"), col("ln"))))),
             s => s("ln")),
           "\n").as("text_clean"))
+    // the loud giant-doc guard (see scaladoc): over-cap docs fail the
+    // job with a diagnosable message, never a mysterious buffer OOM
+    val nLinesChecked = when(col("n_lines") > maxLinesPerDoc,
+      raise_error(concat(
+        lit("removeFrequentLines: document "), col(idCol).cast("string"),
+        lit(" has "), col("n_lines").cast("string"),
+        lit(s" non-blank lines > maxLinesPerDoc = $maxLinesPerDoc — " +
+          "size-cap documents upstream or raise the cap"))).cast("long"))
+      .otherwise(col("n_lines"))
     docs.select(col(idCol))
       .join(agg, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(nLinesChecked, lit(0L)).as("n_lines"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }

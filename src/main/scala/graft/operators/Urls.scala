@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and domain-level filtering — the C4/crawl-
@@ -26,12 +25,17 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** Query-parameter keys dropped during canonicalization: the
-    * analytics/click-tracking families that vary per impression and
-    * never identify content.
+    * unambiguous analytics/click-id families that vary per impression
+    * and never identify content. Deliberately NOT in the default list:
+    * generic keys like `ref` — on many sites `?ref=<branch>` or
+    * `?ref=<page>` IS content identity, and stripping it would
+    * conflate distinct resources into one dedup key (lost documents).
+    * A deployment that knows its corpus can pass a wider `dropKeys`
+    * to [[canonicalize]].
     */
   val TrackingKeyPattern = "^utm_"
   val TrackingKeys: Seq[String] =
-    Seq("gclid", "fbclid", "msclkid", "ref", "mc_eid")
+    Seq("gclid", "fbclid", "msclkid", "mc_eid")
 
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -48,9 +52,19 @@ object Urls {
     regexp_extract(regexp_extract(restOf(url), "^([^/?]*)", 1),
       "([^@]*)$", 1)
 
-  /** Lowercased host without the port. */
-  def hostOf(url: Column): Column =
-    lower(regexp_extract(hostPortOf(url), "^([^:]*)", 1))
+  /** Lowercased host without the port. Bracketed IPv6 authorities
+    * (`[::1]:8080`) are NOT supported: splitting on the first colon
+    * would read `[` as the host and conflate every IPv6 URL into one
+    * garbage key, so they return '' here — [[canonicalize]] and
+    * [[registeredDomain]] then yield NULL, the documented
+    * malformed-goes-NULL behavior (an IPv6 literal has no registered
+    * domain to block or roll up on anyway).
+    */
+  def hostOf(url: Column): Column = {
+    val hp = hostPortOf(url)
+    when(hp.startsWith("["), lit(""))
+      .otherwise(lower(regexp_extract(hp, "^([^:]*)", 1)))
+  }
 
   /** Registered domain: the last two host labels — the blocklist /
     * rollup key. (A production deployment swaps in the public-suffix
@@ -67,9 +81,15 @@ object Urls {
     * Userinfo (`user:pass@`) is DROPPED — it is never identity for
     * dedup/blocklist purposes and it is a credential (the q54 PII
     * discipline says it must not survive into a stored key).
-    * NULL for anything without a `scheme://`.
+    * NULL for anything without a `scheme://` and for bracketed-IPv6
+    * authorities (unsupported shape, see [[hostOf]]).
+    *
+    * `dropKeys` is the exact-match query-key drop list (default
+    * [[TrackingKeys]]); `utm_*` is always dropped.
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(
+      url: Column,
+      dropKeys: Seq[String] = TrackingKeys): Column = {
     val scheme = schemeOf(url)
     val rest = restOf(url)
     val host = hostOf(url)
@@ -84,7 +104,7 @@ object Urls {
     val params = filter(split(query, "&"), p => {
       val key = regexp_extract(p, "^([^=]*)", 1)
       p =!= "" && !key.rlike(TrackingKeyPattern) &&
-        !key.isin(TrackingKeys: _*)
+        !key.isin(dropKeys: _*)
     })
     val queryPart = when(size(params) > 0,
       concat(lit("?"), array_join(array_sort(params), "&"))).otherwise("")
@@ -100,6 +120,16 @@ object Urls {
     * domain-cap stage reads. Malformed URLs keep (nothing to block
     * on) with NULL url_canon/domain and domain_docs over the NULL
     * group.
+    *
+    * The rollup is a TWO-PHASE aggregate, never a window: a
+    * `count(*) over (partition by domain)` lands every row of a
+    * mega-domain (1–10% of a crawl corpus) in ONE task's window
+    * buffer — the classic skew OOM. `groupBy(domain).count()`
+    * collapses per-task under partial aggregation (a hot domain costs
+    * one long per task on the exchange), and the count side is
+    * domains-cardinality, so it broadcasts back null-safely (the NULL
+    * domain group counts too). At >~100M distinct domains drop the
+    * broadcast hint and let AQE pick the join.
     */
   def domainFilterReport(
       docs: DataFrame,
@@ -113,12 +143,16 @@ object Urls {
       // '' (no scheme://, or a single-label host) normalizes to NULL —
       // "no domain to block on", distinct from a real empty string
       nullif(registeredDomain(col(urlCol)), lit("")).as("domain"))
-    canon
+    val verdict = canon
       .join(broadcast(blocklist.select(col("domain"))
         .withColumn("__blocked", lit(true))), Seq("domain"), "left")
       .select(col(idCol), col("url_canon"), col("domain"),
         col("__blocked").isNull.as("keep"))
-      .withColumn("domain_docs",
-        count(lit(1)).over(Window.partitionBy(col("domain"))))
+    val counts = canon.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"))
+      .withColumnRenamed("domain", "__cd")
+    verdict
+      .join(broadcast(counts), col("domain") <=> col("__cd"), "left")
+      .drop("__cd")
   }
 }

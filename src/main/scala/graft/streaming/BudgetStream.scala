@@ -100,7 +100,9 @@ object BudgetStream {
   /** `compactEvery > 0` makes the meter SELF-MAINTAINING (the
     * QualityStream.monitor discipline): after every Nth epoch,
     * [[compact]] folds old per-source segments into the generation,
-    * always sparing the replay horizon (`keepNewestSegments = 1`).
+    * always sparing the replay horizon (`keepNewestSegments = 1`),
+    * then [[purgeSuperseded]] reclaims any crash debris a previous
+    * compaction's post-commit cleanup never got to.
     */
   def sink(
       stateDir: String, outDir: String,
@@ -109,10 +111,18 @@ object BudgetStream {
     (batch, id) => {
       admitStaged(batch, stateDir, textCol, idCol, srcCol, budget, id)
         .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
         compact(batch.sparkSession, stateDir, srcCol,
-          keepNewestSegments = 1): Unit
+          keepNewestSegments = 1)
+        purgeSuperseded(batch.sparkSession, stateDir): Unit
+      }
     }
+
+  /** GC of crash debris (stale generations, `gen_*.tmp`, segments
+    * orphaned below `foldedBelow`) — see [[MeterGc.purgeSuperseded]].
+    */
+  def purgeSuperseded(s: SparkSession, dir: String): Seq[String] =
+    MeterGc.purgeSuperseded(s, dir, "m_")
 
   private def segPath(dir: String, id: Long) = f"$dir/m_$id%05d"
 

@@ -234,9 +234,18 @@ object QualityStream {
         meterStaged(df, stateDir, textCol, idCol, model,
           keepMaxMicroNll, id)
           .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-          compact(df.sparkSession, stateDir, keepNewestSegments = 1): Unit
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          compact(df.sparkSession, stateDir, keepNewestSegments = 1)
+          purgeSuperseded(df.sparkSession, stateDir): Unit
+        }
         ()
       }
       .start()
+
+  /** GC of crash debris (stale generations, `gen_*.tmp`, segments
+    * orphaned below `foldedBelow`) — see [[MeterGc.purgeSuperseded]].
+    */
+  def purgeSuperseded(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    MeterGc.purgeSuperseded(s, dir, "seg_")
 }

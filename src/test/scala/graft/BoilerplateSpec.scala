@@ -60,4 +60,24 @@ class BoilerplateSpec extends SparkSpec {
       Boilerplate.removeFrequentLines(docs, "text", "doc_id", minDocs = 1L)
     }
   }
+
+  test("giant-doc guard is LOUD: over-cap docs fail with a named error") {
+    // a doc over maxLinesPerDoc must raise a diagnosable error naming the
+    // document, never a silent mega-buffer
+    val giant = Seq(
+      (1L, (1 to 10).map(i => s"line $i").mkString("\n")),
+      (2L, "short\ndoc")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Boilerplate.removeFrequentLines(giant, "text", "doc_id",
+        minDocs = 2L, maxLinesPerDoc = 5L).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxLinesPerDoc"), msg)
+    graft.util.OperatorCaches.release(spark)
+    // under the cap the same input is clean
+    val ok = Boilerplate.removeFrequentLines(giant, "text", "doc_id",
+      minDocs = 2L, maxLinesPerDoc = 10L)
+    assert(ok.count() == 2)
+    graft.util.OperatorCaches.release(spark)
+  }
 }

@@ -153,6 +153,48 @@ class BudgetStreamSpec extends SparkSpec {
       (4L, 8L, false)))
   }
 
+  test("purgeSuperseded reclaims crash debris the reader can't see") {
+    val dir = tmpDir("budget-purge")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(n: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n"))
+    def mk(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "source", "text")
+    BudgetStream.admitStaged(mk((1L, "a", "w w")), dir, "text", "doc_id",
+      "source", 6L, 0L).collect()
+    BudgetStream.admitStaged(mk((2L, "a", "x")), dir, "text", "doc_id",
+      "source", 6L, 1L).collect()
+    BudgetStream.admitStaged(mk((3L, "b", "y y y")), dir, "text", "doc_id",
+      "source", 6L, 2L).collect()
+    assert(BudgetStream.compact(spark, dir, keepNewestSegments = 1) == 2L)
+    // fabricate the crash shapes a half-done compaction leaves behind:
+    // a folded segment the cleanup missed (id < foldedBelow), a stale
+    // generation marker + data dir, and an uncommitted gen tmp file
+    Seq(("a", 999L)).toDF("source", "__spent")
+      .write.mode("overwrite").parquet(s"$dir/m_00000")
+    Seq(("a", 777L)).toDF("source", "__spent")
+      .write.mode("overwrite").parquet(s"$dir/gen_data_00000")
+    val mk0 = fs.create(new org.apache.hadoop.fs.Path(s"$dir/gen_00000"), true)
+    mk0.write("gen_data_00000\t1".getBytes("UTF-8")); mk0.close()
+    val tmp = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/gen_00002.tmp"), true)
+    tmp.write("half-written".getBytes("UTF-8")); tmp.close()
+    val before = BudgetStream.loadSpent(spark, dir, Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val purged = BudgetStream.purgeSuperseded(spark, dir)
+    assert(purged.size == 4, purged.mkString(", "))
+    assert(!exists("m_00000") && !exists("gen_00000") &&
+      !exists("gen_data_00000") && !exists("gen_00002.tmp"))
+    // the live generation + replay horizon survive, reader unchanged
+    assert(exists("gen_00001") && exists("m_00002"))
+    val after = BudgetStream.loadSpent(spark, dir, Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before && after == Map("a" -> 3L, "b" -> 3L))
+    // idempotent: a second purge finds nothing
+    assert(BudgetStream.purgeSuperseded(spark, dir).isEmpty)
+  }
+
   test("admitStaged joins the meter broadcast — no batch-side exchange for state") {
     val dir = tmpDir("budget-plan")
     val b0 = Seq((1L, "a", "w w")).toDF("doc_id", "source", "text")

@@ -117,6 +117,18 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q146/q149 domain rollups are two-phase aggregates, never windows") {
+    // count-over-Window(domain) lands a mega-domain's rows on ONE task's
+    // window buffer (the 100 TB crawl skew shape); the rollup must be a
+    // partial-aggregating groupBy + broadcast join back instead
+    for (name <- Seq("q146_url_canonical", "q149_link_graph")) {
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window rollup in $name:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"rollup not broadcast in $name")
+    }
+  }
+
   test("q69/q71 are map-only: the lone exchange is the output sort") {
     // the scan-speed claim, machine-checked: no aggregation/join shuffle
     // anywhere — one rangepartitioning exchange for the deterministic

@@ -91,6 +91,33 @@ class QualityStreamSpec extends SparkSpec {
     assert(QualityStream.compact(spark, dir) == -1L)
   }
 
+  test("purgeSuperseded reclaims orphaned segments, stale gens, tmps") {
+    val dir = tmpDir("qmeter-purge")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    def run(rows0: Seq[(Long, String)], id: Long) =
+      rows(QualityStream.meterStaged(rows0.toDF("doc_id", "text"), dir,
+        "text", "doc_id", model, keepMaxMicroNll = 800000L, batchId = id))
+    run(e0, 0L); run(e1, 1L); run(e2, 2L)
+    assert(QualityStream.compact(spark, dir, keepNewestSegments = 1) == 2L)
+    // debris: an orphaned sub-bound segment (compact filters at
+    // >= prevBelow, so no later fold ever reclaims it) and a gen tmp
+    Seq((9L, 9L, 9L)).toDF("n_docs", "n_keep", "nll_micro")
+      .write.mode("overwrite").parquet(s"$dir/seg_00000")
+    val tmp = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/gen_00009.tmp"), true)
+    tmp.write("half".getBytes("UTF-8")); tmp.close()
+    val before = run(e2, 2L)
+    val purged = QualityStream.purgeSuperseded(spark, dir)
+    assert(purged.size == 2, purged.mkString(", "))
+    assert(!exists("seg_00000") && !exists("gen_00009.tmp"))
+    assert(exists("gen_00001") && exists("seg_00002"))
+    assert(run(e2, 2L) == before)
+    assert(QualityStream.purgeSuperseded(spark, dir).isEmpty)
+  }
+
   test("self-maintaining monitor: compactEvery folds old segments, outputs byte-identical") {
     implicit val ctx = spark.sqlContext
     val state = tmpDir("qmeter-auto-state")

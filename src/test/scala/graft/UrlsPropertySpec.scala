@@ -75,4 +75,36 @@ class UrlsPropertySpec extends SparkSpec {
       assert(!c1.contains("utm_") && !c1.contains("gclid="), s"tracker in $c1")
     }
   }
+
+  test("bracketed IPv6 authorities canonicalize to NULL, never a '[' key") {
+    // the documented unsupported shape: all of these must go NULL (like
+    // malformed input), not conflate into one garbage "http://[..." key
+    val v6 = Seq(
+      "http://[::1]:8080/",
+      "http://[::1]/x",
+      "https://[2001:db8::1]/p?a=1",
+      "http://user:pw@[2001:db8::2]:9090/q",
+      "HTTP://[FE80::1%25eth0]:80/r")
+    val got = v6.toDF("u").select(
+        Urls.canonicalize(col("u")).as("c"),
+        Urls.hostOf(col("u")).as("h"),
+        nullif(Urls.registeredDomain(col("u")), lit("")).as("d"))
+      .collect()
+    got.zip(v6).foreach { case (r, u) =>
+      assert(r.isNullAt(0), s"canon of $u must be NULL, got ${r.get(0)}")
+      assert(r.getString(1) == "", s"hostOf $u must be ''")
+      assert(r.isNullAt(2), s"registeredDomain of $u must be NULL")
+    }
+  }
+
+  test("dropKeys is a parameter: 'ref' survives by default, drops on request") {
+    val u = "https://example.com/p?ref=main&id=3"
+    val row = Seq(u).toDF("u").select(
+        Urls.canonicalize(col("u")).as("dflt"),
+        Urls.canonicalize(col("u"),
+          Urls.TrackingKeys :+ "ref").as("wide"))
+      .head()
+    assert(row.getString(0) == "https://example.com/p?id=3&ref=main")
+    assert(row.getString(1) == "https://example.com/p?id=3")
+  }
 }

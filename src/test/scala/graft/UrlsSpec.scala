@@ -18,7 +18,7 @@ class UrlsSpec extends SparkSpec {
   test("canonicalize: case, ports, fragments, tracking params, param order") {
     assert(canon(
       "HTTP://WWW.Example.COM:80/Path/X?utm_source=a&b=2&a=1&gclid=z#frag",
-      "https://Blog.Example.com:443/post?id=7&utm_campaign=x&ref=tw",
+      "https://Blog.Example.com:443/post?id=7&utm_campaign=x&gclid=tw",
       "http://host.example.com:8080", // non-default port, no path
       "https://a.b.example.net/p?z=1&y=2&x=3", // params sort byte-order
       "http://example.com/?utm_only=1", // all params tracked -> bare path

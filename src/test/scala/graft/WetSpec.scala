@@ -37,6 +37,29 @@ class WetSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a NULL text/uri document exports as a diagnosable empty record") {
+    // concat-nulling the whole rec row would abort (or silently skip) a
+    // corpus export on one bad document — NULLs must coalesce to ''
+    val docs = Seq(
+      (1L, "real payload", "https://ex.com/doc/1"),
+      (2L, null, "https://ex.com/doc/2"), // null text
+      (3L, "orphan payload", null) // null uri
+    ).toDF("doc_id", "text", "uri")
+    val recs = Wet.toRecords(docs, "text", "uri")
+    assert(recs.filter(col("rec").isNull).count() == 0,
+      "no NULL rec rows — a text sink would reject them")
+    val dir = tmpDir("wet-null")
+    recs.coalesce(1).write.mode("overwrite")
+      .option("lineSep", Wet.RecordSeparator).text(dir)
+    val got = collectRows(Wet.read(spark, dir))
+    assert(got.size == 3)
+    assert(got.forall(_._5), "coalesced records must still be length_ok")
+    assert(got.exists(r => r._2 == "https://ex.com/doc/2" && r._4 == ""),
+      "null text reads back as an empty payload")
+    assert(got.exists(r => r._2 == "" && r._4 == "orphan payload"),
+      "null uri reads back as an empty target_uri")
+  }
+
   test("records straddling input-split boundaries are never torn") {
     val docs = (1 to 200).map(i =>
       (i.toLong, ("x" * 50) + s" doc $i payload\nline two of $i"))
