@@ -2392,6 +2392,326 @@ object Oracles {
             ELSE 'not a url ' || doc_id END
         END"""
 
+  /** PSL registered-domain CASE over an already-extracted host column
+    * (mirrors graft.operators.PublicSuffix.registeredDomainOfHost —
+    * the IN-lists are generated from the SAME Seqs).
+    */
+  private def pslCaseSql(h: String): String = {
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    val psl2 = inList(graft.operators.PublicSuffix.Suffixes2)
+    val psl3 = inList(graft.operators.PublicSuffix.Suffixes3)
+    def last(k: Int) = s"array_to_string(string_split($h, '.')[-$k:], '.')"
+    val n = s"len(string_split($h, '.'))"
+    s"""CASE
+      WHEN $h = '' THEN ''
+      WHEN $n >= 4 AND ${last(3)} IN ($psl3) THEN ${last(4)}
+      WHEN $n = 3 AND ${last(3)} IN ($psl3) THEN ''
+      WHEN $n >= 3 AND ${last(2)} IN ($psl2) THEN ${last(3)}
+      WHEN $n = 2 AND ${last(2)} IN ($psl2) THEN ''
+      WHEN $n >= 2 THEN ${last(2)}
+      ELSE '' END"""
+  }
+
+  /** Lowercased port-free host of a URL expression (mirrors
+    * graft.operators.Urls.hostOf, including the bracketed-IPv6 guard).
+    */
+  private def hostOfSql(x: String): String = {
+    val hp = s"regexp_extract(regexp_extract(regexp_extract($x, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1), '^([^/?]*)', 1), " +
+      "'([^@]*)$$', 1)"
+    s"CASE WHEN $hp LIKE '[%' THEN '' " +
+      s"ELSE lower(regexp_extract($hp, '^([^:]*)', 1)) END"
+  }
+
+  /** Mirrors Queries.domainRankGate: the 7-domain ring plant, anchor
+    * extraction, PSL domain keys, DISTINCT directed edges (self-loops
+    * and NULLs dropped), then three unrolled all-integer PageRank
+    * iterations (the q121 recurrence — identical truncation points,
+    * BIGINT-cast sums) over string domain nodes.
+    */
+  val domainRank: String = {
+    def iter(prev: String, cur: String, c: String) = s"""
+    $c AS (
+      SELECT e.v AS domain, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+      FROM edges e JOIN $prev p ON e.u = p.domain GROUP BY e.v),
+    $cur AS (
+      SELECT d.u AS domain, d.deg,
+             (150 * (1000000000000 // (SELECT n FROM nn))) // 1000
+             + (850 * c.s) // 1000 AS pr
+      FROM deg d JOIN $c c ON d.u = c.domain)"""
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><body><p><a href="https://www.site' || (doc_id + 1) % 7 ||
+        '.net/next">next site</a></p>' ||
+        CASE WHEN doc_id % 7 % 2 = 0 THEN
+          '<p><a href="https://www.site' || (doc_id + 2) % 7 ||
+          '.net/skip">skip ahead</a></p>' ELSE '' END ||
+        '<p><a href="https://hub.example.com/dir">hub directory</a></p>' ||
+        CASE WHEN doc_id % 5 = 1 THEN
+          '<p><a href="https://ads.badsite.net/click">ad</a></p>'
+        ELSE '' END ||
+        '</body></html>' AS markup,
+        'https://www.site' || doc_id % 7 || '.net/doc/' || doc_id
+          AS page_url
+      FROM documents),
+    c AS (
+      SELECT doc_id, page_url,
+             regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d),
+    aa AS (
+      SELECT doc_id, page_url,
+             regexp_extract_all(m, '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 0)
+               AS anchors
+      FROM c),
+    ax AS (
+      SELECT doc_id, page_url, anchors,
+             unnest(generate_series(1, len(anchors))) AS pos
+      FROM aa),
+    a2 AS (
+      SELECT doc_id, page_url,
+        regexp_extract(anchors[CAST(pos AS INTEGER)],
+          '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 1) AS attrs
+      FROM ax),
+    a3 AS (
+      SELECT doc_id, page_url,
+        CASE WHEN regexp_extract(attrs,
+               '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+          THEN regexp_extract(attrs, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+          ELSE regexp_extract(attrs, '(?i)href\\s*=\\s*''([^'']*)''', 1)
+        END AS href
+      FROM a2),
+    lnk AS (SELECT doc_id, page_url, href FROM a3 WHERE href <> ''),
+    hu AS (
+      SELECT ${hostOfSql("page_url")} AS hsrc,
+             ${hostOfSql("href")} AS hdst
+      FROM lnk),
+    ed0 AS (
+      SELECT nullif(${pslCaseSql("hsrc")}, '') AS u,
+             nullif(${pslCaseSql("hdst")}, '') AS v
+      FROM hu),
+    edges AS (
+      SELECT DISTINCT u, v FROM ed0
+      WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    p0 AS (SELECT u AS domain, deg,
+                  1000000000000 // (SELECT n FROM nn) AS pr
+           FROM deg),${iter("p0", "p1", "c1")},${iter("p1", "p2", "c2")},${iter("p2", "p3", "c3")}
+    SELECT domain, deg, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY domain"""
+  }
+
+  /** Mirrors Queries.curationChainGate: the full crawl-curation chain —
+    * plant (mirrored/truncated body + chrome paragraphs + per-class
+    * URI) → q145 extraction with newline block joins → default-rule
+    * domain blocklist → q147 language-ID routing (keep en/it) → q148
+    * frequent-line removal over the routed survivors → exact dedup →
+    * per-source 40% token budget — reduced to the 7-row funnel. The
+    * WET stage is an identity on the planted docs (q150 proves the
+    * framing), so the oracle starts from the documents table.
+    */
+  val curationChain: String = {
+    def visible(x: String) =
+      "trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+        ", '\\s+', ' ', 'g'))"
+    val anchor = visible(
+      "coalesce(array_to_string(regexp_extract_all(blk, " +
+        "'(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2), ' '), '')")
+    def nrm(x: String) =
+      s"trim(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+    def ntoks(x: String) =
+      s"CAST(len(list_filter(string_split(${nrm(x)}, ' '), " +
+        "t -> t <> '')) AS BIGINT)"
+    val langs = Seq("en", "de", "es", "fr", "it", "pt", "nl", "zh")
+    val p = Seq(37, 41, 43, 47, 53, 59, 61, 67)
+    val q = Seq(5, 11, 17, 2, 8, 19, 3, 13)
+    val zCols = langs.indices.map(k =>
+      s"CAST(sum(mod(bk * ${p(k)} + ${q(k)}, 21) - 10) AS BIGINT) AS z$k")
+      .mkString(",\n             ")
+    val zbest = "greatest(" + langs.indices.map(k => s"z$k")
+      .mkString(", ") + ")"
+    val predCase = langs.indices.map(k =>
+      s"WHEN z$k = $zbest THEN '${langs(k)}'").mkString(" ")
+    val keepRule = "len(btext) >= 25 AND len(ltext) * 100 <= len(btext) * 33"
+    s"""
+    WITH base AS (
+      SELECT d.doc_id, d.source, coalesce(r.text, '') AS bt
+      FROM documents d
+      JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 10),
+    tsel AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 7 = 0 THEN substring(bt, 1, 60) ELSE bt END AS t
+      FROM base),
+    m0 AS (
+      SELECT doc_id, source,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><script type="text/javascript">var id=' || doc_id ||
+        ';</script></head><body>' ||
+        '<nav><a href="/">home</a> <a href="/about">about</a> ' ||
+        '<a href="/contact">contact</a></nav>' ||
+        '<h1>Document ' || doc_id || '</h1><p>' ||
+        substring(t, 1, CAST(floor(len(t) / 2) AS INTEGER)) ||
+        '</p><p>' ||
+        substring(t, CAST(floor(len(t) / 2) AS INTEGER) + 1, len(t)) ||
+        ' and further details</p>' ||
+        CASE WHEN doc_id % 2 = 0 THEN
+          '<p>Subscribe to our newsletter for the best weekly updates' ||
+          ' today</p>' ELSE '' END ||
+        CASE WHEN doc_id % 3 = 0 THEN
+          '<p>This website uses cookies to improve your browsing' ||
+          ' experience</p>' ELSE '' END ||
+        '<footer><a href="/privacy">privacy</a> ' ||
+        '<a href="/terms">terms</a></footer></body></html>' AS markup,
+        CASE WHEN doc_id % 5 = 1
+          THEN 'https://ads.' || source || '.badsite.net/click?cid='
+            || doc_id
+          ELSE 'https://www.' || source || '.example.com/doc/' || doc_id
+        END AS uri
+      FROM tsel),
+    cx AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(markup,
+        '(?is)<script(\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+        '(?is)<style(\\s[^>]*)?>.*?</style\\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM m0),
+    bx AS (
+      SELECT doc_id, regexp_split_to_array(m,
+        '(?i)</?(?:html|head|body|title|p|div|li|ul|ol|h[1-6]|t[dhr]|table|section|article|header|footer|nav|blockquote|form|aside|main|br)(\\s[^>]*)?/?>')
+        AS blocks
+      FROM cx),
+    tx AS (
+      SELECT doc_id, unnest(blocks) AS blk,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM bx),
+    vx AS (
+      SELECT doc_id, pos, ${visible("blk")} AS btext, $anchor AS ltext
+      FROM tx),
+    ex AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN $keepRule THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN $keepRule THEN btext END,
+               chr(10) ORDER BY pos), '') AS main_text
+      FROM vx GROUP BY doc_id),
+    ux AS (
+      SELECT doc_id,
+        regexp_extract(lower(regexp_extract(uri, '^https://([^/]*)', 1)),
+          '([^.]+\\.[^.]+)$$', 1) AS domain
+      FROM m0),
+    nmx AS (SELECT doc_id, ${nrm("main_text")} AS nm FROM ex),
+    g0x AS (
+      SELECT doc_id, nm, unnest(generate_series(1, len(nm) - 2)) AS i
+      FROM nmx),
+    gx AS (
+      SELECT doc_id, substring(nm, CAST(i AS INTEGER), 3) AS gr FROM g0x),
+    bkx AS (SELECT doc_id, mod(${hash60("gr")}, 64) AS bk FROM gx),
+    zx AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             $zCols
+      FROM bkx GROUP BY doc_id),
+    lgx AS (
+      SELECT e.doc_id,
+             CASE WHEN coalesce(z.n_grams, 0) > 0
+               THEN CASE $predCase END
+               ELSE 'unknown' END AS pred
+      FROM ex e LEFT JOIN zx z USING (doc_id)),
+    flags1 AS (
+      SELECT e.doc_id, e.main_text,
+             (e.n_kept > 0) AS s1,
+             (e.n_kept > 0 AND u.domain <> 'badsite.net') AS s2,
+             (e.n_kept > 0 AND u.domain <> 'badsite.net'
+               AND l.pred IN ('en', 'it')) AS s3
+      FROM ex e JOIN ux u USING (doc_id) JOIN lgx l USING (doc_id)),
+    bl0 AS (
+      SELECT doc_id, string_split(main_text, chr(10)) AS parts
+      FROM flags1 WHERE s3),
+    bl1 AS (
+      SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS pos
+      FROM bl0),
+    bl2 AS (
+      SELECT doc_id, pos, trim(parts[CAST(pos AS INTEGER)]) AS ln
+      FROM bl1),
+    blnb AS (SELECT doc_id, pos, ln FROM bl2 WHERE ln <> ''),
+    blrm AS (
+      SELECT ln FROM (SELECT DISTINCT doc_id, ln FROM blnb)
+      GROUP BY ln HAVING count(*) >= 10),
+    blk2 AS (
+      SELECT n.doc_id, n.pos, n.ln, r.ln IS NOT NULL AS rmv
+      FROM blnb n LEFT JOIN blrm r USING (ln)),
+    blagg AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT rmv THEN ln END, chr(10)
+               ORDER BY pos), '') AS text_clean
+      FROM blk2 GROUP BY 1),
+    cleaned AS (
+      SELECT f.doc_id, coalesce(b.text_clean, '') AS text_clean
+      FROM flags1 f LEFT JOIN blagg b USING (doc_id)
+      WHERE f.s3),
+    surv AS (
+      SELECT c.doc_id,
+             md5(${nrm("c.text_clean")}) AS fp,
+             ${ntoks("c.text_clean")} AS n_tokens
+      FROM cleaned c WHERE c.text_clean <> ''),
+    dd2 AS (
+      SELECT doc_id, n_tokens,
+             min(doc_id) OVER (PARTITION BY fp) AS rep_id
+      FROM surv),
+    repsx AS (
+      SELECT d2.doc_id, d2.n_tokens, dc.source
+      FROM dd2 d2 JOIN documents dc USING (doc_id)
+      WHERE d2.doc_id = d2.rep_id),
+    admx AS (
+      SELECT doc_id,
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10
+               <= (sum(n_tokens) OVER (PARTITION BY source)) * 4
+               AS admitted
+      FROM repsx),
+    perdoc AS (
+      SELECT f.doc_id, TRUE AS s0, f.s1, f.s2, f.s3,
+             s.doc_id IS NOT NULL AS s4,
+             r.doc_id IS NOT NULL AS s5,
+             coalesce(a2.admitted, FALSE) AS s6,
+             s.n_tokens
+      FROM flags1 f
+      LEFT JOIN surv s USING (doc_id)
+      LEFT JOIN repsx r USING (doc_id)
+      LEFT JOIN admx a2 USING (doc_id)),
+    aggx AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(CASE WHEN s0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+             CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS k5,
+             CAST(sum(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS k6,
+             CAST(sum(CASE WHEN s4 THEN n_tokens END) AS BIGINT) AS tok4,
+             CAST(sum(CASE WHEN s5 THEN n_tokens END) AS BIGINT) AS tok5,
+             CAST(sum(CASE WHEN s6 THEN n_tokens END) AS BIGINT) AS tok6
+      FROM perdoc)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_ord, 'wet' AS stage,
+             n_in AS docs_in, k0 AS docs_out,
+             CAST(NULL AS BIGINT) AS tokens_out FROM aggx
+      UNION ALL SELECT CAST(1 AS BIGINT), 'extract', k0, k1,
+        CAST(NULL AS BIGINT) FROM aggx
+      UNION ALL SELECT CAST(2 AS BIGINT), 'url', k1, k2,
+        CAST(NULL AS BIGINT) FROM aggx
+      UNION ALL SELECT CAST(3 AS BIGINT), 'lang', k2, k3,
+        CAST(NULL AS BIGINT) FROM aggx
+      UNION ALL SELECT CAST(4 AS BIGINT), 'boilerplate', k3, k4, tok4
+        FROM aggx
+      UNION ALL SELECT CAST(5 AS BIGINT), 'dedup', k4, k5, tok5 FROM aggx
+      UNION ALL SELECT CAST(6 AS BIGINT), 'budget', k5, k6, tok6
+        FROM aggx)
+    ORDER BY stage_ord"""
+  }
+
   /** Mirrors Queries.pslDomainsGate: the five planted ccSLD URL shapes
     * through the shared canonicalization chain, then the PSL
     * registered-domain rule (longest-suffix-wins over the IN-lists
@@ -4024,7 +4344,9 @@ object Oracles {
     "q149_link_graph" -> linkGraph,
     "q150_wet_roundtrip" -> wetRoundTrip,
     "q151_curation_pipeline" -> curation,
-    "q152_psl_domains" -> pslDomains)
+    "q152_psl_domains" -> pslDomains,
+    "q153_curation_chain" -> curationChain,
+    "q154_domain_rank" -> domainRank)
 }
 
 /** Holder split out so the oracle text initializes before

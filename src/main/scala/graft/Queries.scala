@@ -3377,6 +3377,222 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q154: domain-authority PageRank — q149's outlink extraction and
+    * q152's registered-domain keys finally meeting q121's all-integer
+    * PageRank: planted pages on a 7-domain ring (`siteK.net` links
+    * `site(K+1).net`, even K adds a `site(K+2).net` skip edge — the
+    * asymmetry that makes authority non-uniform), every page links the
+    * `example.com` hub and some link `badsite.net`. Host-level edges =
+    * DISTINCT (page domain, href domain) pairs through
+    * [[graft.operators.Html.extractLinks]] →
+    * [[graft.operators.PublicSuffix.registeredDomain]]; self-citations
+    * and NULL domains drop; [[graft.operators.Cluster.pagerankInt]]
+    * runs 3 integer iterations. Pure sinks (the hub, the ad domain)
+    * have no out-degree and are absent from the ranking —
+    * `pagerankInt`'s documented truncation. This is the
+    * CommonCrawl-style domain-authority prior a quality mixer
+    * consumes; the oracle unrolls the identical three iterations over
+    * the identically extracted edges.
+    *
+    * Scale shape: extraction + domain keying are map-only; the edge
+    * set is DISTINCT domain pairs (web-graph-sized, not corpus-sized);
+    * each iteration is one edge⋈rank join keyed by domain.
+    */
+  def domainRankGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val k = pmod(col("doc_id"), lit(7))
+    val k1 = pmod(col("doc_id") + 1, lit(7))
+    val k2 = pmod(col("doc_id") + 2, lit(7))
+    val markup = concat(
+      lit("<html><body><p><a href=\"https://www.site"), k1.cast("string"),
+      lit(".net/next\">next site</a></p>"),
+      when(pmod(k, lit(2)) === 0, concat(
+        lit("<p><a href=\"https://www.site"), k2.cast("string"),
+        lit(".net/skip\">skip ahead</a></p>"))).otherwise(lit("")),
+      lit("<p><a href=\"https://hub.example.com/dir\">hub directory</a>" +
+        "</p>"),
+      when(pmod(col("doc_id"), lit(5)) === 1,
+        lit("<p><a href=\"https://ads.badsite.net/click\">ad</a></p>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val pageUrl = concat(lit("https://www.site"), k.cast("string"),
+      lit(".net/doc/"), col("doc_id").cast("string"))
+    val pages = docs.select(col("doc_id"), pageUrl.as("page_url"),
+      markup.as("markup"))
+    val links = graft.operators.Html.extractLinks(pages, "markup", "doc_id")
+    val edges = links
+      .join(pages.select(col("doc_id"),
+        nullif(graft.operators.PublicSuffix
+          .registeredDomain(col("page_url")), lit("")).as("u")),
+        Seq("doc_id"))
+      .select(col("u"),
+        nullif(graft.operators.PublicSuffix.registeredDomain(col("href")),
+          lit("")).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    graft.operators.Cluster.pagerankInt(edges, "u", "v", iters = 3)
+      .select(col("doc_id").as("domain"), col("deg"), col("pr"))
+      .orderBy(col("domain"))
+  }
+
+  /** q153: the WHOLE crawl-curation chain in ONE dataflow — the
+    * composition proof that the round-14/15 operators work as a
+    * pipeline, not just one at a time: WET interchange (q150) →
+    * main-content extraction (q145, `blockSep = "\n"` so kept blocks
+    * become boilerplate-candidate lines) → PSL domain blocklist
+    * (q146/q152) → language-ID routing (q147, keep {en, it} — the
+    * frozen stand-in model's majority classes) → cross-corpus
+    * frequent-line boilerplate removal over the routed survivors
+    * (q148, minDocs = 10; the planted newsletter/cookie chrome
+    * paragraphs survive per-doc extraction and ONLY the corpus-level
+    * stage can remove them) → exact dedup among the cleaned survivors
+    * (mirror groups collapse to their min-id rep once chrome
+    * divergence is stripped) → per-source 40% token budget (q96's
+    * rule, doc_id order). Output is the q83-style FUNNEL: one row per
+    * stage with docs_in/docs_out (+ tokens_out where tokens exist), so
+    * any stage diverging anywhere flips a count and the hash.
+    *
+    * Scale shape: the chain materializes NOTHING between stages — WET
+    * scan → map-only extract/canonize/langid → one line-keyed exchange
+    * (boilerplate df) → one fp-keyed exchange (dedup) → one
+    * source-keyed running sum (budget); the funnel is a single
+    *7-row aggregate at the end.
+    */
+  def curationChainGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs0 = Tables.documents(s, dir)
+    val id = col("doc_id").cast("string")
+    val picked = docs0
+      .select((col("doc_id") - pmod(col("doc_id"), lit(10))).as("__b"),
+        col("doc_id"), col("source"))
+      .join(docs0.select(col("doc_id").as("__b"),
+        coalesce(col("text"), lit("")).as("__t")), Seq("__b"))
+    val t = when(pmod(col("doc_id"), lit(7)) === 0,
+      col("__t").substr(lit(1), lit(60))).otherwise(col("__t"))
+    val half = (length(t) / lit(2)).cast("int")
+    val markup = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script type=\"text/javascript\">var id="), id,
+      lit(";</script></head><body>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+        "<a href=\"/contact\">contact</a></nav>" +
+        "<h1>Document "), id, lit("</h1><p>"),
+      t.substr(lit(1), half), lit("</p><p>"),
+      t.substr(half + lit(1), length(t)),
+      lit(" and further details</p>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("<p>Subscribe to our newsletter for the best weekly updates" +
+          " today</p>")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<p>This website uses cookies to improve your browsing" +
+          " experience</p>")).otherwise(lit("")),
+      lit("<footer><a href=\"/privacy\">privacy</a> " +
+        "<a href=\"/terms\">terms</a></footer></body></html>"))
+    val uri = when(pmod(col("doc_id"), lit(5)) === 1,
+      concat(lit("https://ads."), col("source"),
+        lit(".badsite.net/click?cid="), id))
+      .otherwise(concat(lit("https://www."), col("source"),
+        lit(".example.com/doc/"), id))
+    val rendered = picked.select(col("doc_id"),
+      markup.as("wet_text"), uri.as("uri"))
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val mk = graft.util.OperatorCaches.mark()
+    try {
+      graft.io.Wet.toRecords(rendered, "wet_text", "uri").coalesce(1)
+        .write.mode("overwrite")
+        .option("lineSep", graft.io.Wet.RecordSeparator).text(s"$path/wet")
+      val read = graft.io.Wet.read(s, s"$path/wet")
+        .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("target_uri"), col("payload"), col("length_ok"))
+      val main = graft.operators.Html.extractMain(
+        read, "payload", "doc_id", blockSep = "\n")
+      val block = Seq("badsite.net").toDF("__bd")
+      val chain1 = read
+        .join(main, Seq("doc_id"))
+        .withColumn("domain", nullif(graft.operators.PublicSuffix
+          .registeredDomain(col("target_uri")), lit("")))
+        .join(broadcast(block.withColumn("__blocked", lit(true))),
+          col("domain") === col("__bd"), "left")
+        .withColumn("s0", col("length_ok"))
+        .withColumn("s1", col("s0") && col("n_kept") > 0)
+        .withColumn("s2", col("s1") && col("__blocked").isNull)
+      val lang = graft.operators.LangId.scoreDocs(
+        chain1.select(col("doc_id"), col("main_text")),
+        "main_text", "doc_id")
+        .select(col("doc_id"), col("lang_pred"))
+      val chain2 = chain1.join(lang, Seq("doc_id"))
+        .withColumn("s3", col("s2") && col("lang_pred").isin("en", "it"))
+      // corpus-level boilerplate df counts over the ROUTED survivors
+      // only — pipeline order is part of the semantics
+      val boiled = graft.operators.Boilerplate.removeFrequentLines(
+        chain2.filter(col("s3"))
+          .select(col("doc_id"), col("main_text")),
+        "main_text", "doc_id", minDocs = 10L)
+        .withColumn("n_tokens",
+          size(filter(TextFunctions.tokens(col("text_clean")),
+            x => x =!= "")).cast("long"))
+      val survivors = boiled.filter(col("text_clean") =!= "")
+        .withColumn("fp", TextFunctions.fingerprint(col("text_clean")))
+        .withColumn("rep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      val reps = survivors.filter(col("doc_id") === col("rep_id"))
+        .join(docs0.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // per-source totals two-phase + broadcast back (the q146 skew
+      // discipline); the running sum is an ordered prefix window
+      val srcTot = reps.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("__srcTok"))
+        .withColumnRenamed("source", "__cs")
+      val admitted = reps
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(srcTot), col("source") === col("__cs"))
+        .withColumn("adm", col("cum") * 10 <= col("__srcTok") * 4)
+      val perDoc = chain2
+        .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"))
+        .join(boiled.select(col("doc_id"),
+          (col("text_clean") =!= "").as("s4b"), col("n_tokens")),
+          Seq("doc_id"), "left")
+        .join(admitted.select(col("doc_id"), lit(true).as("s5b"),
+          col("adm").as("s6b")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+          coalesce(col("s4b"), lit(false)).as("s4"),
+          coalesce(col("s5b"), lit(false)).as("s5"),
+          coalesce(col("s6b"), lit(false)).as("s6"),
+          col("n_tokens"))
+      val a = perDoc.agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("s0"), 1L).otherwise(0L)).as("k0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("k2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("k3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("k4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("k5"),
+        sum(when(col("s6"), 1L).otherwise(0L)).as("k6"),
+        sum(when(col("s4"), col("n_tokens"))).as("tok4"),
+        sum(when(col("s5"), col("n_tokens"))).as("tok5"),
+        sum(when(col("s6"), col("n_tokens"))).as("tok6"))
+      val out = a.selectExpr(
+        """stack(7,
+           CAST(0 AS BIGINT), 'wet',         n_in, k0, CAST(NULL AS BIGINT),
+           CAST(1 AS BIGINT), 'extract',     k0,   k1, CAST(NULL AS BIGINT),
+           CAST(2 AS BIGINT), 'url',         k1,   k2, CAST(NULL AS BIGINT),
+           CAST(3 AS BIGINT), 'lang',        k2,   k3, CAST(NULL AS BIGINT),
+           CAST(4 AS BIGINT), 'boilerplate', k3,   k4, tok4,
+           CAST(5 AS BIGINT), 'dedup',       k4,   k5, tok5,
+           CAST(6 AS BIGINT), 'budget',      k5,   k6, tok6)
+           AS (stage_ord, stage, docs_in, docs_out, tokens_out)""")
+        .orderBy(col("stage_ord"))
+        .localCheckpoint(true) // terminal action: temp dir + caches freed
+      graft.util.OperatorCaches.releaseSince(s, mk)
+      out
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
   /** q152: public-suffix registered domains — q146's blocklist/rollup
     * re-keyed through [[graft.operators.PublicSuffix]]'s offline PSL
     * snapshot. The two-label heuristic conflates every ccSLD

@@ -121,14 +121,18 @@ object Html {
     * link density (anchor chars · 100 / text chars) is at most
     * `maxLinkDensityPct` — the jusText short/link-heavy boilerplate
     * rule. Output: (`idCol`, n_blocks [blocks with any visible text],
-    * n_kept, main_text [kept blocks in document order, space-joined]).
+    * n_kept, main_text [kept blocks in document order, joined with
+    * `blockSep`]). Pass `blockSep = "\n"` to keep block boundaries as
+    * lines — the shape [[Boilerplate.removeFrequentLines]] consumes
+    * (each kept block becomes one candidate boilerplate line).
     */
   def extractMain(
       docs: DataFrame,
       markupCol: String,
       idCol: String,
       minTextChars: Int = 25,
-      maxLinkDensityPct: Int = 33): DataFrame = {
+      maxLinkDensityPct: Int = 33,
+      blockSep: String = " "): DataFrame = {
     require(minTextChars >= 1, "extractMain: minTextChars must be >= 1")
     require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
       "extractMain: maxLinkDensityPct must be in [0, 100]")
@@ -147,6 +151,6 @@ object Html {
     docs.select(col(idCol),
       size(filter(btexts, t => length(t) > 0)).cast("long").as("n_blocks"),
       size(filter(kept, t => t.isNotNull)).cast("long").as("n_kept"),
-      array_join(filter(kept, t => t.isNotNull), " ").as("main_text"))
+      array_join(filter(kept, t => t.isNotNull), blockSep).as("main_text"))
   }
 }
