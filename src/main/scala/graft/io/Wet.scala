@@ -53,11 +53,37 @@ object Wet {
         classOf[LongWritable], classOf[Text], conf)
       .map { case (_, t) => t.toString }
     import spark.implicits._
-    val raw = spark.createDataset(rdd).toDF("rec")
+    parseRecords(spark.createDataset(rdd).toDF("rec"), "rec")
+  }
+
+  /** STREAMING twin of [[read]]: the text file source with the record
+    * head as `lineSep` — byte-for-byte the same framing as the batch
+    * Hadoop reader (both run the delimiter through
+    * HadoopFileLinesReader, so records still straddle split boundaries
+    * safely and `.wet.gz` members stay transparent), plus the file
+    * source's `maxFilesPerTrigger` backpressure. Feed the result to a
+    * `foreachBatch` sink ([[graft.streaming.CurationStream]]).
+    */
+  def readStream(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    parseRecords(
+      spark.readStream
+        .option("lineSep", RecordDelimiter)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .option("pathGlobFilter", "*.wet*")
+        .text(path),
+      "value")
+
+  /** Record framing → columns, shared by the batch and streaming
+    * readers: `recCol` holds one delimiter-framed record per row.
+    */
+  def parseRecords(raw: DataFrame, recCol: String): DataFrame = {
     // the FIRST record of each file keeps its "WARC/1.0\r\n" head (it
     // has no preceding delimiter); later records had it consumed
-    val body = when(col("rec").startsWith("WARC/1.0\r\n"),
-      expr("substring(rec, 11)")).otherwise(col("rec"))
+    val body = when(col(recCol).startsWith("WARC/1.0\r\n"),
+      substring(col(recCol), 11, Int.MaxValue)).otherwise(col(recCol))
     // header block = up to the first blank line; payload = the rest.
     // The file's final record keeps its trailing record separator —
     // strip trailing CRLF runs (payloads are CR-free by the WET

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.io.Wet
+import graft.operators.{Dedup, Html, LangId, PublicSuffix}
+
+/** Streaming crawl-curation ingest — the q153 chain run as a STREAM:
+  * `.wet(.gz)` files arrive through the file source's
+  * `maxFilesPerTrigger` backpressure ([[graft.io.Wet.readStream]] —
+  * the same split-safe record framing as the batch reader), and each
+  * micro-batch flows through extract → language routing → persisted
+  * exact dedup → persisted per-domain token budget in ONE
+  * `foreachBatch`, with every store self-maintaining (`compactEvery`
+  * folds segments between epochs, then the purge reclaims crash
+  * debris).
+  *
+  * Replay contract (the store-family discipline throughout): the
+  * dedup store segment and the budget meter segment are keyed by the
+  * micro-batch id and read strictly-older history only, and the
+  * decision output lands under `outDir/batch=<id>` with overwrite —
+  * a replayed epoch re-derives byte-identical decisions and rewrites
+  * only itself.
+  *
+  * At 100 TB: WET parsing/extraction/langid are map-only on the file
+  * scan; the dedup anti-join reads the compacted store co-located; the
+  * budget meter is |domains|-sized and broadcasts; per-epoch state
+  * growth is one fingerprint segment + one meter row set.
+  */
+class CurationStream(
+    spark: SparkSession,
+    dedupStoreDir: String,
+    budgetStateDir: String,
+    outDir: String,
+    budget: Long,
+    keepLangs: Seq[String] = Seq("en", "it"),
+    compactEvery: Int = 0) {
+
+  /** One micro-batch of parsed WET records → curation decisions.
+    * Exposed for direct replay testing; [[start]] wires it to the
+    * stream. `doc_id` = trailing digits of the target URI; `source` =
+    * the URI's PSL registered domain (the budget is a per-domain cap).
+    */
+  def processBatch(records: DataFrame, id: Long): DataFrame = {
+    val docs = records
+      .filter(col("length_ok"))
+      .select(
+        regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        coalesce(nullif(
+          PublicSuffix.registeredDomain(col("target_uri")), lit("")),
+          lit("unknown")).as("source"),
+        col("payload"))
+      .filter(col("doc_id").isNotNull)
+    val main = Html.extractMain(docs, "payload", "doc_id", blockSep = "\n")
+    val routed = docs.select(col("doc_id"), col("source"))
+      .join(main, Seq("doc_id"))
+      .join(LangId.scoreDocs(main, "main_text", "doc_id")
+        .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      .filter(col("n_kept") > 0 && col("lang_pred").isin(keepLangs: _*))
+    val fresh = Dedup.dedupeStreamStaged(
+      routed, dedupStoreDir, "main_text", "doc_id", id)
+    BudgetStream.admitStaged(
+      fresh, budgetStateDir, "main_text", "doc_id", "source", budget, id)
+  }
+
+  /** foreachBatch adapter (direct use:
+    * `Wet.readStream(...).writeStream.foreachBatch(cs.sink()).start()`).
+    */
+  def sink(): (DataFrame, Long) => Unit = (records, id) => {
+    processBatch(records, id)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+      Dedup.FingerprintStore.compact(records.sparkSession, dedupStoreDir,
+        buckets = 16, keepNewestSegments = 1)
+      Dedup.FingerprintStore.purgeSuperseded(
+        records.sparkSession, dedupStoreDir)
+      BudgetStream.compact(records.sparkSession, budgetStateDir,
+        keepNewestSegments = 1)
+      BudgetStream.purgeSuperseded(records.sparkSession, budgetStateDir)
+      ()
+    }
+  }
+
+  /** Start the checkpointed stream over a watched .wet directory. */
+  def start(
+      wetDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    Wet.readStream(spark, wetDir, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) => sink()(df, id) }
+      .start()
+
+  /** All decisions so far (hive-discovers the `batch` column). */
+  def decisions(): DataFrame = spark.read.parquet(outDir)
+}
