@@ -2694,22 +2694,23 @@ object Oracles {
              CAST(sum(CASE WHEN s5 THEN n_tokens END) AS BIGINT) AS tok5,
              CAST(sum(CASE WHEN s6 THEN n_tokens END) AS BIGINT) AS tok6
       FROM perdoc)
-    SELECT * FROM (
-      SELECT CAST(0 AS BIGINT) AS stage_ord, 'wet' AS stage,
-             n_in AS docs_in, k0 AS docs_out,
-             CAST(NULL AS BIGINT) AS tokens_out FROM aggx
-      UNION ALL SELECT CAST(1 AS BIGINT), 'extract', k0, k1,
-        CAST(NULL AS BIGINT) FROM aggx
-      UNION ALL SELECT CAST(2 AS BIGINT), 'url', k1, k2,
-        CAST(NULL AS BIGINT) FROM aggx
-      UNION ALL SELECT CAST(3 AS BIGINT), 'lang', k2, k3,
-        CAST(NULL AS BIGINT) FROM aggx
-      UNION ALL SELECT CAST(4 AS BIGINT), 'boilerplate', k3, k4, tok4
-        FROM aggx
-      UNION ALL SELECT CAST(5 AS BIGINT), 'dedup', k4, k5, tok5 FROM aggx
-      UNION ALL SELECT CAST(6 AS BIGINT), 'budget', k5, k6, tok6
-        FROM aggx)
-    ORDER BY stage_ord"""
+    SELECT st.stage_ord, st.stage,
+           CASE st.stage_ord WHEN 0 THEN a.n_in WHEN 1 THEN a.k0
+             WHEN 2 THEN a.k1 WHEN 3 THEN a.k2 WHEN 4 THEN a.k3
+             WHEN 5 THEN a.k4 ELSE a.k5 END AS docs_in,
+           CASE st.stage_ord WHEN 0 THEN a.k0 WHEN 1 THEN a.k1
+             WHEN 2 THEN a.k2 WHEN 3 THEN a.k3 WHEN 4 THEN a.k4
+             WHEN 5 THEN a.k5 ELSE a.k6 END AS docs_out,
+           CASE st.stage_ord WHEN 4 THEN a.tok4 WHEN 5 THEN a.tok5
+             WHEN 6 THEN a.tok6 END AS tokens_out
+    FROM (VALUES (CAST(0 AS BIGINT), 'wet'), (1, 'extract'), (2, 'url'),
+                 (3, 'lang'), (4, 'boilerplate'), (5, 'dedup'),
+                 (6, 'budget')) AS st(stage_ord, stage)
+    CROSS JOIN aggx a
+    ORDER BY st.stage_ord"""
+    // single aggx reference: a 7-branch UNION ALL made DuckDB inline
+    // (and re-execute) the whole upstream pipeline once per stage row —
+    // 7x the runtime and an OOM at sf0.1
   }
 
   /** Mirrors Queries.pslDomainsGate: the five planted ccSLD URL shapes
