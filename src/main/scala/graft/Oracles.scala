@@ -2501,6 +2501,37 @@ object Oracles {
     SELECT domain, deg, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY domain"""
   }
 
+  /** Mirrors Queries.pslDomainCapGate: the planted ccSLD URLs, the PSL
+    * registered-domain key (shared suffix Seqs), then q135's
+    * row_number cap per domain (NULL domain = one capped group).
+    */
+  // lazy: qualitySignalCte is declared later in this object; a strict
+  // val here would interpolate it before initialization
+  lazy val pslDomainCaps: String = s"""
+    WITH $qualitySignalCte,
+    du AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'https://a.shop.co.uk/d/' || doc_id
+          WHEN 1 THEN 'https://b.news' || source || '.co.uk/d/' || doc_id
+          WHEN 2 THEN 'https://www.example' || source || '.com/d/'
+            || doc_id
+          ELSE 'https://co.uk/'
+        END AS url
+      FROM documents),
+    hx AS (SELECT doc_id, ${hostOfSql("url")} AS h FROM du),
+    dx AS (SELECT doc_id, nullif(${pslCaseSql("h")}, '') AS domain
+           FROM hx),
+    r AS (
+      SELECT s.doc_id, d.domain, s.n_tokens, s.zn,
+             row_number() OVER (PARTITION BY d.domain
+               ORDER BY s.quality DESC NULLS LAST, s.doc_id ASC) AS rk
+      FROM sig s JOIN dx d USING (doc_id))
+    SELECT doc_id, domain, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(zn, 0) AS BIGINT) AS zn, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 15
+    ORDER BY domain, rk"""
+
   /** Mirrors Queries.curationChainGate: the full crawl-curation chain —
     * plant (mirrored/truncated body + chrome paragraphs + per-class
     * URI) → q145 extraction with newline block joins → default-rule
@@ -4347,7 +4378,8 @@ object Oracles {
     "q151_curation_pipeline" -> curation,
     "q152_psl_domains" -> pslDomains,
     "q153_curation_chain" -> curationChain,
-    "q154_domain_rank" -> domainRank)
+    "q154_domain_rank" -> domainRank,
+    "q155_psl_domain_caps" -> pslDomainCaps)
 }
 
 /** Holder split out so the oracle text initializes before

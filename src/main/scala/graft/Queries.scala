@@ -3377,6 +3377,40 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q155: PSL-keyed domain caps — q135's per-group quality cap
+    * re-keyed by the PUBLIC-SUFFIX registered domain, the fix for the
+    * failure VERDICT r14 called out: under two-label keying every
+    * planted .co.uk registrant merges into ONE "co.uk" cap (all of
+    * British retail throttled as one domain); under
+    * [[graft.operators.PublicSuffix]] keys, `shop.co.uk` (one big
+    * multi-source domain — the cap bites hard) and each
+    * `news<src>.co.uk` registrant cap independently. Docs with no
+    * registrable part (bare public suffix) form the NULL group, capped
+    * as one (documented: "no domain" is itself a cap bucket, not a
+    * bypass). Same WindowGroupLimit shape as q135 — map-side per-group
+    * truncation before the exchange.
+    */
+  def pslDomainCapGate(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val id = col("doc_id").cast("string")
+    val url = when(m === 0, concat(lit("https://a.shop.co.uk/d/"), id))
+      .when(m === 1, concat(lit("https://b.news"), col("source"),
+        lit(".co.uk/d/"), id))
+      .when(m === 2, concat(lit("https://www.example"), col("source"),
+        lit(".com/d/"), id))
+      .otherwise(lit("https://co.uk/"))
+    val sig = qualitySignal(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        nullif(graft.operators.PublicSuffix.registeredDomain(url), lit(""))
+          .as("domain")), Seq("doc_id"))
+    graft.operators.Sampling
+      .groupCapByScore(sig, col("domain"), col("quality"),
+        col("doc_id"), cap = 15)
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        coalesce(col("zn"), lit(0L)).as("zn"), col("rk"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
   /** q154: domain-authority PageRank — q149's outlink extraction and
     * q152's registered-domain keys finally meeting q121's all-integer
     * PageRank: planted pages on a 7-domain ring (`siteK.net` links
@@ -3524,17 +3558,25 @@ object Queries {
         chain1.select(col("doc_id"), col("main_text")),
         "main_text", "doc_id")
         .select(col("doc_id"), col("lang_pred"))
-      val chain2 = chain1.join(lang, Seq("doc_id"))
-        .withColumn("s3", col("s2") && col("lang_pred").isin("en", "it"))
+      // persisted: the routed frame feeds BOTH the boilerplate corpus
+      // and the funnel's per-doc flags — unpersisted, each consumer
+      // re-runs the WET scan + extraction + langid regex chain
+      val chain2 = graft.util.OperatorCaches.persisted(
+        chain1.join(lang, Seq("doc_id"))
+          .withColumn("s3",
+            col("s2") && col("lang_pred").isin("en", "it")))
       // corpus-level boilerplate df counts over the ROUTED survivors
       // only — pipeline order is part of the semantics
-      val boiled = graft.operators.Boilerplate.removeFrequentLines(
-        chain2.filter(col("s3"))
-          .select(col("doc_id"), col("main_text")),
-        "main_text", "doc_id", minDocs = 10L)
-        .withColumn("n_tokens",
-          size(filter(TextFunctions.tokens(col("text_clean")),
-            x => x =!= "")).cast("long"))
+      // persisted: the cleaned frame feeds the dedup window, the budget
+      // reps, and the funnel flags
+      val boiled = graft.util.OperatorCaches.persisted(
+        graft.operators.Boilerplate.removeFrequentLines(
+          chain2.filter(col("s3"))
+            .select(col("doc_id"), col("main_text")),
+          "main_text", "doc_id", minDocs = 10L)
+          .withColumn("n_tokens",
+            size(filter(TextFunctions.tokens(col("text_clean")),
+              x => x =!= "")).cast("long")))
       val survivors = boiled.filter(col("text_clean") =!= "")
         .withColumn("fp", TextFunctions.fingerprint(col("text_clean")))
         .withColumn("rep_id",

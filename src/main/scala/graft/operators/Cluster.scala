@@ -228,7 +228,18 @@ object Cluster {
         s.read.parquet(f"$dir/pr_iter_$iter%03d")
       case None => df.localCheckpoint(true)
     }
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // materialize the EDGES once, not just deg: every iteration joins
+    // them, and an unmaterialized lineage re-runs the caller's whole
+    // graph construction (link extraction, dedup, distinct) once per
+    // round — iters× the build cost for zero benefit (the standard
+    // Pregel discipline: the edge list is the loop invariant)
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val e = stagingDir match {
+      case Some(dir) =>
+        e0.write.mode("overwrite").parquet(s"$dir/pr_edges")
+        s.read.parquet(s"$dir/pr_edges")
+      case None => e0.localCheckpoint(true)
+    }
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true) // reused every round; freeze it once
     val n = deg.count()
