@@ -2490,7 +2490,7 @@ object Oracles {
       SELECT nullif(${pslCaseSql("hsrc")}, '') AS u,
              nullif(${pslCaseSql("hdst")}, '') AS v
       FROM hu),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT u, v FROM ed0
       WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
     deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
@@ -2577,7 +2577,7 @@ object Oracles {
       SELECT doc_id, source,
         CASE WHEN doc_id % 7 = 0 THEN substring(bt, 1, 60) ELSE bt END AS t
       FROM base),
-    m0 AS (
+    m0 AS MATERIALIZED (
       SELECT doc_id, source,
         '<html><head><title>Doc ' || doc_id ||
         '</title><script type="text/javascript">var id=' || doc_id ||
@@ -2621,7 +2621,7 @@ object Oracles {
     vx AS (
       SELECT doc_id, pos, ${visible("blk")} AS btext, $anchor AS ltext
       FROM tx),
-    ex AS (
+    ex AS MATERIALIZED (
       SELECT doc_id,
              CAST(sum(CASE WHEN $keepRule THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept,
@@ -2650,7 +2650,7 @@ object Oracles {
                THEN CASE $predCase END
                ELSE 'unknown' END AS pred
       FROM ex e LEFT JOIN zx z USING (doc_id)),
-    flags1 AS (
+    flags1 AS MATERIALIZED (
       SELECT e.doc_id, e.main_text,
              (e.n_kept > 0) AS s1,
              (e.n_kept > 0 AND u.domain <> 'badsite.net') AS s2,
@@ -2682,7 +2682,7 @@ object Oracles {
       SELECT f.doc_id, coalesce(b.text_clean, '') AS text_clean
       FROM flags1 f LEFT JOIN blagg b USING (doc_id)
       WHERE f.s3),
-    surv AS (
+    surv AS MATERIALIZED (
       SELECT c.doc_id,
              md5(${nrm("c.text_clean")}) AS fp,
              ${ntoks("c.text_clean")} AS n_tokens
@@ -2691,7 +2691,7 @@ object Oracles {
       SELECT doc_id, n_tokens,
              min(doc_id) OVER (PARTITION BY fp) AS rep_id
       FROM surv),
-    repsx AS (
+    repsx AS MATERIALIZED (
       SELECT d2.doc_id, d2.n_tokens, dc.source
       FROM dd2 d2 JOIN documents dc USING (doc_id)
       WHERE d2.doc_id = d2.rep_id),
