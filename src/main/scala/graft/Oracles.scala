@@ -2579,6 +2579,10 @@ object Oracles {
       FROM base),
     m0 AS MATERIALIZED (
       SELECT doc_id, source,
+        CASE WHEN doc_id % 11 = 0 THEN
+          '<html><body><nav><a href="/">home</a> ' ||
+          '<a href="/next">next</a></nav></body></html>'
+        ELSE
         '<html><head><title>Doc ' || doc_id ||
         '</title><script type="text/javascript">var id=' || doc_id ||
         ';</script></head><body>' ||
@@ -2596,7 +2600,8 @@ object Oracles {
           '<p>This website uses cookies to improve your browsing' ||
           ' experience</p>' ELSE '' END ||
         '<footer><a href="/privacy">privacy</a> ' ||
-        '<a href="/terms">terms</a></footer></body></html>' AS markup,
+        '<a href="/terms">terms</a></footer></body></html>'
+        END AS markup,
         CASE WHEN doc_id % 5 = 1
           THEN 'https://ads.' || source || '.badsite.net/click?cid='
             || doc_id

@@ -3474,7 +3474,8 @@ object Queries {
     * composition proof that the round-14/15 operators work as a
     * pipeline, not just one at a time: WET interchange (q150) →
     * main-content extraction (q145, `blockSep = "\n"` so kept blocks
-    * become boilerplate-candidate lines) → PSL domain blocklist
+    * become boilerplate-candidate lines; every 11th page is planted
+    * chrome-only and must DROP here) → PSL domain blocklist
     * (q146/q152) → language-ID routing (q147, keep {en, it} — the
     * frozen stand-in model's majority classes) → cross-corpus
     * frequent-line boilerplate removal over the routed survivors
@@ -3506,24 +3507,30 @@ object Queries {
     val t = when(pmod(col("doc_id"), lit(7)) === 0,
       col("__t").substr(lit(1), lit(60))).otherwise(col("__t"))
     val half = (length(t) / lit(2)).cast("int")
-    val markup = concat(
-      lit("<html><head><title>Doc "), id,
-      lit("</title><script type=\"text/javascript\">var id="), id,
-      lit(";</script></head><body>" +
-        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
-        "<a href=\"/contact\">contact</a></nav>" +
-        "<h1>Document "), id, lit("</h1><p>"),
-      t.substr(lit(1), half), lit("</p><p>"),
-      t.substr(half + lit(1), length(t)),
-      lit(" and further details</p>"),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        lit("<p>Subscribe to our newsletter for the best weekly updates" +
-          " today</p>")).otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        lit("<p>This website uses cookies to improve your browsing" +
-          " experience</p>")).otherwise(lit("")),
-      lit("<footer><a href=\"/privacy\">privacy</a> " +
-        "<a href=\"/terms\">terms</a></footer></body></html>"))
+    // every 11th page is chrome-only (nav, no content blocks) — the
+    // extract stage must DROP it (n_kept = 0), so the funnel's extract
+    // row visibly bites instead of passing everything through
+    val markup = when(pmod(col("doc_id"), lit(11)) === 0,
+      lit("<html><body><nav><a href=\"/\">home</a> " +
+        "<a href=\"/next\">next</a></nav></body></html>"))
+      .otherwise(concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script type=\"text/javascript\">var id="), id,
+        lit(";</script></head><body>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/contact\">contact</a></nav>" +
+          "<h1>Document "), id, lit("</h1><p>"),
+        t.substr(lit(1), half), lit("</p><p>"),
+        t.substr(half + lit(1), length(t)),
+        lit(" and further details</p>"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("<p>Subscribe to our newsletter for the best weekly updates" +
+            " today</p>")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<p>This website uses cookies to improve your browsing" +
+            " experience</p>")).otherwise(lit("")),
+        lit("<footer><a href=\"/privacy\">privacy</a> " +
+          "<a href=\"/terms\">terms</a></footer></body></html>")))
     val uri = when(pmod(col("doc_id"), lit(5)) === 1,
       concat(lit("https://ads."), col("source"),
         lit(".badsite.net/click?cid="), id))
