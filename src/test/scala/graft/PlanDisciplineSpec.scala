@@ -117,16 +117,26 @@ class PlanDisciplineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("q146/q149 domain rollups are two-phase aggregates, never windows") {
+  test("q146/q149/q152 domain rollups are two-phase aggregates, never windows") {
     // count-over-Window(domain) lands a mega-domain's rows on ONE task's
     // window buffer (the 100 TB crawl skew shape); the rollup must be a
     // partial-aggregating groupBy + broadcast join back instead
-    for (name <- Seq("q146_url_canonical", "q149_link_graph")) {
+    for (name <- Seq("q146_url_canonical", "q149_link_graph",
+        "q152_psl_domains")) {
       val plan = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"window rollup in $name:\n$plan")
       assert(plan.contains("BroadcastHashJoin"), s"rollup not broadcast in $name")
     }
+  }
+
+  test("q152 suffix probes compile to InSet hash lookups, not OR chains") {
+    // the PSL snapshot is hundreds of literals: membership must be the
+    // O(1) InSet form (codegen hash probe), or every row pays a linear
+    // equality chain on the scan
+    val plan = SparkEntry.queries("q152_psl_domains")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("INSET"), s"no InSet in q152 plan:\n${plan.take(4000)}")
   }
 
   test("q69/q71 are map-only: the lone exchange is the output sort") {
