@@ -2532,6 +2532,128 @@ object Oracles {
     FROM r WHERE rk <= 15
     ORDER BY domain, rk"""
 
+  /** Mirrors Queries.anchorTextGate: planted anchors → extraction →
+    * PSL domain keys → per-(domain, token) counts → top-5 per domain
+    * by (cnt DESC, token ASC) row_number.
+    */
+  val anchorText: String = {
+    def visible(x: String) =
+      "trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+        ", '\\s+', ' ', 'g'))"
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><body><p><a href="https://www.site' || doc_id % 5 ||
+        '.net/x">' ||
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN 'great quality widgets'
+          WHEN 1 THEN 'cheap widgets online'
+          ELSE 'widget reviews &amp; news' END ||
+        '</a></p>' ||
+        CASE WHEN doc_id % 4 = 0 THEN
+          '<p><a href="https://hub.example.com/d">hub directory' ||
+          ' listing</a></p>' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN
+          '<p><a href="not a url">broken link text</a></p>'
+        ELSE '' END ||
+        '</body></html>' AS markup
+      FROM documents),
+    c AS (
+      SELECT doc_id, regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g')
+               AS m
+      FROM d),
+    aa AS (
+      SELECT doc_id,
+             regexp_extract_all(m, '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 0)
+               AS anchors
+      FROM c),
+    ax AS (
+      SELECT doc_id, anchors,
+             unnest(generate_series(1, len(anchors))) AS pos
+      FROM aa),
+    a2 AS (
+      SELECT doc_id,
+        regexp_extract(anchors[CAST(pos AS INTEGER)],
+          '(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 1) AS attrs,
+        ${visible(
+          "regexp_extract(anchors[CAST(pos AS INTEGER)], " +
+            "'(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2)")} AS anchor
+      FROM ax),
+    a3 AS (
+      SELECT doc_id, anchor,
+        CASE WHEN regexp_extract(attrs,
+               '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+          THEN regexp_extract(attrs, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+          ELSE regexp_extract(attrs, '(?i)href\\s*=\\s*''([^'']*)''', 1)
+        END AS href
+      FROM a2),
+    lnk AS (SELECT anchor, href FROM a3 WHERE href <> ''),
+    hx AS (SELECT anchor, ${hostOfSql("href")} AS h FROM lnk),
+    dx AS (SELECT anchor, nullif(${pslCaseSql("h")}, '') AS domain
+           FROM hx),
+    tk AS (
+      SELECT domain, unnest(string_split(lower(anchor), ' ')) AS token
+      FROM dx WHERE domain IS NOT NULL),
+    ct AS (
+      SELECT domain, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tk WHERE token <> '' GROUP BY 1, 2),
+    r AS (
+      SELECT domain, token, cnt,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY cnt DESC, token ASC) AS rk
+      FROM ct)
+    SELECT domain, token, cnt, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    ORDER BY domain, rk"""
+  }
+
+  /** Mirrors Queries.metaRobotsGate / Html.metaRobots: comment strip,
+    * both attribute orderings (case-insensitive), directive tokens
+    * lowered+trimmed for the flags, original-case content preserved.
+    */
+  val metaRobots: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><head>' ||
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+          WHEN 1 THEN '<META CONTENT=''NOFOLLOW'' NAME=''ROBOTS''>'
+          WHEN 2 THEN ''
+          ELSE '<meta name="robots" content="index, follow">'
+        END ||
+        '<meta charset="utf-8">' ||
+        '<meta name="description" content="noindex decoy">' ||
+        CASE WHEN doc_id % 4 = 2 THEN
+          '<!-- <meta name="robots" content="noindex"> -->' ELSE '' END ||
+        '</head><body><p>Doc ' || doc_id || '</p></body></html>' AS markup
+      FROM documents),
+    c AS (
+      SELECT doc_id, regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g')
+               AS m
+      FROM d),
+    x AS (
+      SELECT doc_id,
+        regexp_extract(m, '(?is)<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*>', 1) AS nf,
+        regexp_extract(m, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']robots["''][^>]*>', 1) AS cf
+      FROM c),
+    f AS (
+      SELECT doc_id,
+        nullif(CASE WHEN nf <> '' THEN nf ELSE cf END, '')
+          AS robots_content
+      FROM x)
+    SELECT doc_id, robots_content,
+      coalesce(list_contains(list_transform(
+        string_split(lower(robots_content), ','), t -> trim(t)),
+        'noindex'), FALSE) AS noindex,
+      coalesce(list_contains(list_transform(
+        string_split(lower(robots_content), ','), t -> trim(t)),
+        'nofollow'), FALSE) AS nofollow
+    FROM f ORDER BY doc_id"""
+
   /** Mirrors Queries.curationChainGate: the full crawl-curation chain —
     * plant (mirrored/truncated body + chrome paragraphs + per-class
     * URI) → q145 extraction with newline block joins → default-rule
@@ -4384,7 +4506,9 @@ object Oracles {
     "q152_psl_domains" -> pslDomains,
     "q153_curation_chain" -> curationChain,
     "q154_domain_rank" -> domainRank,
-    "q155_psl_domain_caps" -> pslDomainCaps)
+    "q155_psl_domain_caps" -> pslDomainCaps,
+    "q156_anchor_text" -> anchorText,
+    "q157_meta_robots" -> metaRobots)
 }
 
 /** Holder split out so the oracle text initializes before

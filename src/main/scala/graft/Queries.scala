@@ -3377,6 +3377,84 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q156: anchor-text aggregation per target domain — the
+    * CommonCrawl-style anchor corpus a retrieval/training pipeline
+    * mines ("what does the web CALL this site"): q149's link
+    * extraction → PSL registered-domain keys → anchor tokens → per
+    * (domain, token) counts → top-5 terms per domain
+    * ([[graft.operators.Sampling.groupCapByScore]] — WindowGroupLimit,
+    * map-side per-group truncation). Links with no registrable target
+    * (malformed hrefs) have nothing to aggregate under and drop.
+    * Plants rotate three anchor phrasings per target (entity-bearing
+    * included), a shared hub link, and a malformed href. Scale shape:
+    * extraction + domain keys map-only; one (domain, token)-keyed
+    * partial-aggregating exchange; the rank window truncates map-side.
+    */
+  def anchorTextGate(s: SparkSession, dir: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(5))
+    val m3 = pmod(col("doc_id"), lit(3))
+    val anchor = when(m3 === 0, lit("great quality widgets"))
+      .when(m3 === 1, lit("cheap widgets online"))
+      .otherwise(lit("widget reviews &amp; news"))
+    val markup = concat(
+      lit("<html><body><p><a href=\"https://www.site"), k.cast("string"),
+      lit(".net/x\">"), anchor, lit("</a></p>"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("<p><a href=\"https://hub.example.com/d\">hub directory" +
+          " listing</a></p>")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("<p><a href=\"not a url\">broken link text</a></p>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val links = graft.operators.Html.extractLinks(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id")
+    val terms = links.select(
+        nullif(graft.operators.PublicSuffix.registeredDomain(col("href")),
+          lit("")).as("domain"),
+        explode(TextFunctions.tokens(col("anchor"))).as("token"))
+      .filter(col("domain").isNotNull && col("token") =!= "")
+      .groupBy(col("domain"), col("token")).agg(count(lit(1)).as("cnt"))
+    graft.operators.Sampling
+      .groupCapByScore(terms, col("domain"), col("cnt"), col("token"),
+        cap = 5)
+      .select(col("domain"), col("token"), col("cnt"), col("rk"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  /** q157: meta-robots crawl-policy signal —
+    * [[graft.operators.Html.metaRobots]]: a `noindex` page is the
+    * publisher opting OUT of indexing/training corpora, and a curation
+    * pipeline must surface that before ingest. Plants rotate the
+    * directive shapes the wild actually serves: normal order, REVERSED
+    * attribute order in caps with single quotes, no robots meta at all
+    * (plus a commented-out one that must stay invisible), and an
+    * allow-all directive; a charset meta and a `description` meta
+    * whose content says "noindex" are decoys that must not match.
+    * Map-only — two regex probes per document.
+    */
+  def metaRobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m4 = pmod(col("doc_id"), lit(4))
+    val markup = concat(lit("<html><head>"),
+      when(m4 === 0,
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(m4 === 1, lit("<META CONTENT='NOFOLLOW' NAME='ROBOTS'>"))
+        .when(m4 === 2, lit(""))
+        .otherwise(
+          lit("<meta name=\"robots\" content=\"index, follow\">")),
+      lit("<meta charset=\"utf-8\">" +
+        "<meta name=\"description\" content=\"noindex decoy\">"),
+      when(m4 === 2,
+        lit("<!-- <meta name=\"robots\" content=\"noindex\"> -->"))
+        .otherwise(lit("")),
+      lit("</head><body><p>Doc "), id, lit("</p></body></html>"))
+    graft.operators.Html.metaRobots(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** q155: PSL-keyed domain caps — q135's per-group quality cap
     * re-keyed by the PUBLIC-SUFFIX registered domain, the fix for the
     * failure VERDICT r14 called out: under two-label keying every

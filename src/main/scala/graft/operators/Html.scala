@@ -116,6 +116,37 @@ object Html {
       .filter(col("href") =!= "")
   }
 
+  /** `<meta name="robots" content="...">` directives — the crawl-policy
+    * signal a curation pipeline must respect BEFORE a page enters the
+    * corpus (a `noindex` page is the publisher saying "not training
+    * data"; CommonCrawl and every serious crawl honor it). Attribute
+    * order varies in the wild, so both `name=…content=…` and
+    * `content=…name=…` orderings parse; matching is case-insensitive
+    * on tag, attributes, and directive tokens. Output: (`idCol`,
+    * robots_content [NULL when no robots meta], noindex, nofollow).
+    * Map-only — two regex probes per document, zero shuffle.
+    */
+  def metaRobots(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String): DataFrame = {
+    val m = regexp_replace(
+      coalesce(col(markupCol), lit("")), CommentPattern, " ")
+    val nameFirst = regexp_extract(m,
+      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*" +
+        "content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>", 1)
+    val contentFirst = regexp_extract(m,
+      "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "name\\s*=\\s*[\"']robots[\"'][^>]*>", 1)
+    val content = nullif(
+      when(nameFirst =!= "", nameFirst).otherwise(contentFirst), lit(""))
+    val toks = transform(split(lower(content), ","), t => trim(t))
+    docs.select(col(idCol),
+      content.as("robots_content"),
+      coalesce(array_contains(toks, "noindex"), lit(false)).as("noindex"),
+      coalesce(array_contains(toks, "nofollow"), lit(false)).as("nofollow"))
+  }
+
   /** Main-content extraction over `markupCol`. A block SURVIVES when
     * its visible text has at least `minTextChars` characters AND its
     * link density (anchor chars · 100 / text chars) is at most

@@ -113,4 +113,26 @@ class HtmlSpec extends SparkSpec {
     val page34 = s"<p>${"a" * 66}<a href='/x'>${"b" * 34}</a></p>"
     assert(run(Seq((1L, page34)))(1L)._2 == 0L)
   }
+
+  test("metaRobots: both attribute orders, case, decoys, comments, none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<head><meta name=\"robots\" content=\"noindex, follow\"></head>"),
+      (2L, "<head><META CONTENT='NOFOLLOW , NOINDEX' NAME='ROBOTS'></head>"),
+      // decoys: description meta saying noindex, commented-out robots
+      (3L, "<head><meta name=\"description\" content=\"noindex decoy\">" +
+        "<!-- <meta name=\"robots\" content=\"noindex\"> --></head>"),
+      (4L, "<head><meta name=\"robots\" content=\"index, follow\"></head>"),
+      (5L, null: String)
+    ).toDF("doc_id", "markup")
+    val got = graft.operators.Html.metaRobots(docs, "markup", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((Some("noindex, follow"), true, false)))
+    assert(got(2L) == ((Some("NOFOLLOW , NOINDEX"), true, true)))
+    assert(got(3L) == ((None, false, false)))
+    assert(got(4L) == ((Some("index, follow"), false, false)))
+    assert(got(5L) == ((None, false, false)))
+  }
 }
