@@ -2429,18 +2429,11 @@ object Oracles {
     * iterations (the q121 recurrence — identical truncation points,
     * BIGINT-cast sums) over string domain nodes.
     */
-  val domainRank: String = {
-    def iter(prev: String, cur: String, c: String) = s"""
-    $c AS (
-      SELECT e.v AS domain, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
-      FROM edges e JOIN $prev p ON e.u = p.domain GROUP BY e.v),
-    $cur AS (
-      SELECT d.u AS domain, d.deg,
-             (150 * (1000000000000 // (SELECT n FROM nn))) // 1000
-             + (850 * c.s) // 1000 AS pr
-      FROM deg d JOIN $c c ON d.u = c.domain)"""
-    s"""
-    WITH d AS (
+  /** Shared q154/q158 oracle prefix: the ring plant, anchor
+    * extraction, and PSL domain keys — ends in `ed0 (u, v)`, one row
+    * per link (multiplicity preserved).
+    */
+  private def linkRingEdgeCtes: String = s"""d AS (
       SELECT doc_id,
         '<html><body><p><a href="https://www.site' || (doc_id + 1) % 7 ||
         '.net/next">next site</a></p>' ||
@@ -2489,7 +2482,20 @@ object Oracles {
     ed0 AS (
       SELECT nullif(${pslCaseSql("hsrc")}, '') AS u,
              nullif(${pslCaseSql("hdst")}, '') AS v
-      FROM hu),
+      FROM hu)"""
+
+  val domainRank: String = {
+    def iter(prev: String, cur: String, c: String) = s"""
+    $c AS (
+      SELECT e.v AS domain, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+      FROM edges e JOIN $prev p ON e.u = p.domain GROUP BY e.v),
+    $cur AS (
+      SELECT d.u AS domain, d.deg,
+             (150 * (1000000000000 // (SELECT n FROM nn))) // 1000
+             + (850 * c.s) // 1000 AS pr
+      FROM deg d JOIN $c c ON d.u = c.domain)"""
+    s"""
+    WITH $linkRingEdgeCtes,
     edges AS MATERIALIZED (
       SELECT DISTINCT u, v FROM ed0
       WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
@@ -2653,6 +2659,37 @@ object Oracles {
         string_split(lower(robots_content), ','), t -> trim(t)),
         'nofollow'), FALSE) AS nofollow
     FROM f ORDER BY doc_id"""
+
+  /** Mirrors Queries.domainRankWeightedGate: identical extraction, but
+    * edge weight = links per (u, v) pair; three unrolled iterations of
+    * the WEIGHTED recurrence with the overflow-safe contribution
+    * `(pr // wout) * w` (the operator's documented truncation point).
+    */
+  val domainRankWeighted: String = {
+    def iter(prev: String, cur: String, c: String) = s"""
+    $c AS (
+      SELECT e.v AS domain,
+             CAST(sum((p.pr // p.wout) * e.w) AS BIGINT) AS s
+      FROM edges e JOIN $prev p ON e.u = p.domain GROUP BY e.v),
+    $cur AS (
+      SELECT d.u AS domain, d.wout,
+             (150 * (1000000000000 // (SELECT n FROM nn))) // 1000
+             + (850 * c.s) // 1000 AS pr
+      FROM wout d JOIN $c c ON d.u = c.domain)"""
+    s"""
+    WITH $linkRingEdgeCtes,
+    edges AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM ed0
+      WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v GROUP BY u, v),
+    wout AS (SELECT u, CAST(sum(w) AS BIGINT) AS wout FROM edges
+             GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wout),
+    p0 AS (SELECT u AS domain, wout,
+                  1000000000000 // (SELECT n FROM nn) AS pr
+           FROM wout),${iter("p0", "p1", "c1")},${iter("p1", "p2", "c2")},${iter("p2", "p3", "c3")}
+    SELECT domain, wout, CAST(pr AS BIGINT) AS pr FROM p3
+    ORDER BY domain"""
+  }
 
   /** Mirrors Queries.curationChainGate: the full crawl-curation chain —
     * plant (mirrored/truncated body + chrome paragraphs + per-class
@@ -4508,7 +4545,8 @@ object Oracles {
     "q154_domain_rank" -> domainRank,
     "q155_psl_domain_caps" -> pslDomainCaps,
     "q156_anchor_text" -> anchorText,
-    "q157_meta_robots" -> metaRobots)
+    "q157_meta_robots" -> metaRobots,
+    "q158_domain_rank_weighted" -> domainRankWeighted)
 }
 
 /** Holder split out so the oracle text initializes before

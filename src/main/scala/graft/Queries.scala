@@ -3510,7 +3510,11 @@ object Queries {
     * set is DISTINCT domain pairs (web-graph-sized, not corpus-sized);
     * each iteration is one edge⋈rank join keyed by domain.
     */
-  def domainRankGate(s: SparkSession, dir: String): DataFrame = {
+  /** The 7-domain ring plant + per-link domain edges shared by
+    * q154/q158: (u, v) one row per LINK (multiplicity preserved —
+    * q154 distincts it, q158 aggregates it into weights).
+    */
+  private def linkRingEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val k = pmod(col("doc_id"), lit(7))
     val k1 = pmod(col("doc_id") + 1, lit(7))
@@ -3532,7 +3536,7 @@ object Queries {
     val pages = docs.select(col("doc_id"), pageUrl.as("page_url"),
       markup.as("markup"))
     val links = graft.operators.Html.extractLinks(pages, "markup", "doc_id")
-    val edges = links
+    links
       .join(pages.select(col("doc_id"),
         nullif(graft.operators.PublicSuffix
           .registeredDomain(col("page_url")), lit("")).as("u")),
@@ -3542,9 +3546,30 @@ object Queries {
           lit("")).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct()
-    graft.operators.Cluster.pagerankInt(edges, "u", "v", iters = 3)
+  }
+
+  def domainRankGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cluster
+      .pagerankInt(linkRingEdges(s, dir).distinct(), "u", "v", iters = 3)
       .select(col("doc_id").as("domain"), col("deg"), col("pr"))
+      .orderBy(col("domain"))
+
+  /** q158: WEIGHTED domain-authority PageRank — q154 with the citation
+    * counts kept: edge weight = number of linking PAGES per (source,
+    * target) domain pair ([[graft.operators.Cluster
+    * .pagerankWeightedInt]]), so the hub edge every page carries
+    * outweighs the even-k skip edges and the m5-class ad edges
+    * proportionally to how often they are actually cited. The
+    * contribution truncation `(pr div wout) · w` is the operator's
+    * overflow contract (see the operator scaladoc); the oracle unrolls
+    * the identical three iterations over identically counted edges.
+    */
+  def domainRankWeightedGate(s: SparkSession, dir: String): DataFrame = {
+    val edges = linkRingEdges(s, dir)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    graft.operators.Cluster
+      .pagerankWeightedInt(edges, "u", "v", "w", iters = 3)
+      .select(col("node").as("domain"), col("wout"), col("pr"))
       .orderBy(col("domain"))
   }
 

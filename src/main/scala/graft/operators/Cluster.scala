@@ -261,4 +261,67 @@ object Cluster {
     }
     pr
   }
+
+  /** WEIGHTED integer PageRank — [[pagerankInt]] with per-edge weights
+    * (the real web-graph shape: a domain cited by 10 000 pages of a
+    * neighbor outranks one cited once; distinct-pair edges throw that
+    * signal away). Recurrence per iteration:
+    * `pr'(v) = base + (850 · Σ_u (pr(u) div wout(u)) · w(u,v)) div 1000`
+    * with `wout(u) = Σ_v w(u,v)`.
+    *
+    * Overflow contract (the reason the contribution is
+    * `(pr div wout) · w`, NOT `(pr · w) div wout`): `pr ≈ scale` and a
+    * 100 TB crawl's edge weights reach 1e9+, so `pr · w` overflows
+    * Long; dividing FIRST bounds every term by `pr` (since
+    * `Σ w = wout`, the summed contribution of `u` is ≤ `pr(u)` exactly
+    * as in the unweighted form). The truncation point is part of the
+    * operator contract — the oracle unrolls the identical expression.
+    *
+    * Same discipline as [[pagerankInt]]: edges materialized once (loop
+    * invariant), per-round localCheckpoint/staging, weights must be
+    * ≥ 1 (a zero-weight edge is "no edge" — drop it upstream), sinks
+    * without out-edges are truncated (documented restriction).
+    */
+  def pagerankWeightedInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "pagerankWeightedInt: iters must be >= 1")
+    val s = edges.sparkSession
+    def materialize(df: DataFrame, iter: Int): DataFrame = stagingDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(f"$dir/prw_iter_$iter%03d")
+        s.read.parquet(f"$dir/prw_iter_$iter%03d")
+      case None => df.localCheckpoint(true)
+    }
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(weightCol).cast("long").as("w"))
+    val e = stagingDir match {
+      case Some(dir) =>
+        e0.write.mode("overwrite").parquet(s"$dir/prw_edges")
+        s.read.parquet(s"$dir/prw_edges")
+      case None => e0.localCheckpoint(true)
+    }
+    val wout = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint(eager = true)
+    val n = wout.count()
+    require(n > 0, "pagerankWeightedInt: empty edge list")
+    val base = (150L * (scale / n)) / 1000L
+    var pr = wout.select(col("u").as("node"), col("wout"),
+      lit(scale / n).as("pr"))
+    for (i <- 1 to iters) {
+      val sums = e.join(pr, col("u") === col("node"))
+        .select(col("v"), (expr("pr div wout") * col("w")).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      val next = wout.join(sums, col("u") === col("v"))
+        .select(col("u").as("node"), col("wout"),
+          (lit(base) + expr("(850 * s) div 1000")).as("pr"))
+      pr = if (i == iters) next else materialize(next, i)
+    }
+    pr
+  }
 }
