@@ -42,6 +42,8 @@ class CurationStream(
     * Exposed for direct replay testing; [[start]] wires it to the
     * stream. `doc_id` = trailing digits of the target URI; `source` =
     * the URI's PSL registered domain (the budget is a per-domain cap).
+    * A page carrying `meta robots noindex` is the publisher opting out
+    * — dropped before extraction results are consumed.
     */
   def processBatch(records: DataFrame, id: Long): DataFrame = {
     val docs = records
@@ -55,11 +57,15 @@ class CurationStream(
         col("payload"))
       .filter(col("doc_id").isNotNull)
     val main = Html.extractMain(docs, "payload", "doc_id", blockSep = "\n")
+    val robots = Html.metaRobots(docs, "payload", "doc_id")
+      .select(col("doc_id"), col("noindex"))
     val routed = docs.select(col("doc_id"), col("source"))
       .join(main, Seq("doc_id"))
+      .join(robots, Seq("doc_id"))
       .join(LangId.scoreDocs(main, "main_text", "doc_id")
         .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
-      .filter(col("n_kept") > 0 && col("lang_pred").isin(keepLangs: _*))
+      .filter(!col("noindex") && col("n_kept") > 0 &&
+        col("lang_pred").isin(keepLangs: _*))
     val fresh = Dedup.dedupeStreamStaged(
       routed, dedupStoreDir, "main_text", "doc_id", id)
     BudgetStream.admitStaged(

@@ -68,9 +68,14 @@ class CurationStreamSpec extends SparkSpec {
     Files.write(Paths.get(s"$wetDir/000.wet"), wetBytes(Seq(
       uri("a.example.com", 1) -> markup(body(1)),
       uri("b.example.com", 2) -> markup(body(2)))))
+    // doc 7: valid body but meta-robots noindex — the publisher opt-out
+    // must drop it before it can touch the dedup store or the meter
     Files.write(Paths.get(s"$wetDir/001.wet"), wetBytes(Seq(
       uri("c.example.com", 3) -> markup(body(1)),
-      uri("d.example.com", 4) -> markup("tiny"))))
+      uri("d.example.com", 4) -> markup("tiny"),
+      uri("f.example.com", 7) ->
+        ("<html><head><meta name=\"robots\" content=\"noindex\">" +
+          s"</head><body><p>${body(7)}</p></body></html>"))))
     Paths.get(s"$wetDir/000.wet").toFile.setLastModified(1000000L)
     Paths.get(s"$wetDir/001.wet").toFile.setLastModified(2000000L)
     val cs = new CurationStream(spark, store, meter, out, budget = 12L,
@@ -94,9 +99,9 @@ class CurationStreamSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4)))).toMap
-    // doc 3 (cross-epoch dup) and doc 4 (extract-dropped) never reach
-    // the budget; docs 1/2 admitted; doc 5 arrives at a filled meter;
-    // doc 6's domain has its own meter
+    // doc 3 (cross-epoch dup), doc 4 (extract-dropped), and doc 7
+    // (noindex opt-out) never reach the budget; docs 1/2 admitted;
+    // doc 5 arrives at a filled meter; doc 6's domain has its own meter
     assert(dec.keySet == Set(1L, 2L, 5L, 6L))
     assert(dec(1L) == (("example.com", 8L, 0L, true)))
     assert(dec(2L) == (("example.com", 8L, 8L, true)))
