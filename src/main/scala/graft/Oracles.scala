@@ -2691,6 +2691,97 @@ object Oracles {
     ORDER BY domain"""
   }
 
+  /** Mirrors Queries.robotsGate / operators.Robots: line-level robots
+    * parsing (comment/CR strip, key:value split), RFC 9309 group ids
+    * via the lag-window group-start rule, wildcard-group selection,
+    * then per-URL longest-prefix verdicts with Allow winning length
+    * ties (row_number over len DESC, allow DESC, prefix DESC = Spark's
+    * max(struct(len, allow, prefix))).
+    */
+  val robotsVerdicts: String = s"""
+    WITH rb(domain, txt) AS (VALUES
+      ('example0.com',
+       'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
+       'Allow: /private/ok/' || chr(10) || 'Disallow: /cat1' || chr(10)),
+      ('example1.com',
+       'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) ||
+       chr(10) || 'User-agent: *' || chr(10) ||
+       'User-agent: legacybot' || chr(10) || 'Disallow: /cat2/' ||
+       chr(10) || '# maintenance note' || chr(10) || 'Disallow:' ||
+       chr(13) || chr(10))),
+    lx AS (
+      SELECT domain, parts,
+             unnest(generate_series(1, len(parts))) AS pos
+      FROM (SELECT domain, string_split(txt, chr(10)) AS parts FROM rb)),
+    ln0 AS (
+      SELECT domain, pos,
+        trim(replace(regexp_replace(parts[CAST(pos AS INTEGER)],
+          '#.*$$', ''), chr(13), '')) AS ln
+      FROM lx),
+    kv AS (
+      SELECT domain, pos,
+        lower(trim(regexp_extract(ln, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(ln, '^[^:]+:(.*)$$', 1)) AS value
+      FROM ln0 WHERE ln <> ''),
+    eff AS (
+      SELECT domain, pos, key, value, key = 'user-agent' AS isua
+      FROM kv WHERE key IN ('user-agent', 'allow', 'disallow')),
+    st AS (
+      SELECT domain, pos, key, value, isua,
+        CASE WHEN isua AND NOT coalesce(lag(isua) OVER
+              (PARTITION BY domain ORDER BY pos), FALSE)
+          THEN 1 ELSE 0 END AS gstart
+      FROM eff),
+    grp AS (
+      SELECT domain, pos, key, value, isua,
+        sum(gstart) OVER
+          (PARTITION BY domain ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM st),
+    star AS (
+      SELECT DISTINCT domain, g FROM grp WHERE isua AND value = '*'),
+    rules AS (
+      SELECT DISTINCT r.domain, r.key = 'allow' AS allow,
+             r.value AS prefix
+      FROM grp r JOIN star s ON r.domain = s.domain AND r.g = s.g
+      WHERE NOT r.isua AND r.value <> ''),
+    u AS (
+      SELECT doc_id,
+        'https://www.example' || doc_id % 3 || '.com' ||
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN '/private/item' || doc_id
+          WHEN 1 THEN '/private/ok/item' || doc_id
+          WHEN 2 THEN '/cat1/item' || doc_id
+          WHEN 3 THEN '/cat2/thing' || doc_id
+          ELSE '/item' || doc_id
+        END || '?page=1' AS url
+      FROM documents),
+    ku AS (
+      SELECT doc_id, ${hostOfSql("url")} AS h,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1)
+          AS rest
+      FROM u),
+    keyed AS (
+      SELECT doc_id, nullif(${pslCaseSql("h")}, '') AS domain,
+        CASE WHEN rest = '' THEN NULL
+          WHEN regexp_extract(rest, '^[^/?]*(/[^#]*|\\?[^#]*)?', 1) = ''
+            THEN '/'
+          ELSE regexp_extract(rest, '^[^/?]*(/[^#]*|\\?[^#]*)?', 1)
+        END AS path
+      FROM ku),
+    m AS (
+      SELECT k.doc_id, k.domain, k.path, r.allow, r.prefix,
+        row_number() OVER (PARTITION BY k.doc_id
+          ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC)
+          AS rn
+      FROM keyed k LEFT JOIN rules r
+        ON k.domain = r.domain AND starts_with(k.path, r.prefix))
+    SELECT doc_id, domain, path,
+           coalesce(allow, TRUE) AS allowed,
+           prefix AS rule_prefix, allow AS rule_allow
+    FROM m WHERE rn = 1
+    ORDER BY doc_id"""
+
   /** Mirrors Queries.curationChainGate: the full crawl-curation chain —
     * plant (mirrored/truncated body + chrome paragraphs + per-class
     * URI) → q145 extraction with newline block joins → default-rule
@@ -4546,7 +4637,8 @@ object Oracles {
     "q155_psl_domain_caps" -> pslDomainCaps,
     "q156_anchor_text" -> anchorText,
     "q157_meta_robots" -> metaRobots,
-    "q158_domain_rank_weighted" -> domainRankWeighted)
+    "q158_domain_rank_weighted" -> domainRankWeighted,
+    "q159_robots_verdicts" -> robotsVerdicts)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3455,6 +3455,48 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q159: robots.txt crawl-policy verdicts —
+    * [[graft.operators.Robots]]: per-domain robots bodies compile into
+    * wildcard-agent prefix rules (RFC 9309 group structure: stacked
+    * `User-agent:` lines share a group, non-`*` groups ignored,
+    * comments/CRLF/blank values handled) and every URL gets the
+    * longest-prefix verdict (Allow beats Disallow on a length tie;
+    * unmatched or robots-less domains allow). Plants: a domain with
+    * nested Allow-under-Disallow, a domain whose `googlebot` group
+    * must be ignored and whose `*` group stacks two agents plus an
+    * empty Disallow and a comment, and a domain with no robots at all.
+    * Scale shape: rule compilation windows over the DOMAIN-sized
+    * metadata table; the verdict is one broadcast equi-join by domain
+    * + a per-URL argmax — the corpus never shuffles.
+    */
+  def robotsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id").cast("string")
+    val m5 = pmod(col("doc_id"), lit(5))
+    val path = when(m5 === 0, concat(lit("/private/item"), id))
+      .when(m5 === 1, concat(lit("/private/ok/item"), id))
+      .when(m5 === 2, concat(lit("/cat1/item"), id))
+      .when(m5 === 3, concat(lit("/cat2/thing"), id))
+      .otherwise(concat(lit("/item"), id))
+    val url = concat(lit("https://www.example"),
+      pmod(col("doc_id"), lit(3)).cast("string"), lit(".com"), path,
+      lit("?page=1"))
+    val robots = Seq(
+      ("example0.com",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+          "Disallow: /cat1\n"),
+      ("example1.com",
+        "User-agent: googlebot\nDisallow: /\n\n" +
+          "User-agent: *\nUser-agent: legacybot\nDisallow: /cat2/\n" +
+          "# maintenance note\nDisallow:\r\n")
+    ).toDF("domain", "txt")
+    val ruleSet = graft.operators.Robots.rules(robots, "domain", "txt")
+    graft.operators.Robots.verdict(
+      Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+      "url", "doc_id", ruleSet)
+      .orderBy(col("doc_id"))
+  }
+
   /** q155: PSL-keyed domain caps — q135's per-group quality cap
     * re-keyed by the PUBLIC-SUFFIX registered domain, the fix for the
     * failure VERDICT r14 called out: under two-label keying every

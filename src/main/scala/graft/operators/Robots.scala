@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt interpretation — the crawl-policy stage a compliant
+  * corpus builder runs BEFORE fetching/ingesting a URL (CommonCrawl
+  * honors robots; a pipeline that ignores it ships pages publishers
+  * excluded). Two halves:
+  *
+  *  - [[rules]] compiles raw robots.txt bodies (one per domain — a
+  *    DOMAIN-sized metadata table, never corpus-sized) into wildcard-
+  *    agent prefix rules, honoring the RFC 9309 group structure:
+  *    consecutive `User-agent:` lines STACK onto one group, a group
+  *    applies iff one of its agents is `*`, directives are
+  *    case-insensitive, `#` comments and blank values drop, CRLF
+  *    tolerated.
+  *  - [[verdict]] evaluates URLs against the compiled rules with the
+  *    RFC/Google precedence: the LONGEST matching prefix wins; on an
+  *    exact length tie `Allow` beats `Disallow`; no matching rule
+  *    means allowed (and so does a domain with no robots entry).
+  *
+  * Honest scope (documented, the PSL-snapshot discipline): `*` and `$`
+  * WILDCARDS inside rule paths are NOT interpreted — such rules are
+  * kept as literal prefixes (matching RFC 9309's note that unsupported
+  * patterns may be treated literally); per-agent overrides beyond the
+  * wildcard group (e.g. a `googlebot` group) are out of scope — a
+  * corpus builder is the generic agent.
+  *
+  * Scale shape: compilation is one explode + two windows over the
+  * domain-sized robots table; the verdict joins the (small) rule set
+  * to the corpus BY DOMAIN — an equi broadcast join — then picks the
+  * winning rule with one aggregate; the corpus never shuffles.
+  */
+object Robots {
+
+  /** Compile robots.txt bodies into wildcard-agent rules:
+    * (`domainCol`, allow, prefix) — one row per effective
+    * Allow/Disallow line in a `*` group, prefixes non-empty.
+    */
+  def rules(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String): DataFrame = {
+    val lines = robots
+      .select(col(domainCol), posexplode(split(
+        coalesce(col(txtCol), lit("")), "\n")).as(Seq("pos", "__raw")))
+      // strip comments, CR, and surrounding whitespace
+      .select(col(domainCol), col("pos"),
+        trim(regexp_replace(regexp_replace(col("__raw"), "#.*$", ""),
+          "\r", "")).as("ln"))
+      .filter(col("ln") =!= "")
+      .select(col(domainCol), col("pos"),
+        lower(trim(regexp_extract(col("ln"), "^([^:]+):", 1))).as("key"),
+        trim(regexp_extract(col("ln"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    // RFC 9309 group structure: a group STARTS at a user-agent line
+    // whose predecessor (among effective lines) is not one — stacked
+    // agents share the group's rules
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("pos"))
+    val grouped = lines
+      .withColumn("__isUa", col("key") === "user-agent")
+      .withColumn("__start",
+        (col("__isUa") &&
+          !coalesce(lag(col("__isUa"), 1).over(w), lit(false)))
+          .cast("int"))
+      .withColumn("__grp", sum(col("__start")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val starGroups = grouped
+      .filter(col("__isUa") && col("value") === "*")
+      .select(col(domainCol), col("__grp")).distinct()
+    grouped
+      .join(starGroups, Seq(domainCol, "__grp"))
+      .filter(!col("__isUa") && col("value") =!= "")
+      .select(col(domainCol), (col("key") === "allow").as("allow"),
+        col("value").as("prefix"))
+      .distinct()
+  }
+
+  /** URL path (query included — robots prefixes match the full
+    * path-and-query string), '/' when empty, NULL for malformed URLs.
+    */
+  def pathOf(url: Column): Column = {
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
+    val p = regexp_extract(rest, "^[^/?]*(/[^#]*|\\?[^#]*)?", 1)
+    when(rest === "", lit(null).cast("string"))
+      .otherwise(when(p === "", "/").otherwise(p))
+  }
+
+  /** Per-URL crawl verdict against [[rules]]: (`idCol`, domain, path,
+    * allowed, rule_prefix [the winning rule, NULL when none matched],
+    * rule_allow). `ruleSet` must carry (domain, allow, prefix); it is
+    * broadcast (domain-metadata-sized). Longest-prefix-wins, Allow
+    * beats Disallow on a length tie, unmatched/ruleless/malformed →
+    * allowed (robots govern fetching; malformed URLs fail elsewhere).
+    */
+  def verdict(
+      urls: DataFrame,
+      urlCol: String,
+      idCol: String,
+      ruleSet: DataFrame): DataFrame = {
+    val keyed = urls.select(col(idCol),
+      nullif(PublicSuffix.registeredDomain(col(urlCol)), lit(""))
+        .as("domain"),
+      pathOf(col(urlCol)).as("path"))
+    val r = broadcast(ruleSet.select(col("domain").as("__rd"),
+      col("allow").as("__ra"), col("prefix").as("__rp")))
+    val matched = keyed
+      .join(r, col("domain") === col("__rd") &&
+        col("path").startsWith(col("__rp")), "left")
+      // winner per URL: longest prefix, Allow over Disallow on ties —
+      // encoded as max(struct(len, allow, prefix)) (boolean sorts
+      // false < true, so Allow wins equal lengths)
+      .groupBy(col(idCol), col("domain"), col("path"))
+      .agg(max(when(col("__rp").isNotNull,
+        struct(length(col("__rp")).as("l"), col("__ra").as("a"),
+          col("__rp").as("p")))).as("__win"))
+    matched.select(col(idCol), col("domain"), col("path"),
+      coalesce(col("__win.a"), lit(true)).as("allowed"),
+      col("__win.p").as("rule_prefix"),
+      col("__win.a").as("rule_allow"))
+  }
+}
