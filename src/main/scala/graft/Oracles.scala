@@ -2782,6 +2782,53 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.canonicalKeyGate / Html.canonicalLink: comment
+    * strip, both attribute orderings, then the shared canonicalization
+    * chain over coalesce(declared canonical, own URL) and min-id
+    * election per canon key.
+    */
+  val canonicalKeys: String = s"""
+    WITH d0 AS (
+      SELECT doc_id,
+        '<html><head>' ||
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '<link rel="canonical" ' ||
+            'href="HTTPS://WWW.MirrorSite.COM:443/page/' ||
+            (doc_id - doc_id % 10) || '?utm_source=x">'
+          WHEN 1 THEN '<LINK HREF=''https://www.mirrorsite.com/page/' ||
+            (doc_id - doc_id % 10) || ''' REL=''canonical''>'
+          WHEN 3 THEN '<!-- <link rel="canonical" ' ||
+            'href="https://ghost.example.com/"> -->'
+          ELSE ''
+        END ||
+        '</head><body><p>Doc ' || doc_id || '</p></body></html>'
+          AS markup,
+        'https://www.mirrorsite.com/p/' || doc_id || '?utm_medium=x'
+          AS own_url
+      FROM documents),
+    cx AS (
+      SELECT doc_id, own_url,
+             regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d0),
+    ex AS (
+      SELECT doc_id, own_url,
+        regexp_extract(m, '(?is)<link\\s[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*>', 1) AS rf,
+        regexp_extract(m, '(?is)<link\\s[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*rel\\s*=\\s*["'']canonical["''][^>]*>', 1) AS hf
+      FROM cx),
+    k AS (
+      SELECT doc_id,
+        nullif(CASE WHEN rf <> '' THEN rf ELSE hf END, '')
+          AS canonical_href,
+        coalesce(nullif(CASE WHEN rf <> '' THEN rf ELSE hf END, ''),
+          own_url) AS url
+      FROM ex),
+    ${urlCanonChain("k", "doc_id, canonical_href")}
+    SELECT doc_id, canonical_href, url_canon AS canon_key,
+           min(doc_id) OVER (PARTITION BY url_canon) AS rep_id,
+           doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS is_rep
+    FROM canon
+    ORDER BY doc_id"""
+
   /** Mirrors Queries.curationChainGate: the full crawl-curation chain —
     * plant (mirrored/truncated body + chrome paragraphs + per-class
     * URI) → q145 extraction with newline block joins → default-rule
@@ -4638,7 +4685,8 @@ object Oracles {
     "q156_anchor_text" -> anchorText,
     "q157_meta_robots" -> metaRobots,
     "q158_domain_rank_weighted" -> domainRankWeighted,
-    "q159_robots_verdicts" -> robotsVerdicts)
+    "q159_robots_verdicts" -> robotsVerdicts,
+    "q160_canonical_keys" -> canonicalKeys)
 }
 
 /** Holder split out so the oracle text initializes before

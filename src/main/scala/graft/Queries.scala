@@ -3455,6 +3455,55 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q160: rel=canonical dedup keys —
+    * [[graft.operators.Html.canonicalLink]] composed with q146
+    * canonicalization: the publisher-declared canonical URL collapses
+    * mirror/tracking-variant pages into one dedup group WITHOUT any
+    * content comparison (the signal a crawl dedup consults before
+    * fingerprints). Plants per 10-block: a shouting default-port
+    * tracking-param canonical (double quotes, rel-first), the same
+    * target clean (single quotes, href-first, REVERSED attribute
+    * order) — both must land on ONE canon key per block — plus
+    * link-less pages and pages whose canonical is commented out (both
+    * self-identify via their own fetched URL). Min-id election per
+    * key. Extraction + canonicalization map-only; the one exchange is
+    * the key-keyed window.
+    */
+  def canonicalKeyGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id").cast("string")
+    val b = (col("doc_id") - pmod(col("doc_id"), lit(10))).cast("string")
+    val m4 = pmod(col("doc_id"), lit(4))
+    val markup = concat(lit("<html><head>"),
+      when(m4 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"HTTPS://WWW.MirrorSite.COM" +
+          ":443/page/"), b, lit("?utm_source=x\">")))
+        .when(m4 === 1, concat(
+          lit("<LINK HREF='https://www.mirrorsite.com/page/"), b,
+          lit("' REL='canonical'>")))
+        .when(m4 === 3,
+          lit("<!-- <link rel=\"canonical\" " +
+            "href=\"https://ghost.example.com/\"> -->"))
+        .otherwise(lit("")),
+      lit("</head><body><p>Doc "), id, lit("</p></body></html>"))
+    val ownUrl = concat(lit("https://www.mirrorsite.com/p/"), id,
+      lit("?utm_medium=x"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), markup.as("markup"), ownUrl.as("own_url"))
+    val keyed = graft.operators.Html
+      .canonicalLink(docs, "markup", "doc_id")
+      .join(docs.select(col("doc_id"), col("own_url")), Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_href"),
+        graft.operators.Urls.canonicalize(
+          coalesce(col("canonical_href"), col("own_url")))
+          .as("canon_key"))
+    keyed
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("canon_key"))))
+      .withColumn("is_rep", col("doc_id") === col("rep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q159: robots.txt crawl-policy verdicts —
     * [[graft.operators.Robots]]: per-domain robots bodies compile into
     * wildcard-agent prefix rules (RFC 9309 group structure: stacked

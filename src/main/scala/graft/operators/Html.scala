@@ -147,6 +147,32 @@ object Html {
       coalesce(array_contains(toks, "nofollow"), lit(false)).as("nofollow"))
   }
 
+  /** `<link rel="canonical" href="...">` — the publisher-declared
+    * canonical URL, the dedup KEY signal that collapses mirror/AMP/
+    * tracking-variant pages WITHOUT any content comparison (the first
+    * thing a crawl dedup consults, before fingerprints). Attribute
+    * order varies in the wild, so both `rel=…href=…` and `href=…rel=…`
+    * parse, case-insensitively; commented-out links are invisible.
+    * Output: (`idCol`, canonical_href — NULL when the page declares
+    * none). Map-only: two regex probes per document.
+    */
+  def canonicalLink(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String): DataFrame = {
+    val m = regexp_replace(
+      coalesce(col(markupCol), lit("")), CommentPattern, " ")
+    val relFirst = regexp_extract(m,
+      "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*" +
+        "href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>", 1)
+    val hrefFirst = regexp_extract(m,
+      "(?is)<link\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "rel\\s*=\\s*[\"']canonical[\"'][^>]*>", 1)
+    docs.select(col(idCol),
+      nullif(when(relFirst =!= "", relFirst).otherwise(hrefFirst),
+        lit("")).as("canonical_href"))
+  }
+
   /** Main-content extraction over `markupCol`. A block SURVIVES when
     * its visible text has at least `minTextChars` characters AND its
     * link density (anchor chars · 100 / text chars) is at most

@@ -114,6 +114,22 @@ class HtmlSpec extends SparkSpec {
     assert(run(Seq((1L, page34)))(1L)._2 == 0L)
   }
 
+  test("canonicalLink: both attribute orders, case, comments, none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<head><link rel=\"canonical\" href=\"https://a.com/x\"></head>"),
+      (2L, "<head><LINK HREF='https://b.com/y' REL='canonical'></head>"),
+      // stylesheet link is not canonical; commented-out canonical invisible
+      (3L, "<head><link rel=\"stylesheet\" href=\"/s.css\">" +
+        "<!-- <link rel=\"canonical\" href=\"https://ghost.com/\"> --></head>"),
+      (4L, null: String)
+    ).toDF("doc_id", "markup")
+    val got = graft.operators.Html.canonicalLink(docs, "markup", "doc_id")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("https://a.com/x"),
+      2L -> Some("https://b.com/y"), 3L -> None, 4L -> None))
+  }
+
   test("metaRobots: both attribute orders, case, decoys, comments, none") {
     import spark.implicits._
     val docs = Seq(
