@@ -2782,6 +2782,154 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.containmentGate / Dedup.containmentPairs: the
+    * documents ∪ half-token excerpts corpus, df ≤ 50 capped unigram
+    * candidates, exact integer containment (pp10k, floor division)
+    * at ≥ 9000 over candidates' full distinct gram sets.
+    */
+  val containmentPairs: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(
+               list_slice($toks, 1, greatest(len($toks) // 2, 3)), ' ')
+               AS text,
+             source
+      FROM documents WHERE doc_id % 17 = 0),
+    t AS (
+      SELECT doc_id, source AS block, list_distinct($toks) AS grams
+      FROM corpus),
+    s AS (
+      SELECT doc_id, block, len(grams) AS ng, unnest(grams) AS g
+      FROM t WHERE len(grams) > 0),
+    rare AS (
+      SELECT block, g FROM s GROUP BY 1, 2 HAVING count(*) <= 50),
+    c AS (
+      SELECT s.doc_id, s.block, s.g FROM s JOIN rare USING (block, g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM c a JOIN c b
+        ON a.block = b.block AND a.g = b.g AND a.doc_id < b.doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+             count(*) AS inter
+      FROM s a JOIN s b
+        ON a.block = b.block AND a.g = b.g AND a.doc_id < b.doc_id
+      JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(inter AS BIGINT) AS n_common,
+           CAST((inter * 10000) // least(na, nb) AS BIGINT)
+             AS contain_pp10k
+    FROM p
+    WHERE inter * 10000 >= 9000 * least(na, nb)
+    ORDER BY id_a, id_b"""
+
+  /** Mirrors Queries.sitemapGate / Sitemaps.parse: comment strip,
+    * `<url>` block explode with positions, per-block loc/lastmod/
+    * priority probes with `&amp;` decode and try-cast NULL semantics,
+    * then the shared canonicalization chain over the loc.
+    */
+  val sitemapUrls: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 20 = 0 THEN
+          '<?xml version="1.0"?><urlset>' ||
+          '<url><loc> HTTP://WWW.Example.COM:80/page/' || doc_id ||
+          '?utm_source=m&amp;b=2&amp;a=1 </loc><lastmod>2026-01-' ||
+          lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+          'T08:30:00Z</lastmod><priority>0.8</priority></url>' ||
+          '<url><loc>https://example.com/q/' || doc_id ||
+          '?x=1&amp;y=2</loc></url>' ||
+          CASE WHEN doc_id % 40 = 0 THEN
+            '<url><loc>not a url</loc><lastmod>soon</lastmod>' ||
+            '<priority>high</priority></url>' ELSE '' END ||
+          CASE WHEN doc_id % 60 = 0 THEN
+            '<!-- <url><loc>https://ghost.example.com/x</loc></url> -->'
+            ELSE '' END ||
+          '</urlset>'
+        ELSE '<html><body>Doc ' || doc_id || '</body></html>' END AS markup
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d),
+    b0 AS (
+      SELECT doc_id,
+             regexp_extract_all(m, '(?is)<url\\s*>(.*?)</url\\s*>', 1)
+               AS blocks
+      FROM c),
+    bx AS (
+      SELECT doc_id, blocks,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM b0),
+    b1 AS (
+      SELECT doc_id, CAST(pos - 1 AS BIGINT) AS entry_pos,
+             blocks[CAST(pos AS INTEGER)] AS e
+      FROM bx),
+    b2 AS (
+      SELECT doc_id, entry_pos,
+        replace(regexp_extract(e,
+          '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1), '&amp;', '&')
+          AS loc0,
+        nullif(regexp_extract(e,
+          '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1), '')
+          AS lastmod_raw,
+        nullif(regexp_extract(e,
+          '(?is)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1), '') AS pr
+      FROM b1),
+    lnk AS (
+      SELECT doc_id, entry_pos, nullif(loc0, '') AS loc, lastmod_raw,
+             TRY_CAST(substr(coalesce(lastmod_raw, ''), 1, 10) AS DATE)
+               AS lastmod,
+             TRY_CAST(pr AS DECIMAL(3,2)) AS priority,
+             loc0 AS url
+      FROM b2),
+    ${urlCanonChain("lnk",
+      "doc_id, entry_pos, loc, lastmod_raw, lastmod, priority")}
+    SELECT doc_id, entry_pos, loc, url_canon, domain,
+           lastmod_raw, lastmod, priority
+    FROM canon ORDER BY doc_id, entry_pos"""
+
+  /** Mirrors Queries.redirectGate / Redirects.resolve: the planted
+    * functional redirect map walked by a depth-8 recursive CTE (the
+    * per-hop dual of the engine's 2^3-step pointer doubling); a walk
+    * whose endpoint still has an outgoing edge after 8 hops — the
+    * planted cycles — is unresolved (NULL terminal, NULL hops).
+    */
+  val redirectChains: String = s"""
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS src,
+             CASE WHEN doc_id % 100 = 15 THEN doc_id + 10
+                  WHEN doc_id % 100 = 25 THEN doc_id - 10
+                  WHEN doc_id % 100 = 35 THEN doc_id
+                  WHEN doc_id % 100 BETWEEN 61 AND 66 THEN doc_id + 1
+                  WHEN doc_id % 10 IN (1,2,3) THEN doc_id + 1
+             END AS dst
+      FROM documents
+      WHERE doc_id % 100 IN (15,25,35)
+         OR doc_id % 100 BETWEEN 61 AND 66
+         OR doc_id % 10 IN (1,2,3)),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM e
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.cur
+      WHERE w.hops < 8),
+    fin AS (
+      SELECT src, arg_max(cur, hops) AS endp, max(hops) AS hops
+      FROM walk GROUP BY src)
+    SELECT f.src,
+           'https://ex.org/p/' || f.src AS src_url,
+           CASE WHEN t.src IS NULL
+                THEN 'https://ex.org/p/' || f.endp END AS terminal_url,
+           CASE WHEN t.src IS NULL THEN f.hops END AS hops,
+           t.src IS NOT NULL AS unresolved
+    FROM fin f
+    LEFT JOIN (SELECT DISTINCT src FROM e) t ON f.endp = t.src
+    ORDER BY f.src"""
+
   /** Mirrors Queries.canonicalKeyGate / Html.canonicalLink: comment
     * strip, both attribute orderings, then the shared canonicalization
     * chain over coalesce(declared canonical, own URL) and min-id
@@ -4686,7 +4834,10 @@ object Oracles {
     "q157_meta_robots" -> metaRobots,
     "q158_domain_rank_weighted" -> domainRankWeighted,
     "q159_robots_verdicts" -> robotsVerdicts,
-    "q160_canonical_keys" -> canonicalKeys)
+    "q160_canonical_keys" -> canonicalKeys,
+    "q161_redirect_chains" -> redirectChains,
+    "q162_sitemap_urls" -> sitemapUrls,
+    "q163_containment_pairs" -> containmentPairs)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,100 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q163: containment near-dup pairs —
+    * [[graft.operators.Dedup.containmentPairs]]: the asymmetric
+    * excerpt/quote case Jaccard misses (a half-length excerpt of a
+    * kept doc has J ≈ 0.5 but containment 1.0). The corpus is
+    * documents ∪ planted excerpts (every 17th doc contributes a
+    * `doc_id + 10⁷` row holding its first max(⌊tokens/2⌋, 3) raw
+    * tokens); unigram grams, df ≤ 50 hot-gram candidate guard,
+    * all-integer pp10k verify at ≥ 0.9. Scale shape: q21's — block+
+    * gram-keyed candidate join bounded by maxDf², never all-pairs.
+    */
+  def containmentGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+    val toks = TextFunctions.tokens(col("text"))
+    val k = greatest(shiftright(size(toks), 1), lit(3))
+    val excerpts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), k), " ").as("text"),
+        col("source"))
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(excerpts)
+    graft.operators.Dedup.containmentPairs(corpus, "text", "doc_id",
+      "source", n = 1, maxDf = 50, minPp10k = 9000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q162: sitemap URL extraction — [[graft.operators.Sitemaps.parse]]
+    * over planted `<urlset>` documents (every 20th doc): a shouting
+    * default-port tracking-param `<loc>` with required `&amp;` escapes
+    * and a full W3C-datetime lastmod + priority, a minimal entry with
+    * neither, a malformed entry (`not a url` loc, unparseable lastmod/
+    * priority → NULL canon/date/decimal), and a commented-out entry
+    * that must be invisible. Non-sitemap docs emit nothing. Map-only
+    * explode; zero shuffle.
+    */
+  def sitemapGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val dd = lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"),
+      2, "0")
+    val markup = when(pmod(col("doc_id"), lit(20)) === 0, concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc> HTTP://WWW.Example.COM:80/page/"), id,
+      lit("?utm_source=m&amp;b=2&amp;a=1 </loc><lastmod>2026-01-"), dd,
+      lit("T08:30:00Z</lastmod><priority>0.8</priority></url>"),
+      lit("<url><loc>https://example.com/q/"), id,
+      lit("?x=1&amp;y=2</loc></url>"),
+      when(pmod(col("doc_id"), lit(40)) === 0,
+        lit("<url><loc>not a url</loc><lastmod>soon</lastmod>" +
+          "<priority>high</priority></url>")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(60)) === 0,
+        lit("<!-- <url><loc>https://ghost.example.com/x</loc></url> -->"))
+        .otherwise(lit("")),
+      lit("</urlset>")))
+      .otherwise(concat(lit("<html><body>Doc "), id,
+        lit("</body></html>")))
+    graft.operators.Sitemaps.parse(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id")
+      .orderBy(col("doc_id"), col("entry_pos"))
+  }
+
+  /** q161: redirect-chain resolution —
+    * [[graft.operators.Redirects.resolve]]: the planted redirect map
+    * (three-hop runs on `doc_id % 10 ∈ {1,2,3}`, a six-hop run on
+    * `% 100 ∈ 61..66`, a 15↔25 two-cycle and a 35 self-loop per
+    * hundred-block) collapses to terminal fetch targets by pointer
+    * doubling — `doublings = 3` resolves every chain of ≤ 8 hops and
+    * flags the cycles `unresolved`. The oracle walks the same map with
+    * a depth-8 recursive CTE. Scale shape: 3 key-partitioned
+    * self-joins over the EDGE set (crawl-log-sized, never the corpus),
+    * never O(chain-length) rounds.
+    */
+  def redirectGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val m100 = pmod(d, lit(100))
+    val m10 = pmod(d, lit(10))
+    val dst = when(m100 === 15, d + 10)
+      .when(m100 === 25, d - 10)
+      .when(m100 === 35, d)
+      .when(m100.between(61, 66), d + 1)
+      .when(m10.isin(1, 2, 3), d + 1)
+    val edges = Tables.documents(s, dir)
+      .select(d.as("src"), dst.cast("long").as("dst"))
+      .where(col("dst").isNotNull)
+    graft.operators.Redirects.resolve(edges, "src", "dst", doublings = 3)
+      .select(col("src"),
+        concat(lit("https://ex.org/p/"), col("src")).as("src_url"),
+        when(!col("unresolved"),
+          concat(lit("https://ex.org/p/"), col("terminal")))
+          .as("terminal_url"),
+        col("hops"), col("unresolved"))
+      .orderBy(col("src"))
+  }
+
   /** q159: robots.txt crawl-policy verdicts —
     * [[graft.operators.Robots]]: per-domain robots bodies compile into
     * wildcard-agent prefix rules (RFC 9309 group structure: stacked

@@ -959,6 +959,66 @@ object Dedup {
     }
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric complement to
+    * [[ngramJaccardPairs]]: C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|),
+    * the Broder containment coefficient. Jaccard misses the
+    * excerpt/quote/boilerplate-wrap case entirely — a 100-gram doc
+    * fully contained in a 10 000-gram doc has J ≈ 0.01 but C = 1.0 —
+    * and containment is what a curation dedup needs to drop extracts
+    * whose every shingle already exists in a kept page.
+    *
+    * Candidates come from grams with within-block df ≤ `maxDf` (the
+    * q21 hot-gram guard: a stopword's df² join rows are the straggler
+    * at scale); the verify is EXACT over the candidates' full distinct
+    * gram sets, all-integer (parts-per-10k, floor division — the q124
+    * discipline, no float threshold).
+    *
+    * Scale shape: block+gram-keyed candidate join bounded by maxDf²
+    * per gram, one id-keyed join back to gram sets, no all-pairs scan.
+    * Output: (id_a, id_b, n_a, n_b, n_common, contain_pp10k) for pairs
+    * with containment ≥ minPp10k/10000, id_a < id_b.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int = 3,
+      maxDf: Int = 50,
+      minPp10k: Long = 9000L): DataFrame = {
+    val grams = docs.select(
+      col(idCol), col(blockCol).as("block"),
+      array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sized = grams.withColumn("n_grams", size(col("grams")))
+    val exploded = sized.select(col(idCol), col("block"),
+      explode(col("grams")).as("g"))
+    val rare = exploded.groupBy(col("block"), col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("block"), col("g"))
+    val capped = exploded.join(rare, Seq("block", "g"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val cand = a.join(b,
+      col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("long")
+    cand
+      .join(sized.select(col(idCol).as("id_a"), col("grams").as("ga"),
+        col("n_grams").cast("long").as("n_a")), "id_a")
+      .join(sized.select(col(idCol).as("id_b"), col("grams").as("gb"),
+        col("n_grams").cast("long").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        inter.as("n_common"))
+      .withColumn("contain_pp10k",
+        expr("(n_common * 10000) div least(n_a, n_b)"))
+      .filter(col("n_common") * 10000 >= lit(minPp10k) *
+        least(col("n_a"), col("n_b")))
+  }
+
   /** EXACT all-pairs Jaccard similarity join via PREFIX FILTERING —
     * Bayardo et al., "Scaling Up All Pairs Similarity Search" (WWW '07):
     * every pair of documents whose distinct-token sets reach

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sitemaps
+
+/** [[graft.operators.Sitemaps.parse]]: urlset extraction semantics —
+  * entry positions, loc whitespace trim + `&amp;` decode +
+  * canonicalization, W3C-datetime lastmod → DATE, priority → exact
+  * DECIMAL, try-cast NULL on malformed values, comment invisibility,
+  * and the emit-nothing contract for index files and non-sitemap docs.
+  */
+class SitemapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(rows: (Long, String)*) =
+    Sitemaps.parse(rows.toSeq.toDF("doc_id", "markup"), "markup", "doc_id")
+      .orderBy("doc_id", "entry_pos").collect()
+
+  test("entries extract with trim, entity decode and canonicalization") {
+    val rs = parse(1L ->
+      ("""<?xml version="1.0"?><urlset>""" +
+        """<url><loc> HTTP://WWW.Ex.COM:80/p/1?utm_source=m&amp;b=2&amp;a=1 </loc>""" +
+        """<lastmod>2026-01-05T08:30:00Z</lastmod><priority>0.8</priority></url>""" +
+        """<url><loc>https://ex.com/q?x=1</loc></url></urlset>"""))
+    assert(rs.length === 2)
+    val r0 = rs(0)
+    assert(r0.getAs[Long]("entry_pos") === 0L)
+    assert(r0.getAs[String]("loc") ===
+      "HTTP://WWW.Ex.COM:80/p/1?utm_source=m&b=2&a=1")
+    assert(r0.getAs[String]("url_canon") === "http://www.ex.com/p/1?a=1&b=2")
+    assert(r0.getAs[String]("domain") === "ex.com")
+    assert(r0.getAs[java.sql.Date]("lastmod").toString === "2026-01-05")
+    assert(r0.getAs[java.math.BigDecimal]("priority")
+      .compareTo(new java.math.BigDecimal("0.80")) === 0)
+    val r1 = rs(1)
+    assert(r1.getAs[Long]("entry_pos") === 1L)
+    assert(r1.getAs[String]("lastmod_raw") === null)
+    assert(r1.get(r1.fieldIndex("lastmod")) === null)
+    assert(r1.get(r1.fieldIndex("priority")) === null)
+  }
+
+  test("malformed loc/lastmod/priority go NULL, row survives") {
+    val rs = parse(2L ->
+      ("""<urlset><url><loc>not a url</loc><lastmod>soon</lastmod>""" +
+        """<priority>high</priority></url></urlset>"""))
+    assert(rs.length === 1)
+    val r = rs(0)
+    assert(r.getAs[String]("loc") === "not a url")
+    assert(r.get(r.fieldIndex("url_canon")) === null)
+    assert(r.get(r.fieldIndex("domain")) === null)
+    assert(r.getAs[String]("lastmod_raw") === "soon")
+    assert(r.get(r.fieldIndex("lastmod")) === null)
+    assert(r.get(r.fieldIndex("priority")) === null)
+  }
+
+  test("commented-out entries are invisible; positions stay dense") {
+    val rs = parse(3L ->
+      ("""<urlset><!-- <url><loc>https://ghost.ex.com/</loc></url> -->""" +
+        """<url><loc>https://ex.com/a</loc></url></urlset>"""))
+    assert(rs.map(_.getAs[String]("loc")).toSeq === Seq("https://ex.com/a"))
+    assert(rs(0).getAs[Long]("entry_pos") === 0L)
+  }
+
+  test("sitemapindex files and non-sitemap docs emit nothing") {
+    val rs = parse(
+      4L -> """<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap></sitemapindex>""",
+      5L -> "<html><body>Doc 5</body></html>",
+      6L -> null.asInstanceOf[String])
+    assert(rs.isEmpty)
+  }
+}
