@@ -2782,6 +2782,73 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.frontierGate / Frontier.schedule: per-domain
+    * best-first waves (priority DESC, url ASC), depth cap 40, left
+    * join to the 5-domain delay table with 1000 ms default,
+    * eta = (wave−1) × delay.
+    */
+  val crawlFrontier: String = s"""
+    WITH f AS (
+      SELECT 'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             'site' || (doc_id % 7) || '.example.com' AS domain,
+             CAST((doc_id * 37 + 11) % 100 AS BIGINT) AS priority
+      FROM documents),
+    r AS (
+      SELECT url, domain, priority,
+             CAST(row_number() OVER (PARTITION BY domain
+               ORDER BY priority DESC, url ASC) AS BIGINT) AS wave
+      FROM f),
+    dl AS (
+      SELECT 'site' || i || '.example.com' AS domain,
+             CASE WHEN i % 3 = 0 THEN 2000 ELSE 500 END AS delay_ms
+      FROM (SELECT unnest(generate_series(0, 4)) AS i))
+    SELECT r.url, r.domain, r.priority, r.wave,
+           CAST(coalesce(dl.delay_ms, 1000) AS BIGINT) AS delay_ms,
+           CAST((r.wave - 1) * coalesce(dl.delay_ms, 1000) AS BIGINT)
+             AS eta_ms
+    FROM r LEFT JOIN dl USING (domain)
+    WHERE wave <= 40
+    ORDER BY domain, wave"""
+
+  /** Mirrors Queries.entropyGate / Entropy.charEntropy: the planted
+    * z-flood corpus, per-(doc,char) counts, integer micro-nat terms
+    * `cnt × round(ln(n/cnt)·1e6)` summed exactly, floor-divided
+    * average, keep at ≥ 2 600 000 µnats — q136's NULL-average /
+    * false-keep shape for charless docs.
+    */
+  val charEntropy: String = s"""
+    WITH d0 AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 13 = 0 THEN chr(10) || repeat('z', 160)
+             ELSE '' END AS t
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(coalesce(t, ''), '[\\s\\S]')) AS c
+      FROM d0),
+    cc AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch GROUP BY 1, 2),
+    nn AS (
+      SELECT doc_id, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM cc),
+    e AS (
+      SELECT doc_id, max(n) AS nc, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(cnt * CAST(round(ln(
+               CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS es
+      FROM nn GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(e.nc, 0) AS n_chars,
+           coalesce(e.k, 0) AS distinct_chars,
+           coalesce(e.es, 0) AS entropy_sum_micro,
+           CASE WHEN e.nc > 0 THEN e.es // e.nc END AS entropy_micro,
+           coalesce(e.nc > 0 AND e.es // e.nc >= 2600000, FALSE) AS keep
+    FROM documents d LEFT JOIN e USING (doc_id)
+    ORDER BY d.doc_id"""
+
   /** Mirrors Queries.containmentGate / Dedup.containmentPairs: the
     * documents ∪ half-token excerpts corpus, df ≤ 50 capped unigram
     * candidates, exact integer containment (pp10k, floor division)
@@ -4837,7 +4904,9 @@ object Oracles {
     "q160_canonical_keys" -> canonicalKeys,
     "q161_redirect_chains" -> redirectChains,
     "q162_sitemap_urls" -> sitemapUrls,
-    "q163_containment_pairs" -> containmentPairs)
+    "q163_containment_pairs" -> containmentPairs,
+    "q164_char_entropy" -> charEntropy,
+    "q165_crawl_frontier" -> crawlFrontier)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,55 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q165: crawl-frontier scheduling —
+    * [[graft.operators.Frontier.schedule]]: the planted 7-domain
+    * frontier (priority = (id·37+11) mod 100) orders into per-domain
+    * politeness waves capped at depth 40, and each URL gets
+    * `eta_ms = (wave−1) × crawl_delay(domain)` from a 5-domain delay
+    * table (two domains fall through to the 1000 ms default). Scale
+    * shape: the depth cap makes the one domain-keyed window a
+    * WindowGroupLimit (partial limit BEFORE the exchange — a
+    * mega-domain cannot serialize a sort buffer); the delay table is
+    * domain-sized and broadcasts.
+    */
+  def frontierGate(s: SparkSession, dir: String): DataFrame = {
+    val dom = concat(lit("site"),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com"))
+    val frontier = Tables.documents(s, dir).select(
+      concat(lit("https://"), dom, lit("/p/"),
+        col("doc_id").cast("string")).as("url"),
+      dom.as("domain"),
+      pmod(col("doc_id") * 37 + 11, lit(100)).cast("long").as("priority"))
+    val delays = s.range(0, 5).select(
+      concat(lit("site"), col("id").cast("string"), lit(".example.com"))
+        .as("domain"),
+      when(pmod(col("id"), lit(3)) === 0, 2000L).otherwise(500L)
+        .as("delay_ms"))
+    graft.operators.Frontier.schedule(frontier, "url", "domain",
+      "priority", delays, maxDepth = 40)
+      .orderBy(col("domain"), col("wave"))
+  }
+
+  /** q164: char-entropy gibberish gate —
+    * [[graft.operators.Entropy.charEntropy]]: per-document character
+    * Shannon entropy in integer micro-nats, keep at ≥ 2.6 nats/char.
+    * Every 13th document gets a planted 160-char `z` flood appended,
+    * dragging its entropy ~0.5–1.2 nats below the natural corpus
+    * (measured spread: planted 1.38–2.75, natural 2.55–2.94 at
+    * sf0.001), so the gate exercises both verdicts AND the boundary.
+    * Scale shape: one (doc,char)-keyed exchange with map-side combine,
+    * then a window over ≤ alphabet-size rows per doc.
+    */
+  def entropyGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit("\n"), lit("z" * 160))).otherwise(lit("")))
+    graft.operators.Entropy.charEntropy(
+      Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id", keepMinMicroNats = 2600000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** q163: containment near-dup pairs —
     * [[graft.operators.Dedup.containmentPairs]]: the asymmetric
     * excerpt/quote case Jaccard misses (a half-length excerpt of a
