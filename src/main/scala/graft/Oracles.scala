@@ -2782,6 +2782,86 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.politeFrontierGate: the q159 robots group parse
+    * (crawl-delay now an effective key) reduced to per-domain max
+    * millisecond delays via DECIMAL(8,3) try-cast, composed with the
+    * q165 frontier window and 1000 ms scheduler default.
+    */
+  val politeFrontier: String = s"""
+    WITH rb(domain, txt) AS (VALUES
+      ('site0.example.com', 'User-agent: *' || chr(10) ||
+        'Crawl-delay: 2' || chr(10) || 'Disallow: /tmp/' || chr(10)),
+      ('site1.example.com', 'User-agent: *' || chr(10) ||
+        'Crawl-delay: 1.5' || chr(10)),
+      ('site2.example.com', 'User-agent: googlebot' || chr(10) ||
+        'Crawl-delay: 9' || chr(10) || chr(10) || 'User-agent: *' ||
+        chr(10) || 'Crawl-delay: 0.25' || chr(10)),
+      ('site3.example.com', 'User-agent: *' || chr(10) ||
+        'Crawl-delay: soon' || chr(10)),
+      ('site4.example.com', 'User-agent: *' || chr(10) ||
+        'Disallow: /x' || chr(10)),
+      ('site6.example.com', 'User-agent: *' || chr(10) ||
+        'Crawl-delay: 3' || chr(10) || '# peak hours' || chr(10) ||
+        'Crawl-delay: 1' || chr(10))),
+    lx AS (
+      SELECT domain, parts,
+             unnest(generate_series(1, len(parts))) AS pos
+      FROM (SELECT domain, string_split(txt, chr(10)) AS parts FROM rb)),
+    ln0 AS (
+      SELECT domain, pos,
+        trim(replace(regexp_replace(parts[CAST(pos AS INTEGER)],
+          '#.*$$', ''), chr(13), '')) AS ln
+      FROM lx),
+    kv AS (
+      SELECT domain, pos,
+        lower(trim(regexp_extract(ln, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(ln, '^[^:]+:(.*)$$', 1)) AS value
+      FROM ln0 WHERE ln <> ''),
+    eff AS (
+      SELECT domain, pos, key, value, key = 'user-agent' AS isua
+      FROM kv
+      WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+    st AS (
+      SELECT domain, pos, key, value, isua,
+        CASE WHEN isua AND NOT coalesce(lag(isua) OVER
+              (PARTITION BY domain ORDER BY pos), FALSE)
+          THEN 1 ELSE 0 END AS gstart
+      FROM eff),
+    grp AS (
+      SELECT domain, pos, key, value, isua,
+        sum(gstart) OVER
+          (PARTITION BY domain ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM st),
+    star AS (
+      SELECT DISTINCT domain, g FROM grp WHERE isua AND value = '*'),
+    cds AS (
+      SELECT r.domain,
+             max(CAST(TRY_CAST(r.value AS DECIMAL(8,3)) * 1000
+               AS BIGINT)) AS delay_ms
+      FROM grp r JOIN star s ON r.domain = s.domain AND r.g = s.g
+      WHERE NOT r.isua AND r.value <> '' AND r.key = 'crawl-delay'
+        AND TRY_CAST(r.value AS DECIMAL(8,3)) >= 0
+      GROUP BY r.domain),
+    f AS (
+      SELECT 'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             'site' || (doc_id % 7) || '.example.com' AS domain,
+             CAST((doc_id * 37 + 11) % 100 AS BIGINT) AS priority
+      FROM documents),
+    r AS (
+      SELECT url, domain, priority,
+             CAST(row_number() OVER (PARTITION BY domain
+               ORDER BY priority DESC, url ASC) AS BIGINT) AS wave
+      FROM f)
+    SELECT r.url, r.domain, r.priority, r.wave,
+           CAST(coalesce(cds.delay_ms, 1000) AS BIGINT) AS delay_ms,
+           CAST((r.wave - 1) * coalesce(cds.delay_ms, 1000) AS BIGINT)
+             AS eta_ms
+    FROM r LEFT JOIN cds USING (domain)
+    WHERE wave <= 40
+    ORDER BY domain, wave"""
+
   /** Mirrors Queries.frontierGate / Frontier.schedule: per-domain
     * best-first waves (priority DESC, url ASC), depth cap 40, left
     * join to the 5-domain delay table with 1000 ms default,
@@ -4906,7 +4986,8 @@ object Oracles {
     "q162_sitemap_urls" -> sitemapUrls,
     "q163_containment_pairs" -> containmentPairs,
     "q164_char_entropy" -> charEntropy,
-    "q165_crawl_frontier" -> crawlFrontier)
+    "q165_crawl_frontier" -> crawlFrontier,
+    "q166_polite_frontier" -> politeFrontier)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,46 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q166: robots-delay-driven polite frontier — the composition gate
+    * closing the politeness loop: [[graft.operators.Robots
+    * .crawlDelays]] parses per-domain `Crawl-delay` out of the planted
+    * robots bodies (integer seconds, fractional `1.5`, a non-`*` group
+    * that must be ignored, a malformed `soon`, a delay-less body, a
+    * robots-less domain, and a two-value group taking the politeness-
+    * conservative max) and feeds [[graft.operators.Frontier.schedule]]
+    * as q165's delay table — parse failures and absent domains fall
+    * through to the 1000 ms default at the SCHEDULER, not silently at
+    * the parser. Same scale shape as q159 + q165: domain-sized robots
+    * parse, one WindowGroupLimit window, broadcast delay join.
+    */
+  def politeFrontierGate(s: SparkSession, dir: String): DataFrame = {
+    val rdom = concat(lit("site"), col("id").cast("string"),
+      lit(".example.com"))
+    val txt = when(col("id") === 0,
+      lit("User-agent: *\nCrawl-delay: 2\nDisallow: /tmp/\n"))
+      .when(col("id") === 1, lit("User-agent: *\nCrawl-delay: 1.5\n"))
+      .when(col("id") === 2,
+        lit("User-agent: googlebot\nCrawl-delay: 9\n\n" +
+          "User-agent: *\nCrawl-delay: 0.25\n"))
+      .when(col("id") === 3, lit("User-agent: *\nCrawl-delay: soon\n"))
+      .when(col("id") === 4, lit("User-agent: *\nDisallow: /x\n"))
+      .otherwise(lit("User-agent: *\nCrawl-delay: 3\n" +
+        "# peak hours\nCrawl-delay: 1\n"))
+    val robots = s.range(0, 7).filter(col("id") =!= 5)
+      .select(rdom.as("domain"), txt.as("txt"))
+    val delays = graft.operators.Robots.crawlDelays(robots, "domain", "txt")
+    val dom = concat(lit("site"),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com"))
+    val frontier = Tables.documents(s, dir).select(
+      concat(lit("https://"), dom, lit("/p/"),
+        col("doc_id").cast("string")).as("url"),
+      dom.as("domain"),
+      pmod(col("doc_id") * 37 + 11, lit(100)).cast("long").as("priority"))
+    graft.operators.Frontier.schedule(frontier, "url", "domain",
+      "priority", delays, maxDepth = 40)
+      .orderBy(col("domain"), col("wave"))
+  }
+
   /** q165: crawl-frontier scheduling —
     * [[graft.operators.Frontier.schedule]]: the planted 7-domain
     * frontier (priority = (id·37+11) mod 100) orders into per-domain

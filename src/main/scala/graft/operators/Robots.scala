@@ -35,11 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Compile robots.txt bodies into wildcard-agent rules:
-    * (`domainCol`, allow, prefix) — one row per effective
-    * Allow/Disallow line in a `*` group, prefixes non-empty.
+  /** Non-user-agent directives of the `*` groups: (`domainCol`, key,
+    * value) with key ∈ {allow, disallow, crawl-delay} — the shared
+    * parse behind [[rules]] and [[crawlDelays]]. Crawl-delay lines
+    * count as effective lines for group-boundary detection (a
+    * directive between two `User-agent:` lines ENDS the agent stack,
+    * per RFC 9309's group structure).
     */
-  def rules(
+  private def starGroupDirectives(
       robots: DataFrame,
       domainCol: String,
       txtCol: String): DataFrame = {
@@ -54,7 +57,8 @@ object Robots {
       .select(col(domainCol), col("pos"),
         lower(trim(regexp_extract(col("ln"), "^([^:]+):", 1))).as("key"),
         trim(regexp_extract(col("ln"), "^[^:]+:(.*)$", 1)).as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
+      .filter(col("key").isin(
+        "user-agent", "allow", "disallow", "crawl-delay"))
     // RFC 9309 group structure: a group STARTS at a user-agent line
     // whose predecessor (among effective lines) is not one — stacked
     // agents share the group's rules
@@ -73,10 +77,44 @@ object Robots {
     grouped
       .join(starGroups, Seq(domainCol, "__grp"))
       .filter(!col("__isUa") && col("value") =!= "")
+      .select(col(domainCol), col("key"), col("value"))
+  }
+
+  /** Compile robots.txt bodies into wildcard-agent rules:
+    * (`domainCol`, allow, prefix) — one row per effective
+    * Allow/Disallow line in a `*` group, prefixes non-empty.
+    */
+  def rules(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String): DataFrame =
+    starGroupDirectives(robots, domainCol, txtCol)
+      .filter(col("key").isin("allow", "disallow"))
       .select(col(domainCol), (col("key") === "allow").as("allow"),
         col("value").as("prefix"))
       .distinct()
-  }
+
+  /** Effective `Crawl-delay` per domain, in milliseconds:
+    * (`domainCol`, delay_ms). Values are seconds with up to
+    * millisecond precision (`Crawl-delay: 1.5` → 1500 — Yandex/Bing
+    * accept fractional seconds); unparseable or negative values drop
+    * (try-cast semantics — a domain whose only delay line is garbage
+    * gets no row, and the scheduler's default applies). Several valid
+    * delays across a domain's `*` groups collapse to the LARGEST —
+    * the politeness-conservative reading. Exact DECIMAL(8,3)
+    * arithmetic; no floats.
+    */
+  def crawlDelays(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String): DataFrame =
+    starGroupDirectives(robots, domainCol, txtCol)
+      .filter(col("key") === "crawl-delay")
+      .select(col(domainCol),
+        expr("try_cast(value AS decimal(8,3))").as("__sec"))
+      .filter(col("__sec").isNotNull && col("__sec") >= 0)
+      .groupBy(col(domainCol))
+      .agg(max((col("__sec") * 1000).cast("long")).as("delay_ms"))
 
   /** URL path (query included — robots prefixes match the full
     * path-and-query string), '/' when empty, NULL for malformed URLs.

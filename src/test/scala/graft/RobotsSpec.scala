@@ -64,6 +64,37 @@ class RobotsSpec extends SparkSpec {
     assert(tv.getBoolean(3) && tv.getString(4) == "/a/")
   }
 
+  test("crawlDelays: ms precision, non-* ignored, max wins, garbage drops") {
+    val rb = Seq(
+      ("int.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+      ("frac.com", "User-agent: *\nCrawl-delay: 1.5\n"),
+      ("other.com", "User-agent: googlebot\nCrawl-delay: 9\n\n" +
+        "User-agent: *\nCrawl-delay: 0.25\n"),
+      ("bad.com", "User-agent: *\nCrawl-delay: soon\n"),
+      ("neg.com", "User-agent: *\nCrawl-delay: -1\n"),
+      ("none.com", "User-agent: *\nDisallow: /x\n"),
+      ("two.com", "User-agent: *\nCrawl-delay: 3\n# note\nCrawl-delay: 1\n")
+    ).toDF("domain", "txt")
+    val got = Robots.crawlDelays(rb, "domain", "txt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "int.com" -> 2000L, "frac.com" -> 1500L, "other.com" -> 250L,
+      "two.com" -> 3000L))
+  }
+
+  test("crawl-delay lines end a user-agent stack (group boundary)") {
+    // the delay belongs to googlebot's group; the second User-agent
+    // must NOT stack onto it — so the * group has no delay
+    val rb = Seq(("s.com",
+      "User-agent: googlebot\nCrawl-delay: 5\nUser-agent: *\n" +
+        "Disallow: /x\n")).toDF("domain", "txt")
+    assert(Robots.crawlDelays(rb, "domain", "txt").count() === 0)
+    // ...while the Disallow still lands in the * group
+    val r = Robots.rules(rb, "domain", "txt").collect()
+    assert(r.map(x => (x.getBoolean(1), x.getString(2))).toSet ===
+      Set((false, "/x")))
+  }
+
   test("verdict plan: broadcast equi-join by domain — the corpus never shuffles") {
     val urls = Seq((1L, "https://www.a.com/private/x"))
       .toDF("doc_id", "url")
