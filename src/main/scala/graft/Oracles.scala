@@ -2782,6 +2782,97 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.publishedDateGate / Html.publishedDate: comment
+    * strip, the five probes (meta article both orders, time tag, meta
+    * date both orders), precedence CASE, try-cast DATE of the leading
+    * 10 chars, integer day distance to 2026-08-01.
+    */
+  val publishedDates: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><head>' ||
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '<meta property="article:published_time" ' ||
+            'content="2026-03-' ||
+            lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+            'T10:00:00Z"><time datetime="2020-01-01">old</time>'
+          WHEN 1 THEN '<META CONTENT=''2025-12-' ||
+            lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+            ''' PROPERTY=''article:published_time''>'
+          WHEN 2 THEN CASE WHEN doc_id % 8 = 2
+            THEN '<meta name="date" content="last tuesday">'
+            ELSE '<time datetime="2024-06-' ||
+              lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+              'T08:00:00+01:00">June</time>' END
+          ELSE '<!-- <meta name="date" content="1999-01-01"> -->'
+        END ||
+        '</head><body><p>Doc ' || doc_id || '</p></body></html>'
+          AS markup
+      FROM documents),
+    c AS (
+      SELECT doc_id, regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g')
+               AS m
+      FROM d),
+    x AS (
+      SELECT doc_id,
+        regexp_extract(m, '(?is)<meta\\s[^>]*property\\s*=\\s*["'']article:published_time["''][^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*>', 1) AS akf,
+        regexp_extract(m, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*property\\s*=\\s*["'']article:published_time["''][^>]*>', 1) AS acf,
+        regexp_extract(m, '(?is)<time\\s[^>]*datetime\\s*=\\s*["'']([^"'']*)["''][^>]*>', 1) AS tt,
+        regexp_extract(m, '(?is)<meta\\s[^>]*name\\s*=\\s*["'']date["''][^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*>', 1) AS dkf,
+        regexp_extract(m, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']date["''][^>]*>', 1) AS dcf
+      FROM c),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN akf <> '' THEN akf WHEN acf <> '' THEN acf END AS ma,
+        tt,
+        CASE WHEN dkf <> '' THEN dkf WHEN dcf <> '' THEN dcf END AS md
+      FROM x),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN ma IS NOT NULL THEN ma
+             WHEN tt <> '' THEN tt
+             WHEN md IS NOT NULL THEN md END AS date_raw,
+        CASE WHEN ma IS NOT NULL THEN 'meta_article'
+             WHEN tt <> '' THEN 'time_tag'
+             WHEN md IS NOT NULL THEN 'meta_date' END AS date_source
+      FROM f),
+    gg AS (
+      SELECT doc_id, date_raw, date_source,
+             TRY_CAST(substr(date_raw, 1, 10) AS DATE) AS published
+      FROM g)
+    SELECT doc_id, date_raw, published, date_source,
+           CAST(date_diff('day', published, DATE '2026-08-01') AS BIGINT)
+             AS age_days
+    FROM gg ORDER BY doc_id"""
+
+  /** Mirrors Queries.mojibakeGate / Mojibake.score: the planted
+    * cp1252-artifact tails, both regex probes (pattern built with
+    * chr(160) so the NBSP survives editors), integer per-10k density.
+    */
+  val mojibake: String = s"""
+    WITH d0 AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 19 = 0
+          THEN chr(10) || 'naÃ¯ve caffÃ© â€” donâ€™t' ELSE '' END ||
+        CASE WHEN doc_id % 38 = 0 THEN ' bad' || chr(65533) || 'bytes'
+          ELSE '' END AS t
+      FROM documents),
+    sc AS (
+      SELECT doc_id,
+        CAST(length(coalesce(t, '')) AS BIGINT) AS n_chars,
+        CAST(len(regexp_extract_all(coalesce(t, ''),
+          'Ã[©¨ª«¯±³µ¶º¼½¾‰€™“”]|â€[™œ¦˜“”]|Â[ ' || chr(160) ||
+          '®©«»]')) AS BIGINT) AS moji_hits,
+        CAST(len(regexp_extract_all(coalesce(t, ''), chr(65533)))
+          AS BIGINT) AS repl_chars
+      FROM d0)
+    SELECT doc_id, n_chars, moji_hits, repl_chars,
+           CASE WHEN n_chars > 0
+             THEN ((moji_hits + repl_chars) * 10000) // n_chars END
+             AS moji_pp10k,
+           moji_hits = 0 AND repl_chars = 0 AS clean
+    FROM sc ORDER BY doc_id"""
+
   /** Mirrors Queries.politeFrontierGate: the q159 robots group parse
     * (crawl-delay now an effective key) reduced to per-domain max
     * millisecond delays via DECIMAL(8,3) try-cast, composed with the
@@ -4987,7 +5078,9 @@ object Oracles {
     "q163_containment_pairs" -> containmentPairs,
     "q164_char_entropy" -> charEntropy,
     "q165_crawl_frontier" -> crawlFrontier,
-    "q166_polite_frontier" -> politeFrontier)
+    "q166_polite_frontier" -> politeFrontier,
+    "q167_mojibake" -> mojibake,
+    "q168_published_dates" -> publishedDates)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,63 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q168: publication-date extraction —
+    * [[graft.operators.Html.publishedDate]]: Open Graph
+    * `article:published_time` (both attribute orders, one shouting
+    * single-quoted), HTML5 `<time datetime>`, legacy `<meta
+    * name=date>`, precedence pinned by a decoy `<time>` that must LOSE
+    * to the meta tag, a malformed value (`last tuesday` → raw kept,
+    * DATE NULL), a commented-out tag (invisible → all NULL), and
+    * integer `age_days` against a fixed as-of date. Map-only: four
+    * regex probes on the scan, zero shuffle.
+    */
+  def publishedDateGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m4 = pmod(col("doc_id"), lit(4))
+    val dd = lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"),
+      2, "0")
+    val markup = concat(lit("<html><head>"),
+      when(m4 === 0, concat(
+        lit("<meta property=\"article:published_time\" " +
+          "content=\"2026-03-"), dd,
+        lit("T10:00:00Z\"><time datetime=\"2020-01-01\">old</time>")))
+        .when(m4 === 1, concat(
+          lit("<META CONTENT='2025-12-"), dd,
+          lit("' PROPERTY='article:published_time'>")))
+        .when(m4 === 2,
+          when(pmod(col("doc_id"), lit(8)) === 2,
+            lit("<meta name=\"date\" content=\"last tuesday\">"))
+            .otherwise(concat(lit("<time datetime=\"2024-06-"), dd,
+              lit("T08:00:00+01:00\">June</time>"))))
+        .otherwise(
+          lit("<!-- <meta name=\"date\" content=\"1999-01-01\"> -->")),
+      lit("</head><body><p>Doc "), id, lit("</p></body></html>"))
+    graft.operators.Html.publishedDate(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id", asOf = "2026-08-01")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q167: mojibake triage — [[graft.operators.Mojibake.score]]: every
+    * 19th document gets a planted cp1252-damage tail (`naÃ¯ve caffÃ©
+    * â€” donâ€™t` — four artifact digraphs), every 38th additionally a
+    * U+FFFD replacement character; the report counts both classes,
+    * derives integer per-10k-chars density, and flags clean docs.
+    * Map-only: two regexp_count probes on the scan, zero shuffle.
+    */
+  def mojibakeGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(19)) === 0,
+        lit("\nnaÃ¯ve caffÃ© â€” " +
+          "donâ€™t")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(38)) === 0,
+        lit(" bad�bytes")).otherwise(lit("")))
+    graft.operators.Mojibake.score(
+      Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** q166: robots-delay-driven polite frontier — the composition gate
     * closing the politeness loop: [[graft.operators.Robots
     * .crawlDelays]] parses per-domain `Crawl-delay` out of the planted

@@ -130,6 +130,48 @@ class HtmlSpec extends SparkSpec {
       2L -> Some("https://b.com/y"), 3L -> None, 4L -> None))
   }
 
+  test("publishedDate: probe precedence, both orders, garbage, comments") {
+    import spark.implicits._
+    val docs = Seq(
+      // meta article beats a present time tag
+      (1L, "<head><meta property=\"article:published_time\" " +
+        "content=\"2026-03-05T10:00:00Z\"></head>" +
+        "<time datetime=\"2020-01-01\">old</time>"),
+      // content-first shouting single-quoted ordering
+      (2L, "<head><META CONTENT='2025-12-31' " +
+        "PROPERTY='article:published_time'></head>"),
+      // time tag alone; timezone suffix ignored by the 10-char cut
+      (3L, "<p><time datetime=\"2024-06-30T08:00:00+01:00\">J</time></p>"),
+      // legacy meta date, reversed attribute order
+      (4L, "<head><meta content=\"2023-01-02\" name=\"date\"></head>"),
+      // garbage: raw kept, DATE and age NULL
+      (5L, "<head><meta name=\"date\" content=\"last tuesday\"></head>"),
+      // commented out: invisible
+      (6L, "<!-- <meta name=\"date\" content=\"1999-01-01\"> -->"),
+      (7L, null: String)
+    ).toDF("doc_id", "markup")
+    val got = graft.operators.Html
+      .publishedDate(docs, "markup", "doc_id", asOf = "2026-08-01")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getAs[java.sql.Date](2)).map(_.toString),
+          Option(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    assert(got(1L) === ((Some("2026-03-05T10:00:00Z"), Some("2026-03-05"),
+      Some("meta_article"), Some(149L))))
+    assert(got(2L) === ((Some("2025-12-31"), Some("2025-12-31"),
+      Some("meta_article"), Some(213L))))
+    assert(got(3L) === ((Some("2024-06-30T08:00:00+01:00"),
+      Some("2024-06-30"), Some("time_tag"), Some(762L))))
+    assert(got(4L) === ((Some("2023-01-02"), Some("2023-01-02"),
+      Some("meta_date"), Some(1307L))))
+    assert(got(5L) === ((Some("last tuesday"), None, Some("meta_date"),
+      None)))
+    assert(got(6L) === ((None, None, None, None)))
+    assert(got(7L) === ((None, None, None, None)))
+  }
+
   test("metaRobots: both attribute orders, case, decoys, comments, none") {
     import spark.implicits._
     val docs = Seq(
