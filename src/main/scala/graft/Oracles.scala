@@ -2782,6 +2782,89 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.sitemapDiffGate / Sitemaps.diff: the two planted
+    * snapshots, full-outer join with presence markers, null-safe
+    * lastmod comparison.
+    */
+  val sitemapDiff: String = s"""
+    WITH prev AS (
+      SELECT 'https://ex.com/p/' || doc_id AS url,
+             DATE '2026-01-01' + CAST(doc_id % 28 AS INTEGER) AS lm,
+             TRUE AS p
+      FROM documents WHERE doc_id % 11 <> 3),
+    cur AS (
+      SELECT 'https://ex.com/p/' || doc_id AS url,
+             DATE '2026-01-01' + CAST(doc_id % 28 +
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS lm,
+             TRUE AS c
+      FROM documents WHERE doc_id % 11 <> 7)
+    SELECT coalesce(prev.url, cur.url) AS url,
+           prev.lm AS lastmod_prev, cur.lm AS lastmod_cur,
+           CASE WHEN prev.p IS NULL THEN 'new'
+                WHEN cur.c IS NULL THEN 'gone'
+                WHEN prev.lm IS DISTINCT FROM cur.lm THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM prev FULL OUTER JOIN cur ON prev.url = cur.url
+    ORDER BY url"""
+
+  /** Mirrors Queries.discoveryFunnelGate: the discovered-URL universe,
+    * canonical distinct via the shared chain, PSL blocklist, the
+    * planted single-rule robots verdict (prefix semantics inlined),
+    * NOT EXISTS anti-join against the crawled set, five stage counts.
+    */
+  val discoveryFunnel: String = s"""
+    WITH disc AS (
+      SELECT 'https://www.example.com/page/' || doc_id || '?utm_source=m'
+               AS url
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT 'https://ads.badsite.net/promo/' || doc_id
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT 'HTTP://WWW.Example.COM:80/doc/' || doc_id || '?b=2&a=1'
+      FROM documents
+      UNION ALL
+      SELECT 'https://blog.example.com/post?id=' ||
+             (doc_id - doc_id % 10)
+      FROM documents WHERE doc_id % 5 = 0),
+    lnk AS (SELECT url FROM disc),
+    ${urlCanonChain("lnk", "url")},
+    ded AS (
+      SELECT DISTINCT url_canon AS u FROM canon
+      WHERE url_canon IS NOT NULL),
+    keyed AS (
+      SELECT u, nullif(${pslCaseSql("h")}, '') AS domain,
+        CASE WHEN rest = '' THEN NULL
+          WHEN regexp_extract(rest, '^[^/?]*(/[^#]*|\\?[^#]*)?', 1) = ''
+            THEN '/'
+          ELSE regexp_extract(rest, '^[^/?]*(/[^#]*|\\?[^#]*)?', 1)
+        END AS path
+      FROM (SELECT u, ${hostOfSql("u")} AS h,
+              regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1)
+                AS rest
+            FROM ded)),
+    unb AS (
+      SELECT u, domain, path FROM keyed
+      WHERE domain IS NULL OR domain <> 'badsite.net'),
+    alw AS (
+      SELECT u FROM unb
+      WHERE NOT coalesce(domain = 'example.com'
+        AND starts_with(path, '/doc/1'), FALSE)),
+    seen AS (
+      SELECT 'http://www.example.com/doc/' || doc_id || '?a=1&b=2' AS u
+      FROM documents WHERE doc_id % 2 = 0),
+    fresh AS (
+      SELECT u FROM alw a
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.u = a.u))
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'discovered' AS stage,
+           CAST(count(*) AS BIGINT) AS urls FROM disc
+    UNION ALL SELECT 1, 'canonical_distinct', count(*) FROM ded
+    UNION ALL SELECT 2, 'after_blocklist', count(*) FROM unb
+    UNION ALL SELECT 3, 'robots_allowed', count(*) FROM alw
+    UNION ALL SELECT 4, 'frontier_new', count(*) FROM fresh
+    ORDER BY stage_idx"""
+
   /** Mirrors Queries.publishedDateGate / Html.publishedDate: comment
     * strip, the five probes (meta article both orders, time tag, meta
     * date both orders), precedence CASE, try-cast DATE of the leading
@@ -5080,7 +5163,9 @@ object Oracles {
     "q165_crawl_frontier" -> crawlFrontier,
     "q166_polite_frontier" -> politeFrontier,
     "q167_mojibake" -> mojibake,
-    "q168_published_dates" -> publishedDates)
+    "q168_published_dates" -> publishedDates,
+    "q169_discovery_funnel" -> discoveryFunnel,
+    "q170_sitemap_diff" -> sitemapDiff)
 }
 
 /** Holder split out so the oracle text initializes before

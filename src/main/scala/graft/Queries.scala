@@ -3504,6 +3504,99 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q170: sitemap snapshot diff — [[graft.operators.Sitemaps.diff]]:
+    * the incremental-recrawl work list between two planted snapshots
+    * (every 11th-residue-3 URL is new, residue-7 gone, every 5th
+    * lastmod bumped a day = changed, the rest unchanged). One
+    * url-keyed full-outer join over sitemap-entry-sized inputs.
+    */
+  def sitemapDiffGate(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://ex.com/p/"), col("doc_id").cast("string"))
+    val base = lit("2026-01-01").cast("date")
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(url.as("url"),
+        date_add(base, pmod(col("doc_id"), lit(28)).cast("int"))
+          .as("lastmod"))
+    val cur = docs.filter(pmod(col("doc_id"), lit(11)) =!= 7)
+      .select(url.as("url"),
+        date_add(base, (pmod(col("doc_id"), lit(28)) +
+          when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(0))
+          .cast("int")).as("lastmod"))
+    graft.operators.Sitemaps.diff(prev, cur, "url", "lastmod")
+      .orderBy(col("url"))
+  }
+
+  /** q169: URL-discovery funnel — the frontier-side counterpart of
+    * q153's content chain, ONE dataflow with q83-style stage
+    * accounting: sitemap seeds (q162's plant) ∪ outlinks (tracking-
+    * param and cross-document duplicate targets) → canonical dedup →
+    * PSL blocklist → robots verdicts (a planted `Disallow: /doc/1`
+    * prefix that bites /doc/1, /doc/1x, /doc/1xx) → anti-join against
+    * the already-crawled set. Output: one row per stage with the
+    * surviving URL count — every stage visibly bites. Scale shape:
+    * canonicalization map-only, dedup one exchange, blocklist/robots
+    * broadcast, the crawled-set anti-join key-partitioned; shared
+    * stages persisted once (the q153 loop-invariant discipline), five
+    * scalar counts off the cached frames.
+    */
+  def discoveryFunnelGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val id = col("doc_id").cast("string")
+    val b = (col("doc_id") - pmod(col("doc_id"), lit(10))).cast("string")
+    val seeds = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(explode(array(
+        concat(lit("https://www.example.com/page/"), id,
+          lit("?utm_source=m")),
+        concat(lit("https://ads.badsite.net/promo/"), id))).as("url"))
+    val link1 = concat(lit("HTTP://WWW.Example.COM:80/doc/"), id,
+      lit("?b=2&a=1"))
+    val blogLink = concat(lit("https://blog.example.com/post?id="), b)
+    val links = docs.select(explode(
+      when(pmod(col("doc_id"), lit(5)) === 0, array(link1, blogLink))
+        .otherwise(array(link1))).as("url"))
+    val mk = graft.util.OperatorCaches.mark()
+    val discovered = graft.util.OperatorCaches.persisted(
+      seeds.unionByName(links))
+    val dedup = graft.util.OperatorCaches.persisted(
+      discovered
+        .select(graft.operators.Urls.canonicalize(col("url")).as("u"))
+        .filter(col("u").isNotNull).distinct())
+    val block = Seq("badsite.net").toDF("__bd")
+    val unblocked = graft.util.OperatorCaches.persisted(
+      dedup
+        .withColumn("domain", nullif(graft.operators.PublicSuffix
+          .registeredDomain(col("u")), lit("")))
+        .join(broadcast(block.withColumn("__blocked", lit(true))),
+          col("domain") === col("__bd"), "left")
+        .filter(col("__blocked").isNull)
+        .select(col("u")))
+    val robots = Seq(("example.com", "User-agent: *\nDisallow: /doc/1\n"))
+      .toDF("domain", "txt")
+    val allowed = graft.util.OperatorCaches.persisted(
+      graft.operators.Robots.verdict(unblocked, "u", "u",
+        graft.operators.Robots.rules(robots, "domain", "txt"))
+        .filter(col("allowed")).select(col("u")))
+    val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(concat(lit("http://www.example.com/doc/"), id,
+        lit("?a=1&b=2")).as("u"))
+    val fresh = allowed.join(seen, Seq("u"), "left_anti")
+    def cnt(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("urls"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("urls"))
+    val out = cnt(0, "discovered", discovered)
+      .unionByName(cnt(1, "canonical_distinct", dedup))
+      .unionByName(cnt(2, "after_blocklist", unblocked))
+      .unionByName(cnt(3, "robots_allowed", allowed))
+      .unionByName(cnt(4, "frontier_new", fresh))
+      .orderBy(col("stage_idx"))
+      .localCheckpoint(true) // terminal action: the caches are consumed
+    graft.util.OperatorCaches.releaseSince(s, mk)
+    out
+  }
+
   /** q168: publication-date extraction —
     * [[graft.operators.Html.publishedDate]]: Open Graph
     * `article:published_time` (both attribute orders, one shouting

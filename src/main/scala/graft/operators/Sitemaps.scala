@@ -31,6 +31,39 @@ object Sitemaps {
   val LastmodPattern = "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>"
   val PriorityPattern = "(?is)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>"
 
+  /** Snapshot diff — the incremental-recrawl planner: comparing the
+    * previous crawl's sitemap snapshot with the current one yields the
+    * work list (fetch `new` and `changed`, retire `gone`, skip
+    * `unchanged`) without touching a single page. Presence is decided
+    * by ROW presence (marker columns through the full-outer join), so
+    * a NULL lastmod on a present row is still `unchanged`/`changed`
+    * by null-safe comparison, never misread as absence.
+    *
+    * Scale shape: one url-keyed full-outer join between two
+    * sitemap-entry-sized tables (both orders of magnitude below the
+    * corpus); AQE picks broadcast when one snapshot is small.
+    *
+    * Output: (url, lastmod_prev, lastmod_cur,
+    * status ∈ {new, gone, changed, unchanged}).
+    */
+  def diff(
+      prev: DataFrame,
+      cur: DataFrame,
+      urlCol: String,
+      lastmodCol: String): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"),
+      col(lastmodCol).as("lastmod_prev"), lit(true).as("__p"))
+    val c = cur.select(col(urlCol).as("url"),
+      col(lastmodCol).as("lastmod_cur"), lit(true).as("__c"))
+    p.join(c, Seq("url"), "full_outer")
+      .select(col("url"), col("lastmod_prev"), col("lastmod_cur"),
+        when(col("__p").isNull, lit("new"))
+          .when(col("__c").isNull, lit("gone"))
+          .when(!(col("lastmod_prev") <=> col("lastmod_cur")),
+            lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** One row per `<url>` entry: (`idCol`, entry_pos, loc, url_canon,
     * domain, lastmod_raw, lastmod, priority).
     */

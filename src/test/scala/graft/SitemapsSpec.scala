@@ -62,6 +62,20 @@ class SitemapsSpec extends SparkSpec {
     assert(rs(0).getAs[Long]("entry_pos") === 0L)
   }
 
+  test("diff: new/gone/changed/unchanged; null lastmod is not absence") {
+    import org.apache.spark.sql.functions.col
+    val prev = Seq(("a", "2026-01-01"), ("b", "2026-01-02"),
+      ("c", "2026-01-03"), ("d", null.asInstanceOf[String]))
+      .toDF("url", "lm").select(col("url"), col("lm").cast("date").as("lm"))
+    val cur = Seq(("b", "2026-01-05"), ("c", "2026-01-03"),
+      ("d", null.asInstanceOf[String]), ("e", "2026-02-01"))
+      .toDF("url", "lm").select(col("url"), col("lm").cast("date").as("lm"))
+    val got = graft.operators.Sitemaps.diff(prev, cur, "url", "lm")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got === Map("a" -> "gone", "b" -> "changed", "c" -> "unchanged",
+      "d" -> "unchanged", "e" -> "new"))
+  }
+
   test("sitemapindex files and non-sitemap docs emit nothing") {
     val rs = parse(
       4L -> """<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap></sitemapindex>""",
