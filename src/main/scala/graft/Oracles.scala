@@ -2814,7 +2814,7 @@ object Oracles {
     * NOT EXISTS anti-join against the crawled set, five stage counts.
     */
   val discoveryFunnel: String = s"""
-    WITH disc AS (
+    WITH disc AS MATERIALIZED (
       SELECT 'https://www.example.com/page/' || doc_id || '?utm_source=m'
                AS url
       FROM documents WHERE doc_id % 20 = 0
@@ -2830,10 +2830,10 @@ object Oracles {
       FROM documents WHERE doc_id % 5 = 0),
     lnk AS (SELECT url FROM disc),
     ${urlCanonChain("lnk", "url")},
-    ded AS (
+    ded AS MATERIALIZED (
       SELECT DISTINCT url_canon AS u FROM canon
       WHERE url_canon IS NOT NULL),
-    keyed AS (
+    keyed AS MATERIALIZED (
       SELECT u, nullif(${pslCaseSql("h")}, '') AS domain,
         CASE WHEN rest = '' THEN NULL
           WHEN regexp_extract(rest, '^[^/?]*(/[^#]*|\\?[^#]*)?', 1) = ''
@@ -2844,17 +2844,17 @@ object Oracles {
               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1)
                 AS rest
             FROM ded)),
-    unb AS (
+    unb AS MATERIALIZED (
       SELECT u, domain, path FROM keyed
       WHERE domain IS NULL OR domain <> 'badsite.net'),
-    alw AS (
+    alw AS MATERIALIZED (
       SELECT u FROM unb
       WHERE NOT coalesce(domain = 'example.com'
         AND starts_with(path, '/doc/1'), FALSE)),
     seen AS (
       SELECT 'http://www.example.com/doc/' || doc_id || '?a=1&b=2' AS u
       FROM documents WHERE doc_id % 2 = 0),
-    fresh AS (
+    fresh AS MATERIALIZED (
       SELECT u FROM alw a
       WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.u = a.u))
     SELECT CAST(0 AS BIGINT) AS stage_idx, 'discovered' AS stage,
