@@ -2782,6 +2782,38 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.paginationGate: the extracted rel=next map (the
+    * commented/malformed plants yield no edge) reversed, walked by a
+    * depth-4 recursive CTE to the series head, then the head-keyed
+    * length join.
+    */
+  val paginationSeries: String = s"""
+    WITH RECURSIVE rev AS (
+      SELECT doc_id + 1 AS src, doc_id AS dst
+      FROM documents WHERE doc_id % 10 IN (0, 1, 2)),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM rev
+      UNION ALL
+      SELECT w.src, r.dst, w.hops + 1
+      FROM walk w JOIN rev r ON r.src = w.cur
+      WHERE w.hops < 4),
+    fin AS (
+      SELECT src AS doc_id, arg_max(cur, hops) AS head0,
+             max(hops) AS hops
+      FROM walk GROUP BY src),
+    placed AS MATERIALIZED (
+      SELECT d.doc_id, coalesce(f.head0, d.doc_id) AS head_id,
+             CAST(coalesce(f.hops, 0) AS BIGINT) AS position
+      FROM documents d LEFT JOIN fin f USING (doc_id)),
+    lens AS (
+      SELECT head_id, CAST(count(*) AS BIGINT) AS series_len
+      FROM placed GROUP BY head_id)
+    SELECT p.doc_id, 'https://ex.com/a/' || p.doc_id AS url,
+           'https://ex.com/a/' || p.head_id AS head_url,
+           p.position, l.series_len
+    FROM placed p JOIN lens l USING (head_id)
+    ORDER BY p.doc_id"""
+
   /** Mirrors Queries.sitemapDiffGate / Sitemaps.diff: the two planted
     * snapshots, full-outer join with presence markers, null-safe
     * lastmod comparison.
@@ -5165,7 +5197,8 @@ object Oracles {
     "q167_mojibake" -> mojibake,
     "q168_published_dates" -> publishedDates,
     "q169_discovery_funnel" -> discoveryFunnel,
-    "q170_sitemap_diff" -> sitemapDiff)
+    "q170_sitemap_diff" -> sitemapDiff,
+    "q171_pagination_series" -> paginationSeries)
 }
 
 /** Holder split out so the oracle text initializes before

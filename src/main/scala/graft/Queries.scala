@@ -3504,6 +3504,66 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q171: pagination-series resolution — `rel=next` chains
+    * ([[graft.operators.Html.relLink]]) REVERSED and collapsed with
+    * [[graft.operators.Redirects.resolve]]: every page of a paginated
+    * series maps to its head (the page nothing points to) with its
+    * 0-based position and the series length — the grouping a curation
+    * pipeline needs to treat a 4-page article as ONE document (dedup
+    * keys, token budgets, extraction stitching). Plants: 4-page series
+    * per 10-block (three quote/order/case variants of the link tag), a
+    * commented-out next on some tails (must stay invisible), and a
+    * malformed next href (NULL canon → standalone). Scale shape:
+    * extraction map-only; the resolve is 2 edge-set self-joins; series
+    * length is one head-keyed aggregate joined back.
+    */
+  def paginationGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val m10 = pmod(d, lit(10))
+    val nextUrl = concat(lit("https://ex.com/a/"), (d + 1).cast("string"))
+    val markup = concat(lit("<html><head>"),
+      when(m10.isin(0, 1, 2),
+        when(pmod(d, lit(3)) === 0, concat(
+          lit("<link rel=\"next\" href=\""), nextUrl, lit("\">")))
+          .when(pmod(d, lit(3)) === 1, concat(
+            lit("<LINK HREF='"), nextUrl, lit("' REL='next'>")))
+          .otherwise(concat(
+            lit("<link rel='next' href='"), nextUrl, lit("'>"))))
+        .when(m10 === 3 && pmod(d, lit(20)) === 3, concat(
+          lit("<!-- <link rel=\"next\" href=\""), nextUrl, lit("\"> -->")))
+        .when(m10 === 7, lit("<link rel=\"next\" href=\"not a url\">"))
+        .otherwise(lit("")),
+      lit("</head><body>Doc "), id, lit("</body></html>"))
+    val docs = Tables.documents(s, dir)
+    val nexts = graft.operators.Html.relLink(
+      docs.select(d, markup.as("markup")), "markup", "doc_id",
+      rel = "next", outCol = "next_href")
+    val canon = graft.operators.Urls.canonicalize(col("next_href"))
+    // reversed functional map: next-target → its predecessor; the walk
+    // from any page ends at the series head (nothing points to it)
+    val reversed = nexts
+      .select(regexp_extract(canon, "/a/([0-9]+)$", 1).cast("long")
+        .as("src"), d.as("dst"))
+      .where(col("src").isNotNull)
+    val res = graft.operators.Redirects
+      .resolve(reversed, "src", "dst", doublings = 2)
+      .select(col("src").as("doc_id"), col("terminal"), col("hops"))
+    val placed = docs.select(d)
+      .join(res, Seq("doc_id"), "left")
+      .select(d, coalesce(col("terminal"), d).as("head_id"),
+        coalesce(col("hops"), lit(0L)).as("position"))
+    val lens = placed.groupBy(col("head_id"))
+      .agg(count(lit(1)).as("series_len"))
+    placed.join(lens, Seq("head_id"))
+      .select(d,
+        concat(lit("https://ex.com/a/"), id).as("url"),
+        concat(lit("https://ex.com/a/"), col("head_id").cast("string"))
+          .as("head_url"),
+        col("position"), col("series_len"))
+      .orderBy(d)
+  }
+
   /** q170: sitemap snapshot diff — [[graft.operators.Sitemaps.diff]]:
     * the incremental-recrawl work list between two planted snapshots
     * (every 11th-residue-3 URL is new, residue-7 gone, every 5th

@@ -159,18 +159,35 @@ object Html {
   def canonicalLink(
       docs: DataFrame,
       markupCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    relLink(docs, markupCol, idCol, rel = "canonical",
+      outCol = "canonical_href")
+
+  /** `<link rel="<rel>" href="...">` for any link relation — the shared
+    * probe behind [[canonicalLink]] and the `rel=next` pagination
+    * extraction: both attribute orders, case-insensitive, commented-out
+    * links invisible, NULL when the page declares none. `rel` must be a
+    * regex-safe literal token (canonical, next, prev, alternate).
+    * Map-only: two regex probes per document.
+    */
+  def relLink(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String,
+      rel: String,
+      outCol: String): DataFrame = {
+    require(rel.matches("[a-z-]+"), s"relLink: non-literal rel '$rel'")
     val m = regexp_replace(
       coalesce(col(markupCol), lit("")), CommentPattern, " ")
     val relFirst = regexp_extract(m,
-      "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*" +
+      s"(?is)<link\\s[^>]*rel\\s*=\\s*[\"']$rel[\"'][^>]*" +
         "href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>", 1)
     val hrefFirst = regexp_extract(m,
       "(?is)<link\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
-        "rel\\s*=\\s*[\"']canonical[\"'][^>]*>", 1)
+        s"rel\\s*=\\s*[\"']$rel[\"'][^>]*>", 1)
     docs.select(col(idCol),
       nullif(when(relFirst =!= "", relFirst).otherwise(hrefFirst),
-        lit("")).as("canonical_href"))
+        lit("")).as(outCol))
   }
 
   /** Publication-date extraction — the freshness signal a curation

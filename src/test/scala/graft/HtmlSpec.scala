@@ -130,6 +130,26 @@ class HtmlSpec extends SparkSpec {
       2L -> Some("https://b.com/y"), 3L -> None, 4L -> None))
   }
 
+  test("relLink: rel=next both orders, comments, rel guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<head><link rel=\"next\" href=\"https://a.com/2\"></head>"),
+      (2L, "<head><LINK HREF='https://a.com/3' REL='next'></head>"),
+      // prev is not next; commented-out next invisible
+      (3L, "<head><link rel=\"prev\" href=\"https://a.com/1\">" +
+        "<!-- <link rel=\"next\" href=\"https://ghost.com/\"> --></head>")
+    ).toDF("doc_id", "markup")
+    val got = graft.operators.Html
+      .relLink(docs, "markup", "doc_id", rel = "next", outCol = "nx")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("https://a.com/2"),
+      2L -> Some("https://a.com/3"), 3L -> None))
+    intercept[IllegalArgumentException] {
+      graft.operators.Html.relLink(docs, "markup", "doc_id",
+        rel = "next|.*", outCol = "nx")
+    }
+  }
+
   test("publishedDate: probe precedence, both orders, garbage, comments") {
     import spark.implicits._
     val docs = Seq(
