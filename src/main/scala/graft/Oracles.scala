@@ -2782,6 +2782,80 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.hreflangGate / Html.alternates: link-tag explode,
+    * rel=alternate filter, per-tag hreflang/href probes, x-default min
+    * through the shared canonicalization chain, own-URL fallback,
+    * min-id election per cluster.
+    */
+  val hreflangClusters: String = {
+    def altDq(lang: String) =
+      s"'<link rel=\"alternate\" hreflang=\"$lang\" " +
+        s"href=\"https://ex.com/$lang/' || (doc_id - doc_id % 4) || '\">'"
+    def altSq(lang: String) =
+      s"'<LINK HREF=''https://ex.com/$lang/' || (doc_id - doc_id % 4) " +
+        s"|| ''' HREFLANG=''${lang.toUpperCase}'' REL=''alternate''>'"
+    val xdefDq =
+      "'<link rel=\"alternate\" hreflang=\"x-default\" " +
+        "href=\"HTTPS://Ex.COM:443/en/' || (doc_id - doc_id % 4) || " +
+        "'?utm_source=x\">'"
+    val xdefSq =
+      "'<LINK HREF=''https://ex.com/en/' || (doc_id - doc_id % 4) || " +
+        "''' HREFLANG=''X-DEFAULT'' REL=''alternate''>'"
+    s"""
+    WITH d0 AS (
+      SELECT doc_id,
+        '<html><head>' ||
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN ${altDq("en")} || ${altDq("fr")} || ${altDq("de")}
+            || $xdefDq
+          WHEN 1 THEN '<link rel="stylesheet" href="/s.css">' ||
+            ${altDq("en")} || ${altDq("fr")} || ${altDq("de")} ||
+            '<!-- <link rel="alternate" hreflang="zz" ' ||
+            'href="https://ghost.ex.com/"> -->' || $xdefDq
+          WHEN 2 THEN ${altSq("en")} || ${altSq("fr")} || ${altSq("de")}
+            || $xdefSq
+          ELSE '' END ||
+        '</head><body>Doc ' || doc_id || '</body></html>' AS markup,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'https://ex.com/en/' || (doc_id - doc_id % 4)
+          WHEN 1 THEN 'https://ex.com/fr/' || (doc_id - doc_id % 4)
+          WHEN 2 THEN 'https://ex.com/de/' || (doc_id - doc_id % 4)
+          ELSE 'https://ex.com/solo/' || doc_id END AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id, url,
+             regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d0),
+    tx AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(m, '(?is)<link\\s[^>]*>', 0)) AS t
+      FROM c),
+    alt AS (
+      SELECT doc_id,
+        lower(regexp_extract(t,
+          '(?is)hreflang\\s*=\\s*["'']([^"'']*)["'']', 1)) AS hreflang,
+        CASE WHEN regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+          THEN regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+          ELSE regexp_extract(t, '(?i)href\\s*=\\s*''([^'']*)''', 1)
+        END AS href
+      FROM tx
+      WHERE regexp_matches(t, '(?is)rel\\s*=\\s*["'']alternate["'']')),
+    xd0 AS (
+      SELECT doc_id, href AS url FROM alt
+      WHERE hreflang = 'x-default' AND href <> ''),
+    ${urlCanonChain("xd0", "doc_id")},
+    xd AS (
+      SELECT doc_id, min(url_canon) AS xdef FROM canon GROUP BY doc_id),
+    k AS (
+      SELECT b.doc_id, b.url, coalesce(xd.xdef, b.url) AS cluster_key
+      FROM (SELECT doc_id, url FROM d0) b LEFT JOIN xd USING (doc_id))
+    SELECT doc_id, url, cluster_key,
+           CAST(min(doc_id) OVER (PARTITION BY cluster_key) AS BIGINT)
+             AS rep_id,
+           doc_id = min(doc_id) OVER (PARTITION BY cluster_key) AS is_rep
+    FROM k ORDER BY doc_id"""
+  }
+
   /** Mirrors Queries.paginationGate: the extracted rel=next map (the
     * commented/malformed plants yield no edge) reversed, walked by a
     * depth-4 recursive CTE to the series head, then the head-keyed
@@ -5198,7 +5272,8 @@ object Oracles {
     "q168_published_dates" -> publishedDates,
     "q169_discovery_funnel" -> discoveryFunnel,
     "q170_sitemap_diff" -> sitemapDiff,
-    "q171_pagination_series" -> paginationSeries)
+    "q171_pagination_series" -> paginationSeries,
+    "q172_hreflang_clusters" -> hreflangClusters)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,67 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q172: hreflang variant clusters —
+    * [[graft.operators.Html.alternates]]: every 4-block plants an
+    * en/fr/de language-variant trio whose pages each declare the full
+    * alternate set plus an `x-default` (shouting default-port
+    * tracking-param form on one variant — the q146 canonicalization
+    * must collapse it), one page adds a stylesheet decoy and a
+    * commented-out alternate (both invisible), the fourth page is a
+    * standalone. Cluster key = min canonical x-default, falling back
+    * to the page's own URL; min-id election per cluster (the q160
+    * discipline) — the grouping that makes a 3-language article ONE
+    * document for sampling. Extraction map-only; the one exchange is
+    * the cluster-keyed window.
+    */
+  def hreflangGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = col("doc_id")
+    val m4 = pmod(d, lit(4))
+    val b = (d - m4).cast("string")
+    val id = d.cast("string")
+    def altDq(lang: String) = concat(
+      lit(s"""<link rel="alternate" hreflang="$lang" href="https://ex.com/$lang/"""),
+      b, lit("\">"))
+    val xdefDq = concat(
+      lit("<link rel=\"alternate\" hreflang=\"x-default\" " +
+        "href=\"HTTPS://Ex.COM:443/en/"), b, lit("?utm_source=x\">"))
+    def altSq(lang: String) = concat(
+      lit(s"<LINK HREF='https://ex.com/$lang/"), b,
+      lit(s"' HREFLANG='${lang.toUpperCase}' REL='alternate'>"))
+    val markup = concat(lit("<html><head>"),
+      when(m4 === 0, concat(altDq("en"), altDq("fr"), altDq("de"), xdefDq))
+        .when(m4 === 1, concat(
+          lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
+          altDq("en"), altDq("fr"), altDq("de"),
+          lit("<!-- <link rel=\"alternate\" hreflang=\"zz\" " +
+            "href=\"https://ghost.ex.com/\"> -->"), xdefDq))
+        .when(m4 === 2, concat(altSq("en"), altSq("fr"), altSq("de"),
+          concat(lit("<LINK HREF='https://ex.com/en/"), b,
+            lit("' HREFLANG='X-DEFAULT' REL='alternate'>"))))
+        .otherwise(lit("")),
+      lit("</head><body>Doc "), id, lit("</body></html>"))
+    val ownUrl = when(m4 === 0, concat(lit("https://ex.com/en/"), b))
+      .when(m4 === 1, concat(lit("https://ex.com/fr/"), b))
+      .when(m4 === 2, concat(lit("https://ex.com/de/"), b))
+      .otherwise(concat(lit("https://ex.com/solo/"), id))
+    val docsm = Tables.documents(s, dir)
+      .select(d, markup.as("markup"), ownUrl.as("url"))
+    val xdef = graft.operators.Html
+      .alternates(docsm, "markup", "doc_id")
+      .filter(col("hreflang") === "x-default")
+      .select(d, graft.operators.Urls.canonicalize(col("href")).as("xd"))
+      .groupBy(d).agg(min(col("xd")).as("xd"))
+    docsm.select(d, col("url"))
+      .join(xdef, Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("xd"), col("url")))
+      .withColumn("rep_id",
+        min(d).over(Window.partitionBy(col("cluster_key"))))
+      .select(d, col("url"), col("cluster_key"), col("rep_id"),
+        (d === col("rep_id")).as("is_rep"))
+      .orderBy(d)
+  }
+
   /** q171: pagination-series resolution — `rel=next` chains
     * ([[graft.operators.Html.relLink]]) REVERSED and collapsed with
     * [[graft.operators.Redirects.resolve]]: every page of a paginated

@@ -190,6 +190,44 @@ object Html {
         lit("")).as(outCol))
   }
 
+  /** `<link rel="alternate" hreflang="…" href="…">` extraction — the
+    * multilingual-variant map (Google's hreflang protocol): a page
+    * lists its language variants and optionally an `x-default`, and a
+    * curation pipeline groups the variants into ONE logical document
+    * before per-language sampling (otherwise a 40-language site
+    * contributes 40 near-identical pages to every mixture). One row
+    * per hreflang-bearing alternate link: (`idCol`, alt_pos [0-based
+    * index in the document's full `<link>` sequence — non-alternate
+    * links keep their position, indices can gap], hreflang
+    * [lowercased], href). Attribute order free; commented-out links
+    * invisible; alternates without an hreflang (RSS feeds) are out of
+    * scope and drop. Map-only: one explode over `<link>` tags.
+    */
+  def alternates(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String): DataFrame = {
+    val cleaned = regexp_replace(
+      coalesce(col(markupCol), lit("")), CommentPattern, " ")
+    val relAlt = "(?is)rel\\s*=\\s*[\"']alternate[\"']"
+    val hl = "(?is)hreflang\\s*=\\s*[\"']([^\"']*)[\"']"
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(cleaned,
+          lit("(?is)<link\\s[^>]*>"), lit(0)))
+          .as(Seq("alt_pos", "__t")))
+      .filter(regexp_count(col("__t"), lit(relAlt)) > 0)
+      .select(col(idCol), col("alt_pos").cast("long").as("alt_pos"),
+        nullif(lower(regexp_extract(col("__t"), hl, 1)), lit(""))
+          .as("hreflang"),
+        {
+          val dq = regexp_extract(col("__t"), HrefDqPattern, 1)
+          val sq = regexp_extract(col("__t"), HrefSqPattern, 1)
+          nullif(when(dq =!= "", dq).otherwise(sq), lit("")).as("href")
+        })
+      .filter(col("hreflang").isNotNull && col("href").isNotNull)
+  }
+
   /** Publication-date extraction — the freshness signal a curation
     * pipeline cuts recency mixtures and staleness filters on (news/
     * blog corpora weight recent documents; a training-data card

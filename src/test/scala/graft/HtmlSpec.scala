@@ -130,6 +130,28 @@ class HtmlSpec extends SparkSpec {
       2L -> Some("https://b.com/y"), 3L -> None, 4L -> None))
   }
 
+  test("alternates: attr-order free, case, comments, rss drops, gaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<head><link rel=\"stylesheet\" href=\"/s.css\">" + // pos 0
+        "<link rel=\"alternate\" hreflang=\"en\" href=\"https://a.com/en\">" +
+        "<LINK HREF='https://a.com/fr' HREFLANG='FR' REL='alternate'>" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">" +
+        "<!-- <link rel=\"alternate\" hreflang=\"zz\" href=\"https://g.com\"> -->" +
+        "</head>"),
+      (2L, null: String)
+    ).toDF("doc_id", "markup")
+    val got = graft.operators.Html.alternates(docs, "markup", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    // stylesheet keeps position 0 but drops; rss alternate has no
+    // hreflang and drops; commented-out alternate invisible
+    assert(got === Set(
+      (1L, 1L, "en", "https://a.com/en"),
+      (1L, 2L, "fr", "https://a.com/fr")))
+  }
+
   test("relLink: rel=next both orders, comments, rel guard") {
     import spark.implicits._
     val docs = Seq(
