@@ -69,10 +69,13 @@ object Bench {
     * Empty map when the resource is missing — flare detection simply
     * disarms.
     */
-  def loadLock(): (Map[String, Double], Double) = {
-    // classpath resource (sbt run/package copy it), else the source
-    // tree (run_main.sh after a bare `compile`, which skips resources)
-    val txt0 = Option(getClass.getResourceAsStream("/bench_lock.json"))
+  /** The lock's recorded scale-factor tag (`"sf": "sf0.1"`), if any. */
+  def lockSfTag(): Option[String] =
+    lockText().flatMap(t =>
+      "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(t).map(_.group(1)))
+
+  private def lockText(): Option[String] =
+    Option(getClass.getResourceAsStream("/bench_lock.json"))
       .map { in =>
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -82,6 +85,11 @@ object Bench {
           Some(java.nio.file.Files.readString(p))
         else None
       }
+
+  def loadLock(): (Map[String, Double], Double) = {
+    // classpath resource (sbt run/package copy it), else the source
+    // tree (run_main.sh after a bare `compile`, which skips resources)
+    val txt0 = lockText()
     if (txt0.isEmpty) return (Map.empty, 0.0)
     val txt = txt0.get
     val calib = "\"calib_total\"\\s*:\\s*([0-9.]+)".r
@@ -139,7 +147,22 @@ object Bench {
     // "flares" annotation carrying every raw reading. A real regression
     // stays slow across re-runs and is still flagged; a one-off box
     // flare self-adjudicates out of the headline.
-    val (lock, lockCalib) = loadLock()
+    val (lock0, lockCalib) = loadLock()
+    // the per-query locks are tied to the SCALE FACTOR they were
+    // recorded at: at a different SF every query legitimately reads
+    // several × its lock, and "flare" re-runs would triple the whole
+    // run. Disarm adjudication when the bench dir's basename differs
+    // from the lock's recorded sf tag (calibration scaling corrects for
+    // BOX speed, not data volume).
+    val lockSf = lockSfTag()
+    val benchSf = new java.io.File(sfDir).getName
+    val lock: Map[String, Double] =
+      if (lockSf.forall(_ == benchSf)) lock0
+      else {
+        System.err.println(s"[bench] lock recorded at sf '${lockSf.get}' " +
+          s"but benching '$benchSf' — flare adjudication disarmed")
+        Map.empty
+      }
     val calibTotal = calib.map(_._2).sum
     val calibRatio =
       if (lockCalib > 0 && calibTotal > 0) calibTotal / lockCalib else 1.0
