@@ -2782,6 +2782,31 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.warcHttpGate: the planted per-10-block response
+    * truth recomputed directly — round-trip identity through the .warc
+    * file is the claim under test (q150's discipline).
+    */
+  val warcHttp: String = s"""
+    WITH p AS (
+      SELECT doc_id,
+        'https://ex.com/p/' || doc_id AS target_uri,
+        CASE WHEN doc_id % 10 = 7 THEN 301
+             WHEN doc_id % 10 = 8 THEN 404 ELSE 200 END AS st,
+        CASE WHEN doc_id % 10 = 9 THEN 'application/pdf'
+             ELSE 'text/html' END AS content_type,
+        CASE WHEN doc_id % 10 = 7
+             THEN 'https://ex.com/p/' || (doc_id + 1) END AS location,
+        CASE WHEN doc_id % 10 = 8 THEN 'not found'
+             ELSE substr(regexp_replace(coalesce(text, ''),
+               chr(13), '', 'g'), 1, 80) END AS body
+      FROM documents)
+    SELECT doc_id, target_uri, CAST(st AS BIGINT) AS status,
+           content_type, location,
+           CAST(octet_length(CAST(body AS BLOB)) AS BIGINT) AS body_len,
+           st = 200 AND content_type = 'text/html' AS fetch_ok,
+           st BETWEEN 300 AND 399 AS redirect
+    FROM p ORDER BY doc_id"""
+
   /** Mirrors Queries.hreflangGate / Html.alternates: link-tag explode,
     * rel=alternate filter, per-tag hreflang/href probes, x-default min
     * through the shared canonicalization chain, own-URL fallback,
@@ -5273,7 +5298,8 @@ object Oracles {
     "q169_discovery_funnel" -> discoveryFunnel,
     "q170_sitemap_diff" -> sitemapDiff,
     "q171_pagination_series" -> paginationSeries,
-    "q172_hreflang_clusters" -> hreflangClusters)
+    "q172_hreflang_clusters" -> hreflangClusters,
+    "q173_warc_http" -> warcHttp)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,60 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q173: WARC response round-trip + fetch gate —
+    * [[graft.io.Wet.toResponseRecords]] / [[graft.io.Wet
+    * .readResponses]]: the raw-fetch stage BEFORE WET extraction.
+    * Planted per 10-block: seven 200 text/html pages (one with a
+    * `; charset=` parameter the parse must strip), a 301 with a
+    * Location header, a 404, and a 200 application/pdf; the corpus
+    * round-trips through a real `.warc` file (record-head framing,
+    * split-safe) and the gate emits the fetch verdict — keep
+    * `status = 200 ∧ content_type = text/html` — plus the redirect
+    * Location ready for [[graft.operators.Redirects]]. The oracle
+    * recomputes the planted truth directly: round-trip identity is the
+    * claim under test (q150's discipline).
+    */
+  def warcHttpGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val m10 = pmod(d, lit(10))
+    val body = substring(
+      regexp_replace(coalesce(col("text"), lit("")), "\r", ""), 1, 80)
+    val status = when(m10 === 7, 301L)
+      .when(m10 === 8, 404L).otherwise(200L)
+    val reason = when(m10 === 7, "Moved Permanently")
+      .when(m10 === 8, "Not Found").otherwise(lit("OK"))
+    val ctype = when(m10 === 9, "application/pdf")
+      .when(m10 === 6, "text/html; charset=UTF-8")
+      .otherwise(lit("text/html"))
+    val location = when(m10 === 7,
+      concat(lit("https://ex.com/p/"), (d + 1).cast("string")))
+    val rendered = Tables.documents(s, dir).select(
+      concat(lit("https://ex.com/p/"), id).as("uri"),
+      status.as("status"), reason.as("reason"), ctype.as("ctype"),
+      location.as("location"),
+      when(m10 === 8, lit("not found")).otherwise(body).as("body"))
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_warc").toString
+    graft.io.Wet
+      .toResponseRecords(rendered, "uri", "status", "reason", "ctype",
+        "location", "body")
+      .coalesce(1).write.mode("overwrite")
+      .option("lineSep", graft.io.Wet.RecordSeparator)
+      .text(s"$path/warc")
+    graft.io.Wet.readResponses(s, s"$path/warc")
+      .select(
+        regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("target_uri"), col("status"), col("content_type"),
+        col("location"),
+        octet_length(col("body")).cast("long").as("body_len"),
+        coalesce(col("status") === 200 &&
+          col("content_type") === "text/html", lit(false)).as("fetch_ok"),
+        col("status").between(300, 399).as("redirect"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q172: hreflang variant clusters —
     * [[graft.operators.Html.alternates]]: every 4-block plants an
     * en/fr/de language-variant trio whose pages each declare the full

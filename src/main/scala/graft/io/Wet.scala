@@ -137,4 +137,91 @@ object Wet {
       lit("\r\n\r\n"),
       text).as("rec"))
   }
+
+  // ------------------------------------------------------------------ //
+  // WARC `response` records (the raw-fetch stage BEFORE the WET
+  // extraction): WARC header block + CRLFCRLF + HTTP status line and
+  // headers + CRLFCRLF + body. Same framing/splitting contract as the
+  // conversion reader; same honest scope (TEXT bodies — binary WARC
+  // needs a format-aware InputFormat, not more string logic).
+  // ------------------------------------------------------------------ //
+
+  /** Batch read of .warc response files — [[read]]'s framing, then
+    * [[parseResponses]].
+    */
+  def readResponses(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", RecordDelimiter)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (_, t) => t.toString }
+    import spark.implicits._
+    parseResponses(spark.createDataset(rdd).toDF("rec"), "rec")
+  }
+
+  /** Response-record framing → columns: (warc_type, target_uri,
+    * status [NULL when the status line is unparseable], content_type
+    * [lowercased, parameters after `;` stripped — `text/html;
+    * charset=UTF-8` → `text/html`, NULL when absent], location [the
+    * redirect target header, NULL when absent], body). A crawler's
+    * fetch gate composes on these: keep `status = 200 ∧ content_type =
+    * text/html`, feed 3xx locations to [[graft.operators.Redirects]].
+    */
+  def parseResponses(raw: DataFrame, recCol: String): DataFrame = {
+    val body0 = when(col(recCol).startsWith("WARC/1.0\r\n"),
+      substring(col(recCol), 11, Int.MaxValue)).otherwise(col(recCol))
+    val parts = split(body0, "\r\n\r\n", 3)
+    val warcHdr = element_at(parts, 1)
+    val httpHdr = coalesce(element_at(parts, 2), lit(""))
+    val payload = regexp_replace(
+      coalesce(element_at(parts, 3), lit("")), "(\\r\\n)+$", "")
+    raw
+      .select(warcHdr.as("hdr"), httpHdr.as("http"), payload.as("body"))
+      .filter(col("hdr") =!= "")
+      .select(
+        header(col("hdr"), "WARC-Type").as("warc_type"),
+        header(col("hdr"), "WARC-Target-URI").as("target_uri"),
+        expr("try_cast(regexp_extract(http, " +
+          "'^HTTP/[0-9.]+[ \\\\t]+([0-9]{3})', 1) AS bigint)")
+          .as("status"),
+        nullif(lower(trim(regexp_extract(
+          header(col("http"), "Content-Type"), "^([^;]*)", 1))), lit(""))
+          .as("content_type"),
+        nullif(header(col("http"), "Location"), lit("")).as("location"),
+        col("body"))
+  }
+
+  /** Render (uri, status line fields, body) as WARC `response` records
+    * — the inverse of [[readResponses]] for round-trip gates and
+    * fixture generation. NULL-safe like [[toRecords]]: a NULL body/uri
+    * yields a diagnosable record, never a NULL row.
+    */
+  def toResponseRecords(
+      docs: DataFrame,
+      uriCol: String,
+      statusCol: String,
+      reasonCol: String,
+      ctypeCol: String,
+      locationCol: String,
+      bodyCol: String,
+      date: String = "2026-01-01T00:00:00Z"): DataFrame = {
+    val body = coalesce(col(bodyCol), lit(""))
+    val http = concat(
+      lit("HTTP/1.1 "), col(statusCol).cast("string"), lit(" "),
+      coalesce(col(reasonCol), lit("")),
+      lit("\r\nContent-Type: "), coalesce(col(ctypeCol), lit("")),
+      when(col(locationCol).isNotNull,
+        concat(lit("\r\nLocation: "), col(locationCol)))
+        .otherwise(lit("")))
+    val payload = concat(http, lit("\r\n\r\n"), body)
+    docs.select(concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+      coalesce(col(uriCol), lit("")),
+      lit(s"\r\nWARC-Date: $date\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"),
+      payload).as("rec"))
+  }
 }

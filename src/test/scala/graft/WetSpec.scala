@@ -131,6 +131,49 @@ class WetSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("response records round-trip: status/ctype/location/body parse") {
+    val rows = Seq(
+      (1L, 200L, "OK", "text/html", null: String, "hello\nworld"),
+      (2L, 301L, "Moved Permanently", "text/html",
+        "https://ex.com/p/3", ""),
+      (3L, 404L, "Not Found", "text/html; charset=UTF-8",
+        null: String, "not found"),
+      (4L, 200L, "OK", "application/pdf", null: String, "binaryish"))
+      .toDF("doc_id", "status", "reason", "ctype", "location", "body")
+      .withColumn("uri", concat(lit("https://ex.com/p/"), col("doc_id")))
+    val dir = tmpDir("warc-rt")
+    Wet.toResponseRecords(rows, "uri", "status", "reason", "ctype",
+        "location", "body")
+      .coalesce(1).write.mode("overwrite")
+      .option("lineSep", Wet.RecordSeparator).text(dir)
+    val got = Wet.readResponses(spark, dir).collect()
+      .map(r => (r.getString(1),
+        (r.getAs[Long]("status"), r.getAs[String]("content_type"),
+          Option(r.getAs[String]("location")), r.getAs[String]("body"))))
+      .toMap
+    assert(got("https://ex.com/p/1") ===
+      ((200L, "text/html", None, "hello\nworld")))
+    assert(got("https://ex.com/p/2") ===
+      ((301L, "text/html", Some("https://ex.com/p/3"), "")))
+    // parameters after ';' strip from the media type
+    assert(got("https://ex.com/p/3") ===
+      ((404L, "text/html", None, "not found")))
+    assert(got("https://ex.com/p/4") ===
+      ((200L, "application/pdf", None, "binaryish")))
+    assert(Wet.readResponses(spark, dir).collect()
+      .forall(_.getString(0) == "response"))
+  }
+
+  test("an unparseable HTTP status line goes NULL, row kept") {
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.com/\r\nContent-Length: 20\r\n\r\n" +
+      "GARBAGE not a status\r\n\r\nbody"
+    val got = Wet.parseResponses(Seq(rec).toDF("rec"), "rec").collect()
+    assert(got.length === 1)
+    assert(got(0).isNullAt(got(0).fieldIndex("status")))
+    assert(got(0).getString(5) === "body")
+  }
+
   test("a garbled Content-Length is visible: length_ok = false, row kept") {
     val dir = tmpDir("wet-bad")
     val file = new java.io.File(dir, "bad.wet")
