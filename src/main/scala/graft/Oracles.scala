@@ -2782,6 +2782,51 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.robotsSitemapGate / Robots.sitemaps: the robots
+    * line tokenizer (comment/CR strip, key lowercase), the
+    * group-independent `sitemap` key filter, distinct, and the shared
+    * canonicalization chain.
+    */
+  val robotsSitemaps: String = s"""
+    WITH rb(domain, txt) AS (VALUES
+      ('site0.example.com', 'User-agent: *' || chr(10) ||
+        'Disallow: /x' || chr(10) ||
+        'Sitemap: HTTP://WWW.Site0.Example.COM:80/sitemap.xml' ||
+        '?utm_source=r&b=2&a=1' || chr(10)),
+      ('site1.example.com', 'Sitemap: https://site1.example.com/sm1.xml'
+        || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /y' ||
+        chr(10) || 'Sitemap: https://site1.example.com/sm2.xml' ||
+        chr(10)),
+      ('site2.example.com', 'User-agent: *' || chr(10) ||
+        'sitemap: https://site2.example.com/sm.xml # main' || chr(10)),
+      ('site3.example.com', 'User-agent: *' || chr(10) ||
+        'Sitemap: not a url' || chr(10)),
+      ('site4.example.com', 'Sitemap:' || chr(10) || 'User-agent: *' ||
+        chr(10)),
+      ('site6.example.com', 'Sitemap: https://site6.example.com/a.xml'
+        || chr(10) || 'Sitemap: https://site6.example.com/a.xml' ||
+        chr(10))),
+    lx AS (
+      SELECT domain, parts,
+             unnest(generate_series(1, len(parts))) AS pos
+      FROM (SELECT domain, string_split(txt, chr(10)) AS parts FROM rb)),
+    ln0 AS (
+      SELECT domain,
+        trim(replace(regexp_replace(parts[CAST(pos AS INTEGER)],
+          '#.*$$', ''), chr(13), '')) AS ln
+      FROM lx),
+    kv AS (
+      SELECT domain,
+        lower(trim(regexp_extract(ln, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(ln, '^[^:]+:(.*)$$', 1)) AS value
+      FROM ln0 WHERE ln <> ''),
+    sm AS (
+      SELECT DISTINCT domain, value AS sitemap_url, value AS url
+      FROM kv WHERE key = 'sitemap' AND value <> ''),
+    ${urlCanonChain("sm", "domain, sitemap_url")}
+    SELECT domain, sitemap_url, url_canon AS sitemap_canon
+    FROM canon ORDER BY domain, sitemap_url"""
+
   /** Mirrors Queries.warcHttpGate: the planted per-10-block response
     * truth recomputed directly — round-trip identity through the .warc
     * file is the claim under test (q150's discipline).
@@ -5299,7 +5344,8 @@ object Oracles {
     "q170_sitemap_diff" -> sitemapDiff,
     "q171_pagination_series" -> paginationSeries,
     "q172_hreflang_clusters" -> hreflangClusters,
-    "q173_warc_http" -> warcHttp)
+    "q173_warc_http" -> warcHttp,
+    "q174_robots_sitemaps" -> robotsSitemaps)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,40 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q174: robots `Sitemap:` directives —
+    * [[graft.operators.Robots.sitemaps]]: the cross-group seed
+    * pointers (RFC 9309 §2.3 — group-independent, so one is planted
+    * BETWEEN groups and still extracts). Plants: a shouting
+    * default-port tracking-param URL the q146 chain must canonicalize,
+    * two pointers split across group boundaries, a lowercase key with
+    * a trailing comment, a malformed URL (raw kept, canon NULL), an
+    * empty value (dropped), a robots-less domain (no row), and an
+    * exact duplicate (distinct collapses). Domain-sized metadata
+    * parse; map-only plus one distinct.
+    */
+  def robotsSitemapGate(s: SparkSession, dir: String): DataFrame = {
+    val rdom = concat(lit("site"), col("id").cast("string"),
+      lit(".example.com"))
+    val txt = when(col("id") === 0,
+      lit("User-agent: *\nDisallow: /x\nSitemap: " +
+        "HTTP://WWW.Site0.Example.COM:80/sitemap.xml?utm_source=r&b=2&a=1\n"))
+      .when(col("id") === 1,
+        lit("Sitemap: https://site1.example.com/sm1.xml\n" +
+          "User-agent: *\nDisallow: /y\n" +
+          "Sitemap: https://site1.example.com/sm2.xml\n"))
+      .when(col("id") === 2,
+        lit("User-agent: *\nsitemap: https://site2.example.com/sm.xml" +
+          " # main\n"))
+      .when(col("id") === 3, lit("User-agent: *\nSitemap: not a url\n"))
+      .when(col("id") === 4, lit("Sitemap:\nUser-agent: *\n"))
+      .otherwise(lit("Sitemap: https://site6.example.com/a.xml\n" +
+        "Sitemap: https://site6.example.com/a.xml\n"))
+    val robots = s.range(0, 7).filter(col("id") =!= 5)
+      .select(rdom.as("domain"), txt.as("txt"))
+    graft.operators.Robots.sitemaps(robots, "domain", "txt")
+      .orderBy(col("domain"), col("sitemap_url"))
+  }
+
   /** q173: WARC response round-trip + fetch gate —
     * [[graft.io.Wet.toResponseRecords]] / [[graft.io.Wet
     * .readResponses]]: the raw-fetch stage BEFORE WET extraction.

@@ -42,11 +42,16 @@ object Robots {
     * directive between two `User-agent:` lines ENDS the agent stack,
     * per RFC 9309's group structure).
     */
-  private def starGroupDirectives(
+  /** All effective `key: value` lines of the robots bodies — comments,
+    * CR, and blank lines stripped; keys lowercased: (`domainCol`, pos,
+    * key, value). The shared tokenizer behind the group parse and the
+    * cross-group directives ([[sitemaps]]).
+    */
+  private def directiveLines(
       robots: DataFrame,
       domainCol: String,
-      txtCol: String): DataFrame = {
-    val lines = robots
+      txtCol: String): DataFrame =
+    robots
       .select(col(domainCol), posexplode(split(
         coalesce(col(txtCol), lit("")), "\n")).as(Seq("pos", "__raw")))
       // strip comments, CR, and surrounding whitespace
@@ -57,6 +62,12 @@ object Robots {
       .select(col(domainCol), col("pos"),
         lower(trim(regexp_extract(col("ln"), "^([^:]+):", 1))).as("key"),
         trim(regexp_extract(col("ln"), "^[^:]+:(.*)$", 1)).as("value"))
+
+  private def starGroupDirectives(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String): DataFrame = {
+    val lines = directiveLines(robots, domainCol, txtCol)
       .filter(col("key").isin(
         "user-agent", "allow", "disallow", "crawl-delay"))
     // RFC 9309 group structure: a group STARTS at a user-agent line
@@ -92,6 +103,26 @@ object Robots {
       .filter(col("key").isin("allow", "disallow"))
       .select(col(domainCol), (col("key") === "allow").as("allow"),
         col("value").as("prefix"))
+      .distinct()
+
+  /** Cross-group `Sitemap:` directives — RFC 9309 §2.3's one
+    * group-independent line (any agent may use it): the crawl's seed
+    * pointers, feeding [[Sitemaps.parse]] after fetch. One distinct
+    * row per (`domainCol`, sitemap_url) with the q146 canonical form
+    * alongside (malformed URLs keep the raw value, canon NULL).
+    * Scope note: a `#` starts a robots comment ANYWHERE on a line, so
+    * a fragment-bearing sitemap URL is truncated — fragments in
+    * sitemap pointers are pathological and the RFC's comment rule
+    * wins.
+    */
+  def sitemaps(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String): DataFrame =
+    directiveLines(robots, domainCol, txtCol)
+      .filter(col("key") === "sitemap" && col("value") =!= "")
+      .select(col(domainCol), col("value").as("sitemap_url"),
+        Urls.canonicalize(col("value")).as("sitemap_canon"))
       .distinct()
 
   /** Effective `Crawl-delay` per domain, in milliseconds:

@@ -95,6 +95,26 @@ class RobotsSpec extends SparkSpec {
       Set((false, "/x")))
   }
 
+  test("sitemaps: cross-group, case, comments, malformed, duplicates") {
+    val rb = Seq(
+      ("a.com", "Sitemap: https://a.com/sm1.xml\nUser-agent: *\n" +
+        "Disallow: /x\nSitemap: https://a.com/sm2.xml\n"),
+      ("b.com", "User-agent: *\nsitemap: https://b.com/sm.xml # main\n"),
+      ("c.com", "User-agent: *\nSitemap: not a url\nSitemap:\n"),
+      ("d.com", "Sitemap: https://d.com/a.xml\nSitemap: https://d.com/a.xml\n")
+    ).toDF("domain", "txt")
+    val got = Robots.sitemaps(rb, "domain", "txt")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(got === Set(
+      ("a.com", "https://a.com/sm1.xml", Some("https://a.com/sm1.xml")),
+      ("a.com", "https://a.com/sm2.xml", Some("https://a.com/sm2.xml")),
+      ("b.com", "https://b.com/sm.xml", Some("https://b.com/sm.xml")),
+      ("c.com", "not a url", None),
+      ("d.com", "https://d.com/a.xml", Some("https://d.com/a.xml"))))
+  }
+
   test("verdict plan: broadcast equi-join by domain — the corpus never shuffles") {
     val urls = Seq((1L, "https://www.a.com/private/x"))
       .toDF("doc_id", "url")
