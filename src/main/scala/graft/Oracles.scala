@@ -2782,6 +2782,32 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.wordfilterGate / Wordfilter.score: planted tails,
+    * whole-token lowercase equality with multiplicity, integer per-10k
+    * density, keep on zero hits.
+    */
+  val wordfilter: String = s"""
+    WITH d0 AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 23 = 0
+          THEN chr(10) || 'win the jackpot at our casino classy'
+          ELSE '' END ||
+        CASE WHEN doc_id % 46 = 0 THEN ' jackpot again' ELSE '' END
+          AS text
+      FROM documents),
+    sc AS (
+      SELECT doc_id,
+        CAST(len(list_filter($toks, x -> x <> '')) AS BIGINT)
+          AS n_tokens,
+        CAST(len(list_filter($toks,
+          x -> x IN ('jackpot', 'casino', 'class'))) AS BIGINT) AS hits
+      FROM d0)
+    SELECT doc_id, n_tokens, hits,
+           CASE WHEN n_tokens > 0 THEN (hits * 10000) // n_tokens END
+             AS hit_pp10k,
+           hits = 0 AS keep
+    FROM sc ORDER BY doc_id"""
+
   /** Mirrors Queries.robotsSitemapGate / Robots.sitemaps: the robots
     * line tokenizer (comment/CR strip, key lowercase), the
     * group-independent `sitemap` key filter, distinct, and the shared
@@ -5345,7 +5371,8 @@ object Oracles {
     "q171_pagination_series" -> paginationSeries,
     "q172_hreflang_clusters" -> hreflangClusters,
     "q173_warc_http" -> warcHttp,
-    "q174_robots_sitemaps" -> robotsSitemaps)
+    "q174_robots_sitemaps" -> robotsSitemaps,
+    "q175_wordfilter" -> wordfilter)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,25 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q175: blocklist word gate — [[graft.operators.Wordfilter.score]]:
+    * the C4 bad-words stage with a 3-word policy list; every 23rd doc
+    * gets a planted two-hit tail, every 46th a third hit, so hits,
+    * multiplicity, density and both verdicts are exercised. Whole-
+    * token equality only (a planted "classy" must NOT hit). Map-only:
+    * one tokenizer pass, the list an InSet literal probe.
+    */
+  def wordfilterGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        lit("\nwin the jackpot at our casino classy")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(46)) === 0,
+        lit(" jackpot again")).otherwise(lit("")))
+    graft.operators.Wordfilter.score(
+      Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id", words = Seq("jackpot", "casino", "class"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q174: robots `Sitemap:` directives —
     * [[graft.operators.Robots.sitemaps]]: the cross-group seed
     * pointers (RFC 9309 §2.3 — group-independent, so one is planted
