@@ -2782,6 +2782,30 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.politenessAuditGate: event-time-ordered per-domain
+    * gaps in integer microseconds, violations vs the per-domain delay,
+    * 7-row rollup.
+    */
+  val politenessAudit: String = s"""
+    WITH e AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             'site' || (user_id % 7) || '.example.com' AS domain,
+             CASE WHEN (user_id % 7) % 3 = 0 THEN 2000000
+                  ELSE 500000 END AS delay_us
+      FROM events),
+    g AS (
+      SELECT domain, delay_us,
+             us - lag(us) OVER (PARTITION BY domain
+               ORDER BY us, event_id) AS gap_us
+      FROM e)
+    SELECT domain, CAST(count(*) AS BIGINT) AS fetches,
+           CAST(sum(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END)
+             AS BIGINT) AS violations,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(max(delay_us) AS BIGINT) AS delay_us
+    FROM g GROUP BY domain ORDER BY domain"""
+
   /** Mirrors Queries.wordfilterGate / Wordfilter.score: planted tails,
     * whole-token lowercase equality with multiplicity, integer per-10k
     * density, keep on zero hits.
@@ -5372,7 +5396,8 @@ object Oracles {
     "q172_hreflang_clusters" -> hreflangClusters,
     "q173_warc_http" -> warcHttp,
     "q174_robots_sitemaps" -> robotsSitemaps,
-    "q175_wordfilter" -> wordfilter)
+    "q175_wordfilter" -> wordfilter,
+    "q176_politeness_audit" -> politenessAudit)
 }
 
 /** Holder split out so the oracle text initializes before

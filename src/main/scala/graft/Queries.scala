@@ -3504,6 +3504,37 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q176: crawl-politeness audit — the COMPLIANCE twin of q165/q166:
+    * given a fetch log (events as fetches, `user_id mod 7` as the
+    * domain, deterministic per-domain crawl delays), compute each
+    * domain's inter-fetch gaps (event-time ordered, event-id
+    * tiebreak) and count violations of its delay — the report a crawl
+    * operator ships to prove the scheduler held. All integer
+    * microseconds; the one exchange is the domain-keyed window (the
+    * audit's inherent order), then a 7-row rollup.
+    */
+  def politenessAuditGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m7 = pmod(col("user_id"), lit(7))
+    val dom = concat(lit("site"), m7.cast("string"), lit(".example.com"))
+    val delayUs = when(pmod(m7, lit(3)) === 0, 2000000L)
+      .otherwise(500000L)
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(dom.as("domain"), col("event_id"),
+        unix_micros(col("ts")).as("us"), delayUs.as("delay_us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("fetches"),
+        sum(when(col("gap_us") < col("delay_us"), 1L).otherwise(0L))
+          .as("violations"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        max(col("delay_us")).as("delay_us"))
+      .orderBy(col("domain"))
+  }
+
   /** q175: blocklist word gate — [[graft.operators.Wordfilter.score]]:
     * the C4 bad-words stage with a 3-word policy list; every 23rd doc
     * gets a planted two-hit tail, every 46th a third hit, so hits,
