@@ -2782,6 +2782,113 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.sitemapIndexGate: both parse levels (sitemap
+    * blocks with the canonicalization chain; urlset pages), the
+    * pointer→fetch-URL join, NULL-page dangling children.
+    */
+  val sitemapIndex: String = s"""
+    WITH d0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 100 = 10 THEN
+          '<sitemapindex><sitemap><loc> HTTPS://Ex.COM:443/sm/' ||
+          (doc_id - 10) || '.xml?utm_source=i </loc>' ||
+          '<lastmod>2026-02-01T00:00:00Z</lastmod></sitemap>' ||
+          '<sitemap><loc>https://ex.com/sm/' || (doc_id + 10) ||
+          '.xml</loc></sitemap>' ||
+          '<sitemap><loc>https://ex.com/sm/9999980.xml</loc></sitemap>' ||
+          '<!-- <sitemap><loc>https://ghost.ex.com/x.xml</loc>' ||
+          '</sitemap> --></sitemapindex>'
+        WHEN doc_id % 20 = 0 THEN
+          '<urlset><url><loc>https://ex.com/pg/' || doc_id ||
+          '/a</loc></url><url><loc>https://ex.com/pg/' || doc_id ||
+          '/b</loc></url></urlset>'
+        ELSE '<html><body>Doc ' || doc_id || '</body></html>' END
+          AS markup,
+        CASE WHEN doc_id % 20 = 0 AND doc_id % 100 <> 10
+          THEN 'https://ex.com/sm/' || doc_id || '.xml' END AS sm_url
+      FROM documents),
+    c AS (
+      SELECT doc_id, sm_url,
+             regexp_replace(markup, '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM d0),
+    sb AS (
+      SELECT doc_id,
+             regexp_extract_all(m,
+               '(?is)<sitemap\\s*>(.*?)</sitemap\\s*>', 1) AS blocks
+      FROM c),
+    sx AS (
+      SELECT doc_id, blocks,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM sb),
+    ch0 AS (
+      SELECT doc_id AS index_id, CAST(pos - 1 AS BIGINT) AS child_pos,
+             blocks[CAST(pos AS INTEGER)] AS e
+      FROM sx),
+    lnk AS (
+      SELECT index_id, child_pos,
+        TRY_CAST(substr(regexp_extract(e,
+          '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1), 1, 10)
+          AS DATE) AS child_lastmod,
+        replace(regexp_extract(e,
+          '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1), '&amp;', '&')
+          AS url
+      FROM ch0),
+    ${urlCanonChain("lnk", "index_id, child_pos, child_lastmod")},
+    ch AS (
+      SELECT index_id, child_pos, url_canon AS child_url, child_lastmod
+      FROM canon),
+    ub AS (
+      SELECT doc_id,
+             regexp_extract_all(m, '(?is)<url\\s*>(.*?)</url\\s*>', 1)
+               AS blocks
+      FROM c),
+    ux AS (
+      SELECT doc_id, blocks,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM ub),
+    pg AS (
+      SELECT doc_id AS page_doc, CAST(pos - 1 AS BIGINT) AS page_pos,
+             nullif(trim(regexp_extract(blocks[CAST(pos AS INTEGER)],
+               '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1)), '')
+               AS page_loc
+      FROM ux),
+    ky AS (
+      SELECT doc_id AS page_doc, sm_url FROM d0 WHERE sm_url IS NOT NULL)
+    SELECT ch.index_id, ch.child_pos, ch.child_url, ch.child_lastmod,
+           ky.page_doc IS NOT NULL AS child_found,
+           ky.page_doc, pg.page_pos, pg.page_loc
+    FROM ch
+    LEFT JOIN ky ON ch.child_url = ky.sm_url
+    LEFT JOIN pg ON pg.page_doc = ky.page_doc
+    ORDER BY index_id, child_pos, page_pos"""
+
+  /** Mirrors Queries.retryScheduleGate / Frontier.retrySchedule: the
+    * retryable-status filter, Retry-After floor under the capped
+    * exponential, cumulative eta per attempt.
+    */
+  val retrySchedule: String = s"""
+    WITH r AS (
+      SELECT 'https://ex.com/p/' || doc_id AS url,
+             CASE WHEN doc_id % 10 = 7 THEN 503
+                  WHEN doc_id % 10 = 8 THEN 429
+                  WHEN doc_id % 10 = 9 THEN 502 ELSE 200 END AS st,
+             CASE WHEN doc_id % 10 = 8 THEN 7 END AS ra
+      FROM documents),
+    x AS (
+      SELECT url, st, ra, unnest(generate_series(1, 3)) AS attempt
+      FROM r WHERE st IN (429, 500, 502, 503, 504)),
+    dly AS (
+      SELECT url, st, CAST(attempt AS BIGINT) AS attempt,
+        CAST(least(greatest(coalesce(ra * 1000, 0),
+          1000 * CAST(pow(2, attempt - 1) AS BIGINT)), 60000)
+          AS BIGINT) AS delay_ms
+      FROM x)
+    SELECT url, CAST(st AS BIGINT) AS status, attempt, delay_ms,
+           CAST(sum(delay_ms) OVER (PARTITION BY url ORDER BY attempt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS eta_ms
+    FROM dly ORDER BY url, attempt"""
+
   /** Mirrors Queries.politenessAuditGate: event-time-ordered per-domain
     * gaps in integer microseconds, violations vs the per-domain delay,
     * 7-row rollup.
@@ -5397,7 +5504,9 @@ object Oracles {
     "q173_warc_http" -> warcHttp,
     "q174_robots_sitemaps" -> robotsSitemaps,
     "q175_wordfilter" -> wordfilter,
-    "q176_politeness_audit" -> politenessAudit)
+    "q176_politeness_audit" -> politenessAudit,
+    "q177_retry_schedule" -> retrySchedule,
+    "q178_sitemap_index" -> sitemapIndex)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,83 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q178: sitemap-index recursion —
+    * [[graft.operators.Sitemaps.parseIndex]] composed with
+    * [[graft.operators.Sitemaps.parse]]: every 100-block's residue-10
+    * document is an INDEX pointing at two real child sitemaps (one
+    * pointer shouting/tracking-parameterized so the q146 chain must
+    * collapse it, one commented-out pointer invisible) plus one
+    * dangling pointer to a sitemap that was never fetched; children
+    * join by canonical pointer → fetch URL and expand into their
+    * urlset pages, the dangling child surviving with NULL page columns
+    * (missing-child accounting is the point of the gate). Two
+    * map-only parses + one left join on sitemap-count-sized inputs.
+    */
+  def sitemapIndexGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val m20 = pmod(d, lit(20))
+    val m100 = pmod(d, lit(100))
+    val markup = when(m100 === 10, concat(
+      lit("<sitemapindex><sitemap><loc> HTTPS://Ex.COM:443/sm/"),
+      (d - 10).cast("string"),
+      lit(".xml?utm_source=i </loc><lastmod>2026-02-01T00:00:00Z" +
+        "</lastmod></sitemap><sitemap><loc>https://ex.com/sm/"),
+      (d + 10).cast("string"), lit(".xml</loc></sitemap>"),
+      lit("<sitemap><loc>https://ex.com/sm/9999980.xml</loc></sitemap>"),
+      lit("<!-- <sitemap><loc>https://ghost.ex.com/x.xml</loc>" +
+        "</sitemap> --></sitemapindex>")))
+      .when(m20 === 0, concat(
+        lit("<urlset><url><loc>https://ex.com/pg/"), id,
+        lit("/a</loc></url><url><loc>https://ex.com/pg/"), id,
+        lit("/b</loc></url></urlset>")))
+      .otherwise(concat(lit("<html><body>Doc "), id,
+        lit("</body></html>")))
+    val smUrl = when(m20 === 0,
+      concat(lit("https://ex.com/sm/"), id, lit(".xml")))
+    val docsm = Tables.documents(s, dir)
+      .select(d, markup.as("markup"), smUrl.as("sm_url"))
+    val children = graft.operators.Sitemaps
+      .parseIndex(docsm, "markup", "doc_id")
+      .select(d.as("index_id"), col("entry_pos").as("child_pos"),
+        col("url_canon").as("child_url"), col("lastmod")
+          .as("child_lastmod"))
+    val pages = graft.operators.Sitemaps.parse(docsm, "markup", "doc_id")
+      .select(d.as("page_doc"), col("entry_pos").as("page_pos"),
+        col("loc").as("page_loc"))
+    val key = docsm.filter(col("sm_url").isNotNull)
+      .select(d.as("page_doc"), col("sm_url"))
+    children
+      .join(key, col("child_url") === col("sm_url"), "left")
+      .join(pages, Seq("page_doc"), "left")
+      .select(col("index_id"), col("child_pos"), col("child_url"),
+        col("child_lastmod"), col("page_doc").isNotNull.as("child_found"),
+        col("page_doc"), col("page_pos"), col("page_loc"))
+      .orderBy(col("index_id"), col("child_pos"), col("page_pos"))
+  }
+
+  /** q177: retry/backoff schedule —
+    * [[graft.operators.Frontier.retrySchedule]]: planted fetch
+    * outcomes (seven 200s, a 503, a 429 carrying `Retry-After: 7`, a
+    * 502) yield three future attempts per failure at
+    * `max(Retry-After, 1s·2^(k−1))` capped at 60 s — the 429's 7 s
+    * floor dominates attempts 1–3 (7/7/7 s) while the 5xx rows walk
+    * the exponential (1/2/4 s); cumulative `eta_ms` per attempt.
+    * Successes and hard errors emit nothing.
+    */
+  def retryScheduleGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val m10 = pmod(d, lit(10))
+    val responses = Tables.documents(s, dir).select(
+      concat(lit("https://ex.com/p/"), d.cast("string")).as("url"),
+      when(m10 === 7, 503L).when(m10 === 8, 429L)
+        .when(m10 === 9, 502L).otherwise(200L).as("status"),
+      when(m10 === 8, 7L).cast("long").as("retry_after_sec"))
+    graft.operators.Frontier.retrySchedule(responses, "url", "status",
+      "retry_after_sec", maxAttempts = 3, baseMs = 1000L, capMs = 60000L)
+      .orderBy(col("url"), col("attempt"))
+  }
+
   /** q176: crawl-politeness audit — the COMPLIANCE twin of q165/q166:
     * given a fetch log (events as fetches, `user_id mod 7` as the
     * domain, deterministic per-domain crawl delays), compute each

@@ -22,6 +22,49 @@ import org.apache.spark.sql.functions._
   */
 object Frontier {
 
+  /** Retry schedule for failed fetches — the backoff plan a crawler
+    * derives from fetch outcomes: retryable statuses (429 and the 5xx
+    * transient family) get `maxAttempts` future attempts, attempt k
+    * delayed by `max(Retry-After, base·2^(k−1))` capped at `capMs` —
+    * the server's explicit `Retry-After` (RFC 9110 §10.2.3) is a FLOOR
+    * under the exponential, never ignored. `eta_ms` is the cumulative
+    * offset of attempt k from the failure. Non-retryable rows emit
+    * nothing (a 404 is an answer, not an outage). All integer ms;
+    * 2^(k−1) for k ≤ ~50 is exact in the double `pow` (the q136 ulp
+    * argument, with integers exactly representable).
+    *
+    * Scale shape: map-side explode of `maxAttempts` rows per FAILED
+    * fetch (failures are a sliver of a crawl log); the cumulative sum
+    * windows over ≤ maxAttempts rows per url.
+    */
+  def retrySchedule(
+      responses: DataFrame,
+      urlCol: String,
+      statusCol: String,
+      retryAfterSecCol: String,
+      maxAttempts: Int = 3,
+      baseMs: Long = 1000L,
+      capMs: Long = 60000L): DataFrame = {
+    require(maxAttempts >= 1 && maxAttempts <= 50,
+      s"retrySchedule: maxAttempts must be in [1,50], got $maxAttempts")
+    val retryable = col(statusCol).isin(429, 500, 502, 503, 504)
+    val delay = least(
+      greatest(coalesce(col(retryAfterSecCol) * 1000, lit(0L)),
+        lit(baseMs) *
+          expr("cast(pow(2, attempt - 1) AS bigint)")),
+      lit(capMs))
+    val w = Window.partitionBy(col(urlCol)).orderBy(col("attempt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    responses
+      .filter(retryable)
+      .select(col(urlCol), col(statusCol), col(retryAfterSecCol),
+        explode(sequence(lit(1L), lit(maxAttempts.toLong)))
+          .as("attempt"))
+      .withColumn("delay_ms", delay.cast("long"))
+      .withColumn("eta_ms", sum(col("delay_ms")).over(w))
+      .drop(retryAfterSecCol)
+  }
+
   /** Schedule a frontier: (urlCol, domainCol, priorityCol carried
     * through) + (wave, delay_ms, eta_ms), waves 1-based best-first
     * (priority DESC, url ASC tiebreak), URLs beyond `maxDepth` waves

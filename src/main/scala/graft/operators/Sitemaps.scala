@@ -27,9 +27,47 @@ import org.apache.spark.sql.functions._
 object Sitemaps {
 
   val UrlBlockPattern = "(?is)<url\\s*>(.*?)</url\\s*>"
+  val SitemapBlockPattern = "(?is)<sitemap\\s*>(.*?)</sitemap\\s*>"
   val LocPattern = "(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>"
   val LastmodPattern = "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>"
   val PriorityPattern = "(?is)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>"
+
+  /** `<sitemapindex>` pointer-file extraction — the level ABOVE
+    * [[parse]]: large sites shard their URL inventory across child
+    * sitemaps and publish one index of `<sitemap><loc>` pointers
+    * (sitemaps.org caps a single file at 50 000 URLs, so any serious
+    * site has an index). One row per `<sitemap>` block: (`idCol`,
+    * entry_pos, loc, url_canon, domain, lastmod_raw, lastmod) — the
+    * same probe semantics as [[parse]] minus `priority` (indexes don't
+    * carry one). `<urlset>` documents emit nothing here, and index
+    * documents emit nothing from [[parse]] — the two levels compose by
+    * joining a child pointer's canonical URL to the child document's
+    * fetch URL. Map-only.
+    */
+  def parseIndex(
+      docs: DataFrame,
+      markupCol: String,
+      idCol: String): DataFrame = {
+    val cleaned = regexp_replace(
+      coalesce(col(markupCol), lit("")), Html.CommentPattern, " ")
+    val loc = regexp_replace(
+      regexp_extract(col("__e"), LocPattern, 1), "&amp;", "&")
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(cleaned,
+          lit(SitemapBlockPattern), lit(1)))
+          .as(Seq("entry_pos", "__e")))
+      .select(col(idCol),
+        col("entry_pos").cast("long").as("entry_pos"),
+        nullif(loc, lit("")).as("loc"),
+        Urls.canonicalize(loc).as("url_canon"),
+        nullif(Urls.registeredDomain(loc), lit("")).as("domain"),
+        nullif(regexp_extract(col("__e"), LastmodPattern, 1), lit(""))
+          .as("lastmod_raw"),
+        expr("try_cast(substring(" +
+          "regexp_extract(__e, '(?is)<lastmod\\\\s*>\\\\s*(.*?)\\\\s*" +
+          "</lastmod\\\\s*>', 1), 1, 10) AS date)").as("lastmod"))
+  }
 
   /** Snapshot diff — the incremental-recrawl planner: comparing the
     * previous crawl's sitemap snapshot with the current one yields the

@@ -45,6 +45,30 @@ class FrontierSpec extends SparkSpec {
       r.getAs[Long]("eta_ms"))).toSeq === Seq((700L, 0L), (700L, 700L)))
   }
 
+  test("retrySchedule: Retry-After floors the exponential; cap; filters") {
+    val resp = Seq(
+      ("u1", 503L, null.asInstanceOf[java.lang.Long]),
+      ("u2", 429L, java.lang.Long.valueOf(7L)),
+      ("u3", 200L, null.asInstanceOf[java.lang.Long]),
+      ("u4", 404L, null.asInstanceOf[java.lang.Long]),
+      ("u5", 500L, null.asInstanceOf[java.lang.Long]))
+      .toDF("url", "status", "retry_after_sec")
+    val got = graft.operators.Frontier.retrySchedule(
+      resp, "url", "status", "retry_after_sec",
+      maxAttempts = 4, baseMs = 1000L, capMs = 6000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(x => (x._2, x._3)).toSeq).toMap
+    // exponential 1s,2s,4s then the 6s cap bites at attempt 4
+    assert(got("u1") === Seq((1000L, 1000L), (2000L, 3000L),
+      (4000L, 7000L), (6000L, 13000L)))
+    // Retry-After 7s floors everything, itself capped at 6s
+    assert(got("u2") === Seq((6000L, 6000L), (6000L, 12000L),
+      (6000L, 18000L), (6000L, 24000L)))
+    assert(!got.contains("u3") && !got.contains("u4"))
+    assert(got("u5").head === ((1000L, 1000L)))
+  }
+
   test("the depth cap compiles to a WindowGroupLimit") {
     // the optimizer only inserts the limit when it can prune (known
     // maxRows above the cap skips it), so the cap must undercut the

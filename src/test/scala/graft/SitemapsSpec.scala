@@ -62,6 +62,27 @@ class SitemapsSpec extends SparkSpec {
     assert(rs(0).getAs[Long]("entry_pos") === 0L)
   }
 
+  test("parseIndex: sitemap pointers only; urlset docs emit nothing") {
+    val rs = graft.operators.Sitemaps.parseIndex(Seq(
+      1L -> ("""<sitemapindex><sitemap><loc> https://ex.com/sm1.xml """ +
+        """</loc><lastmod>2026-02-01T00:00:00Z</lastmod></sitemap>""" +
+        """<!-- <sitemap><loc>https://ghost/x.xml</loc></sitemap> -->""" +
+        """<sitemap><loc>not a url</loc></sitemap></sitemapindex>"""),
+      2L -> """<urlset><url><loc>https://ex.com/p/1</loc></url></urlset>""")
+      .toDF("doc_id", "markup"), "markup", "doc_id")
+      .orderBy("doc_id", "entry_pos").collect()
+    assert(rs.length === 2)
+    assert(rs(0).getAs[String]("loc") === "https://ex.com/sm1.xml")
+    assert(rs(0).getAs[String]("url_canon") === "https://ex.com/sm1.xml")
+    assert(rs(0).getAs[java.sql.Date]("lastmod").toString === "2026-02-01")
+    assert(rs(1).getAs[String]("loc") === "not a url")
+    assert(rs(1).get(rs(1).fieldIndex("url_canon")) === null)
+    // and the urlset parser ignores index files symmetrically
+    assert(graft.operators.Sitemaps.parse(Seq(
+      1L -> """<sitemapindex><sitemap><loc>https://x/sm.xml</loc></sitemap></sitemapindex>""")
+      .toDF("doc_id", "markup"), "markup", "doc_id").count() === 0)
+  }
+
   test("diff: new/gone/changed/unchanged; null lastmod is not absence") {
     import org.apache.spark.sql.functions.col
     val prev = Seq(("a", "2026-01-01"), ("b", "2026-01-02"),
