@@ -47,6 +47,11 @@ object Frontier {
       capMs: Long = 60000L): DataFrame = {
     require(maxAttempts >= 1 && maxAttempts <= 50,
       s"retrySchedule: maxAttempts must be in [1,50], got $maxAttempts")
+    val clash = Seq("attempt", "delay_ms", "eta_ms")
+      .filter(responses.columns.contains)
+    require(clash.isEmpty,
+      s"Frontier.retrySchedule emits ${clash.mkString("/")} (output " +
+        "contract); the input frame already has them — rename first")
     val retryable = col(statusCol).isin(429, 500, 502, 503, 504)
     val delay = least(
       greatest(coalesce(col(retryAfterSecCol) * 1000, lit(0L)),
@@ -79,6 +84,11 @@ object Frontier {
       delays: DataFrame,
       maxDepth: Int = 40,
       defaultDelayMs: Long = 1000L): DataFrame = {
+    val clash = Seq("wave", "delay_ms", "eta_ms")
+      .filter(frontier.columns.contains)
+    require(clash.isEmpty,
+      s"Frontier.schedule emits ${clash.mkString("/")} (output " +
+        "contract); the input frame already has them — rename first")
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col(priorityCol).desc, col(urlCol).asc)
     val d = delays.select(col("domain").as("__dd"),
