@@ -2932,7 +2932,9 @@ object Oracles {
           AS n_tokens,
         CAST(len(list_filter($toks,
           x -> x IN ('jackpot', 'casino', 'class'))) AS BIGINT) AS hits
-      FROM d0)
+      -- NULL text coalesces to '' AFTER planting (the operator's
+      -- contract): a NULL-text doc scores (0, 0), never NULL
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM d0))
     SELECT doc_id, n_tokens, hits,
            CASE WHEN n_tokens > 0 THEN (hits * 10000) // n_tokens END
              AS hit_pp10k,

@@ -169,6 +169,14 @@ object Wet {
     * fetch gate composes on these: keep `status = 200 ∧ content_type =
     * text/html`, feed 3xx locations to [[graft.operators.Redirects]].
     */
+  /** HTTP-block header probe: LINE-anchored (`(?im)^`), unlike the
+    * WARC [[header]] probe — HTTP headers collide on suffixes
+    * (`Content-Location` vs `Location`), so a substring match would
+    * misread one for the other.
+    */
+  private def httpHeader(block: org.apache.spark.sql.Column, name: String) =
+    regexp_extract(block, s"(?im)^$name:[ \\t]*([^\\r\\n]*)", 1)
+
   def parseResponses(raw: DataFrame, recCol: String): DataFrame = {
     val body0 = when(col(recCol).startsWith("WARC/1.0\r\n"),
       substring(col(recCol), 11, Int.MaxValue)).otherwise(col(recCol))
@@ -187,9 +195,10 @@ object Wet {
           "'^HTTP/[0-9.]+[ \\\\t]+([0-9]{3})', 1) AS bigint)")
           .as("status"),
         nullif(lower(trim(regexp_extract(
-          header(col("http"), "Content-Type"), "^([^;]*)", 1))), lit(""))
-          .as("content_type"),
-        nullif(header(col("http"), "Location"), lit("")).as("location"),
+          httpHeader(col("http"), "Content-Type"), "^([^;]*)", 1))),
+          lit("")).as("content_type"),
+        nullif(httpHeader(col("http"), "Location"), lit(""))
+          .as("location"),
         col("body"))
   }
 
@@ -208,8 +217,13 @@ object Wet {
       bodyCol: String,
       date: String = "2026-01-01T00:00:00Z"): DataFrame = {
     val body = coalesce(col(bodyCol), lit(""))
+    // a NULL status (connection failure logged without a response)
+    // renders an empty status field — the parse reads it back as
+    // status NULL, a diagnosable row, never a NULL rec that kills the
+    // export sink
     val http = concat(
-      lit("HTTP/1.1 "), col(statusCol).cast("string"), lit(" "),
+      lit("HTTP/1.1 "),
+      coalesce(col(statusCol).cast("string"), lit("")), lit(" "),
       coalesce(col(reasonCol), lit("")),
       lit("\r\nContent-Type: "), coalesce(col(ctypeCol), lit("")),
       when(col(locationCol).isNotNull,

@@ -54,7 +54,12 @@ object Redirects {
     require(doublings >= 0 && doublings <= 16,
       s"doublings must be in [0,16], got $doublings")
     val spark = edges.sparkSession
+    // a NULL endpoint is not an edge (a 301 whose Location header was
+    // missing): dropped here, so its source simply never appears in
+    // the output — the terminal/hops-NULL-iff-unresolved contract
+    // stays intact
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
 
     // jump(u) = (v, s): v reached from u in s steps; s = 2^k or v terminal.
     var jump = e.select(col("src").as("u"), col("dst").as("v"),

@@ -63,10 +63,9 @@ object Sitemaps {
         Urls.canonicalize(loc).as("url_canon"),
         nullif(Urls.registeredDomain(loc), lit("")).as("domain"),
         nullif(regexp_extract(col("__e"), LastmodPattern, 1), lit(""))
-          .as("lastmod_raw"),
-        expr("try_cast(substring(" +
-          "regexp_extract(__e, '(?is)<lastmod\\\\s*>\\\\s*(.*?)\\\\s*" +
-          "</lastmod\\\\s*>', 1), 1, 10) AS date)").as("lastmod"))
+          .as("lastmod_raw"))
+      .withColumn("lastmod", expr(
+        "try_cast(substring(coalesce(lastmod_raw, ''), 1, 10) AS date)"))
   }
 
   /** Snapshot diff — the incremental-recrawl planner: comparing the
@@ -124,12 +123,14 @@ object Sitemaps {
         Urls.canonicalize(loc).as("url_canon"),
         nullif(Urls.registeredDomain(loc), lit("")).as("domain"),
         lastmodRaw.as("lastmod_raw"),
-        expr("try_cast(substring(" +
-          "regexp_extract(__e, '(?is)<lastmod\\\\s*>\\\\s*(.*?)\\\\s*" +
-          "</lastmod\\\\s*>', 1), 1, 10) AS date)").as("lastmod"),
-        expr("try_cast(" +
-          "nullif(regexp_extract(__e, '(?is)<priority\\\\s*>\\\\s*(.*?)" +
-          "\\\\s*</priority\\\\s*>', 1), '') AS decimal(3,2))")
-          .as("priority"))
+        priorityRaw.as("__priority_raw"))
+      // derive from the ALREADY-extracted raw columns — re-running the
+      // probe regex inside the cast doubled the regex work per entry
+      // and duplicated the pattern text
+      .withColumn("lastmod", expr(
+        "try_cast(substring(coalesce(lastmod_raw, ''), 1, 10) AS date)"))
+      .withColumn("priority",
+        expr("try_cast(__priority_raw AS decimal(3,2))"))
+      .drop("__priority_raw")
   }
 }

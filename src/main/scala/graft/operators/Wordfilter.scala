@@ -34,7 +34,11 @@ object Wordfilter {
     require(words.forall(w => w.nonEmpty && w == w.toLowerCase &&
       !w.exists(_.isWhitespace)),
       "Wordfilter.score: blocklist entries must be lowercase single tokens")
-    val toks = filter(TextFunctions.tokens(col(textCol)),
+    // NULL text coalesces to '' (the Entropy/Mojibake discipline):
+    // a NULL-text doc is (0, 0, NULL density, keep) — never NULL
+    // counts or a NULL verdict
+    val toks = filter(
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))),
       t => t =!= "")
     docs.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),

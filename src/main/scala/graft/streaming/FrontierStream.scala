@@ -55,16 +55,20 @@ object FrontierStream {
       .flatMapGroupsWithState[Long, Scheduled](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (dom: String, rows: Iterator[Discovered], state: GroupState[Long]) =>
-          var assigned = state.getOption.getOrElse(0L)
+          val base = state.getOption.getOrElse(0L)
           val delay = delays.getOrElse(dom, defaultDelayMs)
+          var i = 0L
+          // waves number EVERY arrival (base + batch row index — the
+          // staged path's row_number() + prior, so both paths agree
+          // even when several rows overflow the cap in one batch);
+          // only scheduled ones advance the meter
           val out = rows.toSeq.sortBy(r => (-r.priority, r.url)).map { r =>
-            val wave = assigned + 1
-            val ok = wave <= maxDepth
-            if (ok) assigned += 1
+            i += 1
+            val wave = base + i
             Scheduled(r.url, dom, r.priority, wave,
-              (wave - 1) * delay, ok)
+              (wave - 1) * delay, wave <= maxDepth)
           }
-          state.update(assigned)
+          state.update(math.min(base + i, maxDepth))
           out.iterator
       }
   }

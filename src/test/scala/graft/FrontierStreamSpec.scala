@@ -56,6 +56,42 @@ class FrontierStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
 
+  test("live matches staged when SEVERAL rows overflow the cap at once") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Discovered]
+    val q = FrontierStream.scheduled(in.toDS(), delays, maxDepth = 2L)
+      .writeStream.format("memory").queryName("frontier_multi")
+      .option("checkpointLocation", tmpDir("frontier-multi-ckpt"))
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData(Discovered("u1", "a.com", 9L), Discovered("u2", "a.com", 8L),
+        Discovered("u3", "a.com", 7L), Discovered("u4", "a.com", 6L))
+      q.processAllAvailable()
+      val live = spark.table("frontier_multi").as[Scheduled].collect()
+        .map(s => (s.url, s.wave, s.eta_ms, s.scheduled)).sortBy(_._1).toSeq
+      val dir = tmpDir("frontier-multi-staged")
+      val staged = FrontierStream.assignStaged(
+        mk(("u1", "a.com", 9L), ("u2", "a.com", 8L),
+          ("u3", "a.com", 7L), ("u4", "a.com", 6L)),
+        dir, "url", "domain", "priority", delaysDf, maxDepth = 2L,
+        batchId = 0L)
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).sortBy(_._1).toSeq
+      // rejected rows get DISTINCT waves on both paths (row_number +
+      // prior), and neither advances the meter
+      assert(live == staged)
+      assert(live.map(_._2) == Seq(1L, 2L, 3L, 4L))
+      assert(live.map(_._4) == Seq(true, true, false, false))
+      // the next batch resumes at the SCHEDULED count
+      in.addData(Discovered("u5", "a.com", 1L))
+      q.processAllAvailable()
+      val u5 = spark.table("frontier_multi").as[Scheduled].collect()
+        .find(_.url == "u5").get
+      assert(u5.wave == 3L && !u5.scheduled)
+    } finally q.stop()
+  }
+
   test("assignStaged: matches the live path; replay idempotent") {
     val dir = tmpDir("frontier-staged")
     val b0 = mk(("u1", "a.com", 1L), ("u2", "a.com", 9L))

@@ -74,6 +74,16 @@ class RedirectsSpec extends SparkSpec {
     assert(resolve(edges) === byScala)
   }
 
+  test("NULL endpoints are not edges: dropped, contract intact") {
+    val edges = Seq((1L, java.lang.Long.valueOf(2L)),
+      (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst")
+    val got = Redirects.resolve(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // src 3 has no real edge → absent; src 1 unaffected
+    assert(got === Map(1L -> ((2L, false))))
+  }
+
   test("doublings = 0 resolves only one-hop walks") {
     val m = resolve(Seq(1L -> 2L, 2L -> 3L), doublings = 0)
     assert(m(2L) === ((Some(3L), Some(1L), false)))

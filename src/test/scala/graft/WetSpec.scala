@@ -164,6 +164,34 @@ class WetSpec extends SparkSpec {
       .forall(_.getString(0) == "response"))
   }
 
+  test("Content-Location never masquerades as a redirect Location") {
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.com/\r\nContent-Length: 99\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Location: https://cdn.x.com/a\r\n" +
+      "Content-Type: text/html\r\n\r\nbody"
+    val r = Wet.parseResponses(Seq(rec).toDF("rec"), "rec").head()
+    assert(r.isNullAt(r.fieldIndex("location")))
+    assert(r.getAs[String]("content_type") === "text/html")
+    // ...and a real Location still parses
+    val rec2 = rec.replace("Content-Location", "Location")
+    val r2 = Wet.parseResponses(Seq(rec2).toDF("rec"), "rec").head()
+    assert(r2.getAs[String]("location") === "https://cdn.x.com/a")
+  }
+
+  test("a NULL status renders a diagnosable record, not a NULL row") {
+    val rows = Seq((1L, null.asInstanceOf[java.lang.Long], null: String,
+      "text/html", null: String, "b"))
+      .toDF("doc_id", "status", "reason", "ctype", "location", "body")
+      .withColumn("uri", concat(lit("https://x.com/"), col("doc_id")))
+    val recs = Wet.toResponseRecords(rows, "uri", "status", "reason",
+      "ctype", "location", "body").collect()
+    assert(recs.length === 1 && recs(0).getString(0) != null)
+    val r = Wet.parseResponses(
+      Seq(recs(0).getString(0)).toDF("rec"), "rec").head()
+    assert(r.isNullAt(r.fieldIndex("status")))
+    assert(r.getAs[String]("body") === "b")
+  }
+
   test("an unparseable HTTP status line goes NULL, row kept") {
     val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
       "WARC-Target-URI: https://x.com/\r\nContent-Length: 20\r\n\r\n" +

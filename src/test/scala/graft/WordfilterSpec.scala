@@ -31,9 +31,10 @@ class WordfilterSpec extends SparkSpec {
     assert(m(3L) === ((4L, 0L, Some(0L), true)))
   }
 
-  test("empty text: zero tokens, NULL density, keep") {
-    val m = score(1L -> "")
+  test("empty and NULL text: zero tokens, NULL density, keep") {
+    val m = score(1L -> "", 2L -> null.asInstanceOf[String])
     assert(m(1L) === ((0L, 0L, None, true)))
+    assert(m(2L) === ((0L, 0L, None, true)))
   }
 
   test("list-shape guard: uppercase / multiword / empty entries refuse") {
