@@ -2782,6 +2782,66 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.urlTemplateGate / Urls.pathTemplate: digit-masked
+    * path templates per host, page counts, trap threshold at 40.
+    */
+  val urlTemplates: String = s"""
+    WITH u AS (
+      SELECT 'https://s' || (doc_id % 5) || '.ex.com' ||
+        CASE WHEN doc_id % 4 = 0 THEN '/p/' || doc_id
+             WHEN doc_id % 4 = 1 THEN '/p/' || doc_id || '/rev/' ||
+               (doc_id % 7)
+             WHEN doc_id % 20 = 3 THEN '/about'
+             ELSE '/cal/2026/' || (doc_id % 12 + 1) || '/' ||
+               (doc_id % 28 + 1) END AS url
+      FROM documents),
+    t AS (
+      SELECT ${hostOfSql("url")} AS host,
+        regexp_replace(
+          CASE WHEN regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) = ''
+            THEN '/'
+            ELSE regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(/[^?]*)?', 1) END,
+          '[0-9]+', '{n}', 'g') AS template
+      FROM u)
+    SELECT host, template, CAST(count(*) AS BIGINT) AS pages,
+           count(*) >= 40 AS trap_suspect
+    FROM t GROUP BY 1, 2 ORDER BY host, template"""
+
+  /** Mirrors Queries.paramAuditGate / Urls.explodeParams: param
+    * explode (valueless keys carry ''), per-(host, key) URL and
+    * distinct-value counts, the constant/identifier/enum verdict.
+    */
+  val paramAudit: String = s"""
+    WITH u AS (
+      SELECT 'https://s' || (doc_id % 3) || '.ex.com/p/' || doc_id ||
+        '?id=' || doc_id || '&utm_source=feed&page=' || (doc_id % 5) ||
+        '&session=' || CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END ||
+        '&flag' AS url
+      FROM documents),
+    q AS (
+      SELECT url, regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)', 1) AS qs
+      FROM u),
+    px AS (
+      SELECT url,
+             unnest(list_filter(string_split(qs, '&'), x -> x <> ''))
+               AS p
+      FROM q),
+    kv AS (
+      SELECT ${hostOfSql("url")} AS host,
+             regexp_extract(p, '^([^=]*)', 1) AS param_key,
+             regexp_extract(p, '^[^=]*=(.*)$$', 1) AS param_value
+      FROM px)
+    SELECT host, param_key, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT param_value) AS BIGINT) AS n_values,
+           CASE WHEN count(DISTINCT param_value) = 1 THEN 'constant'
+                WHEN count(DISTINCT param_value) * 2 >= count(*)
+                  THEN 'identifier'
+                ELSE 'enum' END AS kind
+    FROM kv GROUP BY 1, 2 ORDER BY host, param_key"""
+
   /** Mirrors Queries.sitemapIndexGate: both parse levels (sitemap
     * blocks with the canonicalization chain; urlset pages), the
     * pointer→fetch-URL join, NULL-page dangling children.
@@ -5508,7 +5568,9 @@ object Oracles {
     "q175_wordfilter" -> wordfilter,
     "q176_politeness_audit" -> politenessAudit,
     "q177_retry_schedule" -> retrySchedule,
-    "q178_sitemap_index" -> sitemapIndex)
+    "q178_sitemap_index" -> sitemapIndex,
+    "q179_url_templates" -> urlTemplates,
+    "q180_param_audit" -> paramAudit)
 }
 
 /** Holder split out so the oracle text initializes before

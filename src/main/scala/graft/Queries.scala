@@ -3504,6 +3504,74 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
+    * digit runs mask to `{n}` so a million product pages collapse to
+    * one row, and the per-(domain, template) page count exposes crawl
+    * traps (the planted calendar template accumulates ~45% of each
+    * host's pages and crosses the trap threshold; the product/review
+    * templates and the literal `/about` stay under it). One
+    * (host, template)-keyed rollup — partial aggregation collapses
+    * the corpus map-side. Keyed by HOST, not registered domain: traps
+    * are host-scoped, and the planted subdomains share one domain.
+    */
+  def urlTemplateGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val m4 = pmod(d, lit(4))
+    val path = when(m4 === 0, concat(lit("/p/"), id))
+      .when(m4 === 1, concat(lit("/p/"), id, lit("/rev/"),
+        pmod(d, lit(7)).cast("string")))
+      .when(pmod(d, lit(20)) === 3, lit("/about"))
+      .otherwise(concat(lit("/cal/2026/"),
+        (pmod(d, lit(12)) + 1).cast("string"), lit("/"),
+        (pmod(d, lit(28)) + 1).cast("string")))
+    val url = concat(lit("https://s"), pmod(d, lit(5)).cast("string"),
+      lit(".ex.com"), path)
+    val urls = Tables.documents(s, dir).select(url.as("url"))
+    urls
+      .select(graft.operators.Urls.hostOf(col("url")).as("host"),
+        graft.operators.Urls.pathTemplate(col("url")).as("template"))
+      .groupBy(col("host"), col("template"))
+      .agg(count(lit(1)).as("pages"))
+      .withColumn("trap_suspect", col("pages") >= 40)
+      .orderBy(col("host"), col("template"))
+  }
+
+  /** q180: query-parameter cardinality audit —
+    * [[graft.operators.Urls.explodeParams]]: the EMPIRICAL
+    * tracking-parameter discovery the static drop-list can't do (the
+    * round-15 `ref` lesson: a generic key is content on one site,
+    * tracking on another — only its value distribution says which).
+    * Per (host, key): URL count, distinct-value count, and the
+    * verdict — `identifier` when values track URLs (a content id,
+    * NEVER strip), `constant` when one value (strip candidate),
+    * `enum` between. Planted: a per-URL id, a constant utm_source, a
+    * 5-value page enum, a 2-value session, and a valueless flag. One
+    * (domain, key)-keyed aggregation with a distinct inside.
+    */
+  def paramAuditGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val url = concat(lit("https://s"), pmod(d, lit(3)).cast("string"),
+      lit(".ex.com/p/"), id, lit("?id="), id,
+      lit("&utm_source=feed&page="), pmod(d, lit(5)).cast("string"),
+      lit("&session="),
+      when(pmod(d, lit(2)) === 0, "a").otherwise(lit("b")),
+      lit("&flag"))
+    val urls = Tables.documents(s, dir).select(url.as("url"))
+    graft.operators.Urls.explodeParams(urls, "url")
+      .select(graft.operators.Urls.hostOf(col("url")).as("host"),
+        col("param_key"), col("param_value"))
+      .groupBy(col("host"), col("param_key"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("param_value")).as("n_values"))
+      .withColumn("kind",
+        when(col("n_values") === 1, "constant")
+          .when(col("n_values") * 2 >= col("n_urls"), "identifier")
+          .otherwise(lit("enum")))
+      .orderBy(col("host"), col("param_key"))
+  }
+
   /** q178: sitemap-index recursion —
     * [[graft.operators.Sitemaps.parseIndex]] composed with
     * [[graft.operators.Sitemaps.parse]]: every 100-block's residue-10

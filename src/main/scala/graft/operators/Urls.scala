@@ -74,6 +74,42 @@ object Urls {
   def registeredDomain(url: Column): Column =
     regexp_extract(hostOf(url), "([^.]+\\.[^.]+)$", 1)
 
+  /** Path TEMPLATE of a URL: the path with every digit run masked to
+    * `{n}` — `/p/123/rev/4` → `/p/{n}/rev/{n}`. Collapsing the id
+    * space turns a million product pages into ONE row, which is what
+    * crawl-trap detection needs: a template whose page count keeps
+    * growing without bound (calendars, session ids in paths, infinite
+    * pagination) is a trap candidate no per-URL analysis can see.
+    * NULL for URLs with no parseable authority (the malformed-goes-
+    * NULL discipline); an empty path is `/`.
+    */
+  def pathTemplate(url: Column): Column = {
+    val rest = restOf(url)
+    val p = regexp_extract(rest, "^[^/?]*(/[^?]*)?", 1)
+    val path = when(p === "", "/").otherwise(p)
+    when(hostOf(url) === "", lit(null).cast("string"))
+      .otherwise(regexp_replace(path, "[0-9]+", "{n}"))
+  }
+
+  /** Query parameters exploded: one row per `key=value` pair —
+    * (everything the caller selected, param_key, param_value) — the
+    * raw material for EMPIRICAL tracking-parameter discovery: a key
+    * whose distinct-value count tracks the URL count identifies
+    * content (an id); a key with one value per campaign identifies
+    * nothing (strip-candidate). Valueless keys (`?flag`) carry ''.
+    * Map-side explode; URLs without a query emit nothing.
+    */
+  def explodeParams(urls: DataFrame, urlCol: String): DataFrame = {
+    val query = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1)
+    urls
+      .withColumn("__p", explode(filter(split(query, "&"), q => q =!= "")))
+      .withColumn("param_key", regexp_extract(col("__p"), "^([^=]*)", 1))
+      .withColumn("param_value",
+        regexp_extract(col("__p"), "^[^=]*=(.*)$", 1))
+      .drop("__p")
+  }
+
   /** Canonical form: `scheme://host[:port]path[?sorted-params]` —
     * scheme/host lowercased, fragment stripped, default ports (http
     * 80, https 443) dropped, tracking parameters removed, surviving

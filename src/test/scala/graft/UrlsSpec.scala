@@ -75,4 +75,28 @@ class UrlsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("pathTemplate: digit masking, empty path, malformed NULL") {
+    val got = Seq(
+      "https://a.com/p/123/rev/4",
+      "https://a.com",
+      "https://a.com/static/about",
+      "not a url")
+      .toDF("url")
+      .select(Urls.pathTemplate(col("url")))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got === Seq(Some("/p/{n}/rev/{n}"), Some("/"),
+      Some("/static/about"), None))
+  }
+
+  test("explodeParams: pairs, valueless keys, queryless emits nothing") {
+    val got = Urls.explodeParams(
+      Seq("https://a.com/p?x=1&y=&flag&x=2",
+        "https://a.com/noquery").toDF("url"), "url")
+      .collect()
+      .map(r => (r.getAs[String]("param_key"),
+        r.getAs[String]("param_value")))
+      .toSeq
+    assert(got === Seq(("x", "1"), ("y", ""), ("flag", ""), ("x", "2")))
+  }
 }
