@@ -2782,6 +2782,45 @@ object Oracles {
     FROM m WHERE rn = 1
     ORDER BY doc_id"""
 
+  /** Mirrors Queries.salsaGate / Cluster.salsaInt: the 12-edge lookup
+    * plant, three unrolled SALSA sweeps with the engine's exact
+    * truncation points (`hub div outdeg`, `auth div indeg`), full
+    * outer hub/auth join.
+    */
+  val salsaScores: String = {
+    def sweep(prevH: String, a: String, h: String) = s"""
+    $a AS (
+      SELECT e.v, sum($prevH.h // outd.od) AS a
+      FROM ed e JOIN $prevH ON e.u = $prevH.u
+      JOIN outd ON e.u = outd.u
+      GROUP BY e.v),
+    $h AS (
+      SELECT e.u, sum($a.a // ind.id_) AS h
+      FROM ed e JOIN $a ON e.v = $a.v
+      JOIN ind ON e.v = ind.v
+      GROUP BY e.u)"""
+    s"""
+    WITH ed AS (
+      SELECT DISTINCT
+        CAST([0,1,2,3,4,5,6,0,1,4,5,5][CAST(doc_id % 12 AS INTEGER) + 1]
+          AS BIGINT) AS u,
+        CAST([1,2,3,4,5,6,0,3,3,3,0,2][CAST(doc_id % 12 AS INTEGER) + 1]
+          AS BIGINT) AS v
+      FROM documents),
+    outd AS (SELECT u, CAST(count(*) AS BIGINT) AS od FROM ed GROUP BY u),
+    ind AS (SELECT v, CAST(count(*) AS BIGINT) AS id_ FROM ed GROUP BY v),
+    h0 AS (
+      SELECT u, 1000000000000 // (SELECT count(*) FROM outd) AS h
+      FROM outd),
+    ${sweep("h0", "a1", "h1")},
+    ${sweep("h1", "a2", "h2")},
+    ${sweep("h2", "a3", "h3")}
+    SELECT coalesce(h3.u, a3.v) AS node,
+           CAST(h3.h AS BIGINT) AS hub, CAST(a3.a AS BIGINT) AS auth
+    FROM h3 FULL OUTER JOIN a3 ON h3.u = a3.v
+    ORDER BY node"""
+  }
+
   /** Mirrors Queries.urlTemplateGate / Urls.pathTemplate: digit-masked
     * path templates per host, page counts, trap threshold at 40.
     */
@@ -5570,7 +5609,8 @@ object Oracles {
     "q177_retry_schedule" -> retrySchedule,
     "q178_sitemap_index" -> sitemapIndex,
     "q179_url_templates" -> urlTemplates,
-    "q180_param_audit" -> paramAudit)
+    "q180_param_audit" -> paramAudit,
+    "q181_salsa_scores" -> salsaScores)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3504,6 +3504,27 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q181: SALSA hub/authority scores —
+    * [[graft.operators.Cluster.salsaInt]] on a planted 7-node directed
+    * graph (a ring plus three extra citations INTO node 3 — the
+    * authority — and two extra citations OUT of node 5 — the hub),
+    * three exact integer sweeps. The oracle unrolls the identical
+    * recurrence; the edge list derives from `doc_id mod 12` lookup
+    * tables and collapses to the same 12 edges at every scale factor.
+    */
+  def salsaGate(s: SparkSession, dir: String): DataFrame = {
+    val idx = (pmod(col("doc_id"), lit(12)) + 1).cast("int")
+    val us = array(Seq(0, 1, 2, 3, 4, 5, 6, 0, 1, 4, 5, 5)
+      .map(x => lit(x.toLong)): _*)
+    val vs = array(Seq(1, 2, 3, 4, 5, 6, 0, 3, 3, 3, 0, 2)
+      .map(x => lit(x.toLong)): _*)
+    val edges = Tables.documents(s, dir)
+      .select(element_at(us, idx).as("u"), element_at(vs, idx).as("v"))
+      .distinct()
+    graft.operators.Cluster.salsaInt(edges, "u", "v", iters = 3)
+      .orderBy(col("node"))
+  }
+
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
     * digit runs mask to `{n}` so a million product pages collapse to
     * one row, and the per-(domain, template) page count exposes crawl

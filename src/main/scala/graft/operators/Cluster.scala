@@ -324,4 +324,64 @@ object Cluster {
     }
     pr
   }
+
+  /** Integer SALSA hub/authority scores (Lempel & Moran 2000, the
+    * "Stochastic Approach for Link-Structure Analysis") — the
+    * mass-splitting formulation of HITS: per sweep,
+    * `auth(v) = Σ_{u→v} hub(u) div outdeg(u)` then
+    * `hub(u) = Σ_{u→v} auth(v) div indeg(v)`. Splitting by degree
+    * (SALSA's random-walk view) is what makes an EXACT integer
+    * recurrence possible: mass is conserved (minus documented
+    * truncation), so no per-round float normalization — classic HITS'
+    * L2 renorm — is ever needed, values stay bounded by `scale`, and a
+    * SQL oracle unrolls the identical bit pattern ([[pagerankInt]]'s
+    * q86/q91 discipline).
+    *
+    * Output: one row per node, (node, hub, auth) — `hub` NULL for
+    * pure sinks (no outlinks), `auth` NULL for pure sources (no
+    * inlinks). Hub mass initializes uniformly over the nodes WITH
+    * outlinks (`scale div n_hubs`).
+    *
+    * Scale shape: per sweep, two edge-list joins with map-side partial
+    * sums (the PageRank shape exactly); hub frames checkpointed per
+    * round, edges + degrees frozen once as loop invariants.
+    */
+  def salsaInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "salsaInt: iters must be >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(true)
+    val outd = e.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val ind = e.groupBy(col("v")).agg(count(lit(1)).as("indeg"))
+      .localCheckpoint(true)
+    val nh = outd.count()
+    require(nh > 0, "salsaInt: empty edge list")
+    var hub = outd.select(col("u").as("hn"), col("outdeg"),
+      lit(scale / nh).as("hub"))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = e.join(hub, col("u") === col("hn"))
+        .select(col("v"), expr("hub div outdeg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("auth"))
+      auth = ind.join(aRaw, Seq("v"))
+        .select(col("v").as("an"), col("indeg"), col("auth"))
+      // the final sweep's auth freezes BEFORE the hub half consumes it,
+      // so the caller's one action replays neither half
+      if (i == iters) auth = auth.localCheckpoint(true)
+      val hRaw = e.join(auth, col("v") === col("an"))
+        .select(col("u"), expr("auth div indeg").as("c"))
+        .groupBy(col("u")).agg(sum(col("c")).as("hub"))
+      val next = outd.join(hRaw, Seq("u"))
+        .select(col("u").as("hn"), col("outdeg"), col("hub"))
+      hub = if (i == iters) next else next.localCheckpoint(true)
+    }
+    hub.select(col("hn").as("node"), col("hub"))
+      .join(auth.select(col("an").as("node"), col("auth")),
+        Seq("node"), "full_outer")
+  }
 }

@@ -134,6 +134,42 @@ class ClusterSpec extends SparkSpec {
     assert(re == pr)
   }
 
+  test("salsaInt: fixed point on the co-citation pair; sinks/sources NULL-sided") {
+    import spark.implicits._
+    // a→c, b→c: hub mass splits scale/2 each; auth(c) = scale
+    // (conserved); hub' = auth(c) div indeg(c) = scale/2 — a fixed
+    // point, so every iteration count returns the same exact integers
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("u", "v")
+    for (it <- Seq(1, 3)) {
+      val got = graft.operators.Cluster
+        .salsaInt(edges, "u", "v", iters = it, scale = 1000000L)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+        .toMap
+      assert(got === Map(
+        1L -> ((Some(500000L), None)), // pure source: no auth
+        2L -> ((Some(500000L), None)),
+        3L -> ((None, Some(1000000L))))) // pure sink: no hub
+    }
+  }
+
+  test("salsaInt: the planted hub and authority dominate their sides") {
+    import spark.implicits._
+    val us = Seq(0, 1, 2, 3, 4, 5, 6, 0, 1, 4, 5, 5).map(_.toLong)
+    val vs = Seq(1, 2, 3, 4, 5, 6, 0, 3, 3, 3, 0, 2).map(_.toLong)
+    val edges = us.zip(vs).toDF("u", "v")
+    val got = graft.operators.Cluster
+      .salsaInt(edges, "u", "v", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // node 3 (cited by 0,1,2,4) is the top authority; node 5 (three
+    // outlinks) is the top hub
+    assert(got(3L)._2 === got.values.map(_._2).max)
+    assert(got(5L)._1 === got.values.map(_._1).max)
+  }
+
   test("pagerankInt: plan size flat in iteration count; 20-iter replay exact; staged seam identical") {
     val S = 1000000000000L
     val pair = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
