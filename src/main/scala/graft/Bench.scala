@@ -70,26 +70,27 @@ object Bench {
     * disarms.
     */
   /** The lock's recorded scale-factor tag (`"sf": "sf0.1"`), if any. */
-  def lockSfTag(): Option[String] =
-    lockText().flatMap(t =>
+  def lockSfTag(name: String = "bench_lock.json"): Option[String] =
+    lockText(name).flatMap(t =>
       "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(t).map(_.group(1)))
 
-  private def lockText(): Option[String] =
-    Option(getClass.getResourceAsStream("/bench_lock.json"))
+  private def lockText(name: String): Option[String] =
+    Option(getClass.getResourceAsStream(s"/$name"))
       .map { in =>
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }.orElse {
-        val p = java.nio.file.Paths.get("src/main/resources/bench_lock.json")
+        val p = java.nio.file.Paths.get(s"src/main/resources/$name")
         if (java.nio.file.Files.exists(p))
           Some(java.nio.file.Files.readString(p))
         else None
       }
 
-  def loadLock(): (Map[String, Double], Double) = {
+  def loadLock(name: String = "bench_lock.json"):
+      (Map[String, Double], Double) = {
     // classpath resource (sbt run/package copy it), else the source
     // tree (run_main.sh after a bare `compile`, which skips resources)
-    val txt0 = lockText()
+    val txt0 = lockText(name)
     if (txt0.isEmpty) return (Map.empty, 0.0)
     val txt = txt0.get
     val calib = "\"calib_total\"\\s*:\\s*([0-9.]+)".r
@@ -98,6 +99,26 @@ object Bench {
       .findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     (qs, calib)
+  }
+
+  /** Per-SF lock resolution: a bench at SF `sf` reads
+    * `bench_lock_<sf>.json` when shipped (the sf1 lock lives there),
+    * else the default `bench_lock.json` gated on its own `"sf"` tag —
+    * flare adjudication ARMS exactly when a lock recorded at the
+    * benched SF exists, and disarms otherwise (per-query locks are
+    * data-volume-bound; calibration corrects box speed only).
+    */
+  def resolveLock(benchSf: String):
+      (Map[String, Double], Double, String) = {
+    val perSf = s"bench_lock_$benchSf.json"
+    if (lockText(perSf).isDefined) {
+      val (qs, c) = loadLock(perSf)
+      (qs, c, perSf)
+    } else {
+      val (qs, c) = loadLock()
+      if (lockSfTag().forall(_ == benchSf)) (qs, c, "bench_lock.json")
+      else (Map.empty, 0.0, "bench_lock.json")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,22 +168,18 @@ object Bench {
     // "flares" annotation carrying every raw reading. A real regression
     // stays slow across re-runs and is still flagged; a one-off box
     // flare self-adjudicates out of the headline.
-    val (lock0, lockCalib) = loadLock()
-    // the per-query locks are tied to the SCALE FACTOR they were
-    // recorded at: at a different SF every query legitimately reads
-    // several × its lock, and "flare" re-runs would triple the whole
-    // run. Disarm adjudication when the bench dir's basename differs
-    // from the lock's recorded sf tag (calibration scaling corrects for
-    // BOX speed, not data volume).
-    val lockSf = lockSfTag()
+    // per-SF lock resolution (see resolveLock): per-query locks are
+    // tied to the SCALE FACTOR they were recorded at — at a different
+    // SF every query legitimately reads several × its lock, and
+    // "flare" re-runs would triple the whole run.
     val benchSf = new java.io.File(sfDir).getName
-    val lock: Map[String, Double] =
-      if (lockSf.forall(_ == benchSf)) lock0
-      else {
-        System.err.println(s"[bench] lock recorded at sf '${lockSf.get}' " +
-          s"but benching '$benchSf' — flare adjudication disarmed")
-        Map.empty
-      }
+    val (lock, lockCalib, lockSrc) = resolveLock(benchSf)
+    if (lock.isEmpty)
+      System.err.println(s"[bench] no lock recorded at sf '$benchSf' — " +
+        "flare adjudication disarmed")
+    else
+      System.err.println(s"[bench] flare locks: $lockSrc " +
+        s"(${lock.size} queries, calib $lockCalib)")
     val calibTotal = calib.map(_._2).sum
     val calibRatio =
       if (lockCalib > 0 && calibTotal > 0) calibTotal / lockCalib else 1.0

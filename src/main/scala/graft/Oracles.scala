@@ -2787,6 +2787,103 @@ object Oracles {
     * truncation points (`hub div outdeg`, `auth div indeg`), full
     * outer hub/auth join.
     */
+  /** Mirrors Queries.crawlLoopGate: the scheduled top-maxDepth waves
+    * per domain, planted statuses over the SCHEDULED set, a depth-8
+    * recursive walk over the response redirect edges (the per-hop dual
+    * of the engine's pointer doubling), 3 retry attempts per retryable
+    * failure, and the full-outer recrawl diff — ten stage counts.
+    * Multiply-referenced CTEs MATERIALIZED (DuckDB inlines them
+    * per-reference otherwise — the q153 sf1 OOM lesson).
+    */
+  val crawlLoop: String = s"""
+    WITH RECURSIVE f AS MATERIALIZED (
+      SELECT doc_id,
+             'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             'site' || (doc_id % 7) || '.example.com' AS domain,
+             (doc_id * 37 + 11) % 100 AS priority
+      FROM documents),
+    sched AS MATERIALIZED (
+      SELECT doc_id, url FROM (
+        SELECT doc_id, url,
+               row_number() OVER (PARTITION BY domain
+                 ORDER BY priority DESC, url ASC) AS wave
+        FROM f) WHERE wave <= 40),
+    resp AS MATERIALIZED (
+      SELECT doc_id, url,
+        CASE WHEN doc_id % 10 = 7 OR doc_id % 100 BETWEEN 41 AND 44
+               THEN 301
+             WHEN doc_id % 10 = 8 THEN 503
+             WHEN doc_id % 10 = 9 THEN 429 ELSE 200 END AS status
+      FROM sched),
+    fet AS MATERIALIZED (
+      SELECT doc_id, url FROM resp WHERE status = 200),
+    red AS MATERIALIZED (
+      SELECT doc_id AS src, doc_id + 1 AS dst
+      FROM resp WHERE status = 301),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM red
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN red e ON e.src = w.cur
+      WHERE w.hops < 8),
+    fin AS MATERIALIZED (
+      SELECT src, arg_max(cur, hops) AS endp FROM walk GROUP BY src),
+    resolved AS (
+      SELECT f2.src FROM fin f2
+      WHERE NOT EXISTS (SELECT 1 FROM red r WHERE r.src = f2.endp)),
+    retries AS (
+      SELECT url, unnest(generate_series(1, 3)) AS attempt
+      FROM resp WHERE status IN (429, 503)),
+    prev AS MATERIALIZED (
+      SELECT 'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             DATE '2026-01-01' + CAST(doc_id % 28 AS INTEGER) AS lm,
+             TRUE AS p
+      FROM documents WHERE doc_id % 11 <> 3),
+    curr AS MATERIALIZED (
+      SELECT url,
+             DATE '2026-01-01' + CAST(doc_id % 28 +
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS lm,
+             TRUE AS c
+      FROM fet),
+    dif AS MATERIALIZED (
+      SELECT CASE WHEN prev.p IS NULL THEN 'new'
+                  WHEN curr.c IS NULL THEN 'gone'
+                  WHEN prev.lm IS DISTINCT FROM curr.lm THEN 'changed'
+                  ELSE 'unchanged' END AS st
+      FROM prev FULL OUTER JOIN curr ON prev.url = curr.url)
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'frontier_urls' AS stage,
+           CAST(count(*) AS BIGINT) AS n FROM f
+    UNION ALL SELECT 1, 'scheduled', count(*) FROM sched
+    UNION ALL SELECT 2, 'fetched_ok', count(*) FROM fet
+    UNION ALL SELECT 3, 'redirects', count(*) FROM red
+    UNION ALL SELECT 4, 'redirects_resolved', count(*) FROM resolved
+    UNION ALL SELECT 5, 'retry_attempts', count(*) FROM retries
+    UNION ALL SELECT 6, 'recrawl_new', count(*) FROM dif WHERE st = 'new'
+    UNION ALL SELECT 7, 'recrawl_changed', count(*) FROM dif
+      WHERE st = 'changed'
+    UNION ALL SELECT 8, 'recrawl_unchanged', count(*) FROM dif
+      WHERE st = 'unchanged'
+    UNION ALL SELECT 9, 'recrawl_gone', count(*) FROM dif
+      WHERE st = 'gone'
+    ORDER BY stage_idx"""
+
+  /** q183: the ANN serving paths are not SQL-expressible (cell probes,
+    * PQ codes), so the dump is the in-query recall certification (see
+    * Queries.annRecallGate) and every certified bound is emitted as
+    * literal TRUE — q27's pattern. Row counts ARE predictable: the
+    * query batch is 20, top-k always fills at these corpus sizes
+    * (measured at sf0.001/0.01/0.1).
+    */
+  val annRecall: String = """
+    SELECT 'ivf_pq_nprobe4' AS path, CAST(20 AS BIGINT) AS n_queries,
+           CAST(160 AS BIGINT) AS n_returned, TRUE AS recall_ok
+    UNION ALL SELECT 'ivf_saved_nprobe4', 20, 100, TRUE
+    UNION ALL SELECT 'pq_trained', 20, 160, TRUE
+    ORDER BY path"""
+
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
     $a AS (
@@ -3638,13 +3735,14 @@ object Oracles {
       SELECT doc_id, entry_pos, nullif(loc0, '') AS loc, lastmod_raw,
              TRY_CAST(substr(coalesce(lastmod_raw, ''), 1, 10) AS DATE)
                AS lastmod,
-             TRY_CAST(pr AS DECIMAL(3,2)) AS priority,
+             CAST(TRY_CAST(pr AS DECIMAL(3,2)) * 100 AS BIGINT)
+               AS priority_pp100,
              loc0 AS url
       FROM b2),
     ${urlCanonChain("lnk",
-      "doc_id, entry_pos, loc, lastmod_raw, lastmod, priority")}
+      "doc_id, entry_pos, loc, lastmod_raw, lastmod, priority_pp100")}
     SELECT doc_id, entry_pos, loc, url_canon, domain,
-           lastmod_raw, lastmod, priority
+           lastmod_raw, lastmod, priority_pp100
     FROM canon ORDER BY doc_id, entry_pos"""
 
   /** Mirrors Queries.redirectGate / Redirects.resolve: the planted
@@ -5610,7 +5708,9 @@ object Oracles {
     "q178_sitemap_index" -> sitemapIndex,
     "q179_url_templates" -> urlTemplates,
     "q180_param_audit" -> paramAudit,
-    "q181_salsa_scores" -> salsaScores)
+    "q181_salsa_scores" -> salsaScores,
+    "q182_crawl_loop" -> crawlLoop,
+    "q183_ann_recall" -> annRecall)
 }
 
 /** Holder split out so the oracle text initializes before

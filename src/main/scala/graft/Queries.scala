@@ -1117,20 +1117,30 @@ object Queries {
     * cluster's minimum doc_id plus the cluster size. Pair emission
     * (q20) finds who MIGHT be duplicates; this is the step that turns
     * pairs into the dedup groups a curation pipeline actually keys on.
+    *
+    * Cluster sizes are a two-phase aggregate over the MEMBERSHIP frame
+    * (`groupBy(component).count()` + join back), not
+    * `count() over Window.partitionBy(cluster_id)`: BASELINE.md's sf1
+    * giant LSH component is exactly the hot key that serializes a
+    * cluster-keyed window on one task at 100×. Docs outside every
+    * component are singletons by construction (components have ≥ 2
+    * members), so their size is the literal 1 — the size frame never
+    * even sees the corpus, only CC's membership output.
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
     val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
     val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("__csize"))
     docs.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        coalesce(col("__csize"), lit(1L)).as("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -1140,26 +1150,37 @@ object Queries {
     * doc_id as the tie-break) and mark the rest as its duplicates.
     * This is how a pipeline prefers the curated copy of a page over its
     * crawl mirror instead of electing an arbitrary cluster minimum.
-    * One window over the cluster assignment; the clustering itself is
-    * q52's O(log² n)-round star contraction.
+    *
+    * The election is `min(struct(priority, doc_id))` as a two-phase
+    * groupBy + join back, not `first() over` a cluster-keyed window:
+    * the window buffers a giant cluster (BASELINE.md's sf1 LSH
+    * component) on one task, while the aggregate's map-side partials
+    * collapse each task's members to one candidate row before the
+    * exchange. Like q52's sizes, the election only aggregates CC's
+    * membership frame — a doc outside every component is its own
+    * canonical trivially.
     */
   def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
     val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
     val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
+    val priority = expr("CAST(substring(source, 4) AS BIGINT)")
     val mem = docs.select(col("doc_id"), col("source"))
       .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component"), col("source"),
+        priority.as("priority"))
+    val elect = mem.filter(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(min(struct(col("priority"), col("doc_id"))).as("__win"))
+      .select(col("component"), col("__win").getField("doc_id")
+        .as("__canon"))
+    mem.join(elect, Seq("component"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"),
-        col("source"),
-        expr("CAST(substring(source, 4) AS BIGINT)").as("priority"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("priority").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    mem.withColumn("canonical_id", first(col("doc_id")).over(w))
+        col("source"), col("priority"),
+        coalesce(col("__canon"), col("doc_id")).as("canonical_id"))
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
       .orderBy(col("doc_id"))
   }
@@ -3229,7 +3250,6 @@ object Queries {
     * q67's corpus). Output = q52's schema.
     */
   def clusterStoreGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val storeDir =
       java.nio.file.Files.createTempDirectory("graft_cstore_gate").toString
     try {
@@ -3246,12 +3266,17 @@ object Queries {
       ClusterStore.ingest(b3, storeDir, "text", "doc_id")
       val m = ClusterStore.load(s, storeDir)
         .withColumnRenamed("node", "doc_id")
+      // q52's two-phase size rollup (groupBy the membership map + join
+      // back, singletons = literal 1) — not a cluster-keyed window,
+      // which would serialize the giant LSH component on one task
+      val sizes = m.groupBy(col("component"))
+        .agg(count(lit(1)).as("__csize"))
       b1.unionByName(b2).unionByName(b3).select(col("doc_id"))
         .join(m, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
         .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          coalesce(col("__csize"), lit(1L)).as("cluster_size"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally {
@@ -3271,7 +3296,6 @@ object Queries {
     * recursive-CTE closure as q129. Output = q52's schema.
     */
   def clusterBackfillGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val storeDir =
       java.nio.file.Files.createTempDirectory("graft_cbackfill_gate").toString
     try {
@@ -3286,12 +3310,15 @@ object Queries {
       ClusterStore.ingestBackfill(backlog, "bt", storeDir, "text", "doc_id")
       val m = ClusterStore.load(s, storeDir)
         .withColumnRenamed("node", "doc_id")
+      // q52's two-phase size rollup — see clusterStoreGate
+      val sizes = m.groupBy(col("component"))
+        .agg(count(lit(1)).as("__csize"))
       backlog.select(col("doc_id"))
         .join(m, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
         .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          coalesce(col("__csize"), lit(1L)).as("cluster_size"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally {
@@ -3465,12 +3492,14 @@ object Queries {
     * target clean (single quotes, href-first, REVERSED attribute
     * order) — both must land on ONE canon key per block — plus
     * link-less pages and pages whose canonical is commented out (both
-    * self-identify via their own fetched URL). Min-id election per
-    * key. Extraction + canonicalization map-only; the one exchange is
-    * the key-keyed window.
+    * self-identify via their own fetched URL). Min-id election per key
+    * as a two-phase `groupBy(canon_key).min` + join back — a mirror
+    * set with millions of copies of one canonical URL is exactly the
+    * hot key that serializes a key-partitioned window on one task;
+    * the aggregate collapses map-side. Extraction + canonicalization
+    * map-only.
     */
   def canonicalKeyGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val id = col("doc_id").cast("string")
     val b = (col("doc_id") - pmod(col("doc_id"), lit(10))).cast("string")
     val m4 = pmod(col("doc_id"), lit(4))
@@ -3497,10 +3526,11 @@ object Queries {
         graft.operators.Urls.canonicalize(
           coalesce(col("canonical_href"), col("own_url")))
           .as("canon_key"))
-    keyed
-      .withColumn("rep_id",
-        min(col("doc_id")).over(Window.partitionBy(col("canon_key"))))
-      .withColumn("is_rep", col("doc_id") === col("rep_id"))
+    val reps = keyed.groupBy(col("canon_key"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    keyed.join(reps, Seq("canon_key"))
+      .select(col("doc_id"), col("canonical_href"), col("canon_key"),
+        col("rep_id"), (col("doc_id") === col("rep_id")).as("is_rep"))
       .orderBy(col("doc_id"))
   }
 
@@ -3523,6 +3553,237 @@ object Queries {
       .distinct()
     graft.operators.Cluster.salsaInt(edges, "u", "v", iters = 3)
       .orderBy(col("node"))
+  }
+
+  /** q182: the composed CRAWL-FETCH loop — q169 proves discovery
+    * composes; this is the FETCH side as ONE dataflow with q153-style
+    * funnel accounting: frontier →
+    * [[graft.operators.Frontier.schedule]] (politeness waves,
+    * depth-capped) → rendered WARC `response` records round-tripped
+    * through a real `.warc` file ([[graft.io.Wet.toResponseRecords]] /
+    * [[graft.io.Wet.readResponses]] — the io layer runs INSIDE the
+    * composition, q173's discipline) → fetch verdicts → 3xx Locations
+    * resolved by [[graft.operators.Redirects.resolve]] pointer
+    * doubling (planted 1-hop runs on `doc_id % 10 = 7` plus a 4-hop
+    * run on `% 100 ∈ 41..44`) → retryable failures (429/503) expanded
+    * by [[graft.operators.Frontier.retrySchedule]] → recrawl planning
+    * via [[graft.operators.Sitemaps.diff]] against the previous
+    * snapshot. Output: one row per stage with the surviving count —
+    * every stage visibly bites.
+    *
+    * Scale shape: each stage is its already-audited operator (the
+    * depth cap compiles to WindowGroupLimit, the resolve is log₂-round
+    * doubling over the EDGE set, the diff one full-outer join);
+    * shared frames persisted once (q153's loop-invariant discipline);
+    * the funnel reads the cached frames. The warc round-trip frame is
+    * schedule-capped (7 domains × maxDepth), so the file stays
+    * metadata-sized at every SF.
+    */
+  def crawlLoopGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def urlOf(c: Column): Column = concat(lit("https://site"),
+      pmod(c, lit(7)).cast("string"), lit(".example.com/p/"),
+      c.cast("string"))
+    val docs = Tables.documents(s, dir)
+    val mk = graft.util.OperatorCaches.mark()
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_crawlloop").toString
+    try {
+      val frontier = docs.select(urlOf(d).as("url"),
+        concat(lit("site"), pmod(d, lit(7)).cast("string"),
+          lit(".example.com")).as("domain"),
+        pmod(d * 37 + 11, lit(100)).cast("long").as("priority"))
+      val delays = s.range(0, 5).select(
+        concat(lit("site"), col("id").cast("string"),
+          lit(".example.com")).as("domain"),
+        when(pmod(col("id"), lit(3)) === 0, 2000L).otherwise(500L)
+          .as("delay_ms"))
+      val sched = graft.util.OperatorCaches.persisted(
+        graft.operators.Frontier.schedule(frontier, "url", "domain",
+          "priority", delays, maxDepth = 40))
+      // render the scheduled fetches as WARC response records and
+      // round-trip them through a real .warc file
+      val sd = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val m10 = pmod(col("doc_id"), lit(10))
+      val m100 = pmod(col("doc_id"), lit(100))
+      val isRedirect = m10 === 7 || m100.between(41, 44)
+      val status = when(isRedirect, 301L).when(m10 === 8, 503L)
+        .when(m10 === 9, 429L).otherwise(200L)
+      val rendered = sched.select(col("url"), sd.as("doc_id"))
+        .select(col("url").as("uri"), status.as("status"),
+          when(isRedirect, "Moved Permanently")
+            .when(m10 === 8, "Service Unavailable")
+            .when(m10 === 9, "Too Many Requests").otherwise(lit("OK"))
+            .as("reason"),
+          lit("text/html").as("ctype"),
+          when(isRedirect, urlOf(col("doc_id") + 1)).as("location"),
+          concat(lit("content of "), col("doc_id").cast("string"))
+            .as("body"))
+      graft.io.Wet
+        .toResponseRecords(rendered, "uri", "status", "reason", "ctype",
+          "location", "body")
+        .coalesce(1).write.mode("overwrite")
+        .option("lineSep", graft.io.Wet.RecordSeparator)
+        .text(s"$path/warc")
+      val resp = graft.util.OperatorCaches.persisted(
+        graft.io.Wet.readResponses(s, s"$path/warc")
+          .select(col("target_uri").as("url"),
+            regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            col("status"), col("content_type"), col("location")))
+      val fetched = resp.filter(col("status") === 200 &&
+        col("content_type") === "text/html")
+      val redirects = resp.filter(col("status").between(300, 399) &&
+        col("location").isNotNull)
+      val resolved = graft.operators.Redirects.resolve(
+        redirects.select(col("doc_id").as("src"),
+          regexp_extract(col("location"), "([0-9]+)$", 1).cast("long")
+            .as("dst")),
+        "src", "dst", doublings = 3)
+        .filter(!col("unresolved"))
+      val retries = graft.operators.Frontier.retrySchedule(
+        resp.filter(col("status").isin(429L, 503L))
+          .withColumn("retry_after_sec",
+            when(pmod(col("doc_id"), lit(10)) === 9, 7L)),
+        "url", "status", "retry_after_sec")
+      val base = lit("2026-01-01").cast("date")
+      val prev = docs.filter(pmod(d, lit(11)) =!= 3)
+        .select(urlOf(d).as("url"),
+          date_add(base, pmod(d, lit(28)).cast("int")).as("lastmod"))
+      val cur = fetched.select(col("url"),
+        date_add(base, (pmod(col("doc_id"), lit(28)) +
+          when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(0))
+          .cast("int")).as("lastmod"))
+      val diff = graft.util.OperatorCaches.persisted(
+        graft.operators.Sitemaps.diff(prev, cur, "url", "lastmod"))
+      def cnt(idx: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(idx.toLong).as("stage_idx"),
+            lit(name).as("stage"), col("n"))
+      val out = cnt(0, "frontier_urls", frontier)
+        .unionByName(cnt(1, "scheduled", sched))
+        .unionByName(cnt(2, "fetched_ok", fetched))
+        .unionByName(cnt(3, "redirects", redirects))
+        .unionByName(cnt(4, "redirects_resolved", resolved))
+        .unionByName(cnt(5, "retry_attempts", retries))
+        .unionByName(cnt(6, "recrawl_new",
+          diff.filter(col("status") === "new")))
+        .unionByName(cnt(7, "recrawl_changed",
+          diff.filter(col("status") === "changed")))
+        .unionByName(cnt(8, "recrawl_unchanged",
+          diff.filter(col("status") === "unchanged")))
+        .unionByName(cnt(9, "recrawl_gone",
+          diff.filter(col("status") === "gone")))
+        .orderBy(col("stage_idx"))
+        .localCheckpoint(true) // terminal action: the caches are consumed
+      graft.util.OperatorCaches.releaseSince(s, mk)
+      out
+    } finally graft.io.Sinks.truncatePath(s, path)
+  }
+
+  /** q183: served-path ANN recall certification — retrieval QUALITY on
+    * the driver gate, not just hash parity (q27's in-query
+    * certification pattern): each PRODUCTION serving path — the saved
+    * IVF index probed at nprobe < nlist (q47's index, q38's pruning),
+    * the cell-partitioned IVF-PQ index (q119) at nprobe = 4 of 8, and
+    * the Lloyd-trained PQ quantizer (q123) — is measured against the
+    * EXACT ground truth computed in the same query (cosine top-5 for
+    * the IVF path; squared-L2 top-8 for the PQ paths, since ADC
+    * approximates L2 and cosine truth would mis-grade it), and the
+    * integer recall@k ppm is certified against a floor pinned from
+    * measurements across sf0.001/0.01/0.1 (SimilaritySpec's bars,
+    * promoted to the driver record). The oracle predicts the
+    * certification surface: per-path row counts and TRUE bounds.
+    *
+    * Scale shape: serving plans are the audited q38/q47/q119/q123
+    * shapes (cell-pruned probes over partitioned parquet); the truth
+    * computation is q23's sanctioned bounded-broadcast scan; recall
+    * joins run on post-top-k frames (k·|queries| rows).
+    */
+  def annRecallGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val mk = graft.util.OperatorCaches.mark()
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_annrec").toString
+    try {
+      val bfCos = graft.util.OperatorCaches.persisted(
+        Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id",
+            k = 5)
+          .select(col("query_id"), col("neighbor_id")))
+      val cv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val qv = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val wL2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("neighbor_id").asc)
+      val bfL2 = graft.util.OperatorCaches.persisted(
+        cv.join(broadcast(qv), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            aggregate(zip_with(col("qv"), col("cv"),
+              (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d2"))
+          .withColumn("rank", row_number().over(wL2))
+          .filter(col("rank") <= 8)
+          .select(col("query_id"), col("neighbor_id")))
+      def recallRow(path: String, served: DataFrame, truth: DataFrame,
+          barPpm: Long): DataFrame = {
+        val hits =
+          served.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        served.agg(count(lit(1)).as("n_returned"))
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("__h"))))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("__t"))))
+          .crossJoin(broadcast(
+            queries.agg(count(lit(1)).as("n_queries"))))
+          .select(lit(path).as("path"), col("n_queries"),
+            col("n_returned"),
+            (col("__h") * 1000000L >= lit(barPpm) * col("__t"))
+              .as("recall_ok"))
+      }
+      // 1) saved IVF served PRUNED (nprobe = nlist/2 — the production
+      // setting; full probe is exact and would certify nothing)
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+        .save(s"$root/ivf")
+      val ivfServed = Similarity.ivfQuery(
+          Similarity.IvfIndex.load(s, s"$root/ivf"), queries,
+          "embedding", "vec_id", k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      // 2) IVF-PQ at nprobe = 4 of 8 (q119's fixed books/centers)
+      val books = Seq.tabulate(4)(_ => Seq.tabulate(8)(j =>
+        Seq.tabulate(16)(i => if (i == 2 * j) 1.0 else 0.0)))
+      val centers = (0 until 8).map(j =>
+        Seq.tabulate(64)(i => if (i == j * 8) 1.0 else 0.0))
+      Similarity.buildIvfPq(emb, "embedding", "vec_id", centers, books)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/cells")
+      val pqServed = Similarity.ivfPqQuery(
+          s.read.parquet(s"$root/cells"), queries, "embedding", "vec_id",
+          centers, books, k = 8, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      // 3) trained PQ (q123's Lloyd iterations from the axis-unit seeds)
+      val trained = Similarity.pqTrain(emb, "embedding", "vec_id", books,
+        iters = 2)
+      val trainedServed = Similarity.pqAdcTopK(
+          Similarity.pqEncode(emb, "embedding", "vec_id", trained),
+          queries, "embedding", "vec_id", trained, k = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      // floors pinned from measured recall_ppm across sf0.001/0.01/0.1:
+      // ivf_saved 750k/790k/760k → bar 600k; ivf_pq 87.5k/75k/62.5k →
+      // bar 50k (cell pruning loses more as the corpus grows — the
+      // absolute level is corpus/config-bound, the bar protects against
+      // a silent quality regression); pq_trained 87.5k/112.5k/81.25k →
+      // bar 75k (SimilaritySpec's 0.085 floor, promoted to the driver)
+      val out = recallRow("ivf_saved_nprobe4", ivfServed, bfCos, 600000L)
+        .unionByName(
+          recallRow("ivf_pq_nprobe4", pqServed, bfL2, 50000L))
+        .unionByName(
+          recallRow("pq_trained", trainedServed, bfL2, 75000L))
+        .orderBy(col("path"))
+        .localCheckpoint(true) // terminal action: caches + index dirs done
+      graft.util.OperatorCaches.releaseSince(s, mk)
+      out
+    } finally graft.io.Sinks.truncatePath(s, root)
   }
 
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
@@ -3676,21 +3937,23 @@ object Queries {
     * domain's inter-fetch gaps (event-time ordered, event-id
     * tiebreak) and count violations of its delay — the report a crawl
     * operator ships to prove the scheduler held. All integer
-    * microseconds; the one exchange is the domain-keyed window (the
-    * audit's inherent order), then a 7-row rollup.
+    * microseconds; the gaps come from
+    * [[graft.operators.Frontier.fetchGaps]] — DAY-BUCKETED lag with a
+    * boundary-row carry, bit-identical to the unbounded domain window
+    * but bounded per task by fetches-per-day, so a months-long
+    * mega-domain log never serializes into one window sort — then a
+    * 7-row rollup.
     */
   def politenessAuditGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m7 = pmod(col("user_id"), lit(7))
     val dom = concat(lit("site"), m7.cast("string"), lit(".example.com"))
     val delayUs = when(pmod(m7, lit(3)) === 0, 2000000L)
       .otherwise(500000L)
-    val w = Window.partitionBy(col("domain"))
-      .orderBy(col("us"), col("event_id"))
-    Tables.events(s, dir)
-      .select(dom.as("domain"), col("event_id"),
-        unix_micros(col("ts")).as("us"), delayUs.as("delay_us"))
-      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+    graft.operators.Frontier.fetchGaps(
+      Tables.events(s, dir)
+        .select(dom.as("domain"), col("event_id"),
+          unix_micros(col("ts")).as("us"), delayUs.as("delay_us")),
+      "domain", "us", "event_id")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("fetches"),
         sum(when(col("gap_us") < col("delay_us"), 1L).otherwise(0L))
@@ -3817,12 +4080,12 @@ object Queries {
     * commented-out alternate (both invisible), the fourth page is a
     * standalone. Cluster key = min canonical x-default, falling back
     * to the page's own URL; min-id election per cluster (the q160
-    * discipline) — the grouping that makes a 3-language article ONE
-    * document for sampling. Extraction map-only; the one exchange is
-    * the cluster-keyed window.
+    * discipline: two-phase groupBy + join back, never a cluster-keyed
+    * window — a viral x-default is a hot key) — the grouping that
+    * makes a 3-language article ONE document for sampling. Extraction
+    * map-only.
     */
   def hreflangGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = col("doc_id")
     val m4 = pmod(d, lit(4))
     val b = (d - m4).cast("string")
@@ -3859,11 +4122,12 @@ object Queries {
       .filter(col("hreflang") === "x-default")
       .select(d, graft.operators.Urls.canonicalize(col("href")).as("xd"))
       .groupBy(d).agg(min(col("xd")).as("xd"))
-    docsm.select(d, col("url"))
+    val keyed = docsm.select(d, col("url"))
       .join(xdef, Seq("doc_id"), "left")
       .withColumn("cluster_key", coalesce(col("xd"), col("url")))
-      .withColumn("rep_id",
-        min(d).over(Window.partitionBy(col("cluster_key"))))
+    val reps = keyed.groupBy(col("cluster_key"))
+      .agg(min(d).as("rep_id"))
+    keyed.join(reps, Seq("cluster_key"))
       .select(d, col("url"), col("cluster_key"), col("rep_id"),
         (d === col("rep_id")).as("is_rep"))
       .orderBy(d)
@@ -4202,6 +4466,12 @@ object Queries {
     * priority → NULL canon/date/decimal), and a commented-out entry
     * that must be invisible. Non-sitemap docs emit nothing. Map-only
     * explode; zero shuffle.
+    *
+    * Hashed surface carries `priority_pp100` (priority × 100 as BIGINT,
+    * NULL-preserving) instead of the DECIMAL(3,2) `priority` —
+    * round-8 rule: nothing hashed may depend on decimal rendering
+    * (q58 rounds 6–8, q162 round 15). The decimal stays on
+    * [[graft.operators.Sitemaps.parse]] for API users.
     */
   def sitemapGate(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
@@ -4226,6 +4496,9 @@ object Queries {
     graft.operators.Sitemaps.parse(
       Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
       "markup", "doc_id")
+      .withColumn("priority_pp100",
+        (col("priority") * 100).cast("long"))
+      .drop("priority")
       .orderBy(col("doc_id"), col("entry_pos"))
   }
 
@@ -4536,10 +4809,14 @@ object Queries {
           .withColumn("n_tokens",
             size(filter(TextFunctions.tokens(col("text_clean")),
               x => x =!= "")).cast("long")))
-      val survivors = boiled.filter(col("text_clean") =!= "")
+      // exact-dedup election two-phase (groupBy fp + join back, the
+      // q52 discipline) — a hot fingerprint (millions of byte-identical
+      // pages) would serialize an fp-keyed window on one task
+      val survivors0 = boiled.filter(col("text_clean") =!= "")
         .withColumn("fp", TextFunctions.fingerprint(col("text_clean")))
-        .withColumn("rep_id",
-          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      val fpReps = survivors0.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep_id"))
+      val survivors = survivors0.join(fpReps, Seq("fp"))
       val reps = survivors.filter(col("doc_id") === col("rep_id"))
         .join(docs0.select(col("doc_id"), col("source")), Seq("doc_id"))
       // per-source totals two-phase + broadcast back (the q146 skew
@@ -4652,12 +4929,13 @@ object Queries {
     * repetition-quality stats + keep rule (n_tokens ≥ 20, top-token
     * fraction ≤ 0.2) → exact dedup AMONG the quality passers (smallest
     * passer id represents each fingerprint group; stub pages fail
-    * quality and their groups yield NULL rep). One dataflow, each stage
-    * feeding the next with no materialization between; extraction and
-    * stats are map-only, dedup is the one fingerprint-keyed exchange.
+    * quality and their groups yield NULL rep). Extraction and stats
+    * are map-only (persisted once — both dedup sides read them); the
+    * dedup election is a two-phase groupBy(fp) + join back (q52
+    * discipline — a hot fingerprint would serialize an fp-keyed
+    * window on one task).
     */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs0 = Tables.documents(s, dir)
     // pages in a 10-block render the block head's body text (mirrors)
     val picked = docs0
@@ -4689,20 +4967,23 @@ object Queries {
         "<a href=\"/terms\">terms</a> (c) 2026</footer></body></html>"))
     val main = graft.operators.Html.extractMain(
       picked.select(col("doc_id"), markup.as("markup")), "markup", "doc_id")
-    val stats = main.select(col("doc_id"), col("n_blocks"), col("n_kept"),
-        col("main_text"),
-        TextFunctions.tokens(col("main_text")).as("toks"))
-      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        round(TextFunctions.maxElementCount(col("toks")).cast("double") /
-          size(col("toks")), 6).as("top_token_frac"),
-        TextFunctions.fingerprint(col("main_text")).as("fp"))
-      .withColumn("keep_quality",
-        col("n_tokens") >= 20 && col("top_token_frac") <= 0.2)
-    stats
-      .withColumn("rep_id",
-        min(when(col("keep_quality"), col("doc_id")))
-          .over(Window.partitionBy(col("fp"))))
+    // persisted: both sides of the dedup-election join below read the
+    // extraction + stats chain. CACHE CONTRACT: OperatorCaches —
+    // released at the session's terminal release (Verify/Bench).
+    val stats = graft.util.OperatorCaches.persisted(
+      main.select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("main_text"),
+          TextFunctions.tokens(col("main_text")).as("toks"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(TextFunctions.maxElementCount(col("toks")).cast("double") /
+            size(col("toks")), 6).as("top_token_frac"),
+          TextFunctions.fingerprint(col("main_text")).as("fp"))
+        .withColumn("keep_quality",
+          col("n_tokens") >= 20 && col("top_token_frac") <= 0.2))
+    val fpReps = stats.groupBy(col("fp"))
+      .agg(min(when(col("keep_quality"), col("doc_id"))).as("rep_id"))
+    stats.join(fpReps, Seq("fp"))
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         col("n_tokens"), col("top_token_frac"), col("keep_quality"),
         col("rep_id"),
@@ -5075,33 +5356,42 @@ object Queries {
     * contamination": q52's duplicate clusters joined to q87's exact-
     * integer quality logit; a cluster is kept only if EVERY member
     * passes the gate (zn ≥ 2·n_tokens, the q87 keep rule in integer
-    * form), so one spam copy condemns all its mirrors. One
-    * cluster-keyed window over the CC assignment; the integer rule
-    * means no float epsilon can disagree across engines.
+    * form), so one spam copy condemns all its mirrors. The per-cluster
+    * size/bad-count rollup is a two-phase aggregate over the
+    * MEMBERSHIP frame joined back (q52's form — a cluster-keyed window
+    * would buffer the giant LSH component on one task); a doc outside
+    * every component is a singleton whose cluster verdict is its own.
+    * The integer rule means no float epsilon can disagree across
+    * engines.
     */
   def clusterQualityGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 4, ngram = 2)
     val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 2)
     val comps = Cluster.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
     val q = qualitySignal(s, dir).select(col("doc_id"), col("n_tokens"), col("zn"))
-    val wc = Window.partitionBy(col("cluster_id"))
+    val keepRule =
+      coalesce(col("n_tokens") > 0 && col("zn") >= col("n_tokens") * 2,
+        lit(false))
+    val memAgg = comps.join(q, Seq("doc_id"), "left")
+      .withColumn("doc_keep", keepRule)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("__csize"),
+        sum(when(col("doc_keep"), 0L).otherwise(1L)).as("__nbad"))
     docs.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .join(q, Seq("doc_id"), "left")
-      .withColumn("doc_keep",
-        coalesce(col("n_tokens") > 0 && col("zn") >= col("n_tokens") * 2,
-          lit(false)))
-      .withColumn("cluster_size", count(lit(1)).over(wc))
-      .withColumn("n_bad",
-        sum(when(col("doc_keep"), 0L).otherwise(1L)).over(wc))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+      .withColumn("doc_keep", keepRule)
+      .join(memAgg, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        coalesce(col("__csize"), lit(1L)).as("cluster_size"),
         col("n_tokens"), coalesce(col("zn"), lit(0L)).as("zn"),
-        col("doc_keep"), (col("n_bad") === 0L).as("cluster_keep"))
+        col("doc_keep"),
+        (coalesce(col("__nbad"),
+          when(col("doc_keep"), 0L).otherwise(1L)) === 0L)
+          .as("cluster_keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -38,6 +38,13 @@ object Wet {
   private def header(rec: org.apache.spark.sql.Column, name: String) =
     regexp_extract(rec, s"(?i)$name:[ \\t]*([^\\r\\n]*)", 1)
 
+  /** All-digits guard before the long cast — under ANSI mode a bare
+    * `cast("long")` on a garbled header value (`Content-Length: abc`)
+    * throws and aborts the read job; this degrades it to NULL.
+    */
+  private def digitsToLong(c: org.apache.spark.sql.Column) =
+    when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
+
   /** Read .wet files under `path`: one row per WARC record —
     * (warc_type, target_uri, warc_date, content_length, payload,
     * length_ok). `content_length` is the header's claim (null when the
@@ -88,10 +95,15 @@ object Wet {
     // The file's final record keeps its trailing record separator —
     // strip trailing CRLF runs (payloads are CR-free by the WET
     // contract, so this never eats content)
+    // `get` (0-based), NOT `element_at`: under Spark 4's default ANSI
+    // mode an out-of-bounds element_at THROWS, so one header-only
+    // record (a truncated tail, a headers-without-payload failure log)
+    // would abort the whole read job; get degrades it to a NULL
+    // payload → empty string, a diagnosable row (length_ok = false)
     val parts = split(body, "\r\n\r\n", 2)
-    val hdr = element_at(parts, 1)
+    val hdr = get(parts, lit(0))
     val payload = regexp_replace(
-      coalesce(element_at(parts, 2), lit("")), "(\\r\\n)+$", "")
+      coalesce(get(parts, lit(1)), lit("")), "(\\r\\n)+$", "")
     raw
       .select(hdr.as("hdr"), payload.as("payload"))
       .filter(col("hdr") =!= "") // a trailing separator yields an empty tail
@@ -99,8 +111,8 @@ object Wet {
         header(col("hdr"), "WARC-Type").as("warc_type"),
         header(col("hdr"), "WARC-Target-URI").as("target_uri"),
         header(col("hdr"), "WARC-Date").as("warc_date"),
-        nullif(header(col("hdr"), "Content-Length"), lit(""))
-          .cast("long").as("content_length"),
+        digitsToLong(header(col("hdr"), "Content-Length"))
+          .as("content_length"),
         col("payload"))
       .withColumn("length_ok",
         col("content_length").isNotNull &&
@@ -180,11 +192,21 @@ object Wet {
   def parseResponses(raw: DataFrame, recCol: String): DataFrame = {
     val body0 = when(col(recCol).startsWith("WARC/1.0\r\n"),
       substring(col(recCol), 11, Int.MaxValue)).otherwise(col(recCol))
+    // `get`, not `element_at`: real WARC files interleave warcinfo/
+    // request/metadata records with FEWER than three CRLFCRLF-separated
+    // sections — exactly what the warc_type column exists to filter —
+    // and under ANSI mode an out-of-bounds element_at would abort the
+    // whole job on the first one; get degrades them to NULL/empty
+    // columns. The body strip removes at most ONE trailing record-
+    // separator remnant — a "(\r\n)+" strip would silently eat a
+    // body's OWN legitimate trailing CRLFs, disagreeing with the
+    // Content-Length the writer recorded; length_ok below makes any
+    // residual disagreement visible instead of silent.
     val parts = split(body0, "\r\n\r\n", 3)
-    val warcHdr = element_at(parts, 1)
-    val httpHdr = coalesce(element_at(parts, 2), lit(""))
+    val warcHdr = get(parts, lit(0))
+    val httpHdr = coalesce(get(parts, lit(1)), lit(""))
     val payload = regexp_replace(
-      coalesce(element_at(parts, 3), lit("")), "(\\r\\n)+$", "")
+      coalesce(get(parts, lit(2)), lit("")), "\\r\\n\\r\\n$", "")
     raw
       .select(warcHdr.as("hdr"), httpHdr.as("http"), payload.as("body"))
       .filter(col("hdr") =!= "")
@@ -199,7 +221,14 @@ object Wet {
           lit("")).as("content_type"),
         nullif(httpHeader(col("http"), "Location"), lit(""))
           .as("location"),
-        col("body"))
+        col("body"),
+        // WARC Content-Length covers the HTTP block + its CRLFCRLF
+        // separator + the body (what toResponseRecords writes); a
+        // missing/unparseable header reads false, not NULL
+        coalesce(
+          digitsToLong(header(col("hdr"), "Content-Length")) ===
+            octet_length(col("http")) + lit(4) + octet_length(col("body")),
+          lit(false)).as("length_ok"))
   }
 
   /** Render (uri, status line fields, body) as WARC `response` records

@@ -967,11 +967,20 @@ object Dedup {
     * and containment is what a curation dedup needs to drop extracts
     * whose every shingle already exists in a kept page.
     *
-    * Candidates come from grams with within-block df ≤ `maxDf` (the
-    * q21 hot-gram guard: a stopword's df² join rows are the straggler
-    * at scale); the verify is EXACT over the candidates' full distinct
-    * gram sets, all-integer (parts-per-10k, floor division — the q124
-    * discipline, no float threshold).
+    * Candidates come from grams with within-block df ≤ `maxDf`; the
+    * verify is EXACT over the candidates' full distinct gram sets,
+    * all-integer (parts-per-10k, floor division — the q124 discipline,
+    * no float threshold).
+    *
+    * `maxDf` defaults to `Int.MaxValue` — EXACT recall unless the
+    * caller opts into the q21 hot-gram guard (a stopword gram's df²
+    * join rows are the straggler at scale). The guard trades recall
+    * for that bound: a pair whose EVERY shared gram has df > maxDf
+    * within its block yields no candidate and is silently missed, and
+    * boilerplate-wrap pairs — the case this operator exists for — are
+    * precisely the ones whose shared shingles run hot. Callers who cap
+    * should pick maxDf above the expected duplicate multiplicity of
+    * the content they want caught, not of the boilerplate they don't.
     *
     * Scale shape: block+gram-keyed candidate join bounded by maxDf²
     * per gram, one id-keyed join back to gram sets, no all-pairs scan.
@@ -984,7 +993,7 @@ object Dedup {
       idCol: String,
       blockCol: String,
       n: Int = 3,
-      maxDf: Int = 50,
+      maxDf: Int = Int.MaxValue,
       minPp10k: Long = 9000L): DataFrame = {
     val grams = docs.select(
       col(idCol), col(blockCol).as("block"),
@@ -1439,23 +1448,24 @@ object Dedup {
     * as a whole; doc-level dedup keeps all of it, span-level flags the
     * 40%).
     *
-    * Dataflow (two shuffles, both on compact keys):
-    *  1. explode each doc into (pos, md5(k-gram)) occurrences — the gram
-    *     arrays are built once from a bound token attribute (the
-    *     collapsed Catalyst form re-runs the tokenizer per element);
-    *  2. `count() OVER (PARTITION BY gram)` marks grams with a second
-    *     occurrence anywhere — ONE gram-keyed shuffle, no self-join (the
-    *     agg+join-back alternative shuffles the occurrence stream twice);
+    * Dataflow (three shuffles, all on compact keys):
+    *  1. explode each doc into (pos, xxhash64(k-gram)) occurrences —
+    *     the gram arrays are built once from a bound token attribute
+    *     (the collapsed Catalyst form re-runs the tokenizer per
+    *     element); the frame is persisted (OperatorCaches) so both
+    *     consumers below read it once;
+    *  2. per-gram occurrence counts as a TWO-PHASE aggregate:
+    *     `groupBy(g).count()` (map-side partials collapse a hot gram to
+    *     one row per task before the exchange) joined back on `g`. NOT
+    *     `count() OVER (PARTITION BY gram)` — a window lands a viral
+    *     gram's (a license header in millions of docs) every occurrence
+    *     in ONE task's sort buffer; the join back is also keyed on `g`
+    *     but AQE's skew-join splitting can fan a hot key's probe rows
+    *     across tasks, which no window buffer can;
     *  3. per-doc gaps-and-islands over the surviving positions (every
     *     interval is exactly k tokens, so "new island when
     *     pos > prev_max_end + 1") — one doc-keyed shuffle, then the
     *     island fold.
-    *
-    * At 100 TB the gram-window partition for a viral span (a license
-    * header in millions of docs) is the skew risk: cap it by pre-counting
-    * hot grams with a sketch and short-circuiting `cnt >= 2` for them
-    * (they are dup by definition — only the LONG TAIL needs the exact
-    * window), the same maxDf escape hatch the n-gram Jaccard path uses.
     *
     * Output: (idCol, n_tokens, dup_spans, dup_tokens, dup_ratio) for
     * EVERY input doc (zero-coverage docs included).
@@ -1491,7 +1501,6 @@ object Dedup {
       base0: DataFrame,
       idCol: String,
       k: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val base = base0
       // gram build stays on ngramsOfTokens' zip_with fold: the measured
       // alternative (slice-under-transform over a position sequence) is
@@ -1514,13 +1523,32 @@ object Dedup {
     // only ever over-flags one span as duplicated. Null grams keep a
     // null g explicitly — xxhash64(NULL) would return the seed, lumping
     // every short doc into one fake "gram".
-    val occ = base
+    // persisted: BOTH sides of the count join below read it (the
+    // aggregate side and the probe side) — without the cache the
+    // tokenize + gram-build + hash pipeline would run twice per
+    // evaluation. CACHE CONTRACT: registered with OperatorCaches —
+    // callers release after the terminal action on the returned frames.
+    val occ0 = graft.util.OperatorCaches.persisted(base
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
         posexplode_outer(col("grams")).as(Seq("p0", "gram")))
       .select(col(idCol), col("n_tokens"), (col("p0") + 1).as("pos"),
-        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g"))
-      .withColumn("cnt",
-        count(col("g")).over(Window.partitionBy(col("g"))))
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g")))
+    // occurrence count as a TWO-PHASE aggregate (groupBy + join back),
+    // NOT `count over Window.partitionBy(g)`: a window by gram lands a
+    // hot gram's EVERY occurrence on one task, and the grams this
+    // operator exists to find — site boilerplate duplicated across
+    // 10^6..10^8 pages of a 100 TB crawl — are precisely the keys that
+    // explode. The groupBy's partial aggregation collapses each task's
+    // occurrences to one (g, n) row before the exchange, so the joined
+    // frame is distinct-gram-sized regardless of skew; the join back is
+    // hash-partitioned on g with per-row fan-out handled by the
+    // shuffle, not a single window buffer. Sentinel rows (g null) never
+    // match the inner-side keys and keep cnt = 0 via the left join.
+    val gramCounts = occ0.filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val occ = occ0.join(gramCounts, Seq("g"), "left")
+      .select(col(idCol), col("n_tokens"), col("pos"), col("g"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
     (base, occ)
   }
 
@@ -1809,9 +1837,13 @@ object Dedup {
   }
 
   /** One-pass core of the fused backfill: occurrence frame over the
-    * UNION of batches with per-batch `cnt` and first-batch `minb`
-    * riding one g-keyed exchange, store probe against the
-    * pre-backfill segment list, one committed segment per batch.
+    * UNION of batches with per-batch `cnt` and first-batch `__minb`
+    * from TWO-PHASE aggregates (groupBy + join back — the gram-keyed
+    * windows this used to ride land a hot boilerplate gram's every
+    * occurrence in one task's sort buffer; the aggregate collapses per
+    * task before the exchange and the join back is AQE-skew-splittable),
+    * store probe against the pre-backfill segment list, one committed
+    * segment per batch.
     * CACHE CONTRACT: the tokenized base and occurrence frames are
     * registered with [[graft.util.OperatorCaches]].
     */
@@ -1825,7 +1857,6 @@ object Dedup {
       maxBacklogBatches: Int): (DataFrame, DataFrame, DataFrame) = {
     require(maxBacklogBatches >= 1,
       "backfill: maxBacklogBatches must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val s = batches.sparkSession
     val existing = FingerprintStore.segments(s, storeDir)
     val store = FingerprintStore.load(s, storeDir)
@@ -1835,21 +1866,30 @@ object Dedup {
         .select(col("__b"), col(idCol), tokens(col(textCol)).as("toks")))
     val base = base0.select(col("__b"), col(idCol), col("toks"),
       ngramsOfTokens(col("toks"), k).as("grams"))
-    // both per-batch count (peer frame) and first-batch min (running
-    // min) ride ONE exchange + sort on (g, __b)
-    val wPeers = Window.partitionBy(col("g")).orderBy(col("__b"))
-      .rangeBetween(Window.currentRow, Window.currentRow)
-    val wRun = Window.partitionBy(col("g")).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val occ = graft.util.OperatorCaches.persisted(base
+    // per-batch count and first-batch min as two-phase aggregates over
+    // the persisted occurrence frame: one (g, __b)-keyed groupBy whose
+    // map-side partials collapse a hot gram to one row per (task,
+    // batch) before any exchange, a distinct-gram-sized min over THAT,
+    // and a join back. Sentinel rows (g null) never match and keep
+    // cnt = 0 / __minb null via the left joins (the downstream filters
+    // all require g non-null anyway).
+    val occ0 = graft.util.OperatorCaches.persisted(base
       .select(col("__b"), col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
         posexplode_outer(col("grams")).as(Seq("p0", "gram")))
       .select(col("__b"), col(idCol), col("n_tokens"),
         (col("p0") + 1).as("pos"),
-        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g"))
-      .withColumn("cnt", count(col("g")).over(wPeers))
-      .withColumn("__minb", min(col("__b")).over(wRun)))
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g")))
+    val perBatch = occ0.filter(col("g").isNotNull)
+      .groupBy(col("g"), col("__b")).agg(count(lit(1)).as("cnt"))
+    val firstB = perBatch.groupBy(col("g"))
+      .agg(min(col("__b")).as("__minb"))
+    val occ = graft.util.OperatorCaches.persisted(occ0
+      .join(perBatch, Seq("g", "__b"), "left")
+      .join(firstB, Seq("g"), "left")
+      .select(col("__b"), col(idCol), col("n_tokens"), col("pos"),
+        col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("__minb")))
     val seen = store.select(col("fp")).distinct()
       .withColumn("__seen", lit(true))
     val dup = occ.withColumn("fp", col("g").cast("string"))

@@ -70,6 +70,52 @@ object Frontier {
       .drop(retryAfterSecCol)
   }
 
+  /** Per-fetch inter-arrival gaps over a fetch log — the q176
+    * politeness-audit core, with the domain window BOUNDED: a months-
+    * long mega-domain fetch log must not serialize into one task's
+    * window sort, so rows are bucketed by `usCol div bucketUs` (default
+    * one day in µs) and the lag runs within (domain, bucket); each
+    * bucket's FIRST row takes its gap from a boundary-carry frame —
+    * one row per non-empty (domain, bucket) carrying the previous
+    * non-empty bucket's last fetch time. Bit-identical to
+    * `lag(us) over (domain ORDER BY us, id)` unbounded (the overall
+    * first fetch of a domain keeps a NULL gap), but the big window's
+    * partition is bounded by fetches-per-bucket (politeness itself
+    * bounds it: ≤ bucketUs / crawl_delay rows) and the carry window
+    * runs over the bucket-count-sized per-bucket frame, never the log.
+    *
+    * Output: input columns + `gap_us`.
+    */
+  def fetchGaps(
+      log: DataFrame,
+      domainCol: String,
+      usCol: String,
+      idCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, s"fetchGaps: bucketUs must be > 0, got $bucketUs")
+    val clash = Seq("gap_us", "__bkt", "__prev_last")
+      .filter(log.columns.contains)
+    require(clash.isEmpty,
+      s"Frontier.fetchGaps emits ${clash.mkString("/")} (output " +
+        "contract / scratch); the input frame already has them — " +
+        "rename first")
+    val rows = log.withColumn("__bkt",
+      expr(s"`$usCol` div ${bucketUs}L"))
+    val wIn = Window.partitionBy(col(domainCol), col("__bkt"))
+      .orderBy(col(usCol), col(idCol))
+    val withIn = rows.withColumn("__gap_in",
+      col(usCol) - lag(col(usCol), 1).over(wIn))
+    val wB = Window.partitionBy(col(domainCol)).orderBy(col("__bkt"))
+    val carry = rows.groupBy(col(domainCol), col("__bkt"))
+      .agg(max(col(usCol)).as("__last"))
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wB))
+      .select(col(domainCol), col("__bkt"), col("__prev_last"))
+    withIn.join(carry, Seq(domainCol, "__bkt"), "left")
+      .withColumn("gap_us",
+        coalesce(col("__gap_in"), col(usCol) - col("__prev_last")))
+      .drop("__bkt", "__gap_in", "__prev_last")
+  }
+
   /** Schedule a frontier: (urlCol, domainCol, priorityCol carried
     * through) + (wave, delay_ms, eta_ms), waves 1-based best-first
     * (priority DESC, url ASC tiebreak), URLs beyond `maxDepth` waves

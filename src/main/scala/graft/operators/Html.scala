@@ -48,6 +48,14 @@ object Html {
   /** Anchor inner markup, capture group 1. */
   val AnchorPattern = "(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>"
 
+  /** `rel` attribute matcher honoring HTML's space-separated token
+    * list: `rel="alternate"`, `rel="alternate nofollow"`, and
+    * `rel="nofollow alternate"` all carry the relation; `alternates`
+    * (a different token sharing the prefix) does not.
+    */
+  private def relTokenPattern(rel: String): String =
+    s"rel\\s*=\\s*[\"'](?:[^\"']*\\s)?$rel(?:\\s[^\"']*)?[\"']"
+
   /** Any remaining tag. */
   val TagPattern = "<[^>]*>"
 
@@ -167,8 +175,11 @@ object Html {
     * probe behind [[canonicalLink]] and the `rel=next` pagination
     * extraction: both attribute orders, case-insensitive, commented-out
     * links invisible, NULL when the page declares none. `rel` must be a
-    * regex-safe literal token (canonical, next, prev, alternate).
-    * Map-only: two regex probes per document.
+    * regex-safe literal token (canonical, next, prev, alternate) and is
+    * matched as a TOKEN of the attribute value — HTML `rel` is a
+    * space-separated token list, so `rel="alternate nofollow"` still
+    * carries the alternate relation. Map-only: two regex probes per
+    * document.
     */
   def relLink(
       docs: DataFrame,
@@ -179,12 +190,13 @@ object Html {
     require(rel.matches("[a-z-]+"), s"relLink: non-literal rel '$rel'")
     val m = regexp_replace(
       coalesce(col(markupCol), lit("")), CommentPattern, " ")
+    val relAttr = relTokenPattern(rel)
     val relFirst = regexp_extract(m,
-      s"(?is)<link\\s[^>]*rel\\s*=\\s*[\"']$rel[\"'][^>]*" +
+      s"(?is)<link\\s[^>]*$relAttr[^>]*" +
         "href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>", 1)
     val hrefFirst = regexp_extract(m,
       "(?is)<link\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
-        s"rel\\s*=\\s*[\"']$rel[\"'][^>]*>", 1)
+        s"$relAttr[^>]*>", 1)
     docs.select(col(idCol),
       nullif(when(relFirst =!= "", relFirst).otherwise(hrefFirst),
         lit("")).as(outCol))
@@ -209,7 +221,7 @@ object Html {
       idCol: String): DataFrame = {
     val cleaned = regexp_replace(
       coalesce(col(markupCol), lit("")), CommentPattern, " ")
-    val relAlt = "(?is)rel\\s*=\\s*[\"']alternate[\"']"
+    val relAlt = "(?is)" + relTokenPattern("alternate")
     val hl = "(?is)hreflang\\s*=\\s*[\"']([^\"']*)[\"']"
     docs
       .select(col(idCol),

@@ -97,16 +97,25 @@ object Urls {
     * whose distinct-value count tracks the URL count identifies
     * content (an id); a key with one value per campaign identifies
     * nothing (strip-candidate). Valueless keys (`?flag`) carry ''.
-    * Map-side explode; URLs without a query emit nothing.
+    * Map-side explode; URLs without a query emit nothing. The input
+    * must not already carry the output-contract columns (param_key /
+    * param_value) — require-guarded like Frontier.schedule, instead of
+    * silently overwriting a caller's column.
     */
   def explodeParams(urls: DataFrame, urlCol: String): DataFrame = {
+    val clash =
+      urls.columns.toSeq.intersect(Seq("param_key", "param_value", "__p"))
+    require(clash.isEmpty,
+      s"explodeParams: input already has column(s) ${clash.mkString(", ")}" +
+        " — rename them before exploding")
     val query = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1)
     urls
-      .withColumn("__p", explode(filter(split(query, "&"), q => q =!= "")))
-      .withColumn("param_key", regexp_extract(col("__p"), "^([^=]*)", 1))
-      .withColumn("param_value",
-        regexp_extract(col("__p"), "^[^=]*=(.*)$", 1))
+      .select(urls.columns.toSeq.map(col) :+
+        explode(filter(split(query, "&"), q => q =!= "")).as("__p"): _*)
+      .select(col("*"),
+        regexp_extract(col("__p"), "^([^=]*)", 1).as("param_key"),
+        regexp_extract(col("__p"), "^[^=]*=(.*)$", 1).as("param_value"))
       .drop("__p")
   }
 

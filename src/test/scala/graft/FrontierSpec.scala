@@ -79,4 +79,52 @@ class FrontierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("fetchGaps: bucketed carry = the unbounded window, empty buckets included") {
+    // a skewed plant: one mega-domain with fetches spread across four
+    // buckets (bucket 2 EMPTY — the carry must reach back across it),
+    // intra-bucket ties broken by id, plus a sparse domain and a
+    // single-fetch domain (NULL gap)
+    val bucket = 100L
+    val rows = (
+      (0 until 40).map(i => ("mega.com", i.toLong, 10L + i * 2)) ++ // bkt 0
+        Seq(("mega.com", 100L, 150L), ("mega.com", 101L, 150L),     // bkt 1 tie
+          ("mega.com", 102L, 399L),                                 // bkt 3
+          ("sparse.com", 200L, 5L), ("sparse.com", 201L, 350L),
+          ("solo.com", 300L, 77L))
+      ).toDF("domain", "event_id", "us")
+    val got = Frontier.fetchGaps(rows, "domain", "us", "event_id",
+        bucketUs = bucket)
+      .select("domain", "event_id", "gap_us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    // unbounded-window reference, computed in memory
+    val want = rows.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(t => (t._3, t._2)).toSeq
+        sorted.zipWithIndex.map { case ((d, id, us), i) =>
+          (d, id) -> (if (i == 0) None else Some(us - sorted(i - 1)._3))
+        }
+      }
+      .toMap
+    assert(got === want)
+    // the big window partitions by (domain, bucket), never domain alone
+    val plan = Frontier.fetchGaps(rows, "domain", "us", "event_id",
+        bucketUs = bucket)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bkt"), plan.take(2000))
+  }
+
+  test("fetchGaps refuses an input that carries its contract columns") {
+    val e = intercept[IllegalArgumentException] {
+      Frontier.fetchGaps(
+        Seq(("a.com", 1L, 2L, 0L)).toDF("domain", "event_id", "us", "gap_us"),
+        "domain", "us", "event_id")
+    }
+    assert(e.getMessage.contains("gap_us"))
+  }
 }

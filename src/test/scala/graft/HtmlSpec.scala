@@ -172,6 +172,32 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("rel is a space-separated token list: multi-token rels still match") {
+    import spark.implicits._
+    val docs = Seq(
+      // token anywhere in the list, either attribute order
+      (1L, "<head><link rel=\"alternate nofollow\" hreflang=\"en\" " +
+        "href=\"https://a.com/en\"></head>"),
+      (2L, "<head><LINK HREF='https://a.com/fr' HREFLANG='fr' " +
+        "REL='nofollow alternate'></head>"),
+      // same-prefix DIFFERENT token must not match
+      (3L, "<head><link rel=\"alternates\" hreflang=\"de\" " +
+        "href=\"https://a.com/de\"></head>")
+    ).toDF("doc_id", "markup")
+    val alts = graft.operators.Html.alternates(docs, "markup", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(alts === Set((1L, "en"), (2L, "fr")))
+    val next = Seq(
+      (1L, "<head><link rel=\"next nofollow\" href=\"https://a.com/2\">" +
+        "</head>"),
+      (2L, "<head><link rel=\"nexts\" href=\"https://a.com/9\"></head>")
+    ).toDF("doc_id", "markup")
+    val got = graft.operators.Html
+      .relLink(next, "markup", "doc_id", rel = "next", outCol = "nx")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("https://a.com/2"), 2L -> None))
+  }
+
   test("publishedDate: probe precedence, both orders, garbage, comments") {
     import spark.implicits._
     val docs = Seq(

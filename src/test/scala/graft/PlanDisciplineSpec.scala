@@ -130,6 +130,25 @@ class PlanDisciplineSpec extends SparkSpec {
     }
   }
 
+  test("cluster/fp rollups and elections are two-phase aggregates, never windows") {
+    // cluster_size / canonical-election / dedup-rep over an unbounded
+    // Window.partitionBy(cluster_id | fp | canon_key) buffers the giant
+    // LSH component (BASELINE.md documents it at sf1) or a viral
+    // fingerprint on ONE task; every one of these gates must roll up
+    // via groupBy + join back (q117's form). Inherently-ordered windows
+    // (rank/lag) are out of scope — none of these gates needs one.
+    // (q129/q144 share q52's rollup tail verbatim but return a
+    // localCheckpoint, so their executed plan no longer shows it;
+    // q153's dedup election is asserted via its composing operators)
+    for (name <- Seq("q52_dup_clusters", "q97_canonical_docs",
+        "q143_cluster_quality", "q151_curation_pipeline",
+        "q160_canonical_keys", "q172_hreflang_clusters")) {
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window rollup in $name:\n$plan")
+    }
+  }
+
   test("q152 suffix probes compile to InSet hash lookups, not OR chains") {
     // the PSL snapshot is hundreds of literals: membership must be the
     // O(1) InSet form (codegen hash probe), or every row pays a linear

@@ -99,4 +99,13 @@ class UrlsSpec extends SparkSpec {
       .toSeq
     assert(got === Seq(("x", "1"), ("y", ""), ("flag", ""), ("x", "2")))
   }
+
+  test("explodeParams refuses an input that carries its output columns") {
+    val e = intercept[IllegalArgumentException] {
+      Urls.explodeParams(
+        Seq(("https://a.com/p?x=1", "mine")).toDF("url", "param_key"),
+        "url")
+    }
+    assert(e.getMessage.contains("param_key"))
+  }
 }

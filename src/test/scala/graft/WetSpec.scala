@@ -216,4 +216,58 @@ class WetSpec extends SparkSpec {
       ("conversion", "https://ex.com/a", 999L, "short", false),
       ("conversion", "https://ex.com/b", 2L, "ok", true)))
   }
+
+  test("short records degrade to NULL/empty columns, never an ANSI abort") {
+    // real WARC files interleave warcinfo/request/metadata records with
+    // FEWER CRLFCRLF-separated sections than a response — one of them
+    // must not abort the whole job (ANSI element_at would)
+    val headerOnly = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Length: 0" // no blank line, no payload at all
+    val noBody = "WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: https://x.com/\r\nContent-Length: 30\r\n\r\n" +
+      "GET / HTTP/1.1\r\nHost: x.com" // HTTP block but no CRLFCRLF+body
+    // Content-Length 28 = len("HTTP/1.1 200 OK") + 4 + len("body here")
+    val full = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.com/\r\nContent-Length: 28\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n\r\nbody here"
+    val conv = Wet.parseRecords(
+      Seq(headerOnly).toDF("rec"), "rec").collect()
+    assert(conv.length === 1 && conv(0).getString(0) === "warcinfo")
+    assert(conv(0).getAs[String]("payload") === "")
+    val resp = Wet.parseResponses(
+      Seq(headerOnly, noBody, full).toDF("rec"), "rec")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(resp("warcinfo").getAs[String]("body") === "")
+    assert(resp("warcinfo").isNullAt(resp("warcinfo").fieldIndex("status")))
+    assert(resp("request").getAs[String]("body") === "")
+    assert(resp("response").getAs[String]("body") === "body here")
+    assert(resp("response").getAs[Boolean]("length_ok"))
+    assert(!resp("request").getAs[Boolean]("length_ok"))
+  }
+
+  test("a response body's own trailing CRLF survives and length_ok agrees") {
+    val rows = Seq((1L, 200L, "OK", "text/html", null: String,
+      "line one\r\n")) // body legitimately ends in CRLF
+      .toDF("doc_id", "status", "reason", "ctype", "location", "body")
+      .withColumn("uri", concat(lit("https://x.com/"), col("doc_id")))
+    val rec = Wet.toResponseRecords(rows, "uri", "status", "reason",
+      "ctype", "location", "body").head().getString(0)
+    val r = Wet.parseResponses(Seq(rec).toDF("rec"), "rec").head()
+    assert(r.getAs[String]("body") === "line one\r\n")
+    assert(r.getAs[Boolean]("length_ok"))
+    // ...and a record carrying ONE trailing separator remnant (the
+    // file-tail shape) still sheds exactly that remnant
+    val r2 = Wet.parseResponses(
+      Seq(rec + Wet.RecordSeparator).toDF("rec"), "rec").head()
+    assert(r2.getAs[String]("body") === "line one\r\n")
+    assert(r2.getAs[Boolean]("length_ok"))
+  }
+
+  test("a garbled Content-Length header degrades to NULL, not an ANSI abort") {
+    val rec = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x.com/\r\nContent-Length: abc\r\n\r\npay"
+    val r = Wet.parseRecords(Seq(rec).toDF("rec"), "rec").head()
+    assert(r.isNullAt(r.fieldIndex("content_length")))
+    assert(!r.getAs[Boolean]("length_ok"))
+  }
 }
