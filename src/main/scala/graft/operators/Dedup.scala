@@ -1873,20 +1873,28 @@ object Dedup {
     // and a join back. Sentinel rows (g null) never match and keep
     // cnt = 0 / __minb null via the left joins (the downstream filters
     // all require g non-null anyway).
-    val occ0 = graft.util.OperatorCaches.persisted(base
+    // occ0 is NOT persisted: both consumers below rebuild it from the
+    // persisted tokenized base0 (gram-build + hash + explode, map-only)
+    // — cheaper than materializing the occurrence-sized frame, and the
+    // JOINED occ is the frame every downstream consumer reads anyway
+    val occ0 = base
       .select(col("__b"), col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
         posexplode_outer(col("grams")).as(Seq("p0", "gram")))
       .select(col("__b"), col(idCol), col("n_tokens"),
         (col("p0") + 1).as("pos"),
-        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g")))
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("g"))
     val perBatch = occ0.filter(col("g").isNotNull)
       .groupBy(col("g"), col("__b")).agg(count(lit(1)).as("cnt"))
+    // fold the first-batch min into the (g, __b)-keyed frame FIRST
+    // (both frames are distinct-gram-sized, the min is a second-phase
+    // aggregate over already-collapsed rows) so the occurrence stream
+    // below shuffles ONCE, on (g, __b) — not once per joined frame
     val firstB = perBatch.groupBy(col("g"))
       .agg(min(col("__b")).as("__minb"))
+    val gramStats = perBatch.join(firstB, Seq("g"))
     val occ = graft.util.OperatorCaches.persisted(occ0
-      .join(perBatch, Seq("g", "__b"), "left")
-      .join(firstB, Seq("g"), "left")
+      .join(gramStats, Seq("g", "__b"), "left")
       .select(col("__b"), col(idCol), col("n_tokens"), col("pos"),
         col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"),
         col("__minb")))
