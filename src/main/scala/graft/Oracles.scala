@@ -2884,6 +2884,61 @@ object Oracles {
     UNION ALL SELECT 'pq_trained', 20, 160, TRUE
     ORDER BY path"""
 
+  /** q184: the deflate byte count is zlib-build-bound (not a
+    * cross-engine constant), so the oracle predicts the certification
+    * surface: the planted byte length (six newline-joined copies for
+    * every 13th doc) and the verdict the mid-gap 2800 pp10k floor must
+    * produce — planted self-repetition fails, natural text passes
+    * (measured gap: planted ≤ 1820, natural ≥ 3791, all SFs).
+    */
+  val deflateRatio: String = """
+    SELECT doc_id,
+           CAST(strlen(CASE WHEN doc_id % 13 = 0
+             THEN concat_ws(chr(10), text, text, text, text, text, text)
+             ELSE text END) AS BIGINT) AS n_bytes,
+           (doc_id % 13 <> 0) AS keep
+    FROM documents
+    ORDER BY doc_id"""
+
+  /** Mirrors Queries.recrawlPolicyGate / Sitemaps.recrawlPolicy: the
+    * q170 diff plants, the modular interval store with a missing third
+    * (floor fallback), and the integer multiplicative policy with the
+    * [1 h, 4 h] clamp.
+    */
+  val recrawlPolicy: String = s"""
+    WITH prev AS (
+      SELECT 'https://ex.com/p/' || doc_id AS url,
+             DATE '2026-01-01' + CAST(doc_id % 28 AS INTEGER) AS lm,
+             TRUE AS p
+      FROM documents WHERE doc_id % 11 <> 3),
+    cur AS (
+      SELECT 'https://ex.com/p/' || doc_id AS url,
+             DATE '2026-01-01' + CAST(doc_id % 28 +
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS lm,
+             TRUE AS c
+      FROM documents WHERE doc_id % 11 <> 7),
+    d AS (
+      SELECT coalesce(prev.url, cur.url) AS url,
+             CASE WHEN prev.p IS NULL THEN 'new'
+                  WHEN cur.c IS NULL THEN 'gone'
+                  WHEN prev.lm IS DISTINCT FROM cur.lm THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev FULL OUTER JOIN cur ON prev.url = cur.url),
+    iv AS (
+      SELECT 'https://ex.com/p/' || doc_id AS url,
+             CAST((doc_id % 7 + 1) * 7200000 AS BIGINT) AS interval_ms
+      FROM documents WHERE doc_id % 3 <> 1)
+    SELECT d.url, d.status, iv.interval_ms,
+           CASE WHEN d.status = 'gone' THEN NULL
+                WHEN d.status = 'new' THEN 3600000
+                WHEN d.status = 'changed' THEN
+                  greatest(coalesce(iv.interval_ms, 3600000) // 2, 3600000)
+                ELSE least(coalesce(iv.interval_ms, 3600000) * 2, 14400000)
+           END AS next_interval_ms
+    FROM d LEFT JOIN iv ON d.url = iv.url
+    ORDER BY d.url"""
+
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
     $a AS (
@@ -5710,7 +5765,9 @@ object Oracles {
     "q180_param_audit" -> paramAudit,
     "q181_salsa_scores" -> salsaScores,
     "q182_crawl_loop" -> crawlLoop,
-    "q183_ann_recall" -> annRecall)
+    "q183_ann_recall" -> annRecall,
+    "q184_deflate_ratio" -> deflateRatio,
+    "q185_recrawl_policy" -> recrawlPolicy)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3786,6 +3786,61 @@ object Queries {
     } finally graft.io.Sinks.truncatePath(s, root)
   }
 
+  /** q184: compression-ratio quality gate —
+    * [[graft.operators.Compress.deflateRatio]]: the redundancy signal
+    * char entropy (q164) cannot see — every 13th document is replaced
+    * by SIX copies of itself joined by newlines (its character
+    * distribution, and so its entropy, barely moves; its deflate ratio
+    * collapses, measured ≤ 1820 pp10k vs ≥ 3791 for natural docs
+    * across sf0.001/0.01/0.1 — the 2800 floor sits mid-gap). The
+    * deflate byte count is zlib-build-bound, so the hashed surface
+    * carries the oracle-predictable columns only: the planted byte
+    * length and the VERDICT (q27's certification discipline). Map-only:
+    * the codegen'd DeflateSize kernel runs on the scan, zero shuffle.
+    */
+  def deflateRatioGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(pmod(col("doc_id"), lit(13)) === 0,
+      concat_ws("\n", Seq.fill(6)(col("text")): _*))
+      .otherwise(col("text"))
+    graft.operators.Compress.deflateRatio(
+      Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id", keepMinPp10k = 2800L)
+      .select(col("doc_id"), col("n_bytes"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q185: adaptive recrawl policy —
+    * [[graft.operators.Sitemaps.recrawlPolicy]] over q170's snapshot
+    * diff: changed pages halve their recrawl interval, unchanged pages
+    * double, new pages start at the floor, gone pages retire (NULL).
+    * The planted interval store ((doc_id mod 7 + 1) × 2 h, every third
+    * url missing → floor fallback) plus a tight [1 h, 4 h] clamp makes
+    * every branch AND both clamp boundaries bite. All-integer ms — the
+    * oracle replays the policy bit-for-bit. Scale shape: two url-keyed
+    * joins over sitemap-entry-sized tables, map-only arithmetic.
+    */
+  def recrawlPolicyGate(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://ex.com/p/"), col("doc_id").cast("string"))
+    val base = lit("2026-01-01").cast("date")
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(url.as("url"),
+        date_add(base, pmod(col("doc_id"), lit(28)).cast("int"))
+          .as("lastmod"))
+    val cur = docs.filter(pmod(col("doc_id"), lit(11)) =!= 7)
+      .select(url.as("url"),
+        date_add(base, (pmod(col("doc_id"), lit(28)) +
+          when(pmod(col("doc_id"), lit(5)) === 0, 1).otherwise(0))
+          .cast("int")).as("lastmod"))
+    val iv = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+      .select(url.as("url"),
+        ((pmod(col("doc_id"), lit(7)) + 1) * 7200000L).as("interval_ms"))
+    graft.operators.Sitemaps.recrawlPolicy(
+      graft.operators.Sitemaps.diff(prev, cur, "url", "lastmod"), iv,
+      "url", "interval_ms", minMs = 3600000L, maxMs = 14400000L)
+      .orderBy(col("url"))
+  }
+
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
     * digit runs mask to `{n}` so a million product pages collapse to
     * one row, and the per-(domain, template) page count exposes crawl

@@ -101,6 +101,48 @@ object Sitemaps {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Adaptive recrawl-interval policy over a [[diff]] result — the
+    * classic multiplicative rule (Cho & Garcia-Molina's freshness
+    * work): a page that CHANGED since the last visit halves its
+    * recrawl interval (it is hotter than we thought), an `unchanged`
+    * page doubles it (cooler), both clamped to [minMs, maxMs]; a `new`
+    * page starts at minMs (nothing known — visit soon), a `gone` page
+    * emits NULL (retired from the schedule). All-integer milliseconds
+    * (`div 2`, `* 2`, clamp — no float decay constants), so the policy
+    * replays bit-identically in any engine.
+    *
+    * `intervals` maps url → the CURRENT interval_ms; diff rows without
+    * one (first sighting of a pre-existing url, a crash-lost row) fall
+    * back to minMs — the conservative direction for freshness.
+    *
+    * Scale shape: one url-keyed equi-join between the diff (sitemap-
+    * entry-sized) and the interval store, map-only arithmetic after.
+    *
+    * Output: (url, status, interval_ms [the prior], next_interval_ms).
+    */
+  def recrawlPolicy(
+      diffed: DataFrame,
+      intervals: DataFrame,
+      urlCol: String,
+      intervalCol: String,
+      minMs: Long = 3600000L,
+      maxMs: Long = 2592000000L): DataFrame = {
+    require(minMs >= 1 && maxMs >= minMs,
+      s"recrawlPolicy: need 1 <= minMs <= maxMs, got $minMs/$maxMs")
+    val iv = intervals.select(col(urlCol).as("url"),
+      col(intervalCol).cast("long").as("interval_ms"))
+    val prior = coalesce(col("interval_ms"), lit(minMs))
+    val halved = expr(s"coalesce(interval_ms, ${minMs}L) div 2")
+    diffed.join(iv, Seq("url"), "left")
+      .select(col("url"), col("status"), col("interval_ms"),
+        when(col("status") === "gone", lit(null).cast("long"))
+          .when(col("status") === "new", lit(minMs))
+          .when(col("status") === "changed",
+            greatest(halved, lit(minMs)))
+          .otherwise(least(prior * 2, lit(maxMs)))
+          .as("next_interval_ms"))
+  }
+
   /** One row per `<url>` entry: (`idCol`, entry_pos, loc, url_canon,
     * domain, lastmod_raw, lastmod, priority).
     */

@@ -104,4 +104,32 @@ class SitemapsSpec extends SparkSpec {
       6L -> null.asInstanceOf[String])
     assert(rs.isEmpty)
   }
+
+  test("recrawlPolicy: halve/double/clamp/floor-fallback/retire per branch") {
+    import org.apache.spark.sql.functions.col
+    val diffed = Seq(
+      ("hot", "changed"), ("hotfloor", "changed"), ("nostore", "changed"),
+      ("cool", "unchanged"), ("coolcap", "unchanged"),
+      ("fresh", "new"), ("dead", "gone"))
+      .toDF("url", "status")
+    val iv = Seq(("hot", 8000000L), ("hotfloor", 4000000L),
+      ("cool", 5000000L), ("coolcap", 9000000L), ("dead", 7000000L))
+      .toDF("url", "interval_ms")
+    val got = graft.operators.Sitemaps
+      .recrawlPolicy(diffed, iv, "url", "interval_ms",
+        minMs = 3600000L, maxMs = 14400000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.get(r.fieldIndex("next_interval_ms")))
+          .map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got === Map(
+      "hot" -> Some(4000000L), // halved
+      "hotfloor" -> Some(3600000L), // halved then clamped up to min
+      "nostore" -> Some(3600000L), // no prior: floor div 2 clamps to floor
+      "cool" -> Some(10000000L), // doubled
+      "coolcap" -> Some(14400000L), // doubled then clamped to max
+      "fresh" -> Some(3600000L), // new starts at the floor
+      "dead" -> None)) // retired
+  }
 }
