@@ -2939,6 +2939,41 @@ object Oracles {
     FROM d LEFT JOIN iv ON d.url = iv.url
     ORDER BY d.url"""
 
+  /** Mirrors Queries.sourceOverlapGate / Dedup.sourceOverlap: the two
+    * plants (5-block cross-source mirror, -20 within-source copy), the
+    * shared md5-of-normalized fingerprint, distinct (fp, source)
+    * collapse, diagonal (within-source n ≥ 2) + off-diagonal pair
+    * counts. Sums CAST BIGINT (DuckDB sum of BIGINT is HUGEINT — the
+    * q58/q82 pandas-render class).
+    */
+  val sourceOverlap: String = s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        CASE WHEN (doc_id // 5) % 8 = 0 THEN doc_id - doc_id % 5
+             WHEN doc_id % 40 BETWEEN 30 AND 33 THEN doc_id - 20
+             ELSE doc_id END AS tid
+      FROM documents),
+    p AS (
+      SELECT t.doc_id, t.source, d.text
+      FROM t JOIN documents d ON d.doc_id = t.tid),
+    f AS (SELECT md5($norm) AS fp, source FROM p),
+    bs AS MATERIALIZED (
+      SELECT fp, source, count(*) AS n_docs FROM f GROUP BY fp, source),
+    diag AS (
+      SELECT source AS source_a, source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_fps,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs
+      FROM bs WHERE n_docs >= 2 GROUP BY source),
+    off AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_fps,
+             CAST(sum(a.n_docs + b.n_docs) AS BIGINT) AS n_docs
+      FROM bs a JOIN bs b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT * FROM diag
+    UNION ALL SELECT * FROM off
+    ORDER BY source_a, source_b"""
+
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
     $a AS (
@@ -5767,7 +5802,8 @@ object Oracles {
     "q182_crawl_loop" -> crawlLoop,
     "q183_ann_recall" -> annRecall,
     "q184_deflate_ratio" -> deflateRatio,
-    "q185_recrawl_policy" -> recrawlPolicy)
+    "q185_recrawl_policy" -> recrawlPolicy,
+    "q186_source_overlap" -> sourceOverlap)
 }
 
 /** Holder split out so the oracle text initializes before

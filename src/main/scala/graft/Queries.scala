@@ -3841,6 +3841,32 @@ object Queries {
       .orderBy(col("url"))
   }
 
+  /** q186: cross-source duplication matrix —
+    * [[graft.operators.Dedup.sourceOverlap]]: WHERE the duplication
+    * lives, before any dedup policy runs. Sources are `src(doc_id mod
+    * 20)`, so the two plants exercise both halves of the matrix:
+    * every eighth 5-block mirrors its head's text across five DISTINCT
+    * sources (off-diagonal pairs), and docs with `doc_id mod 40 ∈
+    * 30..33` copy their `-20` sibling — same source by construction
+    * (diagonal). Two-phase throughout: the corpus collapses to
+    * (fp, source) with map-side partials; the pair join fans out by
+    * source count, never duplicate multiplicity; output is
+    * |sources|²-bounded.
+    */
+  def sourceOverlapGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs0 = Tables.documents(s, dir)
+      .select(d, col("text"), col("source"))
+    val target = when(expr("(doc_id div 5) % 8 = 0"), d - pmod(d, lit(5)))
+      .when(pmod(d, lit(40)).between(30, 33), d - 20)
+      .otherwise(d)
+    val planted = docs0.select(d, col("source"), target.as("__t"))
+      .join(docs0.select(d.as("__t"), col("text")), Seq("__t"))
+      .select(col("doc_id"), col("source"), col("text"))
+    graft.operators.Dedup.sourceOverlap(planted, "text", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
     * digit runs mask to `{n}` so a million product pages collapse to
     * one row, and the per-(domain, template) page count exposes crawl

@@ -32,6 +32,52 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Cross-source duplication matrix — the curation analytic that tells
+    * a mixture designer WHERE the duplication lives before any dedup
+    * policy runs: for every unordered source pair, how many distinct
+    * normalized fingerprints appear in BOTH (a crawl mirroring a curated
+    * dump means deduping one against the other, not sampling them as
+    * independent), and on the diagonal, how many fingerprints are
+    * duplicated WITHIN a source. `n_docs` counts the documents those
+    * fingerprints carry (the de-duplicatable mass; for a pair, the two
+    * sources' copies combined).
+    *
+    * Scale shape: phase 1 collapses the corpus to distinct (fp, source)
+    * rows with map-side partial counts — a viral fingerprint with
+    * millions of copies arrives at the exchange as one row per task,
+    * never as a hot window partition; phase 2's fp-keyed self-join fans
+    * out per fingerprint by the number of SOURCES carrying it (bounded
+    * by the source universe, typically dozens), not by duplicate
+    * multiplicity. Output is |sources|²-bounded — driver-safe.
+    *
+    * Output: (source_a, source_b, shared_fps, n_docs), source_a ≤
+    * source_b; within-source rows have source_a = source_b.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    val bySrc = docs
+      .select(fingerprint(col(textCol)).as("fp"), col(srcCol).as("source"))
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val diag = bySrc.filter(col("n_docs") >= 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("shared_fps"), sum(col("n_docs")).as("n_docs"))
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        col("shared_fps"), col("n_docs"))
+    val a = bySrc.select(col("fp"), col("source").as("source_a"),
+      col("n_docs").as("__na"))
+    val b = bySrc.select(col("fp"), col("source").as("source_b"),
+      col("n_docs").as("__nb"))
+    val off = a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_fps"),
+        sum(col("__na") + col("__nb")).as("n_docs"))
+    diag.unionByName(off)
+  }
+
   /** Incremental (cross-batch) exact dedup — the realistic corpus-build
     * loop at 100 TB: dedupe each NEW ingest batch against the accumulated
     * fingerprint store instead of re-deduping the whole corpus. Returns

@@ -1099,4 +1099,25 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("sourceOverlap: diagonal within-source dups, off-diagonal pairs, mass counts") {
+    import spark.implicits._
+    val docs = Seq(
+      // fp X lives in a (2 copies) and b (1) — diag(a) + pair(a,b)
+      (1L, "Shared  Text", "a"), (2L, "shared text", "a"),
+      (3L, "SHARED TEXT", "b"),
+      // fp Y lives in b and c once each — pair(b,c) only
+      (4L, "other doc", "b"), (5L, "Other Doc", "c"),
+      // unique doc — contributes nowhere
+      (6L, "lonely", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.sourceOverlap(docs, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("a", "a") -> ((1L, 2L)), // one dup fp carrying 2 docs
+      ("a", "b") -> ((1L, 3L)), // fp X: 2 in a + 1 in b
+      ("b", "c") -> ((1L, 2L)))) // fp Y: 1 + 1
+  }
 }
