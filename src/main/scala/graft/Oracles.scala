@@ -2974,6 +2974,93 @@ object Oracles {
     UNION ALL SELECT * FROM off
     ORDER BY source_a, source_b"""
 
+  /** Mirrors Queries.feedsGate / Feeds.parse by reconstructing the
+    * planted truth directly (the q173 discipline): per feed class the
+    * two entries with their literal urls, the engine-canonical forms,
+    * and epoch-second stamps computed from the planted instants
+    * (+0100 → 07:30 UTC, GMT → 12:00, Z → 08:30, +01:00 → 11:00).
+    */
+  val feedEntries: String = """
+    WITH r0 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 0),
+    a0 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3)
+    SELECT doc_id, 'rss' AS kind, CAST(0 AS BIGINT) AS entry_pos,
+      'HTTPS://Feed.Example.COM:443/a/' || doc_id ||
+        '?utm_source=rss&x=1' AS url,
+      'https://feed.example.com/a/' || doc_id || '?x=1' AS url_canon,
+      CAST(NULL AS VARCHAR) AS guid,
+      'Tue, 03 Feb 2026 08:30:00 +0100' AS date_raw,
+      CAST(epoch(TIMESTAMP '2026-02-03 07:30:00') AS BIGINT)
+        AS published_unix
+    FROM r0
+    UNION ALL
+    SELECT doc_id, 'rss', 1,
+      'https://feed.example.com/b/' || doc_id,
+      'https://feed.example.com/b/' || doc_id,
+      'tag-' || doc_id,
+      CASE WHEN doc_id % 12 = 6 THEN 'yesterday-ish'
+           ELSE 'Wed, 04 Feb 2026 12:00:00 GMT' END,
+      CASE WHEN doc_id % 12 = 6 THEN NULL
+           ELSE CAST(epoch(TIMESTAMP '2026-02-04 12:00:00') AS BIGINT) END
+    FROM r0
+    UNION ALL
+    SELECT doc_id, 'atom', 0,
+      'https://feed.example.com/c/' || doc_id,
+      'https://feed.example.com/c/' || doc_id,
+      NULL, '2026-02-03T08:30:00Z',
+      CAST(epoch(TIMESTAMP '2026-02-03 08:30:00') AS BIGINT)
+    FROM a0
+    UNION ALL
+    SELECT doc_id, 'atom', 1,
+      'https://feed.example.com/d/' || doc_id,
+      'https://feed.example.com/d/' || doc_id,
+      NULL, '2026-02-04T12:00:00+01:00',
+      CAST(epoch(TIMESTAMP '2026-02-04 11:00:00') AS BIGINT)
+    FROM a0
+    ORDER BY doc_id, kind, entry_pos"""
+
+  /** Mirrors Queries.budgetAllocateGate / Frontier.budgetAllocate: the
+    * ⌊√(doc_id mod 400)⌋ domain counts, budget = 55% of the corpus
+    * (floor), the sorted-prefix satisfiability test, and the capped
+    * split with the +1 remainder on the first capped domains.
+    */
+  val budgetAllocate: String = """
+    WITH c AS (
+      SELECT 'site' ||
+             CAST(CAST(floor(sqrt(CAST(doc_id % 400 AS DOUBLE)))
+               AS BIGINT) AS VARCHAR) || '.example.com' AS domain,
+             count(*) AS n
+      FROM documents GROUP BY 1),
+    b AS (
+      SELECT CAST(sum(n) * 55 // 100 AS BIGINT) AS budget,
+             count(*) AS k
+      FROM c),
+    r AS (
+      SELECT domain, n,
+             sum(n) OVER (ORDER BY n, domain
+               ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (ORDER BY n, domain) AS j
+      FROM c),
+    f AS (
+      SELECT r.domain, r.n, r.s, r.j, b.budget, b.k,
+             (r.n * (b.k - r.j + 1) + (r.s - r.n)) <= b.budget
+               AS satisfied
+      FROM r, b),
+    agg AS (
+      SELECT coalesce(sum(CASE WHEN satisfied THEN n END), 0) AS sfull,
+             coalesce(sum(CASE WHEN NOT satisfied THEN 1 END), 0) AS m
+      FROM f),
+    x AS (
+      SELECT f.*, agg.sfull, agg.m,
+             row_number() OVER (PARTITION BY satisfied
+               ORDER BY domain) AS cr
+      FROM f, agg)
+    SELECT domain, CAST(n AS BIGINT) AS n_pages, satisfied,
+           CAST(CASE WHEN satisfied THEN n
+                ELSE (budget - sfull) // m +
+                  CASE WHEN cr <= (budget - sfull) % m THEN 1 ELSE 0 END
+           END AS BIGINT) AS quota
+    FROM x ORDER BY domain"""
+
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
     $a AS (
@@ -5803,7 +5890,9 @@ object Oracles {
     "q183_ann_recall" -> annRecall,
     "q184_deflate_ratio" -> deflateRatio,
     "q185_recrawl_policy" -> recrawlPolicy,
-    "q186_source_overlap" -> sourceOverlap)
+    "q186_source_overlap" -> sourceOverlap,
+    "q187_feed_entries" -> feedEntries,
+    "q188_budget_allocation" -> budgetAllocate)
 }
 
 /** Holder split out so the oracle text initializes before

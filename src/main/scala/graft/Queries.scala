@@ -3872,6 +3872,81 @@ object Queries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q187: RSS/Atom feed extraction — [[graft.operators.Feeds.parse]]:
+    * the third discovery source next to sitemaps and robots pointers.
+    * Every 6th doc is an RSS 2.0 feed (item 1: entity-escaped
+    * tracking-param link + RFC 822 `+0100` pubDate; item 2: guid +
+    * `GMT` pubDate; every 12th-plus-6 doc swaps item 2's date for
+    * garbage → NULL ts, raw kept); every 6th-plus-3 doc is an Atom
+    * feed (multi-token `rel="alternate nofollow"` href, ISO `Z` and
+    * `+01:00` updated stamps, one commented-out entry that must stay
+    * invisible). Other docs emit nothing. The hashed surface carries
+    * `published_unix` (epoch seconds BIGINT — the q162 integer
+    * discipline; the TIMESTAMP stays on the operator for API users).
+    * Map-only explode; zero shuffle.
+    */
+  def feedsGate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val m6 = pmod(d, lit(6))
+    val badDate = pmod(d, lit(12)) === 6
+    val rss = concat(
+      lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+        "<title>Feed </title><item><link> HTTPS://Feed.Example.COM:443" +
+        "/a/"), id,
+      lit("?utm_source=rss&amp;x=1 </link><pubDate>Tue, 03 Feb 2026 " +
+        "08:30:00 +0100</pubDate></item><item><guid isPermaLink=" +
+        "\"false\">tag-"), id,
+      lit("</guid><link>https://feed.example.com/b/"), id,
+      lit("</link><pubDate>"),
+      when(badDate, lit("yesterday-ish"))
+        .otherwise(lit("Wed, 04 Feb 2026 12:00:00 GMT")),
+      lit("</pubDate></item></channel></rss>"))
+    val atom = concat(
+      lit("<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/" +
+        "2005/Atom\"><entry><link rel=\"alternate nofollow\" " +
+        "href=\"https://feed.example.com/c/"), id,
+      lit("\"/><updated>2026-02-03T08:30:00Z</updated></entry>" +
+        "<!-- <entry><link href=\"https://ghost.example.com/\"/>" +
+        "</entry> --><entry><link href='https://feed.example.com/d/"), id,
+      lit("'/><updated>2026-02-04T12:00:00+01:00</updated></entry>" +
+        "</feed>"))
+    val markup = when(m6 === 0, rss).when(m6 === 3, atom)
+      .otherwise(concat(lit("<html><body>Doc "), id,
+        lit("</body></html>")))
+    graft.operators.Feeds.parse(
+      Tables.documents(s, dir).select(col("doc_id"), markup.as("markup")),
+      "markup", "doc_id")
+      .select(col("doc_id"), col("kind"), col("entry_pos"), col("url"),
+        col("url_canon"), col("guid"), col("date_raw"),
+        unix_timestamp(col("published_ts")).as("published_unix"))
+      .orderBy(col("doc_id"), col("kind"), col("entry_pos"))
+  }
+
+  /** q188: max-min fair crawl-budget allocation —
+    * [[graft.operators.Frontier.budgetAllocate]]: domains are
+    * `site⌊√(doc_id mod 400)⌋` (20 domains with linearly growing page
+    * counts, 1·n/400 … 39·n/400), the budget is 55% of the corpus —
+    * so the small half crawls fully, the big half caps at the
+    * water-filling level, and the integer remainder lands on the
+    * lexicographically-first capped domains. Every window runs over
+    * the 20-row domain frame; the corpus appears only in the one
+    * count rollup.
+    */
+  def budgetAllocateGate(s: SparkSession, dir: String): DataFrame = {
+    val dom = concat(lit("site"),
+      floor(sqrt(pmod(col("doc_id"), lit(400)).cast("double")))
+        .cast("long").cast("string"),
+      lit(".example.com"))
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(dom.as("domain"))
+      .agg(count(lit(1)).as("n_pages"))
+    val budget = docs.count() * 55L / 100L
+    graft.operators.Frontier.budgetAllocate(
+        counts, "domain", "n_pages", budget)
+      .orderBy(col("domain"))
+  }
+
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
     * digit runs mask to `{n}` so a million product pages collapse to
     * one row, and the per-(domain, template) page count exposes crawl

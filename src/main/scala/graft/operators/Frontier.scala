@@ -116,6 +116,65 @@ object Frontier {
       .drop("__bkt", "__gap_in", "__prev_last")
   }
 
+  /** Max-min fair crawl-budget allocation (water-filling): given
+    * per-domain page counts and a GLOBAL fetch budget, find the cap C
+    * such that Σ min(n_d, C) exhausts the budget, and give every
+    * domain `quota = min(n_d, C)` — small sites crawl fully, mega
+    * sites split the remainder evenly. This is what q135/q155's fixed
+    * per-domain caps cannot do: the cap FALLS OUT of the budget
+    * instead of being guessed, so the budget is spent exactly (the
+    * integer remainder goes +1 each to the lexicographically-first
+    * capped domains — deterministic, oracle-replayable).
+    *
+    * All integer: closed form over the count frame sorted by
+    * (n, domain) — a domain is fully satisfied iff
+    * `n_j · (k − j + 1) + S_{j−1} ≤ B` (serving it fully costs no more
+    * than its fair share at that level), the rest split `B − S_full`.
+    *
+    * Scale shape: every window here runs over the DOMAIN-COUNT-sized
+    * frame (one row per domain — crawl metadata, not the corpus; the
+    * robots rule-compilation precedent), and the two scalar attaches
+    * are single-build-row broadcasts. The corpus never appears.
+    *
+    * Output: (domainCol, n_pages, satisfied, quota); Σ quota =
+    * min(budget, Σ n_pages).
+    */
+  def budgetAllocate(
+      counts: DataFrame,
+      domainCol: String,
+      nCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budgetAllocate: budget must be >= 0, got $budget")
+    val base = counts.select(col(domainCol),
+      col(nCol).cast("long").as("n_pages"))
+    val w = Window.orderBy(col("n_pages"), col(domainCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__s", sum(col("n_pages")).over(w))
+      .withColumn("__j", count(lit(1)).over(w))
+    val k = ranked.agg(count(lit(1)).as("__k"))
+    val flagged = ranked.crossJoin(broadcast(k))
+      .withColumn("satisfied",
+        col("n_pages") * (col("__k") - col("__j") + 1) +
+          (col("__s") - col("n_pages")) <= budget)
+    val fullAgg = flagged.agg(
+      coalesce(sum(when(col("satisfied"), col("n_pages"))), lit(0L))
+        .as("__sfull"),
+      coalesce(sum(when(!col("satisfied"), 1L)), lit(0L)).as("__m"))
+    val wCapped = Window.partitionBy(col("satisfied"))
+      .orderBy(col(domainCol))
+    flagged.crossJoin(broadcast(fullAgg))
+      .withColumn("__cr", row_number().over(wCapped))
+      .select(col(domainCol), col("n_pages"), col("satisfied"),
+        when(col("satisfied"), col("n_pages"))
+          .otherwise(
+            expr(s"(${budget}L - __sfull) div __m") +
+              when(col("__cr") <=
+                expr(s"(${budget}L - __sfull) % __m"), 1L)
+                .otherwise(0L))
+          .as("quota"))
+  }
+
   /** Schedule a frontier: (urlCol, domainCol, priorityCol carried
     * through) + (wave, delay_ms, eta_ms), waves 1-based best-first
     * (priority DESC, url ASC tiebreak), URLs beyond `maxDepth` waves

@@ -119,6 +119,33 @@ class FrontierSpec extends SparkSpec {
     assert(plan.contains("__bkt"), plan.take(2000))
   }
 
+  test("budgetAllocate: water level, full satisfaction, remainder, exhaustion") {
+    def alloc(budget: Long, rows: (String, Long)*) =
+      graft.operators.Frontier.budgetAllocate(
+        rows.toSeq.toDF("domain", "n"), "domain", "n", budget)
+        .collect()
+        .map(r => r.getString(0) -> (r.getBoolean(2), r.getLong(3)))
+        .toMap
+    // classic: small sites full, big ones split the rest evenly
+    val g1 = alloc(100L, ("a", 10L), ("b", 20L), ("c", 100L), ("d", 200L))
+    assert(g1 === Map("a" -> ((true, 10L)), "b" -> ((true, 20L)),
+      "c" -> ((false, 35L)), "d" -> ((false, 35L))))
+    // budget >= total: everyone fully satisfied
+    val g2 = alloc(1000L, ("a", 10L), ("b", 20L))
+    assert(g2 === Map("a" -> ((true, 10L)), "b" -> ((true, 20L))))
+    // integer remainder lands on the lexicographically-first capped
+    val g3 = alloc(101L, ("a", 10L), ("b", 20L), ("c", 100L), ("d", 200L))
+    assert(g3("c") === ((false, 36L)) && g3("d") === ((false, 35L)))
+    // budget below every fair share: nobody satisfied, exact split
+    val g4 = alloc(7L, ("a", 10L), ("b", 20L), ("c", 100L))
+    assert(g4 === Map("a" -> ((false, 3L)), "b" -> ((false, 2L)),
+      "c" -> ((false, 2L))))
+    // budget is exhausted exactly in every case
+    for (g <- Seq(g1, g3, g4))
+      assert(g.values.map(_._2).sum ===
+        Seq(100L, 101L, 7L)(Seq(g1, g3, g4).indexOf(g)))
+  }
+
   test("fetchGaps refuses an input that carries its contract columns") {
     val e = intercept[IllegalArgumentException] {
       Frontier.fetchGaps(

@@ -40,9 +40,13 @@ class PlanDisciplineSpec extends SparkSpec {
       "q138_temperature_mixture", // q138 attaches the ONE-ROW weight
       // total to the source-count frame the same way (and only there:
       // the corpus side joins quotas by hash)
-      "q140_contrastive_triplets") // q140 IS q125's sanctioned brute
+      "q140_contrastive_triplets", // q140 IS q125's sanctioned brute
       // scan (bounded broadcast query set, id-inequality condition),
       // reduced by a group-keyed argmax instead of a rank window
+      "q188_budget_allocation") // q188 attaches the ONE-ROW domain
+      // count and the ONE-ROW satisfied-mass aggregate via
+      // crossJoin(broadcast(_)) — the q127 scalar shape; every other
+      // frame in it is domain-count-sized
 
   // Streaming/composed queries run real jobs at construction; plan checks on
   // the cheap batch surface are enough and keep this spec fast.
