@@ -1993,12 +1993,17 @@ object Queries {
     * min-id-per-fingerprint rule among quality passers, else `kept`),
     * rolled up per source with document AND token counts — "how many
     * tokens did each stage cost, from which sources". One corpus scan
-    * for the signals, one fingerprint-keyed window over PASSERS only
-    * (the dedup stage never sees already-rejected docs), one
-    * rollup-sized aggregation.
+    * for the signals; the dedup election among PASSERS (the dedup
+    * stage never sees already-rejected docs) is a two-phase
+    * `groupBy(fp).agg(min(doc_id))` + join-back, NOT a fp-keyed
+    * ordered window: at crawl scale a mega-duplicate fingerprint (an
+    * empty page, a standard 404 body — 10⁶–10⁸ copies) would land its
+    * whole group in one sorted window buffer, while the aggregate's
+    * map-side partials collapse each task's copies to one candidate
+    * row before the exchange (q52/q97's `__csize` discipline); one
+    * rollup-sized aggregation closes it.
     */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = TextFunctions.normalized(col("text"))
     val nTokens = TextFunctions.tokenCount(col("text"))
     val meanTokLen = length(translate(norm, " ", "")).cast("double") / nTokens
@@ -2027,12 +2032,11 @@ object Queries {
           symbolRatio <= 0.03 && stopRatio >= 0.05).as("passes"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .localCheckpoint(true)
-    val ranked = flagged.filter(col("passes"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-    val dups = ranked.filter(col("rn") > 1).select(col("doc_id"))
+    val keepers = flagged.filter(col("passes"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("__keep_id"))
     flagged
-      .join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .join(keepers, Seq("fp"), "left")
+      .withColumn("__dup", col("passes") && col("doc_id") =!= col("__keep_id"))
       .withColumn("fate",
         when(!col("passes"), lit("low_quality"))
           .when(col("__dup"), lit("duplicate"))

@@ -144,7 +144,8 @@ class PlanDisciplineSpec extends SparkSpec {
     // (q129/q144 share q52's rollup tail verbatim but return a
     // localCheckpoint, so their executed plan no longer shows it;
     // q153's dedup election is asserted via its composing operators)
-    for (name <- Seq("q52_dup_clusters", "q97_canonical_docs",
+    for (name <- Seq("q52_dup_clusters", "q83_curation_funnel",
+        "q97_canonical_docs",
         "q143_cluster_quality", "q151_curation_pipeline",
         "q160_canonical_keys", "q172_hreflang_clusters")) {
       val plan = SparkEntry.queries(name)(spark, sf0001)
