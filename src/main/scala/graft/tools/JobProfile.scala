@@ -46,6 +46,13 @@ object JobProfile {
     // job-end events time to drain before clearing, or they pollute the
     // measured job list (the number this tool exists to report)
     Thread.sleep(2000)
+    // GRAFT_PROFILE_COLD=1: also print the cold run's per-job wall —
+    // the view that separates JVM/codegen warm-up (cold jobs slow,
+    // hot jobs fast, same count) from a structural extra job
+    if (sys.env.get("GRAFT_PROFILE_COLD").contains("1")) {
+      println(s"-- cold run (${lines.size} jobs) --")
+      lines.forEach(l => println(l))
+    }
     lines.clear()
     val t1 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
