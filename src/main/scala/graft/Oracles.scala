@@ -3516,13 +3516,27 @@ object Oracles {
     FROM prev FULL OUTER JOIN cur ON prev.url = cur.url
     ORDER BY url"""
 
-  /** Mirrors Queries.discoveryFunnelGate: the discovered-URL universe,
-    * canonical distinct via the shared chain, PSL blocklist, the
-    * planted single-rule robots verdict (prefix semantics inlined),
-    * NOT EXISTS anti-join against the crawled set, five stage counts.
+  /** Mirrors Queries.discoveryFunnelGate: the discovered-URL universe
+    * (seeds ∪ outlinks ∪ the planted-feed entry urls — the feed CTE
+    * enumerates exactly what Feeds.parse extracts from the planted
+    * RSS: link text trimmed, `&amp;` unescaped; q187 gates the
+    * extraction mechanics themselves), canonical distinct via the
+    * shared chain, PSL blocklist, the planted single-rule robots
+    * verdict (prefix semantics inlined), NOT EXISTS anti-join against
+    * the crawled set, six stage counts.
     */
   val discoveryFunnel: String = s"""
-    WITH disc AS MATERIALIZED (
+    WITH feed AS MATERIALIZED (
+      SELECT 'HTTPS://Feed.Example.COM:443/f/' || doc_id ||
+               '?utm_source=rss' AS url
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT 'https://ads.badsite.net/feed/' || doc_id
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT 'HTTP://WWW.Example.COM:80/doc/' || doc_id || '?b=2&a=1'
+      FROM documents WHERE doc_id % 20 = 7),
+    disc AS MATERIALIZED (
       SELECT 'https://www.example.com/page/' || doc_id || '?utm_source=m'
                AS url
       FROM documents WHERE doc_id % 20 = 0
@@ -3535,7 +3549,9 @@ object Oracles {
       UNION ALL
       SELECT 'https://blog.example.com/post?id=' ||
              (doc_id - doc_id % 10)
-      FROM documents WHERE doc_id % 5 = 0),
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT url FROM feed),
     lnk AS (SELECT url FROM disc),
     ${urlCanonChain("lnk", "url")},
     ded AS MATERIALIZED (
@@ -3565,12 +3581,13 @@ object Oracles {
     fresh AS MATERIALIZED (
       SELECT u FROM alw a
       WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.u = a.u))
-    SELECT CAST(0 AS BIGINT) AS stage_idx, 'discovered' AS stage,
-           CAST(count(*) AS BIGINT) AS urls FROM disc
-    UNION ALL SELECT 1, 'canonical_distinct', count(*) FROM ded
-    UNION ALL SELECT 2, 'after_blocklist', count(*) FROM unb
-    UNION ALL SELECT 3, 'robots_allowed', count(*) FROM alw
-    UNION ALL SELECT 4, 'frontier_new', count(*) FROM fresh
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'feed_entries' AS stage,
+           CAST(count(*) AS BIGINT) AS urls FROM feed
+    UNION ALL SELECT 1, 'discovered', count(*) FROM disc
+    UNION ALL SELECT 2, 'canonical_distinct', count(*) FROM ded
+    UNION ALL SELECT 3, 'after_blocklist', count(*) FROM unb
+    UNION ALL SELECT 4, 'robots_allowed', count(*) FROM alw
+    UNION ALL SELECT 5, 'frontier_new', count(*) FROM fresh
     ORDER BY stage_idx"""
 
   /** Mirrors Queries.publishedDateGate / Html.publishedDate: comment

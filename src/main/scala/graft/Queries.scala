@@ -4384,15 +4384,23 @@ object Queries {
   /** q169: URL-discovery funnel — the frontier-side counterpart of
     * q153's content chain, ONE dataflow with q83-style stage
     * accounting: sitemap seeds (q162's plant) ∪ outlinks (tracking-
-    * param and cross-document duplicate targets) → canonical dedup →
-    * PSL blocklist → robots verdicts (a planted `Disallow: /doc/1`
-    * prefix that bites /doc/1, /doc/1x, /doc/1xx) → anti-join against
-    * the already-crawled set. Output: one row per stage with the
-    * surviving URL count — every stage visibly bites. Scale shape:
-    * canonicalization map-only, dedup one exchange, blocklist/robots
-    * broadcast, the crawled-set anti-join key-partitioned; shared
-    * stages persisted once (the q153 loop-invariant discipline), five
-    * scalar counts off the cached frames.
+    * param and cross-document duplicate targets) ∪ FEED ENTRIES
+    * ([[graft.operators.Feeds.parse]] over planted RSS on every
+    * 10th-residue-7 doc — the funnel's declared third source; shouting
+    * scheme/host + default port + tracking param so canonicalization
+    * bites, a badsite.net item so the blocklist bites on feed-sourced
+    * urls too, and every 20th-residue-7 feed re-announcing its doc's
+    * own outlink so CROSS-SOURCE dedup visibly collapses it) →
+    * canonical dedup → PSL blocklist → robots verdicts (a planted
+    * `Disallow: /doc/1` prefix that bites /doc/1, /doc/1x, /doc/1xx)
+    * → anti-join against the already-crawled set. Output: one row per
+    * stage with the surviving URL count (feed extraction accounted as
+    * its own stage row) — every stage visibly bites. Scale shape:
+    * feed parse + canonicalization map-only, dedup one exchange,
+    * blocklist/robots broadcast, the crawled-set anti-join
+    * key-partitioned; shared stages persisted once (the q153
+    * loop-invariant discipline), six scalar counts off the cached
+    * frames.
     */
   def discoveryFunnelGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -4410,9 +4418,25 @@ object Queries {
     val links = docs.select(explode(
       when(pmod(col("doc_id"), lit(5)) === 0, array(link1, blogLink))
         .otherwise(array(link1))).as("url"))
+    val feedMarkup = concat(
+      lit("<rss version=\"2.0\"><channel><item><link> " +
+        "HTTPS://Feed.Example.COM:443/f/"), id,
+      lit("?utm_source=rss </link></item><item><link>" +
+        "https://ads.badsite.net/feed/"), id,
+      lit("</link></item>"),
+      when(pmod(col("doc_id"), lit(20)) === 7,
+        concat(lit("<item><link>HTTP://WWW.Example.COM:80/doc/"), id,
+          lit("?b=2&amp;a=1</link></item>"))).otherwise(lit("")),
+      lit("</channel></rss>"))
     val mk = graft.util.OperatorCaches.mark()
+    val feed = graft.util.OperatorCaches.persisted(
+      graft.operators.Feeds.parse(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+            .select(col("doc_id"), feedMarkup.as("markup")),
+          "markup", "doc_id")
+        .select(col("url")))
     val discovered = graft.util.OperatorCaches.persisted(
-      seeds.unionByName(links))
+      seeds.unionByName(links).unionByName(feed))
     val dedup = graft.util.OperatorCaches.persisted(
       discovered
         .select(graft.operators.Urls.canonicalize(col("url")).as("u"))
@@ -4440,11 +4464,12 @@ object Queries {
       df.agg(count(lit(1)).as("urls"))
         .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col("urls"))
-    val out = cnt(0, "discovered", discovered)
-      .unionByName(cnt(1, "canonical_distinct", dedup))
-      .unionByName(cnt(2, "after_blocklist", unblocked))
-      .unionByName(cnt(3, "robots_allowed", allowed))
-      .unionByName(cnt(4, "frontier_new", fresh))
+    val out = cnt(0, "feed_entries", feed)
+      .unionByName(cnt(1, "discovered", discovered))
+      .unionByName(cnt(2, "canonical_distinct", dedup))
+      .unionByName(cnt(3, "after_blocklist", unblocked))
+      .unionByName(cnt(4, "robots_allowed", allowed))
+      .unionByName(cnt(5, "frontier_new", fresh))
       .orderBy(col("stage_idx"))
       .localCheckpoint(true) // terminal action: the caches are consumed
     graft.util.OperatorCaches.releaseSince(s, mk)
