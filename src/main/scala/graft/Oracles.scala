@@ -3061,6 +3061,53 @@ object Oracles {
            END AS BIGINT) AS quota
     FROM x ORDER BY domain"""
 
+  /** Mirrors Queries.streamFrontierGate / FrontierStream.assignStaged:
+    * the three-epoch sequence replayed as ONE windowed pass — prior
+    * waves per (domain, epoch) from the CAPPED cumulative arrival
+    * count (the meter stores min(arrivals, cap)), within-epoch
+    * best-first row numbers, per-domain delay pricing. The meter
+    * segments, the epoch-1 replay, and the mid-sequence compaction
+    * must all be invisible.
+    */
+  val streamFrontier: String = """
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    disc AS MATERIALIZED (
+      SELECT 'https://site' ||
+               CAST(CAST(floor(sqrt(CAST(doc_id % 144 AS DOUBLE)))
+                 AS BIGINT) AS VARCHAR) || '.example.com/p/' || doc_id
+               AS url,
+             'site' ||
+               CAST(CAST(floor(sqrt(CAST(doc_id % 144 AS DOUBLE)))
+                 AS BIGINT) AS VARCHAR) || '.example.com' AS domain,
+             CAST(doc_id % 7 AS BIGINT) AS priority,
+             CASE WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
+                  WHEN doc_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+                  ELSE 2 END AS epoch
+      FROM documents),
+    cnt AS (
+      SELECT domain, epoch, CAST(count(*) AS BIGINT) AS n
+      FROM disc GROUP BY 1, 2),
+    pri AS (
+      SELECT domain, epoch,
+             least(coalesce(CAST(sum(n) OVER (PARTITION BY domain
+               ORDER BY epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0), 50) AS prior
+      FROM cnt),
+    wv AS (
+      SELECT d.url, d.domain, d.priority,
+             p.prior + row_number() OVER (PARTITION BY d.domain, d.epoch
+               ORDER BY d.priority DESC, d.url ASC) AS wave
+      FROM disc d JOIN pri p
+        ON d.domain = p.domain AND d.epoch = p.epoch)
+    SELECT url, domain, priority, CAST(wave AS BIGINT) AS wave,
+           CAST((wave - 1) *
+             (CASE domain WHEN 'site0.example.com' THEN 2000
+                          WHEN 'site3.example.com' THEN 500
+                          ELSE 1000 END) AS BIGINT) AS eta_ms,
+           wave <= 50 AS scheduled
+    FROM wv ORDER BY url"""
+
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
     $a AS (
@@ -5909,7 +5956,8 @@ object Oracles {
     "q185_recrawl_policy" -> recrawlPolicy,
     "q186_source_overlap" -> sourceOverlap,
     "q187_feed_entries" -> feedEntries,
-    "q188_budget_allocation" -> budgetAllocate)
+    "q188_budget_allocation" -> budgetAllocate,
+    "q189_stream_frontier" -> streamFrontier)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3951,6 +3951,76 @@ object Queries {
       .orderBy(col("domain"))
   }
 
+  /** q189: STREAMING crawl-frontier scheduler on the oracle gate —
+    * [[graft.streaming.FrontierStream.assignStaged]] driven by q68's
+    * epoch protocol, applied to politeness waves: discovered URLs
+    * (domain `site⌊√(doc_id mod 144)⌋` — 12 domains with quadratically
+    * growing page counts, so the depth cap saturates the big domains
+    * and never the small ones at every SF; priority `doc_id mod 7`)
+    * arrive as three ascending-id epochs through the persisted
+    * per-domain assigned-count meter. Epoch 1 is REPLAYED after its
+    * commit and the replay's waves feed the output — the segment
+    * protocol (a replay overwrites its OWN meter segment and reads
+    * only strictly-older ones) must re-derive byte-identical waves or
+    * the gate hash-diverges; the mid-sequence [[graft.streaming
+    * .FrontierStream.compact]] spares the newest segment
+    * (`keepNewestSegments = 1`, the replay-horizon contract) and
+    * purges superseded debris. Waves continue across epochs from the
+    * CAPPED meter (prior = min(arrivals so far, maxDepth) — a
+    * saturated domain restarts each epoch at cap + 1, which is why
+    * waves are only unique per url, not per (domain, wave)); within an
+    * epoch best-first (priority DESC, url ASC), across epochs arrival
+    * order. Per-domain delays (site0 2000 ms, site3 500 ms, default
+    * 1000) price eta_ms. The oracle replays the whole sequence as one
+    * windowed pass — epochs, the meter segments, the replay, and the
+    * compaction must all be invisible. The live
+    * flatMapGroupsWithState twin is spec-parity-tested in
+    * `FrontierStreamSpec`.
+    */
+  def streamFrontierGate(s: SparkSession, dir: String): DataFrame = {
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_frontier_gate").toString
+    try {
+      import s.implicits._
+      val d = col("doc_id")
+      val dom = concat(lit("site"),
+        floor(sqrt(pmod(d, lit(144)).cast("double")))
+          .cast("long").cast("string"),
+        lit(".example.com"))
+      val docs = Tables.documents(s, dir)
+        .select(d, dom.as("domain"),
+          pmod(d, lit(7)).cast("long").as("priority"))
+        .select(col("doc_id"),
+          concat(lit("https://"), col("domain"), lit("/p/"),
+            col("doc_id").cast("string")).as("url"),
+          col("domain"), col("priority"))
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      val delays = Seq(("site0.example.com", 2000L),
+        ("site3.example.com", 500L)).toDF("domain", "delay_ms")
+      val cap = 50L
+      def epoch(lo: Long, hi: Long): DataFrame =
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+          .select(col("url"), col("domain"), col("priority"))
+      def run(e: DataFrame, id: Long): DataFrame =
+        graft.streaming.FrontierStream.assignStaged(
+          e, stateDir, "url", "domain", "priority", delays,
+          maxDepth = cap, batchId = id)
+      val r0 = run(epoch(Long.MinValue, t1), 0L).localCheckpoint(true)
+      run(epoch(t1, t2), 1L).localCheckpoint(true)
+      // at-least-once delivery: the replay's waves are what the gate emits
+      val r1 = run(epoch(t1, t2), 1L).localCheckpoint(true)
+      graft.streaming.FrontierStream.compact(s, stateDir,
+        keepNewestSegments = 1)
+      graft.streaming.FrontierStream.purgeSuperseded(s, stateDir)
+      val r2 = run(epoch(t2, Long.MaxValue), 2L).localCheckpoint(true)
+      r0.unionByName(r1).unionByName(r2).orderBy(col("url"))
+        .localCheckpoint(true)
+    } finally {
+      graft.io.Sinks.truncatePath(s, stateDir)
+    }
+  }
+
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
     * digit runs mask to `{n}` so a million product pages collapse to
     * one row, and the per-(domain, template) page count exposes crawl
