@@ -3108,6 +3108,140 @@ object Oracles {
            wave <= 50 AS scheduled
     FROM wv ORDER BY url"""
 
+  /** Mirrors Queries.streamCurationGate / CurationStream.processBatch:
+    * the planted WET corpus replayed as ONE pass — extract (q153's
+    * block machinery), the noindex and chrome plants by residue,
+    * langid routing, global min-id-per-fingerprint dedup over the
+    * routed set (ascending-id epochs make the sequential store loop
+    * equal one global pass), and the per-domain budget as prefix sums
+    * in doc_id order. Epochs, both stores, the replay, and the
+    * mid-sequence compactions must all be invisible.
+    */
+  val streamCuration: String = {
+    def visible(x: String) =
+      "trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+        ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+        ", '\\s+', ' ', 'g'))"
+    val anchor = visible(
+      "coalesce(array_to_string(regexp_extract_all(blk, " +
+        "'(?is)<a(\\s[^>]*)?>(.*?)</a\\s*>', 2), ' '), '')")
+    def nrm(x: String) =
+      s"trim(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+    def ntoks(x: String) =
+      s"CAST(len(list_filter(string_split(${nrm(x)}, ' '), " +
+        "t -> t <> '')) AS BIGINT)"
+    val langs = Seq("en", "de", "es", "fr", "it", "pt", "nl", "zh")
+    val p = Seq(37, 41, 43, 47, 53, 59, 61, 67)
+    val q = Seq(5, 11, 17, 2, 8, 19, 3, 13)
+    val zCols = langs.indices.map(k =>
+      s"CAST(sum(mod(bk * ${p(k)} + ${q(k)}, 21) - 10) AS BIGINT) AS z$k")
+      .mkString(",\n             ")
+    val zbest = "greatest(" + langs.indices.map(k => s"z$k")
+      .mkString(", ") + ")"
+    val predCase = langs.indices.map(k =>
+      s"WHEN z$k = $zbest THEN '${langs(k)}'").mkString(" ")
+    val keepRule = "len(btext) >= 25 AND len(ltext) * 100 <= len(btext) * 33"
+    s"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    base AS (
+      SELECT d.doc_id, coalesce(r.text, '') AS t
+      FROM documents d
+      JOIN documents r ON r.doc_id =
+        CASE WHEN (d.doc_id - d.doc_id % 10) % 40 = 20
+               AND d.doc_id - d.doc_id % 10 >= 200
+             THEN d.doc_id - d.doc_id % 10 - 200
+             ELSE d.doc_id - d.doc_id % 10 END),
+    m0 AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN
+          '<html><body><nav><a href="/">home</a> ' ||
+          '<a href="/next">next</a></nav></body></html>'
+        ELSE
+        '<html><head><title>Doc ' || doc_id || '</title>' ||
+        CASE WHEN doc_id % 13 = 4
+          THEN '<meta name="robots" content="noindex">' ELSE '' END ||
+        '</head><body><h1>Document ' || doc_id || '</h1><p>' ||
+        substring(t, 1, CAST(floor(len(t) / 2) AS INTEGER)) ||
+        '</p><p>' ||
+        substring(t, CAST(floor(len(t) / 2) AS INTEGER) + 1, len(t)) ||
+        ' and further details</p></body></html>'
+        END AS markup,
+        'site' || CAST((doc_id // 10) % 5 AS VARCHAR) || '.net' AS source
+      FROM base),
+    cx AS (
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(markup,
+        '(?is)<script(\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+        '(?is)<style(\\s[^>]*)?>.*?</style\\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g') AS m
+      FROM m0),
+    bx AS (
+      SELECT doc_id, regexp_split_to_array(m,
+        '(?i)</?(?:html|head|body|title|p|div|li|ul|ol|h[1-6]|t[dhr]|table|section|article|header|footer|nav|blockquote|form|aside|main|br)(\\s[^>]*)?/?>')
+        AS blocks
+      FROM cx),
+    tx AS (
+      SELECT doc_id, unnest(blocks) AS blk,
+             unnest(generate_series(1, len(blocks))) AS pos
+      FROM bx),
+    vx AS (
+      SELECT doc_id, pos, ${visible("blk")} AS btext, $anchor AS ltext
+      FROM tx),
+    ex AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN $keepRule THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN $keepRule THEN btext END,
+               chr(10) ORDER BY pos), '') AS main_text
+      FROM vx GROUP BY doc_id),
+    nmx AS (SELECT doc_id, ${nrm("main_text")} AS nm FROM ex),
+    g0x AS (
+      SELECT doc_id, nm, unnest(generate_series(1, len(nm) - 2)) AS i
+      FROM nmx),
+    gx AS (
+      SELECT doc_id, substring(nm, CAST(i AS INTEGER), 3) AS gr FROM g0x),
+    bkx AS (SELECT doc_id, mod(${hash60("gr")}, 64) AS bk FROM gx),
+    zx AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             $zCols
+      FROM bkx GROUP BY doc_id),
+    lgx AS (
+      SELECT e.doc_id,
+             CASE WHEN coalesce(z.n_grams, 0) > 0
+               THEN CASE $predCase END
+               ELSE 'unknown' END AS pred
+      FROM ex e LEFT JOIN zx z USING (doc_id)),
+    routed AS MATERIALIZED (
+      SELECT e.doc_id, m.source, e.main_text,
+             md5(${nrm("e.main_text")}) AS fp,
+             ${ntoks("e.main_text")} AS n_tokens
+      FROM ex e JOIN m0 m USING (doc_id) JOIN lgx l USING (doc_id)
+      WHERE e.doc_id % 13 <> 4 AND e.n_kept > 0
+        AND l.pred IN ('en', 'it')),
+    surv AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens
+      FROM (SELECT doc_id, source, n_tokens,
+              min(doc_id) OVER (PARTITION BY fp) AS rep_id
+            FROM routed)
+      WHERE doc_id = rep_id),
+    adm AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum_before
+      FROM surv)
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
+                WHEN doc_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+                ELSE 2 END AS BIGINT) AS epoch,
+           source, n_tokens, cum_before,
+           cum_before < 300 AS admitted
+    FROM adm ORDER BY doc_id"""
+  }
+
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
     $a AS (
@@ -5957,7 +6091,8 @@ object Oracles {
     "q186_source_overlap" -> sourceOverlap,
     "q187_feed_entries" -> feedEntries,
     "q188_budget_allocation" -> budgetAllocate,
-    "q189_stream_frontier" -> streamFrontier)
+    "q189_stream_frontier" -> streamFrontier,
+    "q190_stream_curation" -> streamCuration)
 }
 
 /** Holder split out so the oracle text initializes before

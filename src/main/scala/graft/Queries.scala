@@ -4021,6 +4021,97 @@ object Queries {
     }
   }
 
+  /** q190: STREAMING crawl-curation ingest on the oracle gate — the
+    * q153 chain's streaming twin [[graft.streaming.CurationStream]]
+    * driven end-to-end through its REAL foreachBatch sink (not a
+    * reimplementation): synthesized WET records (every 11th page
+    * chrome-only so extract bites, every 13th-residue-4 a
+    * `meta robots noindex` publisher opt-out, page text block-shared
+    * per 10-block with every 40th-residue-20 block REUSING the text of
+    * the block 200 ids back — the cross-epoch exact-duplicate plant)
+    * flow as three ascending-id epochs through extract → noindex →
+    * langid routing ({en, it}) → the persisted fingerprint store →
+    * the persisted per-domain token-budget meter. Epoch 1 is REPLAYED
+    * after its commit — and after `compactEvery = 1` has already
+    * folded both stores' older segments (newest spared, the replay-
+    * horizon contract) — so the replay must re-derive byte-identical
+    * decisions THROUGH the compacted generation and rewrite only its
+    * own `batch=1` output. Domains are block-aligned (`site⌊id/10⌋%5`)
+    * so dedup keepers spread over all five budget meters. The oracle
+    * replays the whole chain as one pass (global min-id per
+    * fingerprint over the routed set; budget prefix sums in doc_id
+    * order) — epochs, both stores, the replay, and the compactions
+    * must all be invisible.
+    */
+  def streamCurationGate(s: SparkSession, dir: String): DataFrame = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_cstream_gate").toString
+    val (dedupDir, budgetDir, outDir) =
+      (s"$root/dedup", s"$root/budget", s"$root/out")
+    try {
+      val docs0 = Tables.documents(s, dir)
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val h = d - pmod(d, lit(10))
+      val h2 = when(pmod(h, lit(40)) === 20 && h >= 200, h - 200)
+        .otherwise(h)
+      val picked = docs0.select(d, h2.as("__h"))
+        .join(docs0.select(d.as("__h"),
+          coalesce(col("text"), lit("")).as("__t")), Seq("__h"))
+      val half = (length(col("__t")) / lit(2)).cast("int")
+      val markup = when(pmod(d, lit(11)) === 0,
+        lit("<html><body><nav><a href=\"/\">home</a> " +
+          "<a href=\"/next\">next</a></nav></body></html>"))
+        .otherwise(concat(
+          lit("<html><head><title>Doc "), id, lit("</title>"),
+          when(pmod(d, lit(13)) === 4,
+            lit("<meta name=\"robots\" content=\"noindex\">"))
+            .otherwise(lit("")),
+          lit("</head><body><h1>Document "), id, lit("</h1><p>"),
+          col("__t").substr(lit(1), half), lit("</p><p>"),
+          col("__t").substr(half + lit(1), length(col("__t"))),
+          lit(" and further details</p></body></html>")))
+      val uri = concat(lit("https://www.site"),
+        expr("(doc_id div 10) % 5").cast("string"),
+        lit(".net/doc/"), id)
+      graft.io.Wet.toRecords(
+          picked.select(d, markup.as("wet_text"), uri.as("uri")),
+          "wet_text", "uri")
+        .coalesce(1).write.mode("overwrite")
+        .option("lineSep", graft.io.Wet.RecordSeparator)
+        .text(s"$root/wet")
+      val read = graft.io.Wet.read(s, s"$root/wet")
+      val rid = regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+        .cast("long")
+      val maxId = docs0.agg(max(d)).first().getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      // 300 tokens/domain: at sf0.001 each site's survivor total is
+      // 380–670, so every meter admits its early docs and rejects its
+      // tail at every SF (the cap binds harder as SF grows)
+      val cs = new graft.streaming.CurationStream(
+        s, dedupDir, budgetDir, outDir,
+        budget = 300L, compactEvery = 1)
+      def epoch(lo: Long, hi: Long): DataFrame =
+        read.filter(rid > lo && rid <= hi)
+      cs.sink()(epoch(Long.MinValue, t1), 0L)
+      cs.sink()(epoch(t1, t2), 1L)
+      // at-least-once delivery: the replay rewrites batch=1 THROUGH the
+      // already-compacted stores; its decisions are what the gate hashes
+      cs.sink()(epoch(t1, t2), 1L)
+      cs.sink()(epoch(t2, Long.MaxValue), 2L)
+      cs.decisions()
+        .select(col("doc_id"), col("batch").cast("long").as("epoch"),
+          col("source"), col("n_tokens"), col("cum_before"),
+          col("admitted"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      graft.operators.Dedup.FingerprintStore.currentGenTable(s, dedupDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, root)
+    }
+  }
+
   /** q179: URL-template mining — [[graft.operators.Urls.pathTemplate]]:
     * digit runs mask to `{n}` so a million product pages collapse to
     * one row, and the per-(domain, template) page count exposes crawl
