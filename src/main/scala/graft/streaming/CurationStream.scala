@@ -46,26 +46,49 @@ class CurationStream(
     * — dropped before extraction results are consumed.
     */
   def processBatch(records: DataFrame, id: Long): DataFrame = {
-    val docs = records
-      .filter(col("length_ok"))
-      .select(
-        regexp_extract(col("target_uri"), "([0-9]+)$", 1)
-          .cast("long").as("doc_id"),
-        coalesce(nullif(
-          PublicSuffix.registeredDomain(col("target_uri")), lit("")),
-          lit("unknown")).as("source"),
-        col("payload"))
-      .filter(col("doc_id").isNotNull)
+    // spread + persist: a micro-batch arriving as ONE file
+    // (maxFilesPerTrigger=1, or a gate's single coalesced WET file) is
+    // one scan partition, and Catalyst pushes the routing filter —
+    // whose `n_kept > 0` conjunct inlines the WHOLE extract zip_with
+    // chain — through the round-robin exchange down into that
+    // single-partition scan stage (observed: one 80 s task on 32 idle
+    // cores). The spread alone does NOT fix it (predicates pass through
+    // Repartition); the persist does — an InMemoryRelation is a
+    // pushdown barrier, so the cache fill runs only the cheap WET
+    // framing projections and every heavy extract/langid/filter
+    // evaluation reads the 32-partition cache. Map-only no-op on a
+    // well-partitioned real stream — the q48 discipline.
+    // CACHE CONTRACT: registered with OperatorCaches — [[sink]]
+    // releases after the decisions write; direct callers own release.
+    val docs = graft.util.OperatorCaches.persisted(
+      graft.operators.Similarity.spread(records
+        .filter(col("length_ok"))
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          coalesce(nullif(
+            PublicSuffix.registeredDomain(col("target_uri")), lit("")),
+            lit("unknown")).as("source"),
+          col("payload"))
+        .filter(col("doc_id").isNotNull)))
     val main = Html.extractMain(docs, "payload", "doc_id", blockSep = "\n")
     val robots = Html.metaRobots(docs, "payload", "doc_id")
       .select(col("doc_id"), col("noindex"))
-    val routed = docs.select(col("doc_id"), col("source"))
-      .join(main, Seq("doc_id"))
-      .join(robots, Seq("doc_id"))
-      .join(LangId.scoreDocs(main, "main_text", "doc_id")
-        .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
-      .filter(!col("noindex") && col("n_kept") > 0 &&
-        col("lang_pred").isin(keepLangs: _*))
+    // persisted: the batch's THREE terminal actions (the dedup segment
+    // write, the budget meter write, the decisions write) all consume
+    // the routed frame — unpersisted, each re-runs the WET scan +
+    // extraction + langid regex chain (the q67/q72 band-key lesson;
+    // observed as a 3× single-task serialization at sf1).
+    // CACHE CONTRACT: registered with OperatorCaches — [[sink]] releases
+    // after the decisions write; direct processBatch callers own release.
+    val routed = graft.util.OperatorCaches.persisted(
+      docs.select(col("doc_id"), col("source"))
+        .join(main, Seq("doc_id"))
+        .join(robots, Seq("doc_id"))
+        .join(LangId.scoreDocs(main, "main_text", "doc_id")
+          .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+        .filter(!col("noindex") && col("n_kept") > 0 &&
+          col("lang_pred").isin(keepLangs: _*)))
     val fresh = Dedup.dedupeStreamStaged(
       routed, dedupStoreDir, "main_text", "doc_id", id)
     BudgetStream.admitStaged(
@@ -76,8 +99,11 @@ class CurationStream(
     * `Wet.readStream(...).writeStream.foreachBatch(cs.sink()).start()`).
     */
   def sink(): (DataFrame, Long) => Unit = (records, id) => {
+    val mk = graft.util.OperatorCaches.mark()
     processBatch(records, id)
       .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    // terminal action done — release this batch's routed-frame cache
+    graft.util.OperatorCaches.releaseSince(records.sparkSession, mk)
     if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
       Dedup.FingerprintStore.compact(records.sparkSession, dedupStoreDir,
         buckets = 16, keepNewestSegments = 1)
