@@ -4074,10 +4074,13 @@ object Queries {
       val uri = concat(lit("https://www.site"),
         expr("(doc_id div 10) % 5").cast("string"),
         lit(".net/doc/"), id)
+      // multi-file WET write (NO coalesce(1)): collapsing would pull
+      // the markup-build join into one task, and a real crawl delivers
+      // many WET files per epoch anyway — the reader is directory-based
       graft.io.Wet.toRecords(
           picked.select(d, markup.as("wet_text"), uri.as("uri")),
           "wet_text", "uri")
-        .coalesce(1).write.mode("overwrite")
+        .write.mode("overwrite")
         .option("lineSep", graft.io.Wet.RecordSeparator)
         .text(s"$root/wet")
       val read = graft.io.Wet.read(s, s"$root/wet")

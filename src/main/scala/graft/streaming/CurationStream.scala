@@ -71,7 +71,12 @@ class CurationStream(
             lit("unknown")).as("source"),
           col("payload"))
         .filter(col("doc_id").isNotNull)))
-    val main = Html.extractMain(docs, "payload", "doc_id", blockSep = "\n")
+    // persisted: the extract chain is the batch's dominant per-row cost
+    // and TWO subtrees of the routed join consume it — the main-column
+    // side and langid's gram build (Catalyst inlines the expression
+    // tree into both, doubling the regex work without the barrier).
+    val main = graft.util.OperatorCaches.persisted(
+      Html.extractMain(docs, "payload", "doc_id", blockSep = "\n"))
     val robots = Html.metaRobots(docs, "payload", "doc_id")
       .select(col("doc_id"), col("noindex"))
     // persisted: the batch's THREE terminal actions (the dedup segment
