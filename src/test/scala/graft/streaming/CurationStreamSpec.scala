@@ -56,6 +56,54 @@ class CurationStreamSpec extends SparkSpec {
     assert(got.sorted.toSeq == want && want.size == 2)
   }
 
+  test("routing filter never pushes the extract chain into the raw WET scan") {
+    // the round-17 regression this pins: Catalyst pushes the routing
+    // filter — whose n_kept > 0 conjunct inlines the WHOLE extract
+    // zip_with chain — through the round-robin exchange into the WET
+    // scan stage, and a one-file micro-batch then runs the chain on
+    // ONE task (observed: an 80 s single task on 32 idle cores at
+    // sf0.1). processBatch's persisted parse frame is the pushdown
+    // barrier; this walks every cached-plan layer and asserts each
+    // extract-bearing filter reads a cache, never the raw scan.
+    val dir = tmpDir("cstream-plan")
+    Files.write(Paths.get(s"$dir/000.wet"), wetBytes(Seq(
+      uri("a.example.com", 1) -> markup(body(1)))))
+    val cs = new CurationStream(spark, tmpDir("cs-pl-store"),
+      tmpDir("cs-pl-meter"), tmpDir("cs-pl-out"), budget = 100L,
+      keepLangs = graft.operators.LangId.Langs)
+    val mk = graft.util.OperatorCaches.mark()
+    try {
+      import org.apache.spark.sql.catalyst.expressions.ZipWith
+      import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val outPlan = cs.processBatch(Wet.read(spark, s"$dir/000.wet"), 0L)
+        .queryExecution.executedPlan
+      // walk nested cache layers too (the heavy filter lives INSIDE the
+      // routed frame's cached child plan, invisible to a flat collect),
+      // unwrapping AQE roots — collect does not descend into them
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+      def layers(p0: SparkPlan): Seq[SparkPlan] = {
+        val p = unwrap(p0)
+        p +: p.collect { case s: InMemoryTableScanExec => s }
+          .flatMap(s => layers(s.relation.cachedPlan))
+      }
+      val heavy = layers(outPlan).flatMap(_.collect {
+        case f: FilterExec
+          if f.condition.collectFirst { case z: ZipWith => z }.isDefined => f
+      })
+      assert(heavy.nonEmpty, "expected the extract-bearing routing filter")
+      heavy.foreach { f =>
+        assert(f.child.toString.contains("InMemoryTableScan") ||
+          f.child.toString.contains("TableCacheQueryStage"),
+          s"extract-chain filter reads the raw scan (no cache barrier):\n$f")
+      }
+    } finally graft.util.OperatorCaches.releaseSince(spark, mk)
+  }
+
   test("3 epochs: backpressure, cross-epoch dedup, per-domain budget, gz, replay") {
     val wetDir = tmpDir("cstream-wet")
     val store = tmpDir("cstream-store")
