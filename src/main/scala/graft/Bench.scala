@@ -23,12 +23,16 @@ import org.apache.spark.sql.SparkSession
   *      (total + calibration + top-10 slowest, well under 2000 chars) so a
   *      tail-truncating collector always keeps a parseable record; the
   *      full per-query map is printed on the line before it.
-  *   3. FLARE ADJUDICATION — a query reading > 5× its recorded lock
+  *   3. FLARE ADJUDICATION — a query reading past its flare bar
   *      (resource bench_lock.json, calibration-scaled, 2 s floor) is
   *      re-run up to 2 more times; the MEDIAN is recorded and the raw
-  *      readings land under "flares". One box flare (r14's q124 at
-  *      212 s vs a 7.7 s lock) can no longer distort the headline; a
-  *      real regression stays slow across re-runs and stays visible.
+  *      readings land under "flares". The bar is 2.5× the scaled lock
+  *      for locks >= 5 s (the serial store-protocol family reads 2.9-4×
+  *      under box contention — r16/r17 both cost a manual adjudication
+  *      round) and 5× below that (re-run overhead dominates small
+  *      queries). One box flare (r14's q124 at 212 s vs a 7.7 s lock)
+  *      can no longer distort the headline; a real regression stays
+  *      slow across re-runs and stays visible.
   */
 object Bench {
 
@@ -222,12 +226,21 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val first = runOnce(name, fn)
-      val bound = lock.get(name)
-        .map(l => 5.0 * l * math.max(1.0, calibRatio))
+      // re-run bar (r17 verdict #2): 2.5x for queries whose calib-scaled
+      // lock is >= 5 s — the serial store-protocol family (q76/q89/q92/
+      // q129) read 2.9-4.0x under box contention two rounds running with
+      // no auto re-run, costing a manual adjudication each time. Sub-5 s
+      // locks keep the 5x bar: there the re-run overhead dominates and a
+      // 2.5x reading is noise, not a distorted headline.
+      val bound = lock.get(name).map { l =>
+        val scaledLock = l * math.max(1.0, calibRatio)
+        val factor = if (scaledLock >= 5.0) 2.5 else 5.0
+        factor * scaledLock
+      }
       val elapsed =
         if (bound.exists(first > _) && first > 2.0) {
-          System.err.println(f"[bench] $name%s read $first%.1fs > 5x its " +
-            f"lock (calib-scaled bound ${bound.get}%.1fs) — re-running")
+          System.err.println(f"[bench] $name%s read $first%.1fs > its " +
+            f"flare bar (calib-scaled bound ${bound.get}%.1fs) — re-running")
           val times = first +: Seq.fill(2)(runOnce(name, fn))
           flares(name) = times
           times.sorted.apply(times.size / 2) // median of 3

@@ -4007,7 +4007,11 @@ object Queries {
           e, stateDir, "url", "domain", "priority", delays,
           maxDepth = cap, batchId = id)
       val r0 = run(epoch(Long.MinValue, t1), 0L).localCheckpoint(true)
-      run(epoch(t1, t2), 1L).localCheckpoint(true)
+      // first delivery of batch 1: execute for its store side-effects but
+      // DISCARD the waves — a count() materializes without pinning
+      // checkpoint blocks for the rest of the session (r17 advice: the
+      // eager localCheckpoint here was a pure leak, reclaimed only by GC)
+      run(epoch(t1, t2), 1L).count()
       // at-least-once delivery: the replay's waves are what the gate emits
       val r1 = run(epoch(t1, t2), 1L).localCheckpoint(true)
       graft.streaming.FrontierStream.compact(s, stateDir,

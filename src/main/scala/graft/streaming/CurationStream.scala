@@ -102,13 +102,24 @@ class CurationStream(
 
   /** foreachBatch adapter (direct use:
     * `Wet.readStream(...).writeStream.foreachBatch(cs.sink()).start()`).
+    *
+    * Cache release is by DIRECT HANDLE ([[graft.util.OperatorCaches
+    * .collecting]]), not a mark/releaseSince window: marks order
+    * globally per session, so a second streaming query (or any
+    * cache-registering work) sharing this session could otherwise have
+    * batch A's release evict batch B's mid-flight persisted frames —
+    * silently removing the pushdown barrier the persist exists to
+    * install (results stay correct via recompute; the 80 s single-task
+    * serialization returns). Handles collected on this thread are
+    * exactly this batch's registrations.
     */
   def sink(): (DataFrame, Long) => Unit = (records, id) => {
-    val mk = graft.util.OperatorCaches.mark()
-    processBatch(records, id)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    val (_, frames) = graft.util.OperatorCaches.collecting {
+      processBatch(records, id)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    }
     // terminal action done — release this batch's routed-frame cache
-    graft.util.OperatorCaches.releaseSince(records.sparkSession, mk)
+    graft.util.OperatorCaches.releaseFrames(records.sparkSession, frames)
     if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
       Dedup.FingerprintStore.compact(records.sparkSession, dedupStoreDir,
         buckets = 16, keepNewestSegments = 1)

@@ -87,7 +87,53 @@ object OperatorCaches {
       buf.put(nextId, df)
       nextId += 1
     }
+    collector.get() match {
+      case null => ()
+      case buf  => buf += df
+    }
     df
+  }
+
+  /** Active per-thread collector for [[collecting]] (operators register
+    * on the thread that builds their plan, so a thread-local is precise).
+    */
+  private val collector =
+    new ThreadLocal[mutable.ArrayBuffer[DataFrame]]()
+
+  /** Run `body`, collecting every frame THIS THREAD registers during it.
+    * Unlike a [[mark]]/[[releaseSince]] window — whose marks order
+    * globally across the session, so two concurrent writers sharing one
+    * session can evict each other's mid-flight frames — the returned
+    * handles identify exactly the caller's own registrations, safe to
+    * [[releaseFrames]] under concurrency. Nested calls: the inner scope
+    * collects; frames registered inside it are NOT double-reported to
+    * the outer scope (release is idempotent anyway, but precision keeps
+    * accounting honest).
+    */
+  def collecting[T](body: => T): (T, Seq[DataFrame]) = {
+    val outer = collector.get()
+    val buf = mutable.ArrayBuffer.empty[DataFrame]
+    collector.set(buf)
+    try {
+      val r = body
+      (r, buf.toSeq)
+    } finally {
+      if (outer == null) collector.remove() else collector.set(outer)
+    }
+  }
+
+  /** Unpersist exactly `frames` (handles from [[collecting]]) and drop
+    * them from `spark`'s registry. Identity-matched — other writers'
+    * registrations in the same session are untouched.
+    */
+  def releaseFrames(spark: SparkSession, frames: Seq[DataFrame]): Unit = {
+    bySession.synchronized {
+      bySession.get(idOf(spark)).foreach { buf =>
+        buf.filterInPlace((_, f) => !frames.exists(_ eq f))
+        if (buf.isEmpty) bySession.remove(idOf(spark))
+      }
+    }
+    unpersistAll(frames)
   }
 
   /** Watermark for [[releaseSince]]: frames registered at or after this

@@ -159,13 +159,18 @@ class CurationStreamSpec extends SparkSpec {
     val meterFiles = Paths.get(meter).toFile.list().toSeq
     assert(meterFiles.exists(_.startsWith("gen_")), meterFiles.toString)
     // epoch replay is idempotent: re-processing batch 2's records
-    // re-derives byte-identical decisions (store reads strictly below 2)
+    // re-derives byte-identical decisions (store reads strictly below 2).
+    // Direct processBatch callers own cache release — without the mark
+    // window the three registered frames (docs/main/routed) stay pinned
+    // in the shared cross-suite session for the rest of the sbt run.
+    val mk = graft.util.OperatorCaches.mark()
     val replay = cs.processBatch(
       Wet.read(spark, s"$wetDir/002.wet.gz"), 2L)
       .select("doc_id", "source", "n_tokens", "cum_before", "admitted")
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4)))).toMap
+    graft.util.OperatorCaches.releaseSince(spark, mk)
     assert(replay == Map(
       5L -> (("example.com", 8L, 16L, false)),
       6L -> (("other.org", 8L, 0L, true))))

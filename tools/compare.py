@@ -21,6 +21,17 @@ import duckdb
 
 USE_PANDAS = "--pandas" in sys.argv
 
+# --only qNN_name[,qMM_name...]: compare just those dumps (sf1 sweep runs
+# one oracle per subprocess so `timeout` can bound the closure family).
+# --threads N: cap DuckDB's thread pool (leave bench headroom on the box).
+ONLY = None
+THREADS = None
+for i, a in enumerate(sys.argv):
+    if a == "--only" and i + 1 < len(sys.argv):
+        ONLY = set(sys.argv[i + 1].split(","))
+    if a == "--threads" and i + 1 < len(sys.argv):
+        THREADS = int(sys.argv[i + 1])
+
 def fetch(rel):
     """(cols, rows) — optionally via the pandas path the driver uses."""
     if not USE_PANDAS:
@@ -66,10 +77,24 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    skip_next = False
+    args = []
+    for i, a in enumerate(argv):
+        if skip_next:
+            skip_next = False
+            continue
+        if a in ("--only", "--threads"):
+            skip_next = True
+            continue
+        if a.startswith("--"):
+            continue
+        args.append(a)
     sf_dir, dump_dir = args[0], args[1]
     oracles = json.load(open(os.path.join(dump_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    if THREADS:
+        con.execute(f"SET threads={THREADS}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleData sf1)
@@ -81,6 +106,8 @@ def main():
     for d in sorted(glob.glob(os.path.join(dump_dir, "*.parquet"))):
         name = os.path.basename(d)          # e.g. q01_pricing_summary.parquet
         bare = name[:-len(".parquet")]
+        if ONLY is not None and bare not in ONLY and name not in ONLY:
+            continue
         sql = oracles.get(name) or oracles.get(bare)
         spark_rel = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')")
