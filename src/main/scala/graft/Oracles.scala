@@ -3117,7 +3117,7 @@ object Oracles {
     * in doc_id order. Epochs, both stores, the replay, and the
     * mid-sequence compactions must all be invisible.
     */
-  val streamCuration: String = {
+  private def streamCurationCore(finalSelect: String): String = {
     def visible(x: String) =
       "trim(regexp_replace(" +
         "replace(replace(replace(replace(replace(replace(" +
@@ -3233,14 +3233,26 @@ object Oracles {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS BIGINT), 0) AS cum_before
       FROM surv)
+    $finalSelect"""
+  }
+
+  val streamCuration: String = streamCurationCore("""
     SELECT doc_id,
            CAST(CASE WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
                 WHEN doc_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
                 ELSE 2 END AS BIGINT) AS epoch,
            source, n_tokens, cum_before,
            cum_before < 300 AS admitted
-    FROM adm ORDER BY doc_id"""
-  }
+    FROM adm ORDER BY doc_id""")
+
+  /** q191 = q190's one-pass replay minus the epoch column: the gate's
+    * range-partitioned file delivery makes batching invisible, and the
+    * checkpoint restart must leave every decision byte-identical.
+    */
+  val streamCurationRestart: String = streamCurationCore("""
+    SELECT doc_id, source, n_tokens, cum_before,
+           cum_before < 300 AS admitted
+    FROM adm ORDER BY doc_id""")
 
   val salsaScores: String = {
     def sweep(prevH: String, a: String, h: String) = s"""
@@ -6092,7 +6104,8 @@ object Oracles {
     "q187_feed_entries" -> feedEntries,
     "q188_budget_allocation" -> budgetAllocate,
     "q189_stream_frontier" -> streamFrontier,
-    "q190_stream_curation" -> streamCuration)
+    "q190_stream_curation" -> streamCuration,
+    "q191_stream_curation_restart" -> streamCurationRestart)
 }
 
 /** Holder split out so the oracle text initializes before

@@ -3038,8 +3038,10 @@ object Queries {
       // checkpoint, which must still run BEFORE the finally-block
       // truncates the store
       val p2 = run(b2, storeDir)
-      p01.unionByName(p2).orderBy(col("doc_id"))
-        .localCheckpoint(true)
+      // no terminal orderBy: the driver's hash gate sorts canon rows
+      // itself, and a total sort of the output (sample job + range
+      // exchange) is exactly what a 100 TB emit would not do
+      p01.unionByName(p2).localCheckpoint(true)
     } finally {
       Dedup.FingerprintStore.currentGenTable(s, storeDir)
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
@@ -3281,7 +3283,8 @@ object Queries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"),
           coalesce(col("__csize"), lit(1L)).as("cluster_size"))
-        .orderBy(col("doc_id"))
+        // no terminal orderBy - the hash gate is order-insensitive and
+        // the sort cost a sample job + range exchange per run
         .localCheckpoint(true)
     } finally {
       ClusterStore.dropTables(s, storeDir)
@@ -3323,7 +3326,8 @@ object Queries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"),
           coalesce(col("__csize"), lit(1L)).as("cluster_size"))
-        .orderBy(col("doc_id"))
+        // no terminal orderBy - the hash gate is order-insensitive and
+        // the sort cost a sample job + range exchange per run
         .localCheckpoint(true)
     } finally {
       ClusterStore.dropTables(s, storeDir)
@@ -4047,20 +4051,20 @@ object Queries {
     * order) — epochs, both stores, the replay, and the compactions
     * must all be invisible.
     */
-  def streamCurationGate(s: SparkSession, dir: String): DataFrame = {
-    val root =
-      java.nio.file.Files.createTempDirectory("graft_cstream_gate").toString
-    val (dedupDir, budgetDir, outDir) =
-      (s"$root/dedup", s"$root/budget", s"$root/out")
-    try {
-      val docs0 = Tables.documents(s, dir)
-      val d = col("doc_id")
-      val id = d.cast("string")
-      val h = d - pmod(d, lit(10))
-      val h2 = when(pmod(h, lit(40)) === 20 && h >= 200, h - 200)
-        .otherwise(h)
-      val picked = docs0.select(d, h2.as("__h"))
-        .join(docs0.select(d.as("__h"),
+  /** The q190/q191 planted WET corpus: (doc_id, wet_text, uri) pages
+    * synthesized from `documents` — chrome-only every 11th id, noindex
+    * every 13th-residue-4, per-10-block shared text with the 40th-
+    * residue-20 cross-duplicate plant, domains `site⌊id/10⌋%5.net`.
+    */
+  private def curationWetPages(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = Tables.documents(s, dir)
+    val d = col("doc_id")
+    val id = d.cast("string")
+    val h = d - pmod(d, lit(10))
+    val h2 = when(pmod(h, lit(40)) === 20 && h >= 200, h - 200)
+      .otherwise(h)
+    val picked = docs0.select(d, h2.as("__h"))
+      .join(docs0.select(d.as("__h"),
           coalesce(col("text"), lit("")).as("__t")), Seq("__h"))
       val half = (length(col("__t")) / lit(2)).cast("int")
       val markup = when(pmod(d, lit(11)) === 0,
@@ -4078,19 +4082,29 @@ object Queries {
       val uri = concat(lit("https://www.site"),
         expr("(doc_id div 10) % 5").cast("string"),
         lit(".net/doc/"), id)
+    picked.select(d, markup.as("wet_text"), uri.as("uri"))
+  }
+
+  /** q190's gate body — see the scaladoc above [[streamCurationGate]]. */
+  def streamCurationGate(s: SparkSession, dir: String): DataFrame = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_cstream_gate").toString
+    val (dedupDir, budgetDir, outDir) =
+      (s"$root/dedup", s"$root/budget", s"$root/out")
+    try {
       // multi-file WET write (NO coalesce(1)): collapsing would pull
       // the markup-build join into one task, and a real crawl delivers
       // many WET files per epoch anyway — the reader is directory-based
       graft.io.Wet.toRecords(
-          picked.select(d, markup.as("wet_text"), uri.as("uri")),
-          "wet_text", "uri")
+          curationWetPages(s, dir), "wet_text", "uri")
         .write.mode("overwrite")
         .option("lineSep", graft.io.Wet.RecordSeparator)
         .text(s"$root/wet")
       val read = graft.io.Wet.read(s, s"$root/wet")
       val rid = regexp_extract(col("target_uri"), "([0-9]+)$", 1)
         .cast("long")
-      val maxId = docs0.agg(max(d)).first().getLong(0)
+      val maxId = Tables.documents(s, dir)
+        .agg(max(col("doc_id"))).first().getLong(0)
       val (t1, t2) = (maxId / 3, 2 * maxId / 3)
       // 300 tokens/domain: at sf0.001 each site's survivor total is
       // 380–670, so every meter admits its early docs and rejects its
@@ -4111,6 +4125,76 @@ object Queries {
           col("source"), col("n_tokens"), col("cum_before"),
           col("admitted"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      graft.operators.Dedup.FingerprintStore.currentGenTable(s, dedupDir)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.io.Sinks.truncatePath(s, root)
+    }
+  }
+
+  /** q191: CurationStream's CHECKPOINTED RUNTIME path on the oracle
+    * gate — q190 drives `processBatch`/`sink` directly; this gate
+    * drives [[graft.streaming.CurationStream.start]] end-to-end: a
+    * REAL `StreamingQuery` over a watched WET directory with a real
+    * checkpoint, KILLED mid-sequence and RESTARTED through that
+    * checkpoint (q63's restart-recovery discipline applied to the
+    * curation chain). The corpus lands as six id-RANGE-partitioned WET
+    * files (`repartitionByRange` — monotone doc_id across files, so
+    * ANY micro-batching preserves global id order and the one-pass
+    * oracle stays batch-invariant) with strictly increasing mtimes;
+    * the first four are visible to run 1 (`maxFilesPerTrigger = 1` →
+    * four micro-batches, `compactEvery = 1` folding both stores
+    * between them), then the stream stops, the last two files arrive,
+    * and a SECOND `start` on the same checkpoint must resume at batch
+    * 4 — NOT re-ingest files 0–3. A broken recovery double-admits
+    * budget tokens and re-registers fingerprints, shifting every
+    * `cum_before` after the restart point; the oracle (q190's one-pass
+    * replay minus the epoch column) catches one token of drift.
+    */
+  def streamCurationRestartGate(s: SparkSession, dir: String): DataFrame = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_cstream_rst").toString
+    val (dedupDir, budgetDir, outDir) =
+      (s"$root/dedup", s"$root/budget", s"$root/out")
+    try {
+      // range-partitioned WET staging: file k holds a contiguous
+      // doc_id range below file k+1's (the batch-invariance contract
+      // above); still a distributed write — no single-task collapse
+      graft.io.Wet.toRecords(
+          curationWetPages(s, dir)
+            .repartitionByRange(6, col("doc_id")),
+          "wet_text", "uri")
+        .write.mode("overwrite")
+        .option("lineSep", graft.io.Wet.RecordSeparator)
+        .text(s"$root/stage")
+      val stage = new java.io.File(s"$root/stage")
+      val parts = stage.listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      val wetDir = new java.io.File(s"$root/wet")
+      wetDir.mkdirs()
+      // deliver file i as b00i.wet with a strictly increasing mtime so
+      // the file source's (mtime, path) order equals the id order
+      def deliver(range: Range): Unit = range.foreach { i =>
+        val dst = new java.io.File(wetDir, f"b$i%03d.wet")
+        java.nio.file.Files.move(parts(i).toPath, dst.toPath)
+        dst.setLastModified(1600000000000L + i * 60000L): Unit
+      }
+      val cs = new graft.streaming.CurationStream(
+        s, dedupDir, budgetDir, outDir,
+        budget = 300L, compactEvery = 1)
+      deliver(0 until 4)
+      val q1 = cs.start(s"$root/wet", s"$root/ckpt", maxFilesPerTrigger = 1)
+      q1.processAllAvailable(); q1.stop()
+      deliver(4 until 6)
+      // restart THROUGH the checkpoint: resumes at the next batch id,
+      // ingesting only the two new files
+      val q2 = cs.start(s"$root/wet", s"$root/ckpt", maxFilesPerTrigger = 1)
+      q2.processAllAvailable(); q2.stop()
+      cs.decisions()
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_before"), col("admitted"))
         .localCheckpoint(true)
     } finally {
       graft.operators.Dedup.FingerprintStore.currentGenTable(s, dedupDir)

@@ -86,55 +86,94 @@ object Cluster {
     *   graphs take the O(log² n) distributed path unchanged. Pass 0 to
     *   force the distributed path.
     */
+  /** @param noSelfLoops caller's guarantee that `edges` contains no
+    *   a == b row (LSH pair emitters produce strictly a < b; the
+    *   ClusterStore contraction filters them). When true, the
+    *   self-loop-singleton branch — a filter + distinct + anti-join
+    *   subplan that is provably EMPTY but still materializes ~4 AQE
+    *   stages per consuming action, because Catalyst cannot prune it
+    *   statically — is skipped entirely. Results are byte-identical;
+    *   this is a pure job-count cut (r17 verdict #3).
+    */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 25,
       stagingDir: Option[String] = None,
-      localFinishEdges: Long = 500000L): DataFrame = {
+      localFinishEdges: Long = 500000L,
+      noSelfLoops: Boolean = false): DataFrame = {
     val s = edges.sparkSession
+    // LAZY local checkpoint: every materialize below is immediately
+    // followed by signature()'s aggregate, so marking the frame and
+    // letting that aggregate be the materializing job halves the action
+    // count per round (eager checkpoint + signature = 2 driver actions;
+    // lazy + signature = 1) — lineage still truncates at first
+    // materialization, so the per-round plan-blowup the checkpoint
+    // exists to stop is unchanged. The stagingDir seam stays a durable
+    // parquet write (its own action) for real-cluster runs.
     def materialize(df: DataFrame, round: Int): DataFrame = stagingDir match {
       case Some(dir) =>
         df.write.mode("overwrite").parquet(f"$dir/cc_round_$round%03d")
         s.read.parquet(f"$dir/cc_round_$round%03d")
-      case None => df.localCheckpoint(true)
+      case None => df.localCheckpoint(false)
     }
     val raw = edges.select(
       least(col(srcCol), col(dstCol)).as("a"),
       greatest(col(srcCol), col(dstCol)).as("b"))
-    val canon = raw
-      .filter(col("a") =!= col("b"))
+    val canon = (if (noSelfLoops) raw
+      else raw.filter(col("a") =!= col("b")))
       .distinct()
     // self-loops carry no connectivity but their node DID appear in
     // `edges` — honor the contract by emitting it as a singleton
     // (unless a real edge also covers the node, which would label it
-    // twice) rather than silently dropping it with the loop edge
-    val connectedNodes = canon.select(col("a").as("node"))
-      .unionByName(canon.select(col("b").as("node")))
-    val selfLoopSingletons = raw.filter(col("a") === col("b"))
-      .select(col("a").as("node")).distinct()
-      .join(connectedNodes, Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("component"))
+    // twice) rather than silently dropping it with the loop edge.
+    // Skipped under the caller's noSelfLoops guarantee: the branch is
+    // then provably empty but not statically prunable, and it rides
+    // into EVERY action consuming the result (~4 stages each).
+    def selfLoopSingletons: DataFrame = {
+      val connectedNodes = canon.select(col("a").as("node"))
+        .unionByName(canon.select(col("b").as("node")))
+      raw.filter(col("a") === col("b"))
+        .select(col("a").as("node")).distinct()
+        .join(connectedNodes, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("component"))
+    }
+    def withSingletons(labeled: DataFrame): DataFrame =
+      if (noSelfLoops) labeled else labeled.unionByName(selfLoopSingletons)
     // one aggregate job per round: count + order-independent checksum
     // (XOR of row hashes — overflow-free under ANSI, and the frames are
     // distinct so set and multiset semantics coincide). Only when the
     // signature repeats do we pay the exact exceptAll confirmation —
     // i.e. exactly once, at the true fixpoint.
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(a, b))")).head()
+    def signature(df: DataFrame, round: Int): (Long, Long) = {
+      val r = graft.util.Described(s, s"cc:sig:r$round")(
+        df.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(a, b))")).head())
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var cur = materialize(canon, 0)
-    var curSig = signature(cur)
     val longCols = Seq(srcCol, dstCol).forall(c =>
       edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (curSig._1 > 0L && curSig._1 <= localFinishEdges && longCols) {
+    // LOCAL-FINISH gate by LIMIT-COLLECT, not a pre-counting aggregate:
+    // limit(bound + 1) over the materialized round-0 blocks either
+    // returns the ENTIRE edge set (≤ bound rows — exactly what the
+    // union-find needs, one job) or proves it too big with bound + 1
+    // rows and falls through to the distributed rounds. The old shape
+    // paid a signature aggregate AND a full collect; this is one action
+    // with driver memory still bounded by the gate (r17 verdict #3).
+    val probe: Option[Array[org.apache.spark.sql.Row]] =
+      if (longCols && localFinishEdges > 0L) {
+        val bound = math.min(localFinishEdges, Int.MaxValue.toLong - 1).toInt
+        val head = graft.util.Described(s, "cc:localfinish")(
+          cur.limit(bound + 1).collect())
+        if (head.length <= bound) Some(head) else None
+      } else None
+    if (probe.exists(_.nonEmpty)) {
       // LOCAL FINISH: union-find over the (gate-bounded) collected
       // edges; labels = min node id per component, exactly the
       // distributed fixpoint's
-      val arr = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val arr = probe.get.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -154,15 +193,23 @@ object Cluster {
       val rows = arr.iterator.flatMap(e => Iterator(e._1, e._2))
         .toArray.distinct.map(n => (n, find(n))).toSeq
       import s.implicits._
-      return rows.toDF("node", "component")
-        .unionByName(selfLoopSingletons)
+      return withSingletons(rows.toDF("node", "component"))
     }
+    if (probe.exists(_.isEmpty)) {
+      // no edges at all: nothing to label beyond the self-loop
+      // singletons (empty under noSelfLoops)
+      import s.implicits._
+      return withSingletons(
+        Seq.empty[(Long, Long)].toDF("node", "component"))
+    }
+    var curSig = signature(cur, 0)
     var converged = curSig._1 == 0L
     var round = 1
     while (!converged && round <= maxRounds) {
       val next = materialize(smallStar(largeStar(cur)), round)
-      val nextSig = signature(next)
-      converged = nextSig == curSig && next.exceptAll(cur).isEmpty
+      val nextSig = signature(next, round)
+      converged = nextSig == curSig &&
+        graft.util.Described(s, "cc:confirm")(next.exceptAll(cur).isEmpty)
       cur = next
       curSig = nextSig
       round += 1
@@ -171,9 +218,10 @@ object Cluster {
       s"connectedComponents did not converge within $maxRounds rounds")
     // fixpoint edge set is a union of stars rooted at each component's
     // minimum: (root=a, child=b)
-    cur.select(col("b").as("node"), col("a").as("component"))
-      .unionByName(cur.select(col("a").as("node"), col("a").as("component")))
-      .unionByName(selfLoopSingletons)
+    withSingletons(
+      cur.select(col("b").as("node"), col("a").as("component"))
+        .unionByName(cur.select(col("a").as("node"),
+          col("a").as("component"))))
       .distinct()
   }
 
@@ -346,19 +394,34 @@ object Cluster {
     * sums (the PageRank shape exactly); hub frames checkpointed per
     * round, edges + degrees frozen once as loop invariants.
     */
+  /** @param stagingDir durable-parquet seam for the per-iteration
+    *   materializations (the connectedComponents/pagerankInt
+    *   discipline): on a real cluster with dynamic allocation,
+    *   localCheckpoint blocks die with their executors — pass a
+    *   directory to stage rounds as parquet instead. Results are
+    *   bit-identical (integer recurrence either way).
+    */
   def salsaInt(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      stagingDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "salsaInt: iters must be >= 1")
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .localCheckpoint(true)
-    val outd = e.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val ind = e.groupBy(col("v")).agg(count(lit(1)).as("indeg"))
-      .localCheckpoint(true)
+    val s = edges.sparkSession
+    def stage(df: DataFrame, name: String): DataFrame = stagingDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/salsa_$name")
+        s.read.parquet(s"$dir/salsa_$name")
+      case None => df.localCheckpoint(true)
+    }
+    val e = stage(edges.select(col(srcCol).as("u"), col(dstCol).as("v")),
+      "edges")
+    val outd = stage(e.groupBy(col("u")).agg(count(lit(1)).as("outdeg")),
+      "outd")
+    val ind = stage(e.groupBy(col("v")).agg(count(lit(1)).as("indeg")),
+      "ind")
     val nh = outd.count()
     require(nh > 0, "salsaInt: empty edge list")
     var hub = outd.select(col("u").as("hn"), col("outdeg"),
@@ -372,13 +435,13 @@ object Cluster {
         .select(col("v").as("an"), col("indeg"), col("auth"))
       // the final sweep's auth freezes BEFORE the hub half consumes it,
       // so the caller's one action replays neither half
-      if (i == iters) auth = auth.localCheckpoint(true)
+      if (i == iters) auth = stage(auth, f"auth_$i%03d")
       val hRaw = e.join(auth, col("v") === col("an"))
         .select(col("u"), expr("auth div indeg").as("c"))
         .groupBy(col("u")).agg(sum(col("c")).as("hub"))
       val next = outd.join(hRaw, Seq("u"))
         .select(col("u").as("hn"), col("outdeg"), col("hub"))
-      hub = if (i == iters) next else next.localCheckpoint(true)
+      hub = if (i == iters) next else stage(next, f"hub_$i%03d")
     }
     hub.select(col("hn").as("node"), col("hub"))
       .join(auth.select(col("an").as("node"), col("auth")),

@@ -143,8 +143,7 @@ object ClusterStore {
       (table, below)
     }
 
-  private def emptyMap(s: SparkSession): DataFrame = s.createDataFrame(
-    s.sparkContext.emptyRDD[org.apache.spark.sql.Row], mapSchema)
+  private def emptyMap(s: SparkSession): DataFrame = graft.util.Frames.emptyLocal(s, mapSchema)
 
   /** The current cluster map: (node, component), one row per node that
     * has ever appeared in a duplicate edge. Latest segment wins per
@@ -251,11 +250,16 @@ object ClusterStore {
     }
     // one tokenize+minhash pass; the frame feeds three consumers
     // (cross-batch probe, within-batch star, key registration) — same
-    // materialize-once lesson as dedupeNearIncrementalStaged
-    val keys = Dedup.bandKeys(
+    // materialize-once lesson as dedupeNearIncrementalStaged. LAZY
+    // checkpoint (r17 verdict #3, job-count fold): the first action of
+    // this ingest — connectedComponents' signature aggregate over the
+    // contracted edges — materializes these blocks as part of its own
+    // job, so the band-key frame no longer costs a dedicated eager
+    // action per epoch; every later consumer (within-batch star, key
+    // registration) reads the same truncated blocks.
+    val keys = graft.util.OperatorCaches.persisted(Dedup.bandKeys(
       Dedup.minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
-      .select(col(idCol).cast("long").as("id"), col("fp"))
-      .localCheckpoint(true)
+      .select(col(idCol).cast("long").as("id"), col("fp")))
     // cross-batch stars: batch doc -> the key's first owner
     val cross = keys
       .join(store.select(col("fp"), col("doc_id").as("owner")), Seq("fp"))
@@ -277,10 +281,14 @@ object ClusterStore {
     val mapIsEmpty = segments(s, dir).isEmpty && currentGen(s, dir).isEmpty
     val m =
       if (mapIsEmpty) emptyMap(s)
-      else (epoch match {
+      // persisted for the same reason as `keys` above: CC's first
+      // aggregate materializes the blocks inside its own job, and the
+      // four consumers (both contraction sides, old labels, relabel)
+      // read the cache instead of re-resolving the segment fold
+      else graft.util.OperatorCaches.persisted(epoch match {
         case Some(id) => loadBefore(s, dir, id)
         case None => load(s, dir)
-      }).localCheckpoint(true)
+      })
     val contracted = contractEdges(edges, m, mapIsEmpty)
     val seg = {
       val idx = epoch.getOrElse {
@@ -295,17 +303,25 @@ object ClusterStore {
     // empty edge set (one signature job) — an edge-free batch just
     // commits an empty segment through the same path
     val segRows = segRowsFor(contracted, m, mapIsEmpty)
-    segRows.write.mode("overwrite").parquet(seg)
+    graft.util.Described(s, "cs:mapseg")(
+      segRows.write.mode("overwrite").parquet(seg))
     // register store-novel keys (first-owner semantics, min id per key)
     val keyIdx = epoch.getOrElse {
       Dedup.FingerprintStore.segments(s, kd)
         .map(p => p.substring(p.lastIndexOf("seg_") + 4).toLong)
         .maxOption.map(_ + 1).getOrElse(0L)
     }
-    keys.groupBy(col("fp")).agg(min(col("id")).as("doc_id"))
-      .join(store.select(col("fp")), Seq("fp"), "left_anti")
-      .select(col("fp"), col("doc_id"))
-      .write.mode("overwrite").parquet(f"$kd/seg_$keyIdx%05d")
+    graft.util.Described(s, "cs:keyseg")(
+      keys.groupBy(col("fp")).agg(min(col("id")).as("doc_id"))
+        .join(store.select(col("fp")), Seq("fp"), "left_anti")
+        .select(col("fp"), col("doc_id"))
+        .write.mode("overwrite").parquet(f"$kd/seg_$keyIdx%05d"))
+    // both per-epoch caches are ingest-internal (the key-segment write
+    // above is their last consumer; the returned frame reads the
+    // committed parquet) — release by direct handle so a long epoch
+    // loop holds O(1) cached frames, not O(epochs)
+    graft.util.OperatorCaches.releaseFrames(s,
+      if (mapIsEmpty) Seq(keys) else Seq(keys, m))
     s.read.schema(mapSchema).parquet(seg)
   }
 
@@ -333,10 +349,15 @@ object ClusterStore {
     */
   private def segRowsFor(
       contracted: DataFrame, m: DataFrame, mapIsEmpty: Boolean): DataFrame = {
-    val comps = Cluster.connectedComponents(contracted, "a", "b")
+    // contractEdges filtered a == b, so the self-loop-singleton branch
+    // would be provably empty — skip its ~4 dead stages per action
+    val comps = Cluster.connectedComponents(contracted, "a", "b",
+      noSelfLoops = true)
     if (mapIsEmpty) comps.select(col("node"), col("component"))
     else {
-      val oldLabels = m.select(col("component")).distinct()
+      // no distinct: LEFT ANTI is insensitive to duplicate build-side
+      // keys, and the defensive aggregate cost two AQE stages per write
+      val oldLabels = m.select(col("component"))
       val fresh = comps.join(
         oldLabels.withColumnRenamed("component", "node"), Seq("node"),
         "left_anti")
@@ -397,6 +418,14 @@ object ClusterStore {
     *
     * Returns the committed map-segment rows, one per (batch, node):
     * (`batchCol`, node, component).
+    */
+  /** Materialization note (r17 verdict #5 audit): the per-batch
+    * carried-map and edge checkpoints here are localCheckpoint-only BY
+    * DESIGN — every durable artifact of the loop (map segments, key
+    * segments) already commits to the STORE directory as parquet per
+    * batch, so a lost executor costs at most the current batch's
+    * recompute from those committed segments, not the backlog; a
+    * separate stagingDir seam would duplicate the store's own files.
     */
   def ingestBackfill(
       batches: DataFrame,

@@ -185,8 +185,7 @@ object Dedup {
         case (Some(g), Some(p)) => g.unionByName(p)
         case (Some(g), None) => g
         case (None, Some(p)) => p
-        case (None, None) => s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case (None, None) => graft.util.Frames.emptyLocal(s, schema)
       }
     }
 
@@ -313,8 +312,7 @@ object Dedup {
         if (segs.isEmpty)
           prevTable
             .map(t => s.table(t).select(col("fp"), col("doc_id")))
-            .getOrElse(s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+            .getOrElse(graft.util.Frames.emptyLocal(s, schema))
         else prevTable
           .map(t => s.table(t).select(col("fp"), col("doc_id")))
           .map(_.unionByName(s.read.schema(schema).parquet(segs: _*)))
@@ -587,7 +585,10 @@ object Dedup {
     // at 100 TB stage it under storeDir instead of executor storage.
     val keys = bandKeys(
       minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
-      .localCheckpoint(true)
+      // LAZY checkpoint (r17 verdict #3): the epoch's segment write is
+      // the next action and materializes these blocks inside its own
+      // job — the dedicated eager action per epoch was pure job count
+      .localCheckpoint(false)
     val dropIds = nearDropIds(keys, store, idCol)
     val newKeys = nearNewKeys(keys, store, idCol)
     val nextIdx = existing
@@ -625,7 +626,7 @@ object Dedup {
     val storeRows = store.count() // metadata-only
     val keys = bandKeys(
       minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy — the segment write materializes
     val (dropIds, newKeys) =
       if (storeRows == 0L) (nearDropIds(keys, store, idCol),
         nearNewKeys(keys, store, idCol))
@@ -645,7 +646,8 @@ object Dedup {
           .groupBy(col("fp"))
           .agg(min(col(idCol)).cast("long").as("doc_id"),
             max(col("maybe_seen")).as("maybe_seen"))
-          .localCheckpoint(true)
+          .localCheckpoint(false) // lazy — both consumers evaluate in
+                                  // the segment-write action below
         val news = agged.filter(!col("maybe_seen")).drop("maybe_seen")
           .unionByName(agged.filter(col("maybe_seen")).drop("maybe_seen")
             .join(store.select(col("fp")), Seq("fp"), "left_anti"))
@@ -724,7 +726,9 @@ object Dedup {
     // the checkpoint just pins the same deterministic computation
     val keys = bandKeys(
       minhashSignatures(batch, textCol, idCol, k, ngram), idCol, bands)
-      .localCheckpoint(true)
+      // lazy — the segment write (or, on a committed replay, the
+      // caller's survivors action) materializes the blocks
+      .localCheckpoint(false)
     val store = FingerprintStore.loadBefore(s, storeDir, batchId)
     val alreadyCommitted =
       FingerprintStore.segments(s, storeDir).exists(_.endsWith(segName))
@@ -1364,7 +1368,7 @@ object Dedup {
     def load(s: SparkSession, dir: String): DataFrame = {
       val segs = segments(s, dir)
       if (segs.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        graft.util.Frames.emptyLocal(s, schema)
       else s.read.schema(schema).parquet(segs: _*)
     }
 
@@ -2018,11 +2022,19 @@ object Dedup {
     // column is the bucketed/sorted key after a compaction, so keeping
     // the join key = fp lets the history side read exchange-free; only
     // the (batch-sized) occurrence side converts and shuffles.
-    val seen = store.select(col("fp")).distinct()
-      .withColumn("__seen", lit(true))
-    val dup = occ.withColumn("fp", col("g").cast("string"))
-      .join(seen, Seq("fp"), "left")
-      .filter(col("g").isNotNull && (col("cnt") >= 2 || col("__seen")))
+    // Probe shape (r17 verdict #3, job-count fold): self-duplicated
+    // positions (cnt >= 2) need no store at all, and the rest probe via
+    // LEFT SEMI — which tolerates duplicate build-side keys without a
+    // defensive distinct(), so the store side is a bare segment scan
+    // (two fewer AQE stage materializations per action that evaluates
+    // this frame than the old distinct + left-join + flag-filter).
+    val seen = store.select(col("fp"))
+    val dup = occ.filter(col("g").isNotNull && col("cnt") >= 2)
+      .unionByName(
+        occ.filter(col("g").isNotNull && col("cnt") < 2)
+          .withColumn("fp", col("g").cast("string"))
+          .join(seen, Seq("fp"), "left_semi")
+          .drop("fp"))
     // append the batch's distinct NEW grams (min owner id = deterministic
     // doc_id for the pinned store schema) as the next segment; grams the
     // store already holds are anti-joined away — re-appending them would
@@ -2032,12 +2044,13 @@ object Dedup {
     val nextIdx = existing
       .map(p => p.substring(p.lastIndexOf("seg_") + 4).toInt)
       .maxOption.map(_ + 1).getOrElse(0)
-    occ.filter(col("g").isNotNull)
-      .groupBy(col("g"))
-      .agg(min(col(idCol).cast("long")).as("doc_id"))
-      .select(col("g").cast("string").as("fp"), col("doc_id"))
-      .join(seen.select(col("fp")), Seq("fp"), "left_anti")
-      .write.mode("overwrite").parquet(f"$storeDir/seg_$nextIdx%05d")
+    graft.util.Described(s, "span:seg")(
+      occ.filter(col("g").isNotNull)
+        .groupBy(col("g"))
+        .agg(min(col(idCol).cast("long")).as("doc_id"))
+        .select(col("g").cast("string").as("fp"), col("doc_id"))
+        .join(seen, Seq("fp"), "left_anti")
+        .write.mode("overwrite").parquet(f"$storeDir/seg_$nextIdx%05d"))
     (base, occ, dup)
   }
 

@@ -198,7 +198,7 @@ object Retrieval {
   def loadTombstones(s: SparkSession, dir: String): DataFrame = {
     val segs = segments(s, dir, "del_")
     if (segs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.util.Frames.emptyLocal(s,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType))))
@@ -238,8 +238,7 @@ object Retrieval {
   def loadPostings(s: SparkSession, dir: String): DataFrame = {
     val segs = postingsSegments(s, dir)
     if (segs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        postingsSchema)
+      graft.util.Frames.emptyLocal(s, postingsSchema)
     else s.read.schema(postingsSchema).parquet(segs: _*)
   }
 

@@ -289,8 +289,7 @@ object Similarity {
           .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
           .map(_.getPath.toString)
       if (segs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.util.Frames.emptyLocal(spark,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("neighbor_id",
               org.apache.spark.sql.types.LongType))))

@@ -250,7 +250,7 @@ object FrontierStream {
         .filter { case (id, _) => id >= foldedBelow && id < beforeId }
         .map(_._2)
     if (segs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.util.Frames.emptyLocal(s,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(domainCol,
             org.apache.spark.sql.types.StringType),

@@ -243,8 +243,7 @@ class ParquetUpsertTable(
     if (latestVersion.exists(_ >= version)) return
     val baseToken = latestVersion
     val base = snapshotFull().getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        updates.schema))
+      graft.util.Frames.emptyLocal(spark, updates.schema))
     claims.acquire(version, baseToken, () => latestVersion)
     try
       commitVersion(Merge.applyChanges(base, updates, deletes, keyCols,
@@ -621,9 +620,7 @@ class PartitionedUpsertTable(
         if (!latestIn(partDir).exists(_ >= version)) {
           val partEq = col(partCol).cast("string") === lit(pv)
           val base = partitionFull(partDir).getOrElse(
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              updates.schema))
+            graft.util.Frames.emptyLocal(spark, updates.schema))
           val merged = Merge.applyChanges(base, ups.filter(partEq),
             dels.filter(partEq), keyCols, versionCol, keepTombstones = true,
             allowSchemaEvolution = allowSchemaEvolution)

@@ -27,8 +27,25 @@ object JobProfile {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        // execution id groups jobs by SQL action; callsite names the
+        // driver-side call that launched it — together they answer
+        // "which action costs how many jobs"
+        val p = Option(js.properties)
+        def prop(k: String) = p.map(_.getProperty(k, "")).getOrElse("")
+        val desc = Seq(
+          "ex" + prop("spark.sql.execution.id"),
+          prop("callSite.short"),
+          prop("spark.job.description")).filter(_.nonEmpty).mkString("  ") +
+          (if (sys.env.contains("GRAFT_PROFILE_PROPS"))
+            "  props=" + p.map(_.stringPropertyNames().toString).getOrElse("")
+          else "") +
+          // stage callsites name the physical operators each job
+          // materializes (exchange at …, parquet at …) — the view that
+          // explains WHY an AQE execution costs N jobs
+          (if (sys.env.contains("GRAFT_PROFILE_STAGES"))
+            "  stages=" + js.stageInfos.map(_.name.takeWhile(_ != ' '))
+              .mkString("[", ",", "]")
+          else "")
         starts.put(js.jobId, (js.time, desc))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -155,6 +155,23 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("salsaInt: stagingDir seam bit-identical to localCheckpoint") {
+    import spark.implicits._
+    val us = Seq(0, 1, 2, 3, 4, 5, 6, 0, 1, 4, 5, 5).map(_.toLong)
+    val vs = Seq(1, 2, 3, 4, 5, 6, 0, 3, 3, 3, 0, 2).map(_.toLong)
+    val edges = us.zip(vs).toDF("u", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_salsa_stage").toString
+    try {
+      def rows(st: Option[String]) = graft.operators.Cluster
+        .salsaInt(edges, "u", "v", iters = 3, stagingDir = st)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(rows(Some(dir)) == rows(None))
+      assert(new java.io.File(dir).list().exists(_.startsWith("salsa_")))
+    } finally graft.io.Sinks.truncatePath(spark, dir)
+  }
+
   test("salsaInt: the planted hub and authority dominate their sides") {
     import spark.implicits._
     val us = Seq(0, 1, 2, 3, 4, 5, 6, 0, 1, 4, 5, 5).map(_.toLong)
