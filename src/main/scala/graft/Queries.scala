@@ -4185,12 +4185,15 @@ object Queries {
         s, dedupDir, budgetDir, outDir,
         budget = 300L, compactEvery = 1)
       deliver(0 until 4)
-      val q1 = cs.start(s"$root/wet", s"$root/ckpt", maxFilesPerTrigger = 1)
+      // two files per trigger: the restart protocol needs multiple
+      // batches per phase, not one batch per file — and the oracle is
+      // batching-invariant by the range-partition contract above
+      val q1 = cs.start(s"$root/wet", s"$root/ckpt", maxFilesPerTrigger = 2)
       q1.processAllAvailable(); q1.stop()
       deliver(4 until 6)
       // restart THROUGH the checkpoint: resumes at the next batch id,
       // ingesting only the two new files
-      val q2 = cs.start(s"$root/wet", s"$root/ckpt", maxFilesPerTrigger = 1)
+      val q2 = cs.start(s"$root/wet", s"$root/ckpt", maxFilesPerTrigger = 2)
       q2.processAllAvailable(); q2.stop()
       cs.decisions()
         .select(col("doc_id"), col("source"), col("n_tokens"),
