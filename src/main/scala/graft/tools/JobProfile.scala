@@ -71,11 +71,21 @@ object JobProfile {
       lines.forEach(l => println(l))
     }
     lines.clear()
-    val t1 = System.nanoTime()
-    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val hot = (System.nanoTime() - t1) / 1e9
+    // GRAFT_PROFILE_REPS=N (default 1): repeat the hot measurement and
+    // report every reading + the min — single hot readings on this box
+    // swing 2x run-to-run (r18: 17.1 vs 29.2 s on identical code), so
+    // per-change A/B adjudication needs the distribution, not a sample
+    val reps = sys.env.get("GRAFT_PROFILE_REPS").map(_.toInt).getOrElse(1)
+    val hots = (1 to reps).map { _ =>
+      lines.clear()
+      val t1 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t1) / 1e9
+    }
     spark.stop()
     lines.forEach(l => println(l))
-    println(f"$name: cold $warm%.2fs, hot $hot%.2fs, jobs ${lines.size}")
+    val hotsStr = hots.map(h => f"$h%.2f").mkString("[", ", ", "]")
+    println(f"$name: cold $warm%.2fs, hot $hotsStr (min ${hots.min}%.2fs), " +
+      f"jobs ${lines.size}")
   }
 }
