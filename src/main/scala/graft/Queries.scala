@@ -2516,16 +2516,18 @@ object Queries {
         .select(col("doc_id"), col("source"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
       val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      // admitStaged returns an EAGER frame since the r18 one-execution
+      // fold (it materializes the decision frame to derive the meter),
+      // so no per-run localCheckpoint is needed here anymore
       def run(pred: Column, id: Long) = graft.streaming.BudgetStream
         .admitStaged(docs.filter(pred), stateDir, "text", "doc_id", "source",
           budget = 800L, batchId = id)
-      val r0 = run(col("doc_id") <= t1, 0L).localCheckpoint(true)
-      run(col("doc_id") > t1 && col("doc_id") <= t2, 1L).localCheckpoint(true)
+      val r0 = run(col("doc_id") <= t1, 0L)
+      run(col("doc_id") > t1 && col("doc_id") <= t2, 1L)
       val r1 = run(col("doc_id") > t1 && col("doc_id") <= t2, 1L)
-        .localCheckpoint(true)
       graft.streaming.BudgetStream.compact(s, stateDir,
         keepNewestSegments = 1)
-      val r2 = run(col("doc_id") > t2, 2L).localCheckpoint(true)
+      val r2 = run(col("doc_id") > t2, 2L)
       r0.unionByName(r1).unionByName(r2).orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally graft.io.Sinks.truncatePath(s, stateDir)

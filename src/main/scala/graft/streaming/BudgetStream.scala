@@ -73,6 +73,42 @@ object BudgetStream {
       srcCol: String,
       budget: Long,
       batchId: Long): DataFrame = {
+    val decided = admissionFrame(
+      batch, stateDir, textCol, idCol, srcCol, budget, batchId)
+    // ONE execution of the batch chain per epoch: the decision frame's
+    // lineage carries the batch's whole tokenization (and, under
+    // CurationStream, the dedup semi-join + extract cache reads), and
+    // TWO actions used to consume it — the meter write here and the
+    // caller's decisions action — running that chain twice per batch.
+    // Materialize the MICRO-BATCH-sized decision frame once and derive
+    // the meter from it (per-source Σ n_tokens over decided rows ≡ the
+    // old per-source Σ over arrivals — decided is one row per arrival).
+    // localCheckpoint, not OperatorCaches.persisted: the r18 A/B
+    // measured the cache-registry route at +3 jobs / +1 s on q102
+    // (block-manager fill + registry churn), while the checkpoint is
+    // the frame's only materialization and the caller's action reads
+    // its blocks directly.
+    val dec = decided.localCheckpoint(eager = true)
+    // meter update: every arrived token counts, admitted or not
+    dec.groupBy(col(srcCol)).agg(sum(col("n_tokens")).as("__spent"))
+      .write.mode("overwrite").parquet(segPath(stateDir, batchId))
+    dec
+  }
+
+  /** The LAZY admission plan [[admitStaged]] materializes: one
+    * broadcast join of the |sources|-sized meter onto the arrivals plus
+    * one source-keyed window — no batch-side exchange for state (plan
+    * pinned by BudgetStreamSpec). Exposed so the plan stays assertable
+    * past admitStaged's eager checkpoint.
+    */
+  private[graft] def admissionFrame(
+      batch: DataFrame,
+      stateDir: String,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      budget: Long,
+      batchId: Long): DataFrame = {
     val s = batch.sparkSession
     val nTok = size(filter(TextFunctions.tokens(col(textCol)),
       t => t =!= "")).cast("long")
@@ -81,17 +117,13 @@ object BudgetStream {
     val prior = loadSpent(s, stateDir, batchId, srcCol)
     val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val decided = arr
+    arr
       .join(broadcast(prior), Seq(srcCol), "left")
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
           coalesce(col("__spent"), lit(0L)))
       .select(col(idCol), col(srcCol), col("n_tokens"),
         col("cum_before"), (col("cum_before") < budget).as("admitted"))
-    // meter update: every arrived token counts, admitted or not
-    arr.groupBy(col(srcCol)).agg(sum(col("n_tokens")).as("__spent"))
-      .write.mode("overwrite").parquet(segPath(stateDir, batchId))
-    decided
   }
 
   /** foreachBatch adapter: decisions land in `outDir/batch=<id>/`,

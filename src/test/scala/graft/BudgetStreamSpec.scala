@@ -200,8 +200,10 @@ class BudgetStreamSpec extends SparkSpec {
     val b0 = Seq((1L, "a", "w w")).toDF("doc_id", "source", "text")
     BudgetStream.admitStaged(b0, dir, "text", "doc_id", "source", 6L, 0L)
       .collect()
+    // assert on the lazy admission plan (admitStaged itself returns the
+    // eagerly checkpointed frame, whose executed plan is an RDD scan)
     val plan = BudgetStream
-      .admitStaged(b0, dir, "text", "doc_id", "source", 6L, 1L)
+      .admissionFrame(b0, dir, "text", "doc_id", "source", 6L, 1L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }

@@ -77,8 +77,14 @@ class CurationStreamSpec extends SparkSpec {
       import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-      val outPlan = cs.processBatch(Wet.read(spark, s"$dir/000.wet"), 0L)
-        .queryExecution.executedPlan
+      // processBatch returns the eagerly checkpointed decision frame
+      // (r18's one-execution admitStaged fold), whose plan is an RDD
+      // scan — walk the batch's REGISTERED cached frames instead: the
+      // routed frame's plan layers carry the routing filter this test
+      // pins (collected handles = exactly this batch's registrations)
+      val (_, frames) = graft.util.OperatorCaches.collecting {
+        cs.processBatch(Wet.read(spark, s"$dir/000.wet"), 0L)
+      }
       // walk nested cache layers too (the heavy filter lives INSIDE the
       // routed frame's cached child plan, invisible to a flat collect),
       // unwrapping AQE roots — collect does not descend into them
@@ -91,7 +97,9 @@ class CurationStreamSpec extends SparkSpec {
         p +: p.collect { case s: InMemoryTableScanExec => s }
           .flatMap(s => layers(s.relation.cachedPlan))
       }
-      val heavy = layers(outPlan).flatMap(_.collect {
+      val heavy = frames
+        .flatMap(f => layers(f.queryExecution.executedPlan))
+        .flatMap(_.collect {
         case f: FilterExec
           if f.condition.collectFirst { case z: ZipWith => z }.isDefined => f
       })
