@@ -5102,14 +5102,17 @@ object Queries {
       lit("</body></html>"))
     val pageUrl = concat(lit("https://www.site"), k.cast("string"),
       lit(".net/doc/"), col("doc_id").cast("string"))
-    val pages = docs.select(col("doc_id"), pageUrl.as("page_url"),
+    // the page's own domain is computed on the PAGE row and CARRIED
+    // through the link explode (extractLinks `carry`) — attaching it
+    // afterwards was a corpus-sized self-join back on doc_id: two
+    // exchanges + an SMJ of the exploded link set just to fetch one
+    // string the source row already had (r18 fold; identical edges)
+    val pages = docs.select(col("doc_id"),
+      nullif(graft.operators.PublicSuffix.registeredDomain(pageUrl),
+        lit("")).as("u"),
       markup.as("markup"))
-    val links = graft.operators.Html.extractLinks(pages, "markup", "doc_id")
-    links
-      .join(pages.select(col("doc_id"),
-        nullif(graft.operators.PublicSuffix
-          .registeredDomain(col("page_url")), lit("")).as("u")),
-        Seq("doc_id"))
+    graft.operators.Html
+      .extractLinks(pages, "markup", "doc_id", carry = Seq("u"))
       .select(col("u"),
         nullif(graft.operators.PublicSuffix.registeredDomain(col("href")),
           lit("")).as("v"))

@@ -101,18 +101,26 @@ object Html {
     * the corpus's LINK count; no shuffle. Feed the hrefs to
     * [[Urls.canonicalize]]/[[Urls.registeredDomain]] for graph keys,
     * then to [[Cluster]]/PageRank for the graph algorithms.
+    *
+    * @param carry extra source-row columns to keep on every emitted
+    *   link row (e.g. the page's own domain) — carrying them through
+    *   the explode is map-only, where attaching them afterwards costs
+    *   a corpus-sized join back on `idCol` (two exchanges of the
+    *   exploded link set; the r18 q154/q158 fold removed exactly that).
     */
   def extractLinks(
       docs: DataFrame,
       markupCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val cleaned = regexp_replace(
       coalesce(col(markupCol), lit("")), CommentPattern, " ")
     docs
-      .select(col(idCol),
+      .select(col(idCol) +: carry.map(col) :+
         posexplode(regexp_extract_all(cleaned, lit(AnchorPattern), lit(0)))
-          .as(Seq("link_pos", "__a")))
-      .select(col(idCol), col("link_pos").cast("long").as("link_pos"),
+          .as(Seq("link_pos", "__a")): _*)
+      .select((col(idCol) +: carry.map(col)) ++ Seq(
+        col("link_pos").cast("long").as("link_pos"),
         {
           val attrs = regexp_extract(col("__a"), AnchorPattern, 1)
           val dq = regexp_extract(attrs, HrefDqPattern, 1)
@@ -120,7 +128,7 @@ object Html {
           when(dq =!= "", dq).otherwise(sq).as("href")
         },
         visibleText(regexp_extract(col("__a"), AnchorPattern, 2))
-          .as("anchor"))
+          .as("anchor")): _*)
       .filter(col("href") =!= "")
   }
 
