@@ -3632,7 +3632,7 @@ object Queries {
       graft.io.Wet
         .toResponseRecords(rendered, "uri", "status", "reason", "ctype",
           "location", "body")
-        .coalesce(1).write.mode("overwrite")
+        .write.mode("overwrite")
         .option("lineSep", graft.io.Wet.RecordSeparator)
         .text(s"$path/warc")
       val resp = graft.util.OperatorCaches.persisted(
@@ -4477,7 +4477,7 @@ object Queries {
     graft.io.Wet
       .toResponseRecords(rendered, "uri", "status", "reason", "ctype",
         "location", "body")
-      .coalesce(1).write.mode("overwrite")
+      .write.mode("overwrite")
       .option("lineSep", graft.io.Wet.RecordSeparator)
       .text(s"$path/warc")
     graft.io.Wet.readResponses(s, s"$path/warc")
@@ -5217,7 +5217,12 @@ object Queries {
       java.nio.file.Files.createTempDirectory("graft_chain").toString
     val mk = graft.util.OperatorCaches.mark()
     try {
-      graft.io.Wet.toRecords(rendered, "wet_text", "uri").coalesce(1)
+      // multi-file WET write (NO coalesce(1)) — the q190 r17 lesson:
+      // collapsing pulls the whole markup-build join into one task (a
+      // measured sf1 scale-killer); the reader is directory-based and
+      // every downstream stage is doc_id-keyed, so file count is
+      // invisible to the oracle
+      graft.io.Wet.toRecords(rendered, "wet_text", "uri")
         .write.mode("overwrite")
         .option("lineSep", graft.io.Wet.RecordSeparator).text(s"$path/wet")
       val read = graft.io.Wet.read(s, s"$path/wet")
@@ -5460,7 +5465,7 @@ object Queries {
         .as("uri"))
     val path = java.nio.file.Files.createTempDirectory("graft_wet").toString
     try {
-      graft.io.Wet.toRecords(docs, "text", "uri").coalesce(1)
+      graft.io.Wet.toRecords(docs, "text", "uri")
         .write.mode("overwrite")
         .option("lineSep", graft.io.Wet.RecordSeparator).text(s"$path/wet")
       graft.io.Wet.read(s, s"$path/wet")
