@@ -139,13 +139,18 @@ object Html {
     * order varies in the wild, so both `name=…content=…` and
     * `content=…name=…` orderings parse; matching is case-insensitive
     * on tag, attributes, and directive tokens. Output: (`idCol`,
-    * robots_content [NULL when no robots meta], noindex, nofollow).
-    * Map-only — two regex probes per document, zero shuffle.
+    * [carry...], robots_content [NULL when no robots meta], noindex,
+    * nofollow). Map-only — two regex probes per document, zero shuffle.
+    *
+    * @param carry extra source-row columns to keep on the output (the
+    *   extractLinks discipline: carrying through a map-only projection
+    *   is free, joining them back afterwards costs an exchange pair).
     */
   def metaRobots(
       docs: DataFrame,
       markupCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val m = regexp_replace(
       coalesce(col(markupCol), lit("")), CommentPattern, " ")
     val nameFirst = regexp_extract(m,
@@ -157,10 +162,11 @@ object Html {
     val content = nullif(
       when(nameFirst =!= "", nameFirst).otherwise(contentFirst), lit(""))
     val toks = transform(split(lower(content), ","), t => trim(t))
-    docs.select(col(idCol),
+    docs.select((col(idCol) +: carry.map(col)) ++ Seq(
       content.as("robots_content"),
       coalesce(array_contains(toks, "noindex"), lit(false)).as("noindex"),
-      coalesce(array_contains(toks, "nofollow"), lit(false)).as("nofollow"))
+      coalesce(array_contains(toks, "nofollow"), lit(false))
+        .as("nofollow")): _*)
   }
 
   /** `<link rel="canonical" href="...">` — the publisher-declared
@@ -307,11 +313,15 @@ object Html {
     * its visible text has at least `minTextChars` characters AND its
     * link density (anchor chars · 100 / text chars) is at most
     * `maxLinkDensityPct` — the jusText short/link-heavy boilerplate
-    * rule. Output: (`idCol`, n_blocks [blocks with any visible text],
-    * n_kept, main_text [kept blocks in document order, joined with
-    * `blockSep`]). Pass `blockSep = "\n"` to keep block boundaries as
-    * lines — the shape [[Boilerplate.removeFrequentLines]] consumes
-    * (each kept block becomes one candidate boilerplate line).
+    * rule. Output: (`idCol`, [carry...], n_blocks [blocks with any
+    * visible text], n_kept, main_text [kept blocks in document order,
+    * joined with `blockSep`]). Pass `blockSep = "\n"` to keep block
+    * boundaries as lines — the shape
+    * [[Boilerplate.removeFrequentLines]] consumes (each kept block
+    * becomes one candidate boilerplate line).
+    *
+    * @param carry extra source-row columns kept on the output (see
+    *   [[extractLinks]] — map-only carry beats a join back).
     */
   def extractMain(
       docs: DataFrame,
@@ -319,7 +329,8 @@ object Html {
       idCol: String,
       minTextChars: Int = 25,
       maxLinkDensityPct: Int = 33,
-      blockSep: String = " "): DataFrame = {
+      blockSep: String = " ",
+      carry: Seq[String] = Nil): DataFrame = {
     require(minTextChars >= 1, "extractMain: minTextChars must be >= 1")
     require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
       "extractMain: maxLinkDensityPct must be in [0, 100]")
@@ -335,9 +346,10 @@ object Html {
     val kept = zip_with(btexts, ltexts, (t, l) =>
       when(length(t) >= minTextChars &&
         length(l) * 100 <= length(t) * maxLinkDensityPct, t))
-    docs.select(col(idCol),
+    docs.select((col(idCol) +: carry.map(col)) ++ Seq(
       size(filter(btexts, t => length(t) > 0)).cast("long").as("n_blocks"),
       size(filter(kept, t => t.isNotNull)).cast("long").as("n_kept"),
-      array_join(filter(kept, t => t.isNotNull), blockSep).as("main_text"))
+      array_join(filter(kept, t => t.isNotNull), blockSep)
+        .as("main_text")): _*)
   }
 }

@@ -56,18 +56,23 @@ object LangId {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Score every document: (`idCol`, n_grams, lang_pred, z_best,
-    * margin) — `z_best` the winning exact-integer logit, `margin` its
-    * lead over the runner-up (0 on a tie; the serving-side confidence
-    * signal a router thresholds on). Map-only: one
+  /** Score every document: (`idCol`, [carry...], n_grams, lang_pred,
+    * z_best, margin) — `z_best` the winning exact-integer logit,
+    * `margin` its lead over the runner-up (0 on a tie; the serving-side
+    * confidence signal a router thresholds on). Map-only: one
     * [[org.apache.spark.sql.graft.CharNgramBucketCounts]] histogram per
     * document, then literal-table dot products for the logits.
+    *
+    * @param carry extra source-row columns kept on the output — the
+    *   map-only-carry discipline (joining scores back onto the source
+    *   frame costs an exchange pair the projection never needed).
     */
   def scoreDocs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
     require(n >= 1, "scoreDocs: n must be >= 1")
     import org.apache.spark.sql.graft.{CharNgramBucketCounts, ColumnBridge}
     val m = TextFunctions.normalized(coalesce(col(textCol), lit("")))
@@ -89,15 +94,17 @@ object LangId {
       case (acc, (l, k)) =>
         acc.when(element_at(col("__z"), k + 1) === best, l)
     }
+    val keep = carry.map(col)
     docs
-      .select(col(idCol), cnts.as("__c"))
-      .select(col(idCol),
+      .select(col(idCol) +: keep :+ cnts.as("__c"): _*)
+      .select((col(idCol) +: keep) ++ Seq(
         aggregate(col("__c"), lit(0L), (a, c) => a + c).as("n_grams"),
-        zArr.as("__z"))
-      .select(col(idCol), col("n_grams"),
+        zArr.as("__z")): _*)
+      .select((col(idCol) +: keep) ++ Seq(
+        col("n_grams"),
         when(col("n_grams") > 0, pred).otherwise("unknown").as("lang_pred"),
         when(col("n_grams") > 0, best).as("z_best"),
-        when(col("n_grams") > 0, margin).as("margin"))
+        when(col("n_grams") > 0, margin).as("margin")): _*)
   }
 
   /** The declarative explode→aggregate form — cross-check reference for

@@ -71,14 +71,23 @@ class CurationStream(
             lit("unknown")).as("source"),
           col("payload"))
         .filter(col("doc_id").isNotNull)))
+    // ZERO-JOIN routing (r18): extract, meta-robots, and langid are all
+    // map-only projections, so the routing columns COMPOSE by carry
+    // instead of three doc_id self-joins back onto the same rows (each
+    // join cost an exchange pair + an AQE stage per batch for 1:1
+    // row-aligned frames). metaRobots carries source+payload forward,
+    // extractMain carries source+noindex, scoreDocs carries the main
+    // columns — one linear projection chain over the docs cache.
     // persisted: the extract chain is the batch's dominant per-row cost
-    // and TWO subtrees of the routed join consume it — the main-column
-    // side and langid's gram build (Catalyst inlines the expression
-    // tree into both, doubling the regex work without the barrier).
+    // and TWO consumers read it — the routed filter's main columns and
+    // langid's gram build (Catalyst inlines the expression tree into
+    // both, doubling the regex work without the barrier).
     val main = graft.util.OperatorCaches.persisted(
-      Html.extractMain(docs, "payload", "doc_id", blockSep = "\n"))
-    val robots = Html.metaRobots(docs, "payload", "doc_id")
-      .select(col("doc_id"), col("noindex"))
+      Html.extractMain(
+        Html.metaRobots(docs, "payload", "doc_id",
+          carry = Seq("source", "payload")),
+        "payload", "doc_id", blockSep = "\n",
+        carry = Seq("source", "noindex")))
     // persisted: the batch's THREE terminal actions (the dedup segment
     // write, the budget meter write, the decisions write) all consume
     // the routed frame — unpersisted, each re-runs the WET scan +
@@ -87,13 +96,11 @@ class CurationStream(
     // CACHE CONTRACT: registered with OperatorCaches — [[sink]] releases
     // after the decisions write; direct processBatch callers own release.
     val routed = graft.util.OperatorCaches.persisted(
-      docs.select(col("doc_id"), col("source"))
-        .join(main, Seq("doc_id"))
-        .join(robots, Seq("doc_id"))
-        .join(LangId.scoreDocs(main, "main_text", "doc_id")
-          .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      LangId.scoreDocs(main, "main_text", "doc_id",
+          carry = Seq("source", "noindex", "n_kept", "main_text"))
         .filter(!col("noindex") && col("n_kept") > 0 &&
-          col("lang_pred").isin(keepLangs: _*)))
+          col("lang_pred").isin(keepLangs: _*))
+        .select(col("doc_id"), col("source"), col("main_text")))
     val fresh = Dedup.dedupeStreamStaged(
       routed, dedupStoreDir, "main_text", "doc_id", id)
     BudgetStream.admitStaged(

@@ -73,10 +73,11 @@ class CurationStreamSpec extends SparkSpec {
       keepLangs = graft.operators.LangId.Langs)
     val mk = graft.util.OperatorCaches.mark()
     try {
-      import org.apache.spark.sql.catalyst.expressions.ZipWith
+      import org.apache.spark.sql.catalyst.expressions.{Expression, ZipWith}
       import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.graft.CharNgramBucketCounts
       // processBatch returns the eagerly checkpointed decision frame
       // (r18's one-execution admitStaged fold), whose plan is an RDD
       // scan — walk the batch's REGISTERED cached frames instead: the
@@ -97,12 +98,19 @@ class CurationStreamSpec extends SparkSpec {
         p +: p.collect { case s: InMemoryTableScanExec => s }
           .flatMap(s => layers(s.relation.cachedPlan))
       }
+      // the routing filter's heavy inlined kernel: the zero-join r18
+      // shape inlines langid's CharNgramBucketCounts histogram into the
+      // filter (n_kept/noindex are materialized cache columns now);
+      // ZipWith still matches the pre-r18 shape should it return
+      def isHeavy(e: Expression): Boolean = e.collectFirst {
+        case z: ZipWith => z
+        case c: CharNgramBucketCounts => c
+      }.isDefined
       val heavy = frames
         .flatMap(f => layers(f.queryExecution.executedPlan))
         .flatMap(_.collect {
-        case f: FilterExec
-          if f.condition.collectFirst { case z: ZipWith => z }.isDefined => f
-      })
+          case f: FilterExec if isHeavy(f.condition) => f
+        })
       assert(heavy.nonEmpty, "expected the extract-bearing routing filter")
       heavy.foreach { f =>
         assert(f.child.toString.contains("InMemoryTableScan") ||
