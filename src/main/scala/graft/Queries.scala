@@ -5229,11 +5229,15 @@ object Queries {
         .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1)
           .cast("long").as("doc_id"),
           col("target_uri"), col("payload"), col("length_ok"))
+      // map-only carry composition (the r18 CurationStream discipline):
+      // extraction and langid results used to be attached with doc_id
+      // self-joins onto row-aligned frames — an exchange pair each for
+      // columns the source row already had
       val main = graft.operators.Html.extractMain(
-        read, "payload", "doc_id", blockSep = "\n")
+        read, "payload", "doc_id", blockSep = "\n",
+        carry = Seq("target_uri", "length_ok"))
       val block = Seq("badsite.net").toDF("__bd")
-      val chain1 = read
-        .join(main, Seq("doc_id"))
+      val chain1 = main
         .withColumn("domain", nullif(graft.operators.PublicSuffix
           .registeredDomain(col("target_uri")), lit("")))
         .join(broadcast(block.withColumn("__blocked", lit(true))),
@@ -5241,15 +5245,13 @@ object Queries {
         .withColumn("s0", col("length_ok"))
         .withColumn("s1", col("s0") && col("n_kept") > 0)
         .withColumn("s2", col("s1") && col("__blocked").isNull)
-      val lang = graft.operators.LangId.scoreDocs(
-        chain1.select(col("doc_id"), col("main_text")),
-        "main_text", "doc_id")
-        .select(col("doc_id"), col("lang_pred"))
       // persisted: the routed frame feeds BOTH the boilerplate corpus
       // and the funnel's per-doc flags — unpersisted, each consumer
       // re-runs the WET scan + extraction + langid regex chain
       val chain2 = graft.util.OperatorCaches.persisted(
-        chain1.join(lang, Seq("doc_id"))
+        graft.operators.LangId.scoreDocs(
+            chain1, "main_text", "doc_id",
+            carry = Seq("s0", "s1", "s2", "main_text"))
           .withColumn("s3",
             col("s2") && col("lang_pred").isin("en", "it")))
       // corpus-level boilerplate df counts over the ROUTED survivors
