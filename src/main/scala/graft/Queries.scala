@@ -3738,10 +3738,19 @@ object Queries {
           .select(col("query_id"), col("neighbor_id")))
       def recallRow(path: String, served: DataFrame, truth: DataFrame,
           barPpm: Long): DataFrame = {
-        val hits =
-          served.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        served.agg(count(lit(1)).as("n_returned"))
-          .crossJoin(broadcast(hits.agg(count(lit(1)).as("__h"))))
+        // ONE pass over the served path for BOTH counts (r18): the old
+        // shape consumed `served` twice — once for n_returned, once
+        // through a semi-join for hits — re-running the whole serving
+        // plan (cell probes / ADC scan) per consumer. truth is unique
+        // on (query_id, neighbor_id) by construction (top-k per query),
+        // so a left join + count(__hit) ≡ the semi-join count while
+        // preserving the served row count.
+        val counted = served
+          .join(truth.withColumn("__hit", lit(true)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_returned"),
+            count(col("__hit")).as("__h"))
+        counted
           .crossJoin(broadcast(truth.agg(count(lit(1)).as("__t"))))
           .crossJoin(broadcast(
             queries.agg(count(lit(1)).as("n_queries"))))
