@@ -7,7 +7,7 @@
 # scala-library ships in /opt/spark/jars, so the classpath is just
 # classes + the Spark jar dir.
 set -euo pipefail
-CLASSES=/root/repo/target/scala-2.13/classes
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
