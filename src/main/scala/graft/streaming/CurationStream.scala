@@ -46,42 +46,44 @@ class CurationStream(
     * — dropped before extraction results are consumed.
     */
   def processBatch(records: DataFrame, id: Long): DataFrame = {
-    // spread + persist: a micro-batch arriving as ONE file
-    // (maxFilesPerTrigger=1, or a gate's single coalesced WET file) is
-    // one scan partition, and Catalyst pushes the routing filter —
-    // whose `n_kept > 0` conjunct inlines the WHOLE extract zip_with
-    // chain — through the round-robin exchange down into that
-    // single-partition scan stage (observed: one 80 s task on 32 idle
-    // cores). The spread alone does NOT fix it (predicates pass through
-    // Repartition); the persist does — an InMemoryRelation is a
-    // pushdown barrier, so the cache fill runs only the cheap WET
-    // framing projections and every heavy extract/langid/filter
-    // evaluation reads the 32-partition cache. Map-only no-op on a
-    // well-partitioned real stream — the q48 discipline.
-    // CACHE CONTRACT: registered with OperatorCaches — [[sink]]
-    // releases after the decisions write; direct callers own release.
-    val docs = graft.util.OperatorCaches.persisted(
-      graft.operators.Similarity.spread(records
-        .filter(col("length_ok"))
-        .select(
-          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
-            .cast("long").as("doc_id"),
-          coalesce(nullif(
-            PublicSuffix.registeredDomain(col("target_uri")), lit("")),
-            lit("unknown")).as("source"),
-          col("payload"))
-        .filter(col("doc_id").isNotNull)))
+    // spread: a micro-batch arriving as ONE file (maxFilesPerTrigger=1,
+    // or a gate's single coalesced WET file) is one scan partition —
+    // the round-robin exchange fans the heavy extract work out to the
+    // cache-fill parallelism. The PUSHDOWN BARRIER against the r17
+    // regression (Catalyst pushes the routing filter — whose
+    // `n_kept > 0` conjunct inlines the WHOLE extract zip_with chain —
+    // through Repartition down into that single-partition scan stage;
+    // observed: one 80 s task on 32 idle cores) is the MAIN persist
+    // below: since the r18 zero-join routing, `docs` has exactly one
+    // consumer (main's fill chain), so a separate docs cache bought no
+    // reuse and cost a payload-sized block-manager fill per batch —
+    // only the cheap WET framing projections and the doc_id/length_ok
+    // filters run below the spread, inside the scan task.
+    val docs = graft.operators.Similarity.spread(records
+      .filter(col("length_ok"))
+      .select(
+        regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        coalesce(nullif(
+          PublicSuffix.registeredDomain(col("target_uri")), lit("")),
+          lit("unknown")).as("source"),
+        col("payload"))
+      .filter(col("doc_id").isNotNull))
     // ZERO-JOIN routing (r18): extract, meta-robots, and langid are all
     // map-only projections, so the routing columns COMPOSE by carry
     // instead of three doc_id self-joins back onto the same rows (each
     // join cost an exchange pair + an AQE stage per batch for 1:1
     // row-aligned frames). metaRobots carries source+payload forward,
     // extractMain carries source+noindex, scoreDocs carries the main
-    // columns — one linear projection chain over the docs cache.
-    // persisted: the extract chain is the batch's dominant per-row cost
-    // and TWO consumers read it — the routed filter's main columns and
-    // langid's gram build (Catalyst inlines the expression tree into
-    // both, doubling the regex work without the barrier).
+    // columns — one linear projection chain over the spread scan.
+    // persisted, TWO jobs it does: (1) the extract chain is the batch's
+    // dominant per-row cost and TWO consumers read it — the routed
+    // filter's main columns and langid's gram build (Catalyst inlines
+    // the expression tree into both, doubling the regex work without
+    // the barrier); (2) this InMemoryRelation is the PUSHDOWN BARRIER
+    // that keeps the routing filter's inlined kernels from crossing the
+    // spread into the one-partition WET scan (see the spread comment
+    // above; CurationStreamSpec walks the cache layers and pins it).
     val main = graft.util.OperatorCaches.persisted(
       Html.extractMain(
         Html.metaRobots(docs, "payload", "doc_id",
