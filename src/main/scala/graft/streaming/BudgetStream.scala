@@ -64,6 +64,20 @@ object BudgetStream {
     * then land this batch's per-source arrivals as segment `batchId`.
     * Reads only segments with id < `batchId`, so a replay of batch k
     * (same data, same id) reproduces its decisions exactly.
+    *
+    * Materialization notes (r18 advisor):
+    *  - the eager localCheckpoint below TRUNCATES LINEAGE — loss of an
+    *    executor holding its blocks between this call and the caller's
+    *    terminal action fails that action instead of recomputing.
+    *    Streaming callers recover via idempotent batch replay (the
+    *    store protocol above); a direct batch caller that cannot
+    *    tolerate a hard failure should prefer reliable checkpointing.
+    *  - the checkpoint blocks are reclaimed by the ContextCleaner once
+    *    the returned frame is GC-unreachable (no deterministic release
+    *    handle exists for localCheckpoint blocks); the blocks are
+    *    micro-batch-sized, and a long-running stream sheds them as each
+    *    batch's frame goes out of scope. Harnesses that chain many
+    *    batches in one JVM (Bench) nudge reclamation with System.gc().
     */
   def admitStaged(
       batch: DataFrame,

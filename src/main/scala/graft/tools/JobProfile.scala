@@ -15,8 +15,13 @@ object JobProfile {
     val sfDir =
       if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // GRAFT_PROFILE_CPUS=N (default 32): core count for the local
+    // master — the scaling-inversion diagnosis (8 vs 32 cores) needs
+    // the same tool at both counts
+    val cpus = sys.env.get("GRAFT_PROFILE_CPUS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(32)
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -75,7 +80,10 @@ object JobProfile {
     // report every reading + the min — single hot readings on this box
     // swing 2x run-to-run (r18: 17.1 vs 29.2 s on identical code), so
     // per-change A/B adjudication needs the distribution, not a sample
-    val reps = sys.env.get("GRAFT_PROFILE_REPS").map(_.toInt).getOrElse(1)
+    // toIntOption + floor at 1: a typo'd or zero REPS value must not
+    // throw after the measurement run completes (hots.min on empty)
+    val reps = math.max(1,
+      sys.env.get("GRAFT_PROFILE_REPS").flatMap(_.toIntOption).getOrElse(1))
     val hots = (1 to reps).map { _ =>
       lines.clear()
       val t1 = System.nanoTime()
