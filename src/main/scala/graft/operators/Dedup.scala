@@ -1632,35 +1632,30 @@ object Dedup {
       dup: DataFrame,
       idCol: String,
       k: Int): DataFrame = {
-    // island merge as ONE doc-keyed aggregation + a linear fold over the
-    // sorted duplicated positions (every interval is exactly k tokens, so
-    // "pos > end + 1 opens a new island; otherwise extend"). The
-    // window-chain alternative (running-max prev_end → island ids →
-    // re-aggregate) costs two extra sorts and its codegen dominated the
-    // whole query's fixed cost. collect_list is bounded by positions per
-    // DOC (≤ tokens/doc), never by corpus size.
-    val none = lit(Long.MinValue / 2)
+    // island merge as ONE doc-keyed lag window + aggregate sharing the
+    // window's exchange: positions ascend within a doc and every
+    // interval is exactly k tokens, so with prev = lag(pos) a row opens
+    // a new island iff prev is null or pos − prev > k, and its covered
+    // contribution is k on an open and pos − prev (≤ k) on an extend —
+    // i.e. least(pos − prev, k). All codegen-able built-ins; the
+    // previous shape collected each doc's positions into a sorted array
+    // and folded it with an interpreted `aggregate` lambda (guide §4 —
+    // per-element closures in the hot path), which an r19 A/B measured
+    // slower at equal shuffle count (the groupBy here reuses the
+    // window's hash partitioning — one exchange either way; the r18
+    // "window-chain costs two extra sorts" note applied to the
+    // running-max → island-id → re-aggregate chain, not to one lag).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val opens = col("__prev").isNull || col("__p") - col("__prev") > k
     val spans = dup
+      .select(col(idCol), col("pos").cast("long").as("__p"))
+      .withColumn("__prev", lag(col("__p"), 1).over(w))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
-      .select(col(idCol),
-        aggregate(col("ps"),
-          struct(lit(0L).as("spans"), lit(0L).as("covered"), none.as("e")),
-          (acc, p) => {
-            val e = acc.getField("e")
-            val newEnd = (p + lit(k - 1)).as("e")
-            struct(
-              when(p > e + 1, acc.getField("spans") + 1L)
-                .otherwise(acc.getField("spans")).as("spans"),
-              when(p > e + 1, acc.getField("covered") + k.toLong)
-                .otherwise(acc.getField("covered") + (p + lit(k - 1) - e))
-                .as("covered"),
-              newEnd)
-          },
-          acc => struct(acc.getField("spans").as("dup_spans"),
-            acc.getField("covered").as("dup_tokens"))).as("r"))
-      .select(col(idCol), col("r.dup_spans").as("dup_spans"),
-        col("r.dup_tokens").as("dup_tokens"))
+      .agg(
+        sum(when(opens, 1L).otherwise(0L)).as("dup_spans"),
+        sum(when(opens, k.toLong).otherwise(col("__p") - col("__prev")))
+          .as("dup_tokens"))
     nTokens
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -1746,23 +1741,32 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
       .select(col(idCol), islandsOf.as("isl"))
     val isl = coalesce(col("isl"), emptyIslands)
-    // indexed tokens (1-based); guard the empty array — Spark's
-    // sequence(1, 0) is DESCENDING [1, 0], not empty
-    val indexed = when(size(col("toks")) === 0,
-      array().cast("array<struct<i:bigint,t:string>>"))
-      .otherwise(transform(sequence(lit(1L), size(col("toks")).cast("long")),
-        i => struct(i.as("i"), element_at(col("toks"), i.cast("int")).as("t"))))
-    val kept = filter(indexed, pr =>
-      !exists(isl, island =>
-        pr.getField("i") >= island.getField("s") &&
-          pr.getField("i") <= island.getField("e")))
+    // SURVIVOR REBUILD BY GAP SLICES, O(islands) per row instead of
+    // O(tokens × islands): the islands are sorted, disjoint and
+    // separated by ≥ 1 token (a new island only opens past ce + 1), so
+    // the kept tokens are exactly the inter-island gaps of [1, n] —
+    // |islands| + 1 candidate gaps, each one `slice` of the token
+    // array. The previous shape indexed EVERY token into an (i, t)
+    // struct and ran an `exists` over the islands per token — at k = 8
+    // a mostly-duplicated doc paid tokens × islands interpreted lambda
+    // calls to keep almost nothing (guide §4: the hot path belongs in
+    // bulk array ops, not per-element closures).
+    val n = size(col("toks")).cast("long")
+    val gapStarts = concat(array(lit(1L)),
+      transform(isl, i => i.getField("e") + 1L))
+    val gapEnds = concat(transform(isl, i => i.getField("s") - 1L), array(n))
+    val gaps = filter(
+      zip_with(gapStarts, gapEnds, (s, e) => struct(s.as("s"), e.as("e"))),
+      g => g.getField("s") <= g.getField("e"))
+    val kept = flatten(transform(gaps, g =>
+      slice(col("toks"), g.getField("s").cast("int"),
+        (g.getField("e") - g.getField("s") + 1L).cast("int"))))
     base.select(col(idCol), col("toks"))
       .join(docIslands, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("toks")).cast("long").as("n_tokens"),
+        n.as("n_tokens"),
         size(kept).cast("long").as("kept_tokens"),
-        concat_ws(" ", transform(kept, pr => pr.getField("t")))
-          .as("clean_text"))
+        concat_ws(" ", kept).as("clean_text"))
   }
 
   /** INCREMENTAL ExactSubstr through the persisted gram store — the
