@@ -3272,14 +3272,18 @@ object Queries {
       ClusterStore.compact(s, storeDir, buckets = 8,
         tablePrefix = "graft_q129_store")
       ClusterStore.ingest(b3, storeDir, "text", "doc_id")
-      val m = ClusterStore.load(s, storeDir)
-        .withColumnRenamed("node", "doc_id")
+      // persist the resolved map: TWO consumers of the one labeling
+      // action (the membership join and the size rollup) otherwise
+      // each re-run the segment fold + latest-wins aggregate inside
+      // the same execution (§1.2 don't compute twice)
+      val m = graft.util.OperatorCaches.persisted(
+        ClusterStore.load(s, storeDir).withColumnRenamed("node", "doc_id"))
       // q52's two-phase size rollup (groupBy the membership map + join
       // back, singletons = literal 1) — not a cluster-keyed window,
       // which would serialize the giant LSH component on one task
       val sizes = m.groupBy(col("component"))
         .agg(count(lit(1)).as("__csize"))
-      b1.unionByName(b2).unionByName(b3).select(col("doc_id"))
+      val out = b1.unionByName(b2).unionByName(b3).select(col("doc_id"))
         .join(m, Seq("doc_id"), "left")
         .join(sizes, Seq("component"), "left")
         .select(col("doc_id"),
@@ -3288,6 +3292,8 @@ object Queries {
         // no terminal orderBy - the hash gate is order-insensitive and
         // the sort cost a sample job + range exchange per run
         .localCheckpoint(true)
+      graft.util.OperatorCaches.releaseFrames(s, Seq(m))
+      out
     } finally {
       ClusterStore.dropTables(s, storeDir)
       graft.io.Sinks.truncatePath(s, storeDir)
@@ -3317,12 +3323,15 @@ object Queries {
           (col("doc_id") + lit(2 * m1)).as("doc_id"),
           concat(col("text"), lit(" qz17 qz18")).as("text")))
       ClusterStore.ingestBackfill(backlog, "bt", storeDir, "text", "doc_id")
-      val m = ClusterStore.load(s, storeDir)
-        .withColumnRenamed("node", "doc_id")
+      // persist the resolved map — see clusterStoreGate; here the
+      // resolve is 3 uncompacted segments + latest-wins, the priciest
+      // subtree of the labeling execution, and it appeared TWICE
+      val m = graft.util.OperatorCaches.persisted(
+        ClusterStore.load(s, storeDir).withColumnRenamed("node", "doc_id"))
       // q52's two-phase size rollup — see clusterStoreGate
       val sizes = m.groupBy(col("component"))
         .agg(count(lit(1)).as("__csize"))
-      backlog.select(col("doc_id"))
+      val out = backlog.select(col("doc_id"))
         .join(m, Seq("doc_id"), "left")
         .join(sizes, Seq("component"), "left")
         .select(col("doc_id"),
@@ -3331,6 +3340,8 @@ object Queries {
         // no terminal orderBy - the hash gate is order-insensitive and
         // the sort cost a sample job + range exchange per run
         .localCheckpoint(true)
+      graft.util.OperatorCaches.releaseFrames(s, Seq(m))
+      out
     } finally {
       ClusterStore.dropTables(s, storeDir)
       graft.io.Sinks.truncatePath(s, storeDir)
