@@ -130,14 +130,20 @@ class CurationStream(
     // terminal action done — release this batch's routed-frame cache
     graft.util.OperatorCaches.releaseFrames(records.sparkSession, frames)
     if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-      Dedup.FingerprintStore.compact(records.sparkSession, dedupStoreDir,
-        buckets = 16, keepNewestSegments = 1)
-      Dedup.FingerprintStore.purgeSuperseded(
-        records.sparkSession, dedupStoreDir)
-      BudgetStream.compact(records.sparkSession, budgetStateDir,
-        keepNewestSegments = 1)
-      BudgetStream.purgeSuperseded(records.sparkSession, budgetStateDir)
-      ()
+      // the two stores are INDEPENDENT (separate directories, separate
+      // catalog tables), so their compaction jobs overlap on one small
+      // driver thread (guide §2.6 — the second compact's tasks backfill
+      // executors the first's tail leaves idle); each store's own
+      // compact → purge order is preserved on its thread
+      val s = records.sparkSession
+      val dedupSide = java.util.concurrent.CompletableFuture.runAsync(() => {
+        Dedup.FingerprintStore.compact(s, dedupStoreDir,
+          buckets = 16, keepNewestSegments = 1)
+        Dedup.FingerprintStore.purgeSuperseded(s, dedupStoreDir): Unit
+      })
+      BudgetStream.compact(s, budgetStateDir, keepNewestSegments = 1)
+      BudgetStream.purgeSuperseded(s, budgetStateDir)
+      dedupSide.join() // propagates the dedup side's failure, if any
     }
   }
 
