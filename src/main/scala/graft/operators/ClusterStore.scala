@@ -502,6 +502,15 @@ object ClusterStore {
       .maxOption.map(_ + 1).getOrElse(0L)
     var mapIsEmpty = segments(s, dir).isEmpty && currentGen(s, dir).isEmpty
     var m = if (mapIsEmpty) emptyMap(s) else load(s, dir).localCheckpoint(true)
+    // the key-segment writes are independent of the map loop (each
+    // filters the checkpointed regs; distinct output dirs), so all of
+    // them run on driver side-threads while the inherently-sequential
+    // contraction/CC loop below keeps the main thread (guide §2.6)
+    val keyWrites = bs.zipWithIndex.map { case (b, i) =>
+      java.util.concurrent.CompletableFuture.runAsync(() =>
+        regs.filter(col("b") === b).select(col("fp"), col("doc_id"))
+          .write.mode("overwrite").parquet(f"$kd/seg_${keyIdx0 + i}%05d"))
+    }
     val committedAll = bs.zipWithIndex.map { case (b, i) =>
       val edges = edgesAll.filter(col("b") === b)
         .select(col("a"), col("e").as("b"))
@@ -509,8 +518,6 @@ object ClusterStore {
       val seg = f"${mapDir(dir)}/seg_${segIdx0 + i}%05d"
       segRowsFor(contracted, m, mapIsEmpty).write
         .mode("overwrite").parquet(seg)
-      regs.filter(col("b") === b).select(col("fp"), col("doc_id"))
-        .write.mode("overwrite").parquet(f"$kd/seg_${keyIdx0 + i}%05d")
       val committed = s.read.schema(mapSchema).parquet(seg)
       // running map: one latest-wins fold over the just-committed delta
       // — the in-memory equivalent of the sequential loop's per-ingest
@@ -526,6 +533,7 @@ object ClusterStore {
       mapIsEmpty = false
       committed.withColumn(batchCol, lit(b))
     }
+    keyWrites.foreach(_.join()) // propagate any key write's failure
     committedAll.reduce(_ unionByName _)
       .select(col(batchCol), col("node"), col("component"))
   }

@@ -1975,15 +1975,22 @@ object Dedup {
         "sequential incremental loop (dupSpansIncrementalStaged / " +
         "stripDupSpansIncrementalStaged per batch), which has no " +
         "driver-side backlog bound")
-    bs.zipWithIndex.foreach { case (b, i) =>
-      occ.filter(col("g").isNotNull &&
-          col("__minb") === b && col("__b") === b)
-        .groupBy(col("g"))
-        .agg(min(col(idCol).cast("long")).as("doc_id"))
-        .select(col("g").cast("string").as("fp"), col("doc_id"))
-        .join(seen.select(col("fp")), Seq("fp"), "left_anti")
-        .write.mode("overwrite").parquet(f"$storeDir/seg_${nextIdx + i}%05d")
-    }
+    // the per-batch segment writes are INDEPENDENT (distinct output
+    // dirs, every one reading the occ cache — warm: the bs collect
+    // above materialized it — against the PINNED pre-backfill `seen`
+    // list), so they run concurrently on driver side-threads
+    // (guide §2.6); join() propagates any write's failure
+    bs.zipWithIndex.map { case (b, i) =>
+      java.util.concurrent.CompletableFuture.runAsync(() =>
+        occ.filter(col("g").isNotNull &&
+            col("__minb") === b && col("__b") === b)
+          .groupBy(col("g"))
+          .agg(min(col(idCol).cast("long")).as("doc_id"))
+          .select(col("g").cast("string").as("fp"), col("doc_id"))
+          .join(seen.select(col("fp")), Seq("fp"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(f"$storeDir/seg_${nextIdx + i}%05d"))
+    }.foreach(_.join())
     (base, occ, dup)
   }
 

@@ -50,16 +50,22 @@ object Layout {
     val s = docs.sparkSession
     val h = graft.functions.TextFunctions.stableHash60(
       concat(col(idCol).cast("string"), lit(s":$salt")))
+    // persist the SKINNY pre-exchange frame (id, weight, hash — ~24
+    // bytes/row): repartitionByRange executes its child TWICE (the
+    // range-boundary sample pass plus the exchange itself), and the
+    // child's lineage carries the caller's per-doc weight computation
+    // (q126: the corpus tokenize) — the cache halves that work (§1.2)
+    val pre = graft.util.OperatorCaches.persisted(docs
+      .select(col(idCol), col(weightCol))
+      .withColumn("__h", h))
     // persist the range-partitioned frame: the offsets collect and the
     // final window must see the SAME partition boundaries (range
     // boundaries come from a sample; two independent evaluations could
     // legally differ — the cache pins one materialization for both)
-    // CACHE CONTRACT: registered with OperatorCaches — the caller
-    // releases via OperatorCaches.release(spark) after its terminal
-    // action on the returned (lazy) frame.
-    val parted = graft.util.OperatorCaches.persisted(docs
-      .select(col(idCol), col(weightCol))
-      .withColumn("__h", h)
+    // CACHE CONTRACT: both frames registered with OperatorCaches — the
+    // caller releases via OperatorCaches.release(spark) after its
+    // terminal action on the returned (lazy) frame.
+    val parted = graft.util.OperatorCaches.persisted(pre
       .repartitionByRange(s.sessionState.conf.numShufflePartitions,
         col("__h"), col(idCol))
       .withColumn("__pid", spark_partition_id()))

@@ -230,9 +230,13 @@ object BudgetStream {
     val dataSub = f"gen_data_$genNo%05d"
     val sources = prev.map(g => new org.apache.hadoop.fs.Path(p, g._1)
       .toString).toSeq ++ segs.map(_._2)
+    // file-count-BOUNDED generation write, not coalesce(1): one row per
+    // SOURCE domain — millions at 100 TB — must not serialize through a
+    // single write task (the FrontierStream.compact rationale verbatim;
+    // local[32] layout unchanged: 32 shuffle partitions → 1 file).
     s.read.parquet(sources: _*)
       .groupBy(col(srcCol)).agg(sum(col("__spent")).as("__spent"))
-      .coalesce(1)
+      .coalesce(math.max(1, s.sessionState.conf.numShufflePartitions / 32))
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(p, dataSub).toString)
     val tmp = new org.apache.hadoop.fs.Path(p, f"gen_$genNo%05d.tmp")

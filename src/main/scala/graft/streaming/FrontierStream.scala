@@ -197,9 +197,16 @@ object FrontierStream {
     val dataSub = f"gen_data_$genNo%05d"
     val sources = prev.map(g => new org.apache.hadoop.fs.Path(p, g._1)
       .toString).toSeq ++ segs.map(_._2)
+    // file-count-BOUNDED generation write, not coalesce(1): the meter
+    // is one row per DOMAIN — millions of rows at 100 TB — and a
+    // single-task write is the serialization class r17/r18 removed
+    // everywhere else. 1/32 of the shuffle partitions keeps the gate's
+    // local[32] layout identical (32 partitions → 1 file) while a
+    // production session with thousands of shuffle partitions fans the
+    // write out; readers are directory-based.
     s.read.parquet(sources: _*)
       .groupBy(col(domainCol)).agg(sum(col("__assigned")).as("__assigned"))
-      .coalesce(1)
+      .coalesce(math.max(1, s.sessionState.conf.numShufflePartitions / 32))
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(p, dataSub).toString)
     val tmp = new org.apache.hadoop.fs.Path(p, f"gen_$genNo%05d.tmp")
