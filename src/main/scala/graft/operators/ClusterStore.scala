@@ -303,6 +303,13 @@ object ClusterStore {
     // empty edge set (one signature job) — an edge-free batch just
     // commits an empty segment through the same path
     val segRows = segRowsFor(contracted, m, mapIsEmpty)
+    // NOT overlapped (r19 measured-and-reverted): forking the key
+    // registration onto a side thread while the CC/mapseg chain runs
+    // read consistently WORSE (q129 hot 9.77 -> 10.7-11.0 s) — both
+    // actions race the same cold `keys` cache, and the loser blocks on
+    // block-level locks while the scheduler interleaves two small
+    // serial chains; the backfill variant forks only AFTER its shared
+    // frames are eagerly materialized, which is why it can overlap.
     graft.util.Described(s, "cs:mapseg")(
       segRows.write.mode("overwrite").parquet(seg))
     // register store-novel keys (first-owner semantics, min id per key)
